@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Core relational / per-record transforms (SURVEY.md §2.1, §2.6).
+  *
+  * Re-expresses the reference's DataStream transform surface
+  * (map/flatMap/filter/keyBy/sum/reduce/min/max/split/select/
+  * connect/union — /root/reference .../transformTest/TransformTest.scala,
+  * SplitAndSelect.scala, ConnectAndUnion.scala,
+  * helloWorldTest/WordCount.scala) as declarative DataFrame plans:
+  * Catalyst pushes the filters into the parquet scan and every
+  * aggregation gets map-side partial aggregation — the Spark-native
+  * equivalent of Flink's keyed pre-aggregation, and the property
+  * that keeps shuffles small at 100 TB.
+  */
+object CoreOps {
+
+  /** TPC-H Q1-style pricing summary: one shuffle, partial-agg'd.
+    * Flagship aggregate (reference keyBy+sum, TransformTest.scala:30). */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast(LongType).as("sum_qty"),
+        Det.sumFixed($"l_extendedprice", 2).as("sum_base_e2"),
+        Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+          .as("sum_disc_e4"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Batch word count (reference WordCount.scala:22 flatMap→groupBy→sum). */
+  def wordCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"word")
+
+  /** map + filter, pushed down to the scan
+    * (reference SourceFromListOrFile.scala:28 filter temperature>=20). */
+  def mapFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter($"value" >= 50.0 && $"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value")
+      .orderBy($"event_id")
+
+  /** keyBy + sum (reference StreamWordCount.scala:28 keyBy(0).sum(1)). */
+  def keyedSum(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
+      .orderBy($"user_id")
+
+  /** keyBy + min/max (reference WindowTest.scala:76 minBy). min/max of
+    * doubles select an existing bit pattern — cross-engine safe. */
+  def keyedMinMax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(min($"value").as("min_value"), max($"value").as("max_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"user_id")
+
+  /** minBy: whole row achieving the key's min, deterministic tiebreak
+    * (reference minBy(1), WindowTest.scala:76). Window partitioned by
+    * key — no global sort, scales with key cardinality. */
+  def minBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"value".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .orderBy($"user_id")
+  }
+
+  /** Running keyed fold — Flink's emit-per-element keyBy.reduce
+    * (TransformTest.scala:30): cumulative count/sum per key in event
+    * order. Cumulative frame over integers → deterministic. */
+  def reduceRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        count(lit(1)).over(w).as("running_cnt"),
+        sum(Det.toFixed($"value", 6)).over(w).as("running_sum_e6"))
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+
+  /** split/select (reference SplitAndSelect.scala:25 high/mid/low):
+    * tag with CASE — one scan, no shuffle until the count. */
+  def splitSelect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("severity",
+        when($"value" >= 80.0, "high")
+          .when($"value" >= 50.0, "mid")
+          .otherwise("low"))
+      .groupBy($"severity")
+      .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
+      .orderBy($"severity")
+
+  /** connect + CoMap then union (reference ConnectAndUnion.scala:47):
+    * two typed branches mapped to a common schema and unioned —
+    * Catalyst collapses both branches onto one scan. */
+  def unionConnect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val high = ev.filter($"value" >= 80.0)
+      .select($"user_id", $"event_id", lit("error").as("tag"))
+    val mid = ev.filter($"value" >= 50.0 && $"value" < 80.0)
+      .select($"user_id", $"event_id", lit("warn").as("tag"))
+    high.unionByName(mid).orderBy($"event_id")
+  }
+
+  /** Side output (reference SideOutPutTest.scala:930: hot temperatures
+    * diverted to a tagged side stream). */
+  def sideOutput(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter($"value" > 90.0)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        lit("hot").as("tag"))
+      .orderBy($"event_id")
+
+  /** JSON column access over events.props (§2.6 #36). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast(LongType).as("k"))
+      .filter($"k" >= 50)
+      .orderBy($"event_id")
+
+  // Column-name interpolation helper (avoids importing a session's implicits
+  // in every method — these builders are session-agnostic).
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read Verify's
+parquet dumps, run each oracle SQL in DuckDB over the same sf dir,
+sort columns by name + rows by all columns, compare values exactly.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        pq = f"{out_dir}/{name}"
+        if not glob.glob(f"{pq}/*.parquet"):
+            print(f"FAIL {name}: no spark output")
+            fails += 1
+            continue
+        try:
+            got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            fails += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}")
+            fails += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            fails += 1
+            continue
+        g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        w = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+        try:
+            eq = g.equals(w)
+            if not eq:
+                # find first mismatching cell for the report
+                diff = (g != w) & ~(g.isna() & w.isna())
+                cells = diff.to_numpy().nonzero()
+                r, c = cells[0][0], cells[1][0]
+                print(f"FAIL {name}: value mismatch at row {r} col "
+                      f"{g.columns[c]}: {g.iat[r, c]!r} vs {w.iat[r, c]!r}")
+                fails += 1
+            else:
+                print(f"OK   {name} ({len(g)} rows)")
+        except Exception as e:
+            print(f"FAIL {name}: compare error {e}")
+            fails += 1
+    missing = set(oracle) ^ set(
+        os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    if missing:
+        print(f"NOTE: oracle/output key mismatch: {missing}")
+    print(f"{'PASS' if fails == 0 else 'FAIL'}: {len(oracle) - fails}/{len(oracle)}")
+    return fails
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
