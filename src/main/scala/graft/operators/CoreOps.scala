@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, Tables}
+import graft.{ColumnInterpolator, Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -132,10 +132,4 @@ object CoreOps {
         get_json_object($"props", "$.k").cast(LongType).as("k"))
       .filter($"k" >= 50)
       .orderBy($"event_id")
-
-  // Column-name interpolation helper (avoids importing a session's implicits
-  // in every method — these builders are session-agnostic).
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
-  }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{ColumnInterpolator, Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins and the order-analytics job (SURVEY.md §2.5, §2.6).
+  *
+  * The reference's "double-11 dashboard" (orderTest/OrderAnalysy.scala:453)
+  * computes windowed global order totals and per-province grouped
+  * totals. Here: per-day totals and per-nation totals over the
+  * `orders` star schema. Dimension tables (customer, nation, part)
+  * are `broadcast()` — at TPC-H ratios they stay millions of rows
+  * when lineitem is 100 TB, so the fact table never shuffles for the
+  * join; the only shuffle is the final keyed aggregation.
+  */
+object JoinOps {
+
+  /** Daily global totals (OrderAnalysy TotalDataFun, reference :719). */
+  def orderDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"))
+      .agg(count(lit(1)).as("total_num"), Det.sumFixed($"o_totalprice", 2).as("total_money_e2"))
+      .orderBy($"order_day")
+
+  /** Per-nation totals (OrderAnalysy GroupDataFuc, reference :686 —
+    * "province" → nation via the customer dimension). */
+  def orderNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select($"o_custkey", $"o_totalprice")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("total_num"), Det.sumFixed($"o_totalprice", 2).as("total_money_e2"))
+      .orderBy($"n_name")
+  }
+
+  /** Fact×dim enrichment join: revenue per brand. */
+  def joinEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .as("revenue_e4"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"p_brand")
+  }
+
+  /** Semi join: parts that ever shipped with quantity > 45. */
+  def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_name")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" > 45.0).select($"l_partkey")
+    p.join(li, $"p_partkey" === $"l_partkey", "left_semi")
+      .orderBy($"p_partkey")
+  }
+
+  /** Anti join: customers who never placed an URGENT order. */
+  def antiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .orderBy($"c_custkey")
+  }
+
+  /** Top-3 orders per priority (top-N per group — window + filter,
+    * partitioned so no global sort). */
+  def topnWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"o_orderpriority", $"rank", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rank")
+  }
+
+  /** Multi-way join + date filters (TPC-H Q3-shaped): shipping
+    * priority revenue. Exercises filter pushdown on the fact scan. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val c = Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{ColumnInterpolator, Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Event-time windowing (SURVEY.md §2.2).
+  *
+  * Re-expresses the reference's Flink window surface — tumbling /
+  * sliding / count / offset windows (reference
+  * windowTest/WindowTest.scala:74 `timeWindow(Time.seconds(2))`,
+  * windowTest/TestUtcTime.scala:47
+  * `TumblingEventTimeWindows.of(Time.days(1), Time.hours(16))`) — as
+  * `window()` groupings. Batch analogs here (the correctness gate);
+  * the streaming forms with watermarks live in graft.streaming.
+  *
+  * Scale note: a window-grouped aggregation is one shuffle keyed by
+  * (window, key) with map-side partial agg; window assignment itself
+  * is a per-row projection (no state), so this survives 100 TB as
+  * long as the key×window cardinality does — which watermarking
+  * bounds in the streaming form.
+  */
+object WindowOps {
+
+  /** Tumbling 6-hour event-time windows per event_type. Window starts
+    * are epoch-aligned in both engines (oracle uses integer floor). */
+  def windowTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"),
+        min($"value").as("min_value"), max($"value").as("max_value"))
+      .select(unix_micros($"w.start").as("window_start_us"), $"event_type",
+        $"cnt", $"sum_value_e6", $"min_value", $"max_value")
+      .orderBy($"window_start_us", $"event_type")
+
+  /** Sliding windows: 1 day size, 6 hour slide (each event in 4). */
+  def windowSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 day", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
+      .select(unix_micros($"w.start").as("window_start_us"), $"event_type",
+        $"cnt", $"sum_value_e6")
+      .orderBy($"window_start_us", $"event_type")
+
+  /** Day windows with a 16-hour offset (reference TestUtcTime.scala:47
+    * — day windows shifted so a non-UTC "day" is honored). */
+  def windowDayOffset(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 day", "1 day", "16 hours").as("w"))
+      .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
+      .select(unix_micros($"w.start").as("window_start_us"), $"cnt", $"sum_value_e6")
+      .orderBy($"window_start_us")
+
+  /** Keyed count windows of 10 (reference countWindow): deterministic
+    * event order (ts, event_id), bucketed by row_number. Partitioned
+    * by key — no global sort. */
+  def windowCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("win_idx", ((row_number().over(w) - 1) / 10).cast(LongType))
+      .groupBy($"user_id", $"win_idx")
+      .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
+      .orderBy($"user_id", $"win_idx")
+  }
+
+  /** Session windows with a 30-minute inactivity gap (Flink session
+    * windows; the gap-and-cumsum formulation is the batch analog of
+    * keyed session state). */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val byKey = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .withColumn("new_session",
+        when($"ts_us" - lag($"ts_us", 1).over(byKey) > gapUs || lag($"ts_us", 1).over(byKey).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_session").over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("cnt"),
+        min($"ts_us").as("session_start_us"),
+        max($"ts_us").as("session_end_us"),
+        Det.sumFixed($"value", 6).as("sum_value_e6"))
+      .orderBy($"user_id", $"session_id")
+  }
+}

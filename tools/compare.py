@@ -38,6 +38,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}")
             fails += 1
             continue
+        if [str(d) for d in got.dtypes] != [str(d) for d in want.dtypes]:
+            print(f"FAIL {name}: dtypes {dict(got.dtypes.astype(str))} vs "
+                  f"{dict(want.dtypes.astype(str))}")
+            fails += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             fails += 1
