@@ -43,7 +43,37 @@ object SparkEntry {
     "q_anti_join" -> (JoinOps.antiJoin _),
     "q_topn_window" -> (JoinOps.topnWindow _),
     "q_shipping_priority" -> (JoinOps.shippingPriority _),
+    "q_dedup_exact" -> (DedupOps.dedupExact _),
+    "q_minhash_band" -> (DedupOps.minhashBandsQ _),
+    "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
+    "q_simhash" -> (DedupOps.simhash _),
+    "q_dedup_ngram" -> (DedupOps.dedupNgram _),
+    "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
+    "q_ann_topk" -> (SimilarityOps.annTopk _),
+    "q_ann_lsh" -> (SimilarityOps.annLsh _),
+    "q_text_langid" -> (TextOps.textLangid _),
+    "q_text_quality" -> (TextOps.textQuality _),
+    "q_token_count" -> (TextOps.tokenCount _),
+    "q_fingerprint" -> (TextOps.fingerprint _),
   )
+
+  /** Shared oracle-SQL fragments (documents tokenization + quantized
+    * embeddings), interpolated into the §2.7 oracles below. */
+  private def h60(inner: String): String =
+    s"CAST(concat('0x', substr(md5($inner),1,15)) AS BIGINT)"
+  private val tkCte =
+    "tkv AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS tk FROM documents)"
+  private def gramsCte(n: Int): String = {
+    val g = (0 until n).map(o => s"tk[i${if (o > 0) s"+$o" else ""}]").mkString(" || ' ' || ")
+    s"g3 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-${n - 1}), i -> $g)) AS gs FROM tkv)"
+  }
+  private val quantCte =
+    """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+      |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))""".stripMargin
+  private def cosE6(qa: String, qb: String, n2a: String, n2b: String): String =
+    s"CAST(round(CAST(list_sum(list_transform(list_zip($qa,$qb), p -> p[1]*p[2])) AS DOUBLE) / sqrt(CAST($n2a*$n2b AS DOUBLE)) * 1000000) AS BIGINT)"
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -200,5 +230,128 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY 1, 2 ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS cnt FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q_minhash_band" -> {
+      val minhashes = (0 to 15).map(i =>
+        s"min(${h60(s"CAST(i AS VARCHAR) || ':' || g")}) FILTER (i = $i)").mkString(",\n    ")
+      s"""WITH $tkCte, ${gramsCte(2)},
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM g3),
+         |m AS (SELECT doc_id, list_value($minhashes) AS mhs
+         |      FROM g CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) s GROUP BY doc_id)
+         |SELECT doc_id, b AS band,
+         |  ${h60("CAST(b AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+1 AS INTEGER)] AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+2 AS INTEGER)] AS VARCHAR)")} AS band_hash
+         |FROM m CROSS JOIN (SELECT unnest(generate_series(0,7)) AS b) s
+         |ORDER BY doc_id, band""".stripMargin
+    },
+    "q_dedup_minhash" -> {
+      val minhashes = (0 to 15).map(i =>
+        s"min(${h60(s"CAST(i AS VARCHAR) || ':' || g")}) FILTER (i = $i)").mkString(",\n    ")
+      s"""WITH $tkCte, ${gramsCte(2)},
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM g3),
+         |m AS (SELECT doc_id, list_value($minhashes) AS mhs
+         |      FROM g CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) s GROUP BY doc_id),
+         |bnd AS (SELECT doc_id, b,
+         |  ${h60("CAST(b AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+1 AS INTEGER)] AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+2 AS INTEGER)] AS VARCHAR)")} AS band_hash
+         |  FROM m CROSS JOIN (SELECT unnest(generate_series(0,7)) AS b) s),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
+         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, n_common, n_union FROM ver
+         |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_simhash" ->
+      s"""WITH $tkCte,
+         |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv),
+         |th AS (SELECT doc_id, ${h60("tok")} AS h FROM t),
+         |v AS (SELECT doc_id, b, sum(2*((h >> b) & 1) - 1) AS v
+         |      FROM th CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) s GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH $tkCte, ${gramsCte(3)},
+         |gz AS (SELECT doc_id, gs, len(gs) // 8 AS bucket FROM g3 WHERE len(gs) > 0),
+         |l AS (SELECT doc_id, gs, unnest([bucket-1, bucket, bucket+1]) AS bk FROM gz),
+         |cand AS (SELECT a.doc_id AS doc_a, a.gs AS gsa, b.doc_id AS doc_b, b.gs AS gsb
+         |  FROM l a JOIN gz b ON a.bk = b.bucket AND a.doc_id < b.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(gsa, gsb)) AS BIGINT) AS n_common,
+         |  CAST(len(gsa) + len(gsb) - len(list_intersect(gsa, gsb)) AS BIGINT) AS n_union FROM cand)
+         |SELECT doc_a, doc_b, n_common, n_union FROM ver
+         |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH $quantCte
+         |SELECT vec_a, vec_b, cos_e6 FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |WHERE cos_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH $quantCte,
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM n a CROSS JOIN n b WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |r AS (SELECT query_id, vec_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH $quantCte,
+         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (SELECT n.vec_id, planes.j,
+         |          CAST(list_sum(list_transform(list_zip(n.q, planes.w), z -> z[1]*z[2])) AS BIGINT) AS d
+         |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesSqlValues})
+         |  GROUP BY 1),
+         |nb AS (SELECT n.vec_id, q, n2, bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM nb a JOIN nb b ON a.bucket = b.bucket WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |r AS (SELECT query_id, vec_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_text_langid" -> {
+      import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
+      s"""WITH $tkCte,
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(tk, t -> list_contains(${inList(enMarkers)}, t))) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(tk, t -> list_contains(${inList(deMarkers)}, t))) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(tk, t -> list_contains(${inList(frMarkers)}, t))) AS BIGINT) AS fr_hits,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv)
+         |SELECT doc_id, en_hits, de_hits, fr_hits, n_tokens,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |       WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS detected
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "q_text_quality" -> {
+      import graft.functions.TextFunctions.enMarkers
+      s"""WITH $tkCte,
+         |q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(tk, t -> list_contains(${inList(enMarkers)}, t))) AS BIGINT) AS stop_hits,
+         |  CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS tok_chars FROM tkv)
+         |SELECT doc_id, n_chars_m, n_tokens, n_distinct,
+         |  (n_tokens - n_distinct) * 10000 // n_tokens AS dup_ratio_e4,
+         |  stop_hits * 10000 // n_tokens AS stop_ratio_e4,
+         |  tok_chars * 100 // n_tokens AS avg_tok_len_e2
+         |FROM q WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $tkCte,
+         |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv)
+         |SELECT doc_id, CAST(sum(${h60("tok")} % 1000000007) % 1000000007 AS BIGINT) AS fp
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

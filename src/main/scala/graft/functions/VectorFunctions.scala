@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Embedding-vector math over `array<float>` columns (SURVEY.md §2.7).
+  *
+  * Strategy for cross-engine exactness: quantize each float to an
+  * integer (`round(x*1000)`), do all cross-element arithmetic (dot
+  * product, squared norm) in BIGINT — associative, order-independent —
+  * then derive cosine as a single per-row double division/sqrt, which
+  * is IEEE-deterministic across engines. All expressed with
+  * `zip_with`/`aggregate` higher-order functions: codegen'd, no UDF.
+  *
+  * Magnitude safety: |element| ≲ 1e3 after e3 quantization, so a
+  * 64-dim squared norm ≤ 6.4e7 and a norm product ≤ 4.1e15 — well
+  * inside BIGINT.
+  */
+object VectorFunctions {
+
+  /** Fixed-point e3 quantization of an array<float> → array<long>. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast(DoubleType) * 1000, 0).cast(LongType))
+
+  /** Integer dot product of two array<long> columns. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Integer squared norm. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine from integer dot + squared norms (per-row IEEE ops only). */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast(DoubleType) / sqrt((n2a * n2b).cast(DoubleType))
+
+  /** Cosine scaled to e6 BIGINT for deterministic output columns. */
+  def cosineE6(dot: Column, n2a: Column, n2b: Column): Column =
+    round(cosine(dot, n2a, n2b) * 1e6, 0).cast(LongType)
+
+  // ---- random-hyperplane LSH ----------------------------------------
+
+  /** Number of hyperplanes (bucket space = 2^nPlanes = 16: at the test
+    * corpus size ~30 vectors/bucket; at 100 TB you raise nPlanes so
+    * bucket size stays bounded — the join stays equi on `bucket`). */
+  val nPlanes = 4
+  val dim = 64
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic pseudo-random plane weight in [-1000, 1000]:
+    * the same md5-prefix hash the engines use, computed in the JVM so
+    * the planes can be embedded as literals on BOTH sides (Spark
+    * typedlit + SQL list literal) — no per-row hashing at scan time. */
+  def weight(j: Int, i: Int): Long =
+    java.lang.Long.parseLong(md5hex(s"$j:$i").substring(0, 15), 16) % 2001 - 1000
+
+  val planes: IndexedSeq[IndexedSeq[Long]] =
+    (0 until nPlanes).map(j => (0 until dim).map(i => weight(j, i)))
+
+  /** Sign-bucket id of a quantized embedding: bit j = (q · plane_j) > 0. */
+  def lshBucket(q: Column): Column =
+    (0 until nPlanes).map { j =>
+      val pl = typedLit(planes(j))
+      when(dotL(q, pl) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The same planes as a SQL VALUES relation `planes(j, w)` for the
+    * DuckDB oracle. */
+  def planesSqlValues: String =
+    planes.zipWithIndex.map { case (w, j) =>
+      s"($j, [${w.mkString(",")}])"
+    }.mkString("(VALUES ", ", ", ") planes(j, w)")
+}

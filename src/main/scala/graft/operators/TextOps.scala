@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{ColumnInterpolator, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for training-data curation
+  * (SURVEY.md §2.7 #45-48): language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * All per-document (embarrassingly parallel — no shuffle except the
+  * fingerprint's keyed agg), all integer-valued or integer-ratio
+  * metrics (`x div y` fixed-point) so the DuckDB oracle matches
+  * exactly at any scale.
+  */
+object TextOps {
+
+  /** #45 Language ID via stopword-marker counting: hits per language
+    * marker set (with multiplicity), argmax with en>de>fr priority,
+    * 'und' when nothing matches. */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .select($"doc_id",
+        markerHits($"tk", enMarkers).as("en_hits"),
+        markerHits($"tk", deMarkers).as("de_hits"),
+        markerHits($"tk", frMarkers).as("fr_hits"),
+        size($"tk").cast(LongType).as("n_tokens"))
+      .withColumn("detected",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" > 0, "en")
+          .when($"de_hits" >= $"fr_hits" && $"de_hits" > 0, "de")
+          .when($"fr_hits" > 0, "fr")
+          .otherwise("und"))
+      .orderBy($"doc_id")
+
+  /** #46 Quality metrics: char len, token counts, duplicate-token and
+    * stopword ratios (e4 fixed-point), mean token length (e2). */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .select($"doc_id",
+        length($"text").cast(LongType).as("n_chars_m"),
+        size($"tk").cast(LongType).as("n_tokens"),
+        size(array_distinct($"tk")).cast(LongType).as("n_distinct"),
+        markerHits($"tk", enMarkers).as("stop_hits"),
+        aggregate($"tk", lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_chars_m", $"n_tokens", $"n_distinct",
+        expr("(n_tokens - n_distinct) * 10000 div n_tokens").as("dup_ratio_e4"),
+        expr("stop_hits * 10000 div n_tokens").as("stop_ratio_e4"),
+        expr("tok_chars * 100 div n_tokens").as("avg_tok_len_e2"))
+      .orderBy($"doc_id")
+
+  /** #47 Token counting: whitespace tokens + a BPE-ish regex token
+    * class count (`[A-Za-z0-9]+` runs — the word-piece baseline). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(tokens($"text")).cast(LongType).as("ws_tokens"),
+        regexp_count($"text", lit("[A-Za-z0-9]+")).cast(LongType).as("re_tokens"),
+        length($"text").cast(LongType).as("n_chars_m"))
+      .orderBy($"doc_id")
+
+  /** #48 Order-independent document fingerprint: sum of token hashes
+    * mod p over the token multiset. Associative integer agg →
+    * partial-agg'd, deterministic; the order-SENSITIVE rolling
+    * polynomial hash variant is the custom Catalyst Expression in
+    * graft.functions (spec-gated). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = 1000000007L
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", (hash60($"tok") % p).as("hp"))
+      .groupBy($"doc_id")
+      .agg((sum($"hp") % p).as("fp"))
+      .orderBy($"doc_id")
+  }
+}
