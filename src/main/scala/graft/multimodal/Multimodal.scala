@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media asset: opaque bytes + typed metadata (SURVEY.md §2.7 #49).
+  * kind ∈ {image, audio, video}. */
+case class MediaAsset(doc_id: Long, kind: String, bytes: Array[Byte],
+                      width: Int, height: Int, durationMs: Int)
+
+/** A decoded frame/clip feature row produced by the pipeline. */
+case class MediaFeature(doc_id: Long, kind: String, frameIdx: Int,
+                        featDim: Int, feature: Array[Float])
+
+/** Multimodal-column pipeline: binary media columns flowing through
+  * typed Spark stages.
+  *
+  * The real codec libraries (JPEG/PNG/ffmpeg) are not in this
+  * container, so [[StubCodec]] is a clearly-marked deterministic
+  * fake: it derives "pixels"/"samples" from a rolling hash of the
+  * bytes. Everything AROUND the codec is the real article — schema
+  * (binary column + typed metadata), per-partition batched decode via
+  * `mapPartitions` (one codec instance per partition, the same shape
+  * as an `mapInPandas`/Arrow batch UDF on a Python stack), frame
+  * sampling, resize, and feature extraction — and is what matters for
+  * the 100 TB plan: media bytes never pass through a shuffle; decode
+  * is a narrow map stage; only small feature vectors aggregate.
+  */
+object Multimodal {
+
+  /** STUB — deterministic stand-in for a real image/audio decoder.
+    * Replace `decode` with an actual codec on a real deployment. */
+  object StubCodec {
+    /** Deterministic pseudo-pixels: FNV-1a rolling hash over bytes. */
+    def decode(bytes: Array[Byte], n: Int): Array[Float] = {
+      var h = 0x811c9dc5L
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < bytes.length) {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x01000193L & 0xffffffffL
+        out(i % n) += ((h % 256L).toFloat / 255.0f)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize a deterministic media table from `documents` (the
+    * container has no real media files): bytes = UTF-8 of the text,
+    * kind round-robins, dims derived from doc_id. Deterministic, so
+    * specs can assert exact values. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        MediaAsset(id, kind, text.getBytes("UTF-8"),
+          width = 16 + (id % 8).toInt, height = 16 + (id % 4).toInt,
+          durationMs = 1000 + (id % 10).toInt * 500)
+      }
+  }
+
+  /** Frame-sample: video → every `stride`-th frame index, image → 1
+    * frame, audio → one clip per second. Pure metadata math — no
+    * decode yet, so it's a narrow (cheap) stage. */
+  def sampleFrames(assets: Dataset[MediaAsset], stride: Int): Dataset[(MediaAsset, Int)] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val frames = a.kind match {
+        case "image" => Seq(0)
+        case "audio" => 0 until math.max(1, a.durationMs / 1000)
+        case _       => 0 until math.max(1, a.durationMs / 40) by stride
+      }
+      frames.map(f => (a, f))
+    }
+  }
+
+  /** Decode + feature-extract, one codec per partition (the expensive
+    * stage; batched like an Arrow UDF). featDim models "resize to a
+    * fixed feature grid". */
+  def extractFeatures(sampled: Dataset[(MediaAsset, Int)], featDim: Int): Dataset[MediaFeature] = {
+    import sampled.sparkSession.implicits._
+    sampled.mapPartitions { it =>
+      // one decoder instance per partition — mirrors opening one
+      // libjpeg/ffmpeg context per task rather than per record
+      it.map { case (a, frame) =>
+        val feat = StubCodec.decode(a.bytes ++ BigInt(frame).toByteArray, featDim)
+        MediaFeature(a.doc_id, a.kind, frame, featDim, feat)
+      }
+    }
+  }
+
+  /** End-to-end: media table → sampled frames → features → per-doc
+    * mean feature norm (small aggregate; bytes never shuffle). */
+  def pipeline(spark: SparkSession, sfDir: String, stride: Int = 5,
+               featDim: Int = 8): DataFrame = {
+    val feats = extractFeatures(sampleFrames(mediaFromDocuments(spark, sfDir), stride), featDim)
+    import spark.implicits._
+    feats
+      .select($"doc_id", $"kind", $"frameIdx",
+        aggregate($"feature", lit(0.0f), (acc, x) => acc + x * x).as("norm2"))
+      .groupBy($"doc_id", $"kind")
+      .agg(count(lit(1)).as("n_frames"), sum($"norm2").as("sum_norm2"))
+      .orderBy($"doc_id")
+  }
+}

