@@ -63,9 +63,26 @@ object SparkEntry {
     s"CAST(concat('0x', substr(md5($inner),1,15)) AS BIGINT)"
   private val tkCte =
     "tkv AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS tk FROM documents)"
+  /** Distinct word-n-gram shingles, 60-bit-hashed (mirrors
+    * DedupOps.gramSets: distinct on the strings, then md5-hash each). */
   private def gramsCte(n: Int): String = {
     val g = (0 until n).map(o => s"tk[i${if (o > 0) s"+$o" else ""}]").mkString(" || ' ' || ")
-    s"g3 AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-${n - 1}), i -> $g)) AS gs FROM tkv)"
+    s"g3 AS (SELECT doc_id, list_transform(list_distinct(list_transform(generate_series(1, len(tk)-${n - 1}), i -> $g)), g -> ${h60("g")}) AS gs FROM tkv)"
+  }
+  /** MinHash signature CTEs (mirror DedupOps.minhashBands): 16
+    * universal-hash permutations of the shingle hash, min per doc,
+    * bands of 2 combined as mh1*P+mh2. */
+  private val mhCtes: String = {
+    import graft.functions.TextFunctions.{minhashAB, permuteSql, MinhashP}
+    val ab = minhashAB(16)
+    val mins = (0 until 16).map(i =>
+      s"min(${permuteSql("h", ab(i)._1, ab(i)._2)}) AS mh$i").mkString(",\n    ")
+    val bandHashes = (0 until 8).map(b =>
+      s"mh${2 * b} * $MinhashP + mh${2 * b + 1}").mkString(", ")
+    s"""g AS (SELECT doc_id, unnest(gs) AS h FROM g3),
+       |m AS (SELECT doc_id, $mins FROM g GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, b, list_value($bandHashes)[CAST(b+1 AS INTEGER)] AS band_hash
+       |  FROM m CROSS JOIN (SELECT unnest(generate_series(0,7)) AS b) s)""".stripMargin
   }
   private val quantCte =
     """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
@@ -233,28 +250,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS cnt FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
-    "q_minhash_band" -> {
-      val minhashes = (0 to 15).map(i =>
-        s"min(${h60(s"CAST(i AS VARCHAR) || ':' || g")}) FILTER (i = $i)").mkString(",\n    ")
+    "q_minhash_band" ->
       s"""WITH $tkCte, ${gramsCte(2)},
-         |g AS (SELECT doc_id, unnest(gs) AS g FROM g3),
-         |m AS (SELECT doc_id, list_value($minhashes) AS mhs
-         |      FROM g CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) s GROUP BY doc_id)
-         |SELECT doc_id, b AS band,
-         |  ${h60("CAST(b AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+1 AS INTEGER)] AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+2 AS INTEGER)] AS VARCHAR)")} AS band_hash
-         |FROM m CROSS JOIN (SELECT unnest(generate_series(0,7)) AS b) s
-         |ORDER BY doc_id, band""".stripMargin
-    },
-    "q_dedup_minhash" -> {
-      val minhashes = (0 to 15).map(i =>
-        s"min(${h60(s"CAST(i AS VARCHAR) || ':' || g")}) FILTER (i = $i)").mkString(",\n    ")
+         |$mhCtes
+         |SELECT doc_id, b AS band, band_hash FROM bnd
+         |ORDER BY doc_id, band""".stripMargin,
+    "q_dedup_minhash" ->
       s"""WITH $tkCte, ${gramsCte(2)},
-         |g AS (SELECT doc_id, unnest(gs) AS g FROM g3),
-         |m AS (SELECT doc_id, list_value($minhashes) AS mhs
-         |      FROM g CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) s GROUP BY doc_id),
-         |bnd AS (SELECT doc_id, b,
-         |  ${h60("CAST(b AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+1 AS INTEGER)] AS VARCHAR) || ',' || CAST(mhs[CAST(2*b+2 AS INTEGER)] AS VARCHAR)")} AS band_hash
-         |  FROM m CROSS JOIN (SELECT unnest(generate_series(0,7)) AS b) s),
+         |$mhCtes,
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
          |ver AS (SELECT doc_a, doc_b,
@@ -262,8 +265,7 @@ object SparkEntry {
          |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
          |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b)
          |SELECT doc_a, doc_b, n_common, n_union FROM ver
-         |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin,
     "q_simhash" ->
       s"""WITH $tkCte,
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv),

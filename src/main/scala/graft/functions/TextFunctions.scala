@@ -38,6 +38,32 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + lit(o))): _*))))
       .otherwise(array().cast(ArrayType(StringType)))
 
+  // ---- MinHash universal-hash permutations ---------------------------
+  // One md5 per shingle, then k cheap integer permutations
+  // h_i(x) = (a_i * (x mod P) + b_i) mod P over the Mersenne prime
+  // P = 2^31 - 1 — 16× less hashing than md5-per-permutation, and
+  // a_i*(x%P)+b_i ≤ (P-1)^2+P < 2^63 so the arithmetic is exact
+  // BIGINT in Spark and DuckDB alike.
+  val MinhashP = 2147483647L
+
+  private def md5mod(s: String, m: Long): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16) % m
+
+  /** Deterministic (a_i, b_i) per permutation, derived from md5 so
+    * both engines can embed them as literals. a_i ∈ [1, P-1]. */
+  def minhashAB(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map(i => (md5mod(s"mh:a:$i", MinhashP - 1) + 1,
+      md5mod(s"mh:b:$i", MinhashP)))
+
+  def permute(h: Column, a: Long, b: Long): Column =
+    (lit(a) * (h % MinhashP) + lit(b)) % MinhashP
+
+  def permuteSql(inner: String, a: Long, b: Long): String =
+    s"($a * ($inner % $MinhashP) + $b) % $MinhashP"
+
   /** Count of tokens that appear in a marker set (with multiplicity) —
     * the n-gram-heuristic language-ID building block. */
   def markerHits(tk: Column, markers: Seq[String]): Column =

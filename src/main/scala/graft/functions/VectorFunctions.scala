@@ -41,6 +41,43 @@ object VectorFunctions {
   def cosineE6(dot: Column, n2a: Column, n2b: Column): Column =
     round(cosine(dot, n2a, n2b) * 1e6, 0).cast(LongType)
 
+  // ---- JVM kernel mirrors (for broadcast + mapPartitions paths) -----
+
+  /** HALF_UP rounding away from zero at .5 — the semantics of both
+    * Spark's `round(x, 0)` and DuckDB's `round(x)`, so kernel output
+    * matches the declarative/oracle forms exactly. */
+  def roundHalfUp(d: Double): Long =
+    if (d >= 0) math.floor(d + 0.5).toLong else math.ceil(d - 0.5).toLong
+
+  /** e3 quantization of one embedding — same math as [[quantize]]. */
+  def quantizeJvm(emb: Array[Float]): Array[Long] = {
+    val out = new Array[Long](emb.length)
+    var i = 0
+    while (i < emb.length) { out(i) = roundHalfUp(emb(i).toDouble * 1000); i += 1 }
+    out
+  }
+
+  /** (vec_id, quantized, norm2) typed rows — the kernel-side input. */
+  def quantized(embeddings: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long], Long)] = {
+    import embeddings.sparkSession.implicits._
+    embeddings.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val q = quantizeJvm(emb)
+        var n2 = 0L; var i = 0
+        while (i < q.length) { n2 += q(i) * q(i); i += 1 }
+        (id, q, n2)
+      }
+  }
+
+  /** Integer dot + one IEEE division + e6 HALF_UP — identical to
+    * `cosineE6(dotL(a,b), n2a, n2b)` evaluated declaratively. */
+  def cosineE6Jvm(qa: Array[Long], qb: Array[Long], n2a: Long, n2b: Long): Long = {
+    var dot = 0L; var i = 0
+    while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+    roundHalfUp(dot.toDouble / math.sqrt((n2a * n2b).toDouble) * 1e6)
+  }
+
   // ---- random-hyperplane LSH ----------------------------------------
 
   /** Number of hyperplanes (bucket space = 2^nPlanes = 16: at the test

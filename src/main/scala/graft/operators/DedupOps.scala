@@ -14,12 +14,17 @@ import org.apache.spark.sql.types.LongType
   * Scale design (100 TB): exact dedup is one hash shuffle on md5 —
   * uniform keys, no skew. MinHash-LSH bounds the candidate-pair space
   * to band-bucket collisions (equi-join on (band, band_hash) — a
-  * plain shuffle join on a uniform 60-bit key), and only candidates
-  * pay the exact-Jaccard verify. n-gram Jaccard uses size-bucket
-  * blocking expressed as an explode+equi-join (never a theta join).
-  * All hashing is md5-derived (cross-engine identical, SURVEY.md §4);
-  * all Jaccard comparisons are integer (`2*|A∩B| >= |A∪B|`), so the
-  * DuckDB oracle matches bit-for-bit.
+  * plain shuffle join on a uniform key), and only candidates pay the
+  * exact-Jaccard verify. n-gram Jaccard uses size-bucket blocking
+  * expressed as an explode+equi-join (never a theta join).
+  *
+  * Performance: shingles are md5-hashed to 60-bit longs ONCE; the 16
+  * MinHash permutations are integer universal hashes over that long
+  * (16× less md5), and all Jaccard set-intersections run on long
+  * arrays, not strings — less CPU and an ~4× smaller shuffle payload.
+  * The DuckDB oracles use the identical md5-derived hashes, so
+  * results match bit-for-bit even in the (≈2^-60) collision case
+  * (SURVEY.md §4).
   */
 object DedupOps {
 
@@ -34,58 +39,65 @@ object DedupOps {
 
   val numHashes = 16
   val numBands = 8 // 8 bands x 2 rows: P(candidate | J=0.5) ≈ 0.9
+  private val ab = minhashAB(numHashes)
 
-  /** doc_id + distinct word-n-gram shingle set. */
+  /** doc_id + distinct word-n-gram shingle set, 60-bit-hashed and
+    * sorted (one narrow per-row pass in [[TextHash.gramHashes]]);
+    * sorted long arrays make the verify intersections a two-pointer
+    * merge walk. */
   private def gramSets(spark: SparkSession, sfDir: String, n: Int): DataFrame =
     Tables.documents(spark, sfDir)
-      .select($"doc_id", ngrams(tokens($"text"), n).as("gs"))
+      .select($"doc_id",
+        sort_array(graft.functions.TextHash.gramHashes($"text", n)).as("gs"))
       .filter(size($"gs") > 0)
 
-  /** #38 MinHash signatures banded for LSH: k=16 hash permutations
-    * h_i(g) = hash60(i:g), minimum per doc; bands of 2 rows hashed
-    * into a single band key. Exploded shingles → ONE groupBy with 16
-    * partial-agg'd `min` columns — a single shuffle over doc_id. */
+  /** #38 MinHash signatures banded for LSH: k=16 universal-hash
+    * permutations of the shingle hash, minimum per doc, computed in
+    * ONE narrow per-row pass ([[TextHash.minhashSig]]) — no explode,
+    * no shuffle; bands of 2 rows combined into one integer band key
+    * (mh1*P + mh2 — exact in BIGINT). At 100 TB this is a pure map
+    * over the corpus scan. */
   def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
-    val aggs = (0 until numHashes).map { i =>
-      min(hash60(concat(lit(s"$i:"), $"g"))).as(s"mh$i")
-    }
-    val sig = gramSets(spark, sfDir, 2)
-      .select($"doc_id", explode($"gs").as("g"))
-      .groupBy($"doc_id")
-      .agg(aggs.head, aggs.tail: _*)
     val rows = numHashes / numBands
     val bandCols = (0 until numBands).map { b =>
-      val parts = lit(b.toString) +:
-        (0 until rows).map(r => col(s"mh${rows * b + r}").cast("string"))
       struct(lit(b.toLong).as("band"),
-        hash60(concat_ws(",", parts: _*)).as("band_hash"))
+        (element_at($"sig", rows * b + 1) * MinhashP +
+          element_at($"sig", rows * b + 2)).as("band_hash"))
     }
-    sig.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        graft.functions.TextHash.minhashSig($"text", 2, numHashes).as("sig"))
+      .filter(element_at($"sig", 1) =!= Long.MaxValue) // docs with ≥1 gram
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
   }
 
   def minhashBandsQ(spark: SparkSession, sfDir: String): DataFrame =
     minhashBands(spark, sfDir).orderBy($"doc_id", $"band")
 
-  private def jaccardVerify(cand: DataFrame, gs: DataFrame,
-                            keyA: String, keyB: String,
-                            num: Int, den: Int): DataFrame = {
-    val inter = size(array_intersect($"x.gs", $"y.gs")).cast(LongType)
-    cand
-      .join(gs.as("x"), col(keyA) === $"x.doc_id")
-      .join(gs.as("y"), col(keyB) === $"y.doc_id")
-      .select(col(keyA), col(keyB), inter.as("n_common"),
-        (size($"x.gs") + size($"y.gs")).cast(LongType).as("sz"))
-      .withColumn("n_union", $"sz" - $"n_common").drop("sz")
-      .filter($"n_common" * den >= $"n_union" * num)
-      .orderBy(col(keyA), col(keyB))
+  /** Two-pointer intersection count of two SORTED long arrays. */
+  private def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
   }
+
+  private val pairEnc = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+    org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
 
   /** #39 MinHash-LSH near-dup pairs: candidates from band-bucket
     * collisions (equi self-join), verified by exact 2-gram Jaccard
-    * >= 1/2 in integer math. Only bucket-colliding pairs are verified
-    * — the property that makes this sublinear at 100 TB. */
+    * >= 1/2 in integer math via a broadcast gram-map + merge-walk
+    * kernel. Only bucket-colliding pairs are verified — the property
+    * that makes this sublinear at 100 TB (where the broadcast verify
+    * becomes a shuffle join on doc_id — still equi, still uniform). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newLongArrayEncoder, newProductEncoder, newLongEncoder}
     val bands = minhashBands(spark, sfDir)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -93,25 +105,51 @@ object DedupOps {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    jaccardVerify(cand, gramSets(spark, sfDir, 2), "doc_a", "doc_b", 1, 2)
+    val gs = spark.sparkContext.broadcast(
+      gramSets(spark, sfDir, 2).as[(Long, Array[Long])].collect().toMap)
+    cand.as[(Long, Long)].mapPartitions { it =>
+      val m = gs.value
+      it.flatMap { case (a, b) =>
+        val ga = m(a); val gb = m(b)
+        val common = intersectCount(ga, gb)
+        val union = ga.length + gb.length - common
+        if (common * 2 >= union) Iterator.single((a, b, common.toLong, union.toLong))
+        else Iterator.empty
+      }
+    }(pairEnc).toDF("doc_a", "doc_b", "n_common", "n_union")
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) with
-    * shingle-count blocking: each doc is exploded to its own bucket
-    * ±1 (bucket = |gs| div 8) and pairs meet via an EQUI-join on the
-    * bucket — the blocking trick that avoids a theta/cross join. A
-    * true J>=0.5 pair has size ratio <= 2, so ±1 buckets of width 8
-    * keep recall while bounding the candidate space. */
+    * shingle-count blocking: docs pair up iff their gram-count
+    * buckets (|gs| div 8) differ by at most 1 — the probe side
+    * explodes to bucket±1 and meets the build side via a COGROUP on
+    * the bucket (an equi shuffle, never a theta join), and each
+    * bucket's pairs are verified in a tight merge-walk loop. A true
+    * J>=0.5 pair has size ratio <= 2, so ±1 buckets of width 8 keep
+    * recall while bounding the candidate space. At 100 TB the bucket
+    * key is uniform (doc-length distribution), and each group holds
+    * only its bucket's docs — no broadcast of the corpus. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val gs = gramSets(spark, sfDir, 3)
-    val withB = gs.withColumn("bucket", expr("size(gs) div 8").cast(LongType))
-    val left = withB
-      .select($"doc_id", explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("bk"))
-    val cand = left.as("a")
-      .join(withB.select($"doc_id", $"bucket").as("b"),
-        $"a.bk" === $"b.bucket" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-    jaccardVerify(cand, gs, "doc_a", "doc_b", 1, 2)
+    import spark.implicits.{newLongArrayEncoder, newProductEncoder, newLongEncoder}
+    val gs = gramSets(spark, sfDir, 3).as[(Long, Array[Long])]
+    val probe = gs.flatMap { case (id, g) =>
+      val bk = g.length / 8L
+      Seq((bk - 1, id, g), (bk, id, g), (bk + 1, id, g))
+    }
+    val build = gs.map { case (id, g) => (g.length / 8L, id, g) }
+    probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) { (_, ls, rs) =>
+      val right = rs.map(r => (r._2, r._3)).toArray
+      ls.flatMap { case (_, ida, ga) =>
+        right.iterator.filter(_._1 > ida).flatMap { case (idb, gb) =>
+          val common = intersectCount(ga, gb)
+          val union = ga.length + gb.length - common
+          if (common * 2 >= union) Iterator.single((ida, idb, common.toLong, union.toLong))
+          else Iterator.empty
+        }
+      }
+    }(pairEnc).toDF("doc_a", "doc_b", "n_common", "n_union")
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** #40 SimHash: 32-bit signature; bit b is the sign of the
@@ -135,21 +173,36 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
-  /** #42 Embedding-cosine near-dup pairs (cos >= 0.4): integer dot /
-    * norms from e3-quantized vectors, one per-row IEEE division. The
-    * test corpus is broadcastable so the pair join is a broadcast
-    * nested loop here; the 100 TB path is [[SimilarityOps.annLsh]]'s
-    * bucketed join (same math, LSH-bounded candidates). */
+  /** #42 Embedding-cosine near-dup pairs (cos >= 0.4) — the exact
+    * all-pairs form, as a broadcast + per-partition primitive-array
+    * kernel: the quantized corpus (N×64 longs) broadcasts, each
+    * partition scans its slice against the broadcast with tight
+    * Array[Long] loops. 2M interpreted higher-order-function dot
+    * products → ~0.5 s of primitive multiplies; no shuffle at all.
+    * The 100 TB path is [[SimilarityOps.annLsh]]'s bucketed join
+    * (same math, LSH-bounded candidates); all-pairs is inherently
+    * quadratic and only for broadcastable corpora. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
-      .withColumn("n2", VectorFunctions.norm2($"q"))
-    val cos = VectorFunctions.cosine(
-      VectorFunctions.dotL($"a.q", $"b.q"), $"a.n2", $"b.n2")
-    e.as("a").join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        round(cos * 1e6, 0).cast(LongType).as("cos_e6"))
-      .filter($"cos_e6" >= 400000L)
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val quant = VectorFunctions.quantized(Tables.embeddings(spark, sfDir))
+    val corpus = spark.sparkContext.broadcast(
+      quant.collect().sortBy(_._1))
+    quant.mapPartitions { it =>
+      val all = corpus.value
+      it.flatMap { case (ida, qa, n2a) =>
+        // pairs (a, b) with b.vec_id > a.vec_id; integer dot, one IEEE
+        // division + HALF_UP e6 rounding per pair (SURVEY.md §4)
+        all.iterator
+          .filter(_._1 > ida)
+          .flatMap { case (idb, qb, n2b) =>
+            val c6 = VectorFunctions.cosineE6Jvm(qa, qb, n2a, n2b)
+            if (c6 >= 400000L) Iterator.single((ida, idb, c6)) else Iterator.empty
+          }
+      }
+    }.toDF("vec_a", "vec_b", "cos_e6")
       .orderBy($"vec_a", $"vec_b")
   }
 }
