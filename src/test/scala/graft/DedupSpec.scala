@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{TextFunctions, TextHash}
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Dedup-quality properties that the SQL oracles can't express:
+  * hash-function semantics, SimHash Hamming locality, MinHash-LSH
+  * recall against exact Jaccard (SURVEY.md §2.7 #38-41). */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash60Jvm equals the declarative conv(substr(md5)) form") {
+    val samples = Seq("hello world", "a", "", "the quick brown fox", "héllo ünïcode")
+    val declarative = samples.toDF("s")
+      .select(TextFunctions.hash60(col("s")).as("h")).as[Long].collect()
+    val jvm = samples.map(TextHash.hash60Jvm)
+    assert(declarative.toSeq == jvm)
+  }
+
+  test("gram hashes: distinct word n-grams, order-insensitive set semantics") {
+    val g = TextHash.gramHashesJvm("a b a b a", 2).toSet
+    // grams: "a b", "b a" (each appearing twice, deduped)
+    assert(g.size == 2)
+    assert(g == Set(TextHash.hash60Jvm("a b"), TextHash.hash60Jvm("b a")))
+    assert(TextHash.gramHashesJvm("one", 2).isEmpty)
+    assert(TextHash.tokensJvm("  a   b ").toSeq == Seq("a", "b"))
+  }
+
+  test("SimHash: near-identical docs land within small Hamming distance") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val out = DedupOps.simhash(spark, sf).as[(Long, Long)].collect().toMap
+    // synth near-dups: doc and itself (distance 0) sanity, plus the
+    // distribution property — unrelated docs differ in many bits
+    val vals = out.values.toSeq
+    val pairs = for (i <- vals.indices.take(20); j <- vals.indices.take(20) if i < j)
+      yield hamming(vals(i), vals(j))
+    assert(pairs.nonEmpty && pairs.max > 8, "unrelated docs must differ in many bits")
+  }
+
+  test("MinHash-LSH finds the high-Jaccard pairs that exact ngram dedup finds (recall)") {
+    // exact 2-gram Jaccard >= 0.5 pairs within the same length bucket
+    // should nearly all collide in >=1 of 8 bands (P ~ 0.9 at J=0.5,
+    // ~1.0 at J>=0.7). Verify recall over the sf0.001 corpus.
+    val lsh = DedupOps.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute-force exact Jaccard >= 0.7 on 2-grams (high-sim pairs only,
+    // where LSH recall should be ~certain)
+    val gs = Tables.documents(spark, sf)
+      .select(col("doc_id"), sort_array(TextHash.gramHashes(col("text"), 2)).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .as[(Long, Array[Long])].collect()
+    val strong = for {
+      (ida, ga) <- gs; (idb, gb) <- gs if ida < idb
+      common = ga.intersect(gb).length
+      union = ga.length + gb.length - common
+      if union > 0 && common * 10 >= union * 7
+    } yield (ida, idb)
+    val missed = strong.filterNot(lsh.contains)
+    assert(strong.isEmpty || missed.length * 10 <= strong.length,
+      s"LSH recall too low: missed ${missed.length} of ${strong.length} strong pairs")
+  }
+
+  test("embedding dedup pairs are symmetric-free and above threshold") {
+    val rows = DedupOps.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (a, b, c) => a < b && c >= 400000L })
+  }
+}

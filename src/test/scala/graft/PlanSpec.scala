@@ -1,0 +1,76 @@
+package graft
+
+import graft.SparkEntry
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Physical-plan properties the 100 TB design depends on (NOTES.md):
+  * filter pushdown, column pruning, broadcast dims, map-side partial
+  * aggregation, bounded shuffle counts. These are assertions on the
+  * OPTIMIZED plan so a regression (e.g. a filter that stops pushing)
+  * fails CI, not just the bench. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def fullPlanString(name: String): String =
+    planOf(name).toString
+
+  private def countShuffles(p: SparkPlan): Int = {
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      val s = strip(p)
+      if (s.isInstanceOf[ShuffleExchangeLike]) n += 1
+      s.children.foreach(walk)
+      s.subqueries.foreach(walk)
+    }
+    walk(p)
+    n
+  }
+
+  test("q_map_filter pushes both predicates into the parquet scan") {
+    val plan = fullPlanString("q_map_filter")
+    assert(plan.contains("PushedFilters"))
+    // plan toString truncates long filter lists; match the prefix
+    assert(plan.contains("GreaterThanOrEqual(value,50.0)"), plan.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(plan.contains("EqualTo(event_type,purc"))
+  }
+
+  test("q1_agg prunes the lineitem scan to used columns and partial-aggregates") {
+    val plan = fullPlanString("q1_agg")
+    assert(plan.contains("partial_sum"), "map-side combine must be present")
+    assert(!plan.contains("l_comment"), "unused columns must not be read")
+    // one shuffle for the agg + one range partition for the output sort
+    assert(countShuffles(planOf("q1_agg")) <= 2)
+  }
+
+  test("q_order_nation broadcasts both dimension tables") {
+    val plan = fullPlanString("q_order_nation")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "fact must not shuffle for dim joins")
+    assert(countShuffles(planOf("q_order_nation")) <= 2)
+  }
+
+  test("q_shipping_priority pushes date filters and avoids a global sort") {
+    val plan = fullPlanString("q_shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "ship date must push to scan")
+    assert(plan.contains("LessThan(o_orderdate"), "order date must push to scan")
+  }
+
+  test("q_minhash_band is a pure narrow map — no shuffle beyond the output sort") {
+    assert(countShuffles(planOf("q_minhash_band")) <= 1,
+      "signature computation must not shuffle (<=1 for the output sort)")
+  }
+
+  test("q_dedup_exact partial-aggregates before its single shuffle") {
+    val plan = fullPlanString("q_dedup_exact")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"))
+  }
+}
