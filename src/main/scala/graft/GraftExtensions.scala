@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{GramHashesExpr, MinhashSigExpr, RollingHashExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native expressions, injected via
+  * `SparkSessionExtensions` — the Spark-idiomatic way to ship an
+  * operator library: any SQL user (or JDBC/Thrift client) on a
+  * session built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) can call
+  *
+  *   graft_gram_hashes(text, n)    — distinct hashed word n-grams
+  *   graft_minhash_sig(text, n, k) — k-permutation MinHash signature
+  *   graft_rolling_hashes(text, w) — Rabin–Karp window fingerprints
+  *
+  * without touching the Scala API. Literal-only shape parameters are
+  * validated at registration time (they parameterize the expression
+  * instance, mirroring how Spark's own `ngrams`-style functions take
+  * foldable arguments).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashesExpr].getName, "graft_gram_hashes"),
+      (args: Seq[Expression]) =>
+        GramHashesExpr(args.head, litInt(args(1), "graft_gram_hashes", "n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinhashSigExpr(args.head, litInt(args(1), "graft_minhash_sig", "n"),
+          litInt(args(2), "graft_minhash_sig", "k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_hashes"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hashes"),
+      (args: Seq[Expression]) =>
+        RollingHashExpr(args.head, litInt(args(1), "graft_rolling_hashes", "w"))))
+  }
+}

@@ -51,6 +51,8 @@ object SparkEntry {
     "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
     "q_ann_topk" -> (SimilarityOps.annTopk _),
     "q_ann_lsh" -> (SimilarityOps.annLsh _),
+    "q_ann_multiprobe" -> (SimilarityOps.annMultiprobe _),
+    "q_ann_ivf" -> (SimilarityOps.annIvf _),
     "q_text_langid" -> (TextOps.textLangid _),
     "q_text_quality" -> (TextOps.textQuality _),
     "q_token_count" -> (TextOps.tokenCount _),
@@ -312,6 +314,41 @@ object SparkEntry {
          |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
          |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
          |  FROM nb a JOIN nb b ON a.bucket = b.bucket WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |r AS (SELECT query_id, vec_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_multiprobe" ->
+      s"""WITH $quantCte,
+         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (SELECT n.vec_id, planes.j,
+         |          CAST(list_sum(list_transform(list_zip(n.q, planes.w), z -> z[1]*z[2])) AS BIGINT) AS d
+         |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesSqlValues})
+         |  GROUP BY 1),
+         |nb AS (SELECT n.vec_id, q, n2, bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+         |probes AS (SELECT vec_id, q, n2, xor(bucket, mk.m) AS qbucket
+         |  FROM nb CROSS JOIN (VALUES (0), (1), (2), (4), (8)) mk(m) WHERE vec_id < 10),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM probes a JOIN nb b ON a.qbucket = b.bucket WHERE b.vec_id >= 10),
+         |r AS (SELECT query_id, vec_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH $quantCte,
+         |piv AS (SELECT vec_id AS pid, q AS pq, n2 AS pn2 FROM n
+         |        WHERE vec_id >= 10 AND vec_id < ${10 + graft.operators.SimilarityOps.ivfCells}),
+         |asn AS (SELECT vec_id, q, n2, pid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid ASC) AS pr
+         |  FROM (SELECT n.vec_id, n.q, n.n2, piv.pid,
+         |          ${cosE6("n.q", "piv.pq", "n.n2", "piv.pn2")} AS pcos
+         |        FROM n CROSS JOIN piv)),
+         |cells AS (SELECT pid AS cell, vec_id, q, n2 FROM asn WHERE pr = 1 AND vec_id >= 10),
+         |probes AS (SELECT pid AS qcell, vec_id AS query_id, q, n2 FROM asn WHERE pr <= 2 AND vec_id < 10),
+         |s AS (SELECT query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM probes a JOIN cells b ON a.qcell = b.cell),
          |r AS (SELECT query_id, vec_id, cos_e6,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 3

@@ -60,4 +60,54 @@ object SimilarityOps {
       corpus.as("b").join(broadcast(queries.as("a")), $"qbucket" === $"bucket"),
       k = 3)
   }
+
+  /** Multi-probe LSH ANN top-3: each query probes its own bucket plus
+    * the nPlanes Hamming-1 neighbors (flip one hyperplane sign) — the
+    * standard recall lever that costs probes, not a bigger index. The
+    * corpus is bucketed ONCE (reusable across query batches); probes
+    * explode only the tiny query side. Still an equi-join. */
+  def annMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir).withColumn("bucket", lshBucket($"q"))
+    val masks = lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))
+    val queries = v.filter($"vec_id" < 10)
+      .withColumnRenamed("vec_id", "query_id")
+      .select($"query_id", $"q", $"n2",
+        explode(array(masks.map($"bucket".bitwiseXOR(_)): _*)).as("qbucket"))
+    val corpus = v.filter($"vec_id" >= 10)
+    ranked(
+      corpus.as("b").join(broadcast(queries.as("a")), $"qbucket" === $"bucket"),
+      k = 3)
+  }
+
+  val ivfCells = 8
+
+  /** IVF-style ANN top-3: the corpus is partitioned into cells by
+    * nearest pivot (cell assignment = one narrow map against the
+    * broadcast pivot set — at 100 TB this is the build-once index
+    * shuffle, reusable for every query batch), and each query probes
+    * its 2 nearest cells. Pivots here are the `ivfCells` lowest
+    * corpus vectors — a deterministic stand-in for trained k-means
+    * centroids; the plan shape (assign → cell equi-join → rank) is
+    * the production article. Determinism: cell choice compares
+    * e6-rounded cosine with pivot-id tiebreak (SURVEY.md §4). */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
+    val quant = graft.functions.VectorFunctions.quantized(
+      Tables.embeddings(spark, sfDir))
+    val pivots = spark.sparkContext.broadcast(
+      quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells).collect().sortBy(_._1))
+    def bestCells(q: Array[Long], n2: Long, k: Int): Seq[Long] =
+      pivots.value.map { case (pid, pq, pn2) =>
+        (pid, graft.functions.VectorFunctions.cosineE6Jvm(q, pq, n2, pn2))
+      }.sortBy { case (pid, c6) => (-c6, pid) }.take(k).map(_._1).toSeq
+    val cells = quant.filter(_._1 >= 10)
+      .map { case (id, q, n2) => (bestCells(q, n2, 1).head, id, q, n2) }
+      .toDF("cell", "vec_id", "q", "n2")
+    val probes = quant.filter(_._1 < 10)
+      .flatMap { case (id, q, n2) => bestCells(q, n2, 2).map(c => (c, id, q, n2)) }
+      .toDF("qcell", "query_id", "q", "n2")
+    ranked(
+      cells.as("b").join(broadcast(probes.as("a")), $"qcell" === $"cell"),
+      k = 3)
+  }
 }

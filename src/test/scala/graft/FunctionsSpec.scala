@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{RollingHash, TextHash}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Native expressions + SQL registration (SURVEY.md §2.7 #48, §3):
+  * rolling polynomial hash and the SparkSessionExtensions surface. */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rolling hash matches the direct polynomial on every window") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val w = 8
+    def direct(s: String): Long =
+      s.foldLeft(0L)((h, c) => (RollingHash.mulmod(h, RollingHash.B) + c) % RollingHash.P)
+    val rolled = RollingHash.rollingJvm(text, w)
+    val naive = text.sliding(w).map(direct).toArray
+    assert(rolled.toSeq == naive.toSeq)
+    assert(RollingHash.rollingJvm("abc", 8).isEmpty)
+    // identical windows hash identically across documents (set semantics)
+    assert(RollingHash.rollingJvm("xx abcdefgh yy", 8).toSet
+      .intersect(RollingHash.rollingJvm("abcdefgh", 8).toSet).nonEmpty)
+  }
+
+  test("mulmod is exact for values near the modulus") {
+    val big = RollingHash.P - 1
+    // (P-1)^2 mod P = 1
+    assert(RollingHash.mulmod(big, big) == 1L)
+    assert(RollingHash.mulmod(big, 2L) == RollingHash.P - 2)
+  }
+
+  test("rolling hashes work as a Column over documents") {
+    val out = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(RollingHash.rollingHashes(col("text"), 16)).as("n"))
+      .filter(col("n") > 0)
+    assert(out.count() > 0)
+  }
+
+  test("GraftExtensions registers SQL functions on an extended session") {
+    // force a NEW session (same SparkContext) so withExtensions applies;
+    // getOrCreate would return the active session and skip them
+    val base = spark // initialize shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val grams = s2.sql("SELECT graft_gram_hashes('a b c', 2) AS g")
+        .collect()(0).getSeq[Long](0)
+      assert(grams.toSet == Set(TextHash.hash60Jvm("a b"), TextHash.hash60Jvm("b c")))
+      val sig = s2.sql("SELECT graft_minhash_sig('a b c d', 2, 16) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(sig.length == 16 && sig.forall(_ < graft.functions.TextFunctions.MinhashP))
+      val rh = s2.sql("SELECT size(graft_rolling_hashes('hello world', 4)) AS n")
+        .collect()(0).getInt(0)
+      assert(rh == "hello world".length - 3)
+      // non-literal shape parameter is rejected with a clear error
+      val err = intercept[Exception](
+        s2.sql("SELECT graft_gram_hashes('a b', CAST(rand()*2 AS INT))").collect())
+      assert(err.getMessage.contains("integer literal") ||
+        err.getMessage.contains("graft_gram_hashes"))
+    } finally {
+      // do NOT stop s2 — it shares the test SparkContext; just restore
+      // the shared session as active/default for the remaining suites
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
