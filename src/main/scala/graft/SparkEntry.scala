@@ -22,6 +22,7 @@ object SparkEntry {
     "q_wordcount" -> (CoreOps.wordCount _),
     "q_map_filter" -> (CoreOps.mapFilter _),
     "q_keyed_sum" -> (CoreOps.keyedSum _),
+    "q_keyed_sum_salted" -> ((s: SparkSession, d: String) => CoreOps.keyedSumSalted(s, d)),
     "q_keyed_minmax" -> (CoreOps.keyedMinMax _),
     "q_minby" -> (CoreOps.minBy _),
     "q_reduce_running" -> (CoreOps.reduceRunning _),
@@ -57,6 +58,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.textQuality _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_fingerprint" -> (TextOps.fingerprint _),
+    "q_rolling_fp" -> (TextOps.rollingFp _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -110,6 +112,11 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE value >= 50.0 AND event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_keyed_sum" ->
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the salted two-stage form must produce bit-identical totals
+    "q_keyed_sum_salted" ->
       """SELECT user_id, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -392,5 +399,28 @@ object SparkEntry {
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv)
          |SELECT doc_id, CAST(sum(${h60("tok")} % 1000000007) % 1000000007 AS BIGINT) AS fp
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_rolling_fp" -> {
+      // direct-polynomial recompute of every window hash in HUGEINT —
+      // the independent check of RollingHashExpr's O(1) recurrence
+      import graft.functions.RollingHash.{B, P}
+      import graft.operators.TextOps.RollWindow
+      val pows = (0 until RollWindow).map { k => // B^(w-1-i) for char i=k
+        java.math.BigInteger.valueOf(B)
+          .modPow(java.math.BigInteger.valueOf(RollWindow - 1 - k),
+            java.math.BigInteger.valueOf(P))
+          .longValueExact()
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, p,
+         |    CAST(list_sum(list_transform(generate_series(0, ${RollWindow - 1}),
+         |      i -> CAST([${pows.mkString(",")}][i+1] AS HUGEINT) * ord(substr(text, p + i, 1)))) % $P AS BIGINT) AS h
+         |  FROM documents
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(text) - ${RollWindow - 1})) AS p)
+         |  WHERE length(text) >= $RollWindow)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  min(h) AS min_h, max(h) AS max_h,
+         |  CAST(sum(CAST(h AS HUGEINT)) % $P AS BIGINT) AS sum_mod
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -57,6 +57,24 @@ object CoreOps {
       .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
       .orderBy($"user_id")
 
+  /** keyedSum under key skew: two-stage salted aggregation. Stage 1
+    * shuffles on (user_id, salt) — a hot key's rows spread over
+    * `salts` reducers; stage 2 combines the per-salt partials (tiny:
+    * keys × salts rows). Same result as [[keyedSum]] (identical
+    * oracle) because the fixed-point sums are associative integers.
+    * Salt is derived deterministically from event_id — no rand(), so
+    * the plan replays identically (speculative retries, AQE). This is
+    * the manual fallback when AQE skew splitting can't help (single
+    * hot GROUP BY key, not a skewed join). */
+  def keyedSumSalted(spark: SparkSession, sfDir: String, salts: Int = 16): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(hash($"event_id"), lit(salts)))
+      .groupBy($"user_id", $"salt")
+      .agg(count(lit(1)).as("cnt_p"), Det.sumFixed($"value", 6).as("sum_p"))
+      .groupBy($"user_id")
+      .agg(sum($"cnt_p").as("cnt"), sum($"sum_p").as("sum_value_e6"))
+      .orderBy($"user_id")
+
   /** keyBy + min/max (reference WindowTest.scala:76 minBy). min/max of
     * doubles select an existing bit pattern — cross-engine safe. */
   def keyedMinMax(spark: SparkSession, sfDir: String): DataFrame =

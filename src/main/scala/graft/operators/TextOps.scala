@@ -77,4 +77,26 @@ object TextOps {
       .agg((sum($"hp") % p).as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** #48b Rolling-window fingerprint summary per document: the
+    * Rabin–Karp window hashes (graft.functions.RollingHashExpr — O(1)
+    * per step, narrow map) reduced to window count, min/max window
+    * hash, and an order-independent mod-P sum — the per-doc signature
+    * used for partial-overlap candidate generation. The DuckDB oracle
+    * recomputes every window by direct polynomial in HUGEINT, proving
+    * the rolling recurrence exact. */
+  def rollingFp(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.RollingHash.{rollingHashes, P}
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", rollingHashes($"text", TextOps.RollWindow).as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id",
+        size($"hs").cast(LongType).as("n_windows"),
+        array_min($"hs").as("min_h"),
+        array_max($"hs").as("max_h"),
+        aggregate($"hs", lit(0L), (acc, h) => (acc + h) % P).as("sum_mod"))
+      .orderBy($"doc_id")
+  }
+
+  val RollWindow = 16
 }
