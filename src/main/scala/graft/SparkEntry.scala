@@ -43,6 +43,7 @@ object SparkEntry {
     "q_semi_join" -> (JoinOps.semiJoin _),
     "q_anti_join" -> (JoinOps.antiJoin _),
     "q_topn_window" -> (JoinOps.topnWindow _),
+    "q_topn_agg" -> (TopK.topnAgg _),
     "q_shipping_priority" -> (JoinOps.shippingPriority _),
     "q_dedup_exact" -> (DedupOps.dedupExact _),
     "q_minhash_band" -> (DedupOps.minhashBandsQ _),
@@ -242,6 +243,14 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q_topn_window" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    // bounded-heap aggregator: same semantics as q_topn_window
+    "q_topn_agg" ->
       """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority

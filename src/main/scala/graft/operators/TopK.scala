@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{ColumnInterpolator, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.col
+
+/** Bounded-heap top-K typed aggregator (custom `Aggregator` →
+  * `TypedColumn`, the SURVEY §3 preference-(b) extension point).
+  *
+  * The window-function top-N (`row_number` + filter,
+  * JoinOps.topnWindow) sorts EVERY row of a key's partition; this
+  * aggregator keeps only K rows per key per partition and merges
+  * K-sized buffers, so the shuffle carries O(keys × K) rows instead
+  * of O(rows) — the difference between sorting 100 TB and scanning
+  * it. Ordering: descending value, ascending id tiebreak
+  * (deterministic — same contract as the q_topn_window oracle).
+  *
+  * Buffer is a sorted array (K small): `reduce` is an O(K) insert,
+  * `merge` a bounded merge of two sorted arrays.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(String, Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Array[(Double, Long)] = Array.empty
+
+  override def reduce(buf: Array[(Double, Long)], row: (String, Double, Long)): Array[(Double, Long)] =
+    merge(buf, Array((row._2, row._3)))
+
+  override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] = {
+    val out = new Array[(Double, Long)](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length) {
+      out(n) =
+        if (j >= b.length || (i < a.length && better(a(i), b(j)))) { i += 1; a(i - 1) }
+        else { j += 1; b(j - 1) }
+      n += 1
+    }
+    out
+  }
+
+  override def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Array[(Double, Long)]] =
+    ExpressionEncoder[Array[(Double, Long)]]()
+  override def outputEncoder: Encoder[Array[(Double, Long)]] =
+    ExpressionEncoder[Array[(Double, Long)]]()
+}
+
+object TopK {
+
+  /** Top-3 orders per priority via the bounded-heap aggregator —
+    * same rows as JoinOps.topnWindow (same oracle), different physical
+    * plan: partial bounded buffers, no per-key sort of all rows. */
+  def topnAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newStringEncoder, newDoubleEncoder, newLongEncoder}
+    val k = 3
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (prio, top) =>
+        top.iterator.zipWithIndex.map { case ((price, key), i) =>
+          (prio, (i + 1).toLong, key, price)
+        }
+      }
+      .toDF("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+      .orderBy($"o_orderpriority", $"rank")
+  }
+}

@@ -80,6 +80,36 @@ object StreamingJobs {
     (tagged.filter(!$"_late").drop("_late"), tagged.filter($"_late").drop("_late"))
   }
 
+  /** Stream–stream interval join: each order pairs with payment
+    * events for the same user within [0, `interval`] after the order
+    * (the Flink connect/CoProcessFunction enrichment pattern,
+    * Spark-native). Watermarks on BOTH sides + the time-bound
+    * condition let the state store evict rows once the interval
+    * passes — bounded state at any scale. */
+  def intervalJoin(orders: DataFrame, payments: DataFrame, delay: String,
+                   interval: String): DataFrame = {
+    val o = orders.withWatermark("ts", delay)
+      .select($"ts".as("o_ts"), $"user_id".as("o_user"), $"order_id")
+    val p = payments.withWatermark("ts", delay)
+      .select($"ts".as("p_ts"), $"user_id".as("p_user"), $"amount")
+    o.join(p,
+      $"o_user" === $"p_user" &&
+        $"p_ts" >= $"o_ts" && $"p_ts" <= $"o_ts" + expr(s"INTERVAL $interval"),
+      "inner")
+      .select($"order_id", $"o_user".as("user_id"), $"o_ts", $"p_ts", $"amount")
+  }
+
+  /** Streaming exact dedup: first occurrence per key wins; the
+    * watermark bounds how long keys are remembered
+    * (`dropDuplicatesWithinWatermark`) so state doesn't grow without
+    * bound — the streaming form of DedupOps.dedupExact for a 100 TB/
+    * day ingest pipeline. */
+  def streamingDedup(docs: DataFrame, delay: String): DataFrame =
+    docs
+      .withColumn("text_hash", md5(lower(trim($"text"))))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Double-11 dashboard, streaming form (reference
     * orderTest/OrderAnalysy.scala:453,465): per-day global totals and
     * per-day-per-province totals over an order stream, update mode,

@@ -92,6 +92,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs payments within the window after an order") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[(Timestamp, Long, Long)]
+    val pays = MemoryStream[(Timestamp, Long, Double)]
+    val joined = StreamingJobs.intervalJoin(
+      orders.toDF().toDF("ts", "user_id", "order_id"),
+      pays.toDF().toDF("ts", "user_id", "amount"),
+      delay = "10 seconds", interval = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      orders.addData((ts(10), 1L, 100L))
+      pays.addData((ts(30), 1L, 5.0))   // within 60s  → joins
+      pays.addData((ts(200), 1L, 7.0))  // outside     → dropped
+      pays.addData((ts(40), 2L, 9.0))   // other user  → dropped
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select(col("order_id").as[Long], col("amount").as[Double]).collect().toSet
+      assert(rows == Set((100L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence per text hash within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingJobs.streamingDedup(
+      in.toDF().toDF("ts", "doc_id", "text"), "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(10), 1L, "Hello World"), (ts(20), 2L, "hello world"),
+        (ts(30), 3L, "unique"))
+      q.processAllAvailable()
+      in.addData((ts(40), 4L, "HELLO WORLD")) // dup across micro-batches
+      q.processAllAvailable()
+      val kept = spark.table("sdedup").select(col("doc_id").as[Long]).collect().toSet
+      assert(kept == Set(1L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("session window groups by inactivity gap (streaming form)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
