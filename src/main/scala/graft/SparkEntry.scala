@@ -58,6 +58,7 @@ object SparkEntry {
     "q_text_langid" -> (TextOps.textLangid _),
     "q_text_quality" -> (TextOps.textQuality _),
     "q_token_count" -> (TextOps.tokenCount _),
+    "q_text_pii" -> (TextOps.textPii _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_rolling_fp" -> (TextOps.rollingFp _),
   )
@@ -402,6 +403,12 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       s"""WITH $tkCte,

@@ -99,4 +99,17 @@ object TextOps {
   }
 
   val RollWindow = 16
+
+  /** #47b Pattern scrubbing metrics: email / URL / long-digit-run
+    * counts per document — the flag-before-redact pass of a
+    * training-data pipeline. Patterns restricted to the regex subset
+    * Java and RE2 (DuckDB) evaluate identically. */
+  def textPii(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        regexp_count($"text", lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+          .cast(LongType).as("n_emails"),
+        regexp_count($"text", lit("https?://[^ ]+")).cast(LongType).as("n_urls"),
+        regexp_count($"text", lit("[0-9]{6,}")).cast(LongType).as("n_digit_runs"))
+      .orderBy($"doc_id")
 }
