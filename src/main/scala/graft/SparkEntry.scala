@@ -49,6 +49,7 @@ object SparkEntry {
     "q_minhash_band" -> (DedupOps.minhashBandsQ _),
     "q_dedup_minhash" -> (DedupOps.dedupMinhash _),
     "q_simhash" -> (DedupOps.simhash _),
+    "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
     "q_ann_topk" -> (SimilarityOps.annTopk _),
@@ -293,6 +294,21 @@ object SparkEntry {
          |      FROM th CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) s GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $tkCte,
+         |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv),
+         |th AS (SELECT doc_id, ${h60("tok")} AS h FROM t),
+         |v AS (SELECT doc_id, b, sum(2*((h >> b) & 1) - 1) AS v
+         |      FROM th CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) s GROUP BY 1, 2),
+         |sg AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM v GROUP BY 1),
+         |blk AS (SELECT doc_id, simhash, b, (simhash >> CAST(8*b AS INTEGER)) & 255 AS key
+         |        FROM sg CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) s)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM blk x JOIN blk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $tkCte, ${gramsCte(3)},
          |gz AS (SELECT doc_id, gs, len(gs) // 8 AS bucket FROM g3 WHERE len(gs) > 0),

@@ -101,8 +101,34 @@ object TextHash {
     sig
   }
 
+  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
+    * set iff Σ_tokens (2·bit_b(hash60(tok)) − 1) > 0. Per-bit sums are
+    * order-independent integers → identical to the explode+groupBy
+    * form and the DuckDB oracle. */
+  def simhashJvm(text: String, bits: Int): Long = {
+    val tk = tokensJvm(text)
+    val v = new Array[Int](bits)
+    var i = 0
+    while (i < tk.length) {
+      val h = hash60Jvm(tk(i))
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (v(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   def gramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(text), n))
+
+  def simhash(text: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashExpr(ColumnBridge.expression(text), bits))
 
   def minhashSig(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(text), n, k))
@@ -117,6 +143,16 @@ case class GramHashesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): GramHashesExpr =
     copy(child = c)
   override def prettyName: String = "gram_hashes"
+}
+
+case class SimhashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(text: Any): Any =
+    TextHash.simhashJvm(text.asInstanceOf[UTF8String].toString, bits)
+  override protected def withNewChildInternal(c: Expression): SimhashExpr =
+    copy(child = c)
+  override def prettyName: String = "simhash"
 }
 
 case class MinhashSigExpr(child: Expression, n: Int, k: Int)

@@ -153,24 +153,40 @@ object DedupOps {
   }
 
   /** #40 SimHash: 32-bit signature; bit b is the sign of the
-    * count-weighted sum of (+-1) over token-hash bit b. Exploded
-    * tokens → one groupBy(doc) with 32 integer partial aggs. Near-dup
-    * = small Hamming distance (exercised in DedupSpec). */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val bits = 32
-    val aggs = (0 until bits).map { b =>
-      sum(shiftright($"h", b).bitwiseAND(1) * 2 - 1).as(s"v$b")
-    }
-    val fp = (0 until bits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    * count-weighted sum of (+-1) over token-hash bit b — computed in
+    * one narrow per-row pass (graft.functions.SimhashExpr; per-bit
+    * sums are order-independent so it equals the explode+groupBy
+    * form). No shuffle at any scale. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .withColumn("h", hash60($"tok"))
-      .groupBy($"doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select($"doc_id", fp.as("simhash"))
+      .select($"doc_id",
+        graft.functions.TextHash.simhash($"text", 32).as("simhash"))
       .orderBy($"doc_id")
+
+  /** #40b SimHash near-dup pairs (Hamming ≤ 3) with byte-block
+    * blocking: the 32-bit signature splits into 4 bytes; Hamming ≤ 3
+    * can corrupt at most 3 of them, so every true pair shares at
+    * least one intact (block, byte) key — candidates come from an
+    * EQUI self-join on that key with EXACT recall (pigeonhole), then
+    * one popcount verifies. Same shape as MinHash banding: uniform
+    * key, sublinear candidates at 100 TB. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        graft.functions.TextHash.simhash($"text", 32).as("simhash"))
+    val blocks = sigs.select($"doc_id", $"simhash",
+      explode(array((0 until 4).map(b =>
+        struct(lit(b.toLong).as("b"),
+          shiftright($"simhash", 8 * b).bitwiseAND(255).as("key"))): _*)).as("blk"))
+      .select($"doc_id", $"simhash", $"blk.b".as("b"), $"blk.key".as("key"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        $"x.b" === $"y.b" && $"x.key" === $"y.key" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast(LongType).as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** #42 Embedding-cosine near-dup pairs (cos >= 0.4) — the exact
