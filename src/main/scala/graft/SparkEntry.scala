@@ -23,6 +23,8 @@ object SparkEntry {
     "q_map_filter" -> (CoreOps.mapFilter _),
     "q_keyed_sum" -> (CoreOps.keyedSum _),
     "q_keyed_sum_salted" -> ((s: SparkSession, d: String) => CoreOps.keyedSumSalted(s, d)),
+    "q_rollup" -> (CoreOps.rollupAgg _),
+    "q_pivot" -> (CoreOps.pivotAgg _),
     "q_keyed_minmax" -> (CoreOps.keyedMinMax _),
     "q_minby" -> (CoreOps.minBy _),
     "q_reduce_running" -> (CoreOps.reduceRunning _),
@@ -117,6 +119,19 @@ object SparkEntry {
     "q_keyed_sum" ->
       """SELECT user_id, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT event_type, user_id, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
+        |FROM events GROUP BY ROLLUP (event_type, user_id)
+        |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COALESCE(CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) FILTER (event_type = 'click') AS BIGINT), 0) AS click,
+        |  COALESCE(CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) FILTER (event_type = 'error') AS BIGINT), 0) AS error,
+        |  COALESCE(CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) FILTER (event_type = 'purchase') AS BIGINT), 0) AS purchase,
+        |  COALESCE(CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) FILTER (event_type = 'signup') AS BIGINT), 0) AS signup,
+        |  COALESCE(CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) FILTER (event_type = 'view') AS BIGINT), 0) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the salted two-stage form must produce bit-identical totals
     "q_keyed_sum_salted" ->

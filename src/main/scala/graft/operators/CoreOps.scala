@@ -57,6 +57,26 @@ object CoreOps {
       .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
       .orderBy($"user_id")
 
+  /** Hierarchical totals via ROLLUP (per (type, user), per type,
+    * grand total) — one pass, Expand + single shuffle; integer sums
+    * keep every level oracle-exact. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .rollup($"event_type", $"user_id")
+      .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
+      .orderBy($"event_type".asc_nulls_first, $"user_id".asc_nulls_first)
+
+  /** Wide per-type totals via PIVOT: one row per user, one integer
+    * total column per event type (explicit value list → static
+    * schema, single shuffle). */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(Det.sumFixed($"value", 6))
+      .na.fill(0L)
+      .orderBy($"user_id")
+
   /** keyedSum under key skew: two-stage salted aggregation. Stage 1
     * shuffles on (user_id, salt) — a hot key's rows spread over
     * `salts` reducers; stage 2 combines the per-salt partials (tiny:
