@@ -76,7 +76,7 @@ object DedupOps {
     minhashBands(spark, sfDir).orderBy($"doc_id", $"band")
 
   /** Two-pointer intersection count of two SORTED long arrays. */
-  private def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+  private[graft] def intersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
     while (i < a.length && j < b.length) {
       if (a(i) < b(j)) i += 1

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{RollingHash, TextFunctions, TextHash}
+import graft.operators.{DedupOps, TopKAggregator}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks of the kernel math the oracle-gated queries
+  * rely on — pure JVM, no Spark session needed. Deterministic seed so
+  * failures reproduce. */
+class PropertySpec extends AnyFunSuite {
+
+  private def forSamples[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      g.apply(params, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '))).map(_.mkString)
+
+  test("rolling hash equals the direct polynomial on every window") {
+    forSamples(Gen.zip(asciiText, Gen.choose(1, 12))) { case (s, w) =>
+      def direct(t: String): Long =
+        t.foldLeft(0L)((h, c) => (RollingHash.mulmod(h, RollingHash.B) + c) % RollingHash.P)
+      val rolled = RollingHash.rollingJvm(s, w)
+      val naive = if (s.length < w) Array.empty[Long]
+        else s.sliding(w).map(direct).toArray
+      assert(rolled.toSeq == naive.toSeq, s"text='$s' w=$w")
+    }
+  }
+
+  test("mulmod equals BigInt multiplication mod 2^61-1") {
+    val inP = Gen.choose(0L, RollingHash.P - 1)
+    forSamples(Gen.zip(inP, inP)) { case (a, b) =>
+      val expect = (BigInt(a) * BigInt(b) % BigInt(RollingHash.P)).toLong
+      assert(RollingHash.mulmod(a, b) == expect, s"a=$a b=$b")
+    }
+  }
+
+  test("tokensJvm equals split-on-space with empties dropped") {
+    forSamples(asciiText) { s =>
+      assert(TextHash.tokensJvm(s).toSeq == s.split(" ").filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  test("gram hashes are the distinct n-gram set; hash60 stays in [0, 2^60)") {
+    forSamples(Gen.zip(asciiText, Gen.choose(1, 4))) { case (s, n) =>
+      val tk = TextHash.tokensJvm(s)
+      val expect = tk.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq.distinct
+      val got = TextHash.gramHashesJvm(s, n)
+      assert(got.toSeq == expect.map(TextHash.hash60Jvm), s"text='$s' n=$n")
+      assert(got.forall(h => h >= 0 && h < (1L << 60)))
+    }
+  }
+
+  test("minhash signature: supersets only lower the per-permutation minima") {
+    val ab = TextFunctions.minhashAB(16).toArray
+    forSamples(Gen.zip(asciiText, asciiText)) { case (a, b) =>
+      val sa = TextHash.minhashSigJvm(a, 2, ab)
+      val sab = TextHash.minhashSigJvm(a + " " + b, 2, ab)
+      // grams(a) ⊆ grams(a ++ b): concatenation only adds shingles
+      assert(sa.zip(sab).forall { case (x, y) => y <= x }, s"a='$a' b='$b'")
+    }
+  }
+
+  test("intersectCount on sorted distinct arrays equals set intersection size") {
+    val arr = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
+    forSamples(Gen.zip(arr, arr)) { case (a, b) =>
+      assert(DedupOps.intersectCount(a, b) == a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("TopKAggregator over any partitioning equals global sorted top-k") {
+    val rows = Gen.listOf(for {
+      v <- Gen.choose(0.0, 10.0); id <- Gen.choose(0L, 100L)
+    } yield ("k", v, id))
+    forSamples(Gen.zip(rows, Gen.choose(1, 5), Gen.choose(1, 4))) {
+      case (xs, k, nChunks) =>
+        val agg = new TopKAggregator(k)
+        val chunks = xs.grouped(math.max(1, xs.length / nChunks + 1)).toList
+        val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        val expect = xs.map(r => (r._2, r._3))
+          .sortBy { case (v, id) => (-v, id) }.take(k)
+        assert(agg.finish(merged).toSeq == expect,
+          s"xs=$xs k=$k chunks=$nChunks")
+    }
+  }
+}
