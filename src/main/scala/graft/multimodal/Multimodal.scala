@@ -77,6 +77,28 @@ object Multimodal {
     }
   }
 
+  /** Resize: downsample a feature vector to `outDim` by mean-pooling
+    * fixed-width windows (the stub stand-in for image resize — the
+    * stage shape is what matters: a narrow map over already-decoded
+    * features, never a shuffle). */
+  def resize(feats: Dataset[MediaFeature], outDim: Int): Dataset[MediaFeature] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val in = f.feature
+      val out = new Array[Float](outDim)
+      val win = math.max(1, in.length / outDim)
+      var i = 0
+      while (i < outDim) {
+        var s = 0.0f; var j = i * win
+        val end = math.min(in.length, j + win)
+        while (j < end) { s += in(j); j += 1 }
+        out(i) = if (end > i * win) s / (end - i * win) else 0.0f
+        i += 1
+      }
+      f.copy(featDim = outDim, feature = out)
+    }
+  }
+
   /** Decode + feature-extract, one codec per partition (the expensive
     * stage; batched like an Arrow UDF). featDim models "resize to a
     * fixed feature grid". */

@@ -60,6 +60,28 @@ object StoreRegistry {
   * reference's CheckPointTest.scala:37 exactly-once config). */
 object Sinks {
 
+  /** Kafka producer options (reference sinkTest/KafkaSinkTest.scala:112
+    * builds a FlinkKafkaProducer with broker list + topic; Spark's
+    * kafka sink takes them as options and expects key/value columns).
+    * No broker exists in this environment — the option builder is the
+    * unit-tested part; [[kafkaSinkTo]] applies it verbatim. */
+  def kafkaSinkOptions(bootstrap: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic,
+      // idempotent producer: retries can't duplicate within a session
+      "kafka.enable.idempotence" -> "true",
+      "kafka.acks" -> "all")
+
+  /** Wire a streaming DataFrame (must have `key`/`value` columns) to
+    * the Kafka sink with a checkpoint — exactly-once to the topic
+    * modulo Kafka's producer semantics. */
+  def kafkaSinkTo(df: DataFrame, bootstrap: String, topic: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .options(kafkaSinkOptions(bootstrap, topic))
+      .option("checkpointLocation", checkpoint)
+
   /** Redis-style KV upsert: key = `keyCol`'s value, value = `valCol`'s.
     * Last-write-wins per key, idempotent under micro-batch replay. */
   def kvUpsert(store: KvStore, keyCol: String, valCol: String)(

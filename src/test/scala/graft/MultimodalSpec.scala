@@ -29,6 +29,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(sampled(3L).length == 5) // 50 frames / stride 10
   }
 
+  test("resize mean-pools features to the target dim without shuffling") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(spark, sf).limit(10), stride = 10), 8)
+    val resized = Multimodal.resize(feats, 4)
+    val r = resized.head()
+    assert(r.featDim == 4 && r.feature.length == 4)
+    // mean-pooling: first output = mean of first window
+    val f = feats.filter(col("doc_id") === r.doc_id && col("frameIdx") === r.frameIdx).head()
+    assert(math.abs(r.feature(0) - (f.feature(0) + f.feature(1)) / 2.0f) < 1e-6)
+    // narrow stage: resize adds no exchange beyond what its input has
+    def nExchanges(df: org.apache.spark.sql.Dataset[_]): Int =
+      df.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange"))
+    assert(nExchanges(resized) == nExchanges(feats))
+  }
+
   test("stub decode is deterministic and feature extraction is distributed") {
     val a = Multimodal.StubCodec.decode("hello".getBytes, 4)
     val b = Multimodal.StubCodec.decode("hello".getBytes, 4)
