@@ -67,9 +67,11 @@ object SparkEntry {
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
-    * embeddings), interpolated into the §2.7 oracles below. */
+    * embeddings), interpolated into the §2.7 oracles below. The hash
+    * definition lives in ONE place (TextFunctions.hash60Sql) so the
+    * oracles can never drift from the operators under test. */
   private def h60(inner: String): String =
-    s"CAST(concat('0x', substr(md5($inner),1,15)) AS BIGINT)"
+    graft.functions.TextFunctions.hash60Sql(inner)
   private val tkCte =
     "tkv AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS tk FROM documents)"
   /** Distinct word-n-gram shingles, 60-bit-hashed (mirrors
@@ -326,7 +328,7 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $tkCte, ${gramsCte(3)},
-         |gz AS (SELECT doc_id, gs, len(gs) // 8 AS bucket FROM g3 WHERE len(gs) > 0),
+         |gz AS (SELECT doc_id, gs, CAST(floor(log2(len(gs))) AS BIGINT) AS bucket FROM g3 WHERE len(gs) > 0),
          |l AS (SELECT doc_id, gs, unnest([bucket-1, bucket, bucket+1]) AS bk FROM gz),
          |cand AS (SELECT a.doc_id AS doc_a, a.gs AS gsa, b.doc_id AS doc_b, b.gs AS gsb
          |  FROM l a JOIN gz b ON a.bk = b.bucket AND a.doc_id < b.doc_id),

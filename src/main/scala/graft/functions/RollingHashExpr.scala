@@ -38,9 +38,13 @@ object RollingHash {
     r
   }
 
-  /** All rolling window hashes of `text` (empty if len < window). */
+  /** All rolling window hashes of `text` (empty if len < window).
+    * Iterates Unicode CODEPOINTS, not UTF-16 code units — the same
+    * unit DuckDB's `ord(substr(...))` sees, so the oracle matches on
+    * non-BMP text (emoji etc.), not just ASCII. */
   def rollingJvm(text: String, window: Int): Array[Long] = {
-    val n = text.length
+    val cps = text.codePoints().toArray
+    val n = cps.length
     if (n < window) return Array.emptyLongArray
     var pow = 1L // B^(window-1) mod P
     var i = 0
@@ -48,13 +52,13 @@ object RollingHash {
     val out = new Array[Long](n - window + 1)
     var h = 0L
     i = 0
-    while (i < window) { h = (mulmod(h, B) + text.charAt(i)) % P; i += 1 }
+    while (i < window) { h = (mulmod(h, B) + cps(i)) % P; i += 1 }
     out(0) = h
     i = window
     while (i < n) {
-      val drop = mulmod(text.charAt(i - window), pow)
+      val drop = mulmod(cps(i - window), pow)
       h = (h - drop + P) % P
-      h = (mulmod(h, B) + text.charAt(i)) % P
+      h = (mulmod(h, B) + cps(i)) % P
       out(i - window + 1) = h
       i += 1
     }

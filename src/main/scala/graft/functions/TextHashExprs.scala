@@ -104,9 +104,13 @@ object TextHash {
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
     * set iff Σ_tokens (2·bit_b(hash60(tok)) − 1) > 0. Per-bit sums are
     * order-independent integers → identical to the explode+groupBy
-    * form and the DuckDB oracle. */
+    * form and the DuckDB oracle. Token-less docs return -1 (a value
+    * no real signature can take) so callers can filter them — the
+    * oracle's `unnest(tokens)` naturally drops such docs, and two
+    * empty docs must NOT count as Hamming-0 near-dups. */
   def simhashJvm(text: String, bits: Int): Long = {
     val tk = tokensJvm(text)
+    if (tk.isEmpty) return -1L
     val v = new Array[Int](bits)
     var i = 0
     while (i < tk.length) {

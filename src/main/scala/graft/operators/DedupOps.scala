@@ -121,23 +121,36 @@ object DedupOps {
   }
 
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) with
-    * shingle-count blocking: docs pair up iff their gram-count
-    * buckets (|gs| div 8) differ by at most 1 — the probe side
-    * explodes to bucket±1 and meets the build side via a COGROUP on
-    * the bucket (an equi shuffle, never a theta join), and each
-    * bucket's pairs are verified in a tight merge-walk loop. A true
-    * J>=0.5 pair has size ratio <= 2, so ±1 buckets of width 8 keep
-    * recall while bounding the candidate space. At 100 TB the bucket
-    * key is uniform (doc-length distribution), and each group holds
-    * only its bucket's docs — no broadcast of the corpus. */
+    * LOG-scale size blocking: bucket = floor(log2(|gs|)), probe ±1,
+    * candidates meet via a COGROUP on the bucket (an equi shuffle,
+    * never a theta join), and each bucket's pairs are verified in a
+    * tight merge-walk loop. EXACT recall: J >= 1/2 forces
+    * |A|/2 <= |B| <= 2|A|, i.e. |log2|A| − log2|B|| <= 1, so the true
+    * pair's buckets differ by at most 1 and always collide (a
+    * fixed-width bucket cannot guarantee this once sizes exceed the
+    * width). At 100 TB the bucket key follows the doc-length
+    * distribution; a giant bucket is split by a secondary hash salt
+    * (NOTES.md) — no broadcast of the corpus either way. */
+  /** Sub-slots per log bucket: log buckets are few, so without this a
+    * mega-bucket serializes on one core. The build side hashes into
+    * `ngramSlots` slots, the probe side replicates across all of them
+    * — identical pair set, `buckets × slots`-way parallelism. This IS
+    * the giant-bucket salting from NOTES.md, applied unconditionally
+    * (a no-op cost when buckets are already small). */
+  val ngramSlots = 8
+
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newLongArrayEncoder, newProductEncoder, newLongEncoder}
+    def log2bucket(n: Int): Long = 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)
     val gs = gramSets(spark, sfDir, 3).as[(Long, Array[Long])]
     val probe = gs.flatMap { case (id, g) =>
-      val bk = g.length / 8L
-      Seq((bk - 1, id, g), (bk, id, g), (bk + 1, id, g))
+      val bk = log2bucket(g.length)
+      for (b <- bk - 1 to bk + 1; s <- 0 until ngramSlots)
+        yield (b * ngramSlots + s, id, g)
     }
-    val build = gs.map { case (id, g) => (g.length / 8L, id, g) }
+    val build = gs.map { case (id, g) =>
+      (log2bucket(g.length) * ngramSlots + (id % ngramSlots + ngramSlots) % ngramSlots, id, g)
+    }
     probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) { (_, ls, rs) =>
       val right = rs.map(r => (r._2, r._3)).toArray
       ls.flatMap { case (_, ida, ga) =>
@@ -161,6 +174,7 @@ object DedupOps {
     Tables.documents(spark, sfDir)
       .select($"doc_id",
         graft.functions.TextHash.simhash($"text", 32).as("simhash"))
+      .filter($"simhash" =!= -1L) // token-less docs have no signature
       .orderBy($"doc_id")
 
   /** #40b SimHash near-dup pairs (Hamming ≤ 3) with byte-block
@@ -174,6 +188,7 @@ object DedupOps {
     val sigs = Tables.documents(spark, sfDir)
       .select($"doc_id",
         graft.functions.TextHash.simhash($"text", 32).as("simhash"))
+      .filter($"simhash" =!= -1L) // token-less docs have no signature
     val blocks = sigs.select($"doc_id", $"simhash",
       explode(array((0 until 4).map(b =>
         struct(lit(b.toLong).as("b"),

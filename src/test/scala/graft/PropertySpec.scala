@@ -71,6 +71,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("log2 size blocking has exact recall for any J>=1/2-compatible size pair") {
+    def bucket(n: Int): Long = 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)
+    forSamples(Gen.choose(1, 100000)) { a =>
+      // J >= 1/2 forces |B| in [ceil(|A|/2), 2|A|]
+      ((a + 1) / 2 to 2 * a).foreach { b =>
+        assert(math.abs(bucket(a) - bucket(b)) <= 1, s"a=$a b=$b")
+      }
+    }
+  }
+
+  test("simhash sentinel: token-less docs return -1, real docs never do") {
+    assert(TextHash.simhashJvm("", 32) == -1L)
+    assert(TextHash.simhashJvm("    ", 32) == -1L)
+    forSamples(asciiText.suchThat(_.exists(_ != ' '))) { s =>
+      val h = TextHash.simhashJvm(s, 32)
+      assert(h >= 0 && h < (1L << 32))
+    }
+  }
+
+  test("rolling hash iterates codepoints: surrogate pairs count as one unit") {
+    val emoji = "abc😀defghij" // 😀 is one codepoint, two chars
+    val w = 4
+    val rolled = RollingHash.rollingJvm(emoji, w)
+    assert(rolled.length == emoji.codePointCount(0, emoji.length) - w + 1)
+    def direct(cps: Array[Int]): Long =
+      cps.foldLeft(0L)((h, c) => (RollingHash.mulmod(h, RollingHash.B) + c) % RollingHash.P)
+    val cps = emoji.codePoints().toArray
+    assert(rolled.toSeq == cps.sliding(w).map(direct).toSeq)
+  }
+
   test("intersectCount on sorted distinct arrays equals set intersection size") {
     val arr = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
     forSamples(Gen.zip(arr, arr)) { case (a, b) =>
