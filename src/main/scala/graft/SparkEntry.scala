@@ -106,7 +106,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_base_e2,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
         |  count(*) AS cnt
@@ -175,8 +175,11 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
         |ORDER BY event_id""".stripMargin,
+    // NOTE window starts use floor alignment (x - ((x % d) + d) % d),
+    // matching Spark's window(); DuckDB's `//` truncates toward zero,
+    // which diverges for pre-epoch timestamps
     "q_window_tumbling" ->
-      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us, event_type,
+      """SELECT epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000 AS window_start_us, event_type,
         |  count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6,
         |  min(value) AS min_value, max(value) AS max_value
@@ -185,12 +188,12 @@ object SparkEntry {
       """SELECT ws AS window_start_us, event_type, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
         |FROM (
-        |  SELECT (epoch_us(ts) // 21600000000) * 21600000000 - k.k * 21600000000 AS ws,
+        |  SELECT epoch_us(ts) - ((epoch_us(ts) % 21600000000) + 21600000000) % 21600000000 - k.k * 21600000000 AS ws,
         |         event_type, value
         |  FROM events, (VALUES (0), (1), (2), (3)) k(k))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_day_offset" ->
-      """SELECT ((epoch_us(ts) - 57600000000) // 86400000000) * 86400000000 + 57600000000 AS window_start_us,
+      """SELECT (epoch_us(ts) - 57600000000) - (((epoch_us(ts) - 57600000000) % 86400000000) + 86400000000) % 86400000000 + 57600000000 AS window_start_us,
         |  count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_e6
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -24,13 +24,20 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read it as raw nanos and rebuild a µs TimestampType
-    * column (the data is µs-grain, so `div 1000` is exact). */
+    * column. Session-wide side effect by necessity: the nanosAsLong
+    * flag must be on when the parquet footer is decoded, and it only
+    * changes behavior for TIMESTAMP(NANOS) columns that would
+    * otherwise throw. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsFromNanos(table(s, d, "events"))
   }
+
+  /** Rebuild a µs TimestampType `ts` from a raw-nanos long `ts`
+    * column (the data is µs-grain, so `div 1000` is exact). Shared by
+    * [[events]] and any streaming read of the same files. */
+  def tsFromNanos(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

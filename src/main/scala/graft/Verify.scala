@@ -18,7 +18,9 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM must kill the JVM, not let 40 more
+        // queries run in a corrupted heap and dump bogus results
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -26,7 +26,7 @@ object CoreOps {
     Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity").cast(LongType).as("sum_qty"),
+        Det.sumFixed($"l_quantity", 0).as("sum_qty"),
         Det.sumFixed($"l_extendedprice", 2).as("sum_base_e2"),
         Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("sum_disc_e4"),
@@ -74,7 +74,9 @@ object CoreOps {
       .groupBy($"user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(Det.sumFixed($"value", 6))
-      .na.fill(0L)
+      // scoped fill: an unscoped fill would also rewrite a NULL
+      // user_id group key to 0 and collide with the real user 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy($"user_id")
 
   /** keyedSum under key skew: two-stage salted aggregation. Stage 1
@@ -121,8 +123,7 @@ object CoreOps {
     * (TransformTest.scala:30): cumulative count/sum per key in event
     * order. Cumulative frame over integers → deterministic. */
   def reduceRunning(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = eventOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, sfDir)
       .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
         count(lit(1)).over(w).as("running_cnt"),

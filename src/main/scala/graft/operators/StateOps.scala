@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object StateOps {
 
-  private def keyed = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+  private def keyed = eventOrder
 
   /** Jump alarm: |value − previous value| > 50 per key. */
   def stateJump(spark: SparkSession, sfDir: String): DataFrame =

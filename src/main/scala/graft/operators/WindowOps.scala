@@ -57,9 +57,8 @@ object WindowOps {
     * event order (ts, event_id), bucketed by row_number. Partitioned
     * by key — no global sort. */
   def windowCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
     Tables.events(spark, sfDir)
-      .withColumn("win_idx", ((row_number().over(w) - 1) / 10).cast(LongType))
+      .withColumn("win_idx", ((row_number().over(eventOrder) - 1) / 10).cast(LongType))
       .groupBy($"user_id", $"win_idx")
       .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
       .orderBy($"user_id", $"win_idx")
@@ -69,7 +68,7 @@ object WindowOps {
     * windows; the gap-and-cumsum formulation is the batch analog of
     * keyed session state). */
   def sessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
-    val byKey = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val byKey = eventOrder
     val gapUs = 30L * 60 * 1000000
     Tables.events(spark, sfDir)
       .withColumn("ts_us", unix_micros($"ts"))

@@ -33,8 +33,7 @@ class ParitySpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     val raw = spark.read.parquet(dir)
-    val stream = Readers.fileStream(spark, dir, raw.schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.tsFromNanos(Readers.fileStream(spark, dir, raw.schema))
     val q = StreamingJobs.windowedCounts(stream, "3650 days", "6 hours")
       .writeStream.format("memory").queryName("parity")
       .outputMode(OutputMode.Complete)
