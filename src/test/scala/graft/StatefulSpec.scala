@@ -56,6 +56,31 @@ class StatefulSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("jump alarm runs on the RocksDB state store (the at-scale state backend)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Reading]
+    val q = StatefulJobs.jumpAlarms(in.toDS(), threshold = 10.0)
+      .writeStream.format("memory").queryName("jumprocks").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Reading("s1", 1, 20.0))
+      q.processAllAvailable()
+      in.addData(Reading("s1", 2, 40.0)) // state survives in RocksDB
+      q.processAllAvailable()
+      val alarms = spark.table("jumprocks").as[JumpAlarm].collect().toSet
+      assert(alarms == Set(JumpAlarm("s1", 2, 20.0, 40.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("rising alarm fires via event-time timeout when the key goes quiet (onTimer analog)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Reading]
