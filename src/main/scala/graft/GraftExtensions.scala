@@ -17,12 +17,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_minhash_sig(text, n, k) — k-permutation MinHash signature
   *   graft_rolling_hashes(text, w) — Rabin–Karp window fingerprints
   *
-  * without touching the Scala API. Literal-only shape parameters are
-  * validated at registration time (they parameterize the expression
-  * instance, mirroring how Spark's own `ngrams`-style functions take
-  * foldable arguments).
+  * without touching the Scala API. Shape parameters must be integer
+  * literals; arity and literal-ness are validated when the analyzer
+  * resolves the call, with a usage message rather than an internal
+  * index error.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def checkArity(fn: String, usage: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments: $usage; got ${args.size}")
 
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -34,18 +38,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_gram_hashes"),
       new ExpressionInfo(classOf[GramHashesExpr].getName, "graft_gram_hashes"),
-      (args: Seq[Expression]) =>
-        GramHashesExpr(args.head, litInt(args(1), "graft_gram_hashes", "n"))))
+      (args: Seq[Expression]) => {
+        checkArity("graft_gram_hashes", "(text, n)", args, 2)
+        GramHashesExpr(args.head, litInt(args(1), "graft_gram_hashes", "n"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        checkArity("graft_minhash_sig", "(text, n, k)", args, 3)
         MinhashSigExpr(args.head, litInt(args(1), "graft_minhash_sig", "n"),
-          litInt(args(2), "graft_minhash_sig", "k"))))
+          litInt(args(2), "graft_minhash_sig", "k"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_hashes"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hashes"),
-      (args: Seq[Expression]) =>
-        RollingHashExpr(args.head, litInt(args(1), "graft_rolling_hashes", "w"))))
+      (args: Seq[Expression]) => {
+        checkArity("graft_rolling_hashes", "(text, window)", args, 2)
+        RollingHashExpr(args.head, litInt(args(1), "graft_rolling_hashes", "w"))
+      }))
   }
 }

@@ -4,7 +4,6 @@ import graft.sinks.{KvStore, Sinks}
 import graft.sources.Readers
 import graft.streaming.{Restarts, StreamingJobs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -18,33 +17,46 @@ import org.apache.spark.sql.types.StructType
   *  - source: Kafka in production ([[Readers.kafkaSource]]); any
   *    directory of order files for backfill/testing
   *    ([[Readers.fileStream]]) — same downstream plan either way;
-  *  - transform: [[StreamingJobs.orderDashboard]] — watermarked daily
-  *    window per province, integer money (map-side partial agg);
-  *  - sink: [[Sinks.mergeUpsertWriter]] keyed by (day, province) —
-  *    idempotent upsert, so checkpointed replay is exactly-once;
-  *  - resilience: [[Restarts.fixedDelay]] around the checkpointed
+  *  - transforms: [[StreamingJobs.orderTotals]] (per-day site-wide
+  *    totals, the reference's TotalDataFun) and
+  *    [[StreamingJobs.orderDashboard]] (per-day per-province, its
+  *    GroupDataFuc) — watermarked daily windows, integer money;
+  *  - sink: [[Sinks.mergeUpsertWriter]] — idempotent upsert, so
+  *    checkpointed replay is exactly-once;
+  *  - resilience: [[Restarts.fixedDelay]] around each checkpointed
   *    query (the reference's RestartStrategies).
   *
-  * At 100 TB/day: the only shuffle is the aggregation (keys =
-  * days × provinces — tiny); state is bounded by the watermark; the
-  * sink writes O(keys) rows per trigger from executors.
+  * At 100 TB/day: the only shuffles are the two aggregations (keys =
+  * days and days × provinces — tiny); state is bounded by the
+  * watermark; the sinks write O(keys) rows per trigger from
+  * executors.
   */
 object OrderDashboard {
 
   /** Expected order-stream schema: ts TIMESTAMP, province STRING,
-    * amount DOUBLE. */
+    * amount DOUBLE. Global totals upsert under key "day"; province
+    * totals under "day|province". Returns total restarts used. */
   def run(spark: SparkSession, sourceDir: String, schema: StructType,
-          store: KvStore, checkpoint: String, delay: String = "1 day",
-          maxRestarts: Int = 3): Int =
-    Restarts.fixedDelay(maxRestarts, delayMs = 1000) { () =>
-      val orders = Readers.fileStream(spark, sourceDir, schema)
-      StreamingJobs.orderDashboard(orders, delay)
-        .writeStream
-        .option("checkpointLocation", checkpoint)
+          store: KvStore, checkpoint: String,
+          watermarkDelay: String = "1 day",
+          maxRestarts: Int = 3, restartDelayMs: Long = 1000): Int = {
+    def orders: DataFrame = Readers.fileStream(spark, sourceDir, schema)
+    def startQuery(df: DataFrame, keys: Seq[String], ckSubdir: String) =
+      df.writeStream
+        .option("checkpointLocation", s"$checkpoint/$ckSubdir")
         .outputMode(OutputMode.Update)
-        .foreachBatch(Sinks.mergeUpsertWriter(store,
-          Seq("order_day", "province"), Seq("total_num", "total_money_e2")))
+        .foreachBatch(Sinks.mergeUpsertWriter(store, keys,
+          Seq("total_num", "total_money_e2")))
         .trigger(Trigger.AvailableNow())
         .start()
+    val r1 = Restarts.fixedDelay(maxRestarts, restartDelayMs) { () =>
+      startQuery(StreamingJobs.orderTotals(orders, watermarkDelay),
+        Seq("order_day"), "totals")
     }
+    val r2 = Restarts.fixedDelay(maxRestarts, restartDelayMs) { () =>
+      startQuery(StreamingJobs.orderDashboard(orders, watermarkDelay),
+        Seq("order_day", "province"), "province")
+    }
+    r1 + r2
+  }
 }

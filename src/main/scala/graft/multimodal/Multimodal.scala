@@ -66,6 +66,7 @@ object Multimodal {
     * frame, audio → one clip per second. Pure metadata math — no
     * decode yet, so it's a narrow (cheap) stage. */
   def sampleFrames(assets: Dataset[MediaAsset], stride: Int): Dataset[(MediaAsset, Int)] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import assets.sparkSession.implicits._
     assets.flatMap { a =>
       val frames = a.kind match {
@@ -77,22 +78,31 @@ object Multimodal {
     }
   }
 
-  /** Resize: downsample a feature vector to `outDim` by mean-pooling
-    * fixed-width windows (the stub stand-in for image resize — the
-    * stage shape is what matters: a narrow map over already-decoded
-    * features, never a shuffle). */
+  /** Resize: resample a feature vector to `outDim` by mean-pooling
+    * proportional windows [i·n/outDim, (i+1)·n/outDim) — every input
+    * element contributes to exactly one output (no dropped tail), and
+    * upsampling (outDim > n) replicates the nearest element instead
+    * of zero-filling. The stub stand-in for image resize; the stage
+    * shape is what matters: a narrow map over decoded features,
+    * never a shuffle. */
   def resize(feats: Dataset[MediaFeature], outDim: Int): Dataset[MediaFeature] = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
     import feats.sparkSession.implicits._
     feats.map { f =>
       val in = f.feature
+      val n = in.length
       val out = new Array[Float](outDim)
-      val win = math.max(1, in.length / outDim)
       var i = 0
       while (i < outDim) {
-        var s = 0.0f; var j = i * win
-        val end = math.min(in.length, j + win)
-        while (j < end) { s += in(j); j += 1 }
-        out(i) = if (end > i * win) s / (end - i * win) else 0.0f
+        val start = (i.toLong * n / outDim).toInt
+        val end = ((i + 1).toLong * n / outDim).toInt
+        if (end > start) {
+          var s = 0.0f; var j = start
+          while (j < end) { s += in(j); j += 1 }
+          out(i) = s / (end - start)
+        } else if (n > 0) { // upsample: nearest element
+          out(i) = in(math.min(start, n - 1))
+        }
         i += 1
       }
       f.copy(featDim = outDim, feature = out)

@@ -28,8 +28,12 @@ class TopKAggregator(k: Int)
 
   override def zero: Array[(Double, Long)] = Array.empty
 
-  override def reduce(buf: Array[(Double, Long)], row: (String, Double, Long)): Array[(Double, Long)] =
-    merge(buf, Array((row._2, row._3)))
+  override def reduce(buf: Array[(Double, Long)], row: (String, Double, Long)): Array[(Double, Long)] = {
+    // fast path: full buffer + row worse than the cutoff — the
+    // overwhelming majority of rows at scale — allocates nothing
+    if (buf.length == k && !better((row._2, row._3), buf(k - 1))) buf
+    else merge(buf, Array((row._2, row._3)))
+  }
 
   override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] = {
     val out = new Array[(Double, Long)](math.min(a.length + b.length, k))

@@ -20,9 +20,11 @@ object Restarts {
   def fixedDelay(maxRestarts: Int, delayMs: Long)(start: () => StreamingQuery): Int = {
     var attempt = 0
     while (true) {
-      val q = start()
       try {
-        q.awaitTermination()
+        // start() inside the try: a failure while rebuilding/starting
+        // the query (checkpoint dir hiccup, source listing error) is
+        // retried too, matching Flink's restart-from-checkpoint loop
+        start().awaitTermination()
         return attempt
       } catch {
         case NonFatal(e) =>
@@ -42,9 +44,8 @@ object Restarts {
     var restarts = 0
     var failures = List.empty[Long]
     while (true) {
-      val q = start()
       try {
-        q.awaitTermination()
+        start().awaitTermination()
         return restarts
       } catch {
         case NonFatal(e) =>

@@ -65,10 +65,12 @@ object StreamingJobs {
       .select($"session_window.start".as("session_start"),
         $"session_window.end".as("session_end"), $"user_id", $"cnt")
 
-  /** Evictor analog: drop bad elements BEFORE the window aggregation
-    * (reference TestTriggerAndEvictor.scala:130 evicts ts<=0). */
+  /** Evictor analog: drop elements with an invalid (non-positive)
+    * event time BEFORE the window aggregation — the reference's
+    * evictor removes ts<=0 "illegal data" rows
+    * (TestTriggerAndEvictor.scala:130). */
   def evictThenWindow(events: DataFrame, delay: String, size: String): DataFrame =
-    windowedCounts(events.filter($"value" > 0.0), delay, size)
+    windowedCounts(events.filter(unix_micros($"ts") > 0L), delay, size)
 
   /** Flink side-output-late-data analog for one micro-batch: given the
     * current watermark (Spark tracks it per trigger; foreachBatch
@@ -110,16 +112,29 @@ object StreamingJobs {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
-  /** Double-11 dashboard, streaming form (reference
-    * orderTest/OrderAnalysy.scala:453,465): per-day global totals and
-    * per-day-per-province totals over an order stream, update mode,
-    * fed to an idempotent upsert sink (sinks.Sinks.kvUpsertWriter). */
+  /** Double-11 dashboard, per-province half (reference
+    * orderTest/OrderAnalysy.scala:465 GroupDataFuc): per-day
+    * per-province totals over an order stream, update mode, fed to an
+    * idempotent upsert sink (sinks.Sinks.mergeUpsertWriter). Money is
+    * Det.sumFixed fixed-point — the same cross-engine-exact integer
+    * contract as every batch operator. */
   def orderDashboard(orders: DataFrame, delay: String): DataFrame =
     orders
       .withWatermark("ts", delay)
       .groupBy(window($"ts", "1 day").as("day"), $"province")
       .agg(count(lit(1)).as("total_num"),
-        sum((round($"amount" * 100.0, 0)).cast("long")).as("total_money_e2"))
+        graft.Det.sumFixed($"amount", 2).as("total_money_e2"))
       .select($"day.start".as("order_day"), $"province", $"total_num",
         $"total_money_e2")
+
+  /** Double-11 dashboard, GLOBAL half (reference OrderAnalysy.scala:453
+    * TotalDataFun): per-day site-wide totals — the flagship headline
+    * number. Same stream, separate (cheaper) aggregation. */
+  def orderTotals(orders: DataFrame, delay: String): DataFrame =
+    orders
+      .withWatermark("ts", delay)
+      .groupBy(window($"ts", "1 day").as("day"))
+      .agg(count(lit(1)).as("total_num"),
+        graft.Det.sumFixed($"amount", 2).as("total_money_e2"))
+      .select($"day.start".as("order_day"), $"total_num", $"total_money_e2")
 }

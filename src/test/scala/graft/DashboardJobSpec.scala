@@ -22,8 +22,11 @@ class DashboardJobSpec extends SparkTestBase {
     val schema = spark.read.parquet(src).schema
 
     assert(OrderDashboard.run(spark, src, schema, store, ck) == 0) // no restarts needed
+    // per-province totals (reference GroupDataFuc)
     assert(store.get("1970-01-01 00:00:00.0|zhejiang").contains("1|1050"))
     assert(store.get("1970-01-01 00:00:00.0|shanghai").contains("1|200"))
+    // site-wide totals (reference TotalDataFun — the headline number)
+    assert(store.get("1970-01-01 00:00:00.0").contains("2|1250"))
 
     // new orders land; a re-run processes ONLY them and upserts totals
     Seq((t(300), "zhejiang", 1.0))
@@ -31,6 +34,7 @@ class DashboardJobSpec extends SparkTestBase {
     OrderDashboard.run(spark, src, schema, store, ck)
     assert(store.get("1970-01-01 00:00:00.0|zhejiang").contains("2|1150"))
     assert(store.get("1970-01-01 00:00:00.0|shanghai").contains("1|200"))
+    assert(store.get("1970-01-01 00:00:00.0").contains("3|1350"))
     StoreRegistry.clear("dashjob")
   }
 

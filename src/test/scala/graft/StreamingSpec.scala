@@ -84,8 +84,8 @@ class StreamingSpec extends SparkTestBase {
     val q = StreamingJobs.evictThenWindow(events, "10 seconds", "1 minute")
       .writeStream.format("memory").queryName("evict").outputMode(OutputMode.Append).start()
     try {
-      in.addData((ts(5), 1L, -1.0), (ts(30), 1L, 2.0)) // -1.0 must be evicted
-      in.addData((ts(120), 1L, 9.0))                   // close [0,60)
+      in.addData((ts(0), 1L, 1.0), (ts(30), 1L, 2.0)) // ts<=0 "illegal data" evicted
+      in.addData((ts(120), 1L, 9.0))                  // close [0,60)
       q.processAllAvailable()
       val rows = spark.table("evict").select(col("cnt").as[Long]).collect().toSet
       assert(rows == Set(1L))
