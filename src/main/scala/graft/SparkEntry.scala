@@ -62,6 +62,9 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.textQuality _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_text_pii" -> (TextOps.textPii _),
+    "q_split_train_val" -> (CurationOps.splitTrainVal _),
+    "q_source_stats" -> (CurationOps.sourceStats _),
+    "q_curation" -> (CurationOps.curate _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_rolling_fp" -> (TextOps.rollingFp _),
   )
@@ -440,6 +443,35 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_split_train_val" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN ${h60("source")} % 100 < 90 THEN 'train'
+         |       WHEN ${h60("source")} % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_curation" -> {
+      import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
+      s"""WITH $tkCte,
+         |q AS (SELECT t.doc_id, t.text, t.lang,
+         |        CAST(len(tk) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |        CAST(len(list_filter(tk, x -> list_contains(${inList(enMarkers)}, x))) AS BIGINT) AS en_hits,
+         |        CAST(len(list_filter(tk, x -> list_contains(${inList(deMarkers)}, x))) AS BIGINT) AS de_hits,
+         |        CAST(len(list_filter(tk, x -> list_contains(${inList(frMarkers)}, x))) AS BIGINT) AS fr_hits
+         |      FROM tkv JOIN documents t USING (doc_id)),
+         |gated AS (SELECT doc_id, text FROM q
+         |  WHERE n_tokens >= 10 AND (n_tokens - n_distinct) * 10000 <= n_tokens * 3000
+         |    AND (CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |              WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |              WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END) = lang)
+         |SELECT min(doc_id) AS doc_id FROM gated
+         |GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin
+    },
     "q_text_pii" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

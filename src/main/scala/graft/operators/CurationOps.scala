@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{ColumnInterpolator, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data curation compositions (SURVEY.md §2.7 — the ops a
+  * 100 TB corpus pipeline chains around the dedup/quality primitives).
+  *
+  * Everything is deterministic and oracle-exact: split assignment is
+  * an md5 hash of the grouping key (never rand()), quality gates are
+  * integer ratios, and dedup keeps min doc_id. All narrow maps +
+  * single-shuffle aggregations.
+  */
+object CurationOps {
+
+  /** Leakage-safe train/val/test split: ALL docs of one `source` land
+    * in the same split (hash the source, not the doc), so near-dups
+    * within a source can never straddle train/val. Deterministic —
+    * re-running on new data never reassigns old sources. 90/5/5. */
+  def splitTrainVal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", (hash60($"source") % 100).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "val")
+          .otherwise("test"))
+      .select($"doc_id", $"source", $"split")
+      .orderBy($"doc_id")
+
+  /** Corpus stats: per (source, lang) doc counts, token totals, char
+    * totals — the profile report before/after curation. One shuffle,
+    * partial-agg'd integer sums. */
+  def sourceStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"source", $"lang", $"n_chars",
+        size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"source", $"lang")
+
+  /** End-to-end curation: quality gate → language gate → exact dedup,
+    * emitting the kept doc ids. The composition every ingest pipeline
+    * runs; each stage is the already-gated primitive:
+    *  - quality: ≥ 10 tokens and duplicate-token ratio ≤ 30%
+    *    (TextOps.textQuality metrics);
+    *  - language: the n-gram language-ID heuristic must agree with
+    *    the declared lang (TextOps.textLangid);
+    *  - dedup: exact md5 on normalized text, min doc_id survives
+    *    (DedupOps.dedupExact).
+    * Plan: narrow maps for both gates (no shuffle), ONE shuffle for
+    * the dedup groupBy — at 100 TB the gates run at scan speed and
+    * only survivors pay the shuffle. */
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .withColumn("n_tokens", size($"tk").cast(LongType))
+      .withColumn("n_distinct", size(array_distinct($"tk")).cast(LongType))
+      .filter($"n_tokens" >= 10 &&
+        ($"n_tokens" - $"n_distinct") * 10000 <= $"n_tokens" * 3000)
+      .withColumn("en_hits", markerHits($"tk", enMarkers))
+      .withColumn("de_hits", markerHits($"tk", deMarkers))
+      .withColumn("fr_hits", markerHits($"tk", frMarkers))
+      .withColumn("detected",
+        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" > 0, "en")
+          .when($"de_hits" >= $"fr_hits" && $"de_hits" > 0, "de")
+          .when($"fr_hits" > 0, "fr")
+          .otherwise("und"))
+      .filter($"detected" === $"lang")
+    docs
+      .select($"doc_id", md5(lower(trim($"text"))).as("text_hash"))
+      .groupBy($"text_hash")
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+}
