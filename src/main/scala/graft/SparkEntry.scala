@@ -54,6 +54,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
+    "q_overlap_pairs" -> ((s: SparkSession, d: String) => DedupOps.overlapPairs(s, d)),
     "q_ann_topk" -> (SimilarityOps.annTopk _),
     "q_ann_lsh" -> (SimilarityOps.annLsh _),
     "q_ann_multiprobe" -> (SimilarityOps.annMultiprobe _),
@@ -483,6 +484,34 @@ object SparkEntry {
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv)
          |SELECT doc_id, CAST(sum(${h60("tok")} % 1000000007) % 1000000007 AS BIGINT) AS fp
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_overlap_pairs" -> {
+      // same direct-polynomial window recompute as q_rolling_fp,
+      // sampled every 8th position (1-based p%8==1 ≡ Spark 0-based
+      // pos%8==0), doc-frequency-bounded, >=2 shared windows per pair
+      import graft.functions.RollingHash.{B, P}
+      import graft.operators.TextOps.RollWindow
+      val pows = (0 until RollWindow).map { k =>
+        java.math.BigInteger.valueOf(B)
+          .modPow(java.math.BigInteger.valueOf(RollWindow - 1 - k),
+            java.math.BigInteger.valueOf(P))
+          .longValueExact()
+      }
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id,
+         |    CAST(list_sum(list_transform(generate_series(0, ${RollWindow - 1}),
+         |      i -> CAST([${pows.mkString(",")}][i+1] AS HUGEINT) * ord(substr(text, p + i, 1)))) % $P AS BIGINT) AS h
+         |  FROM documents
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(text) - ${RollWindow - 1})) AS p)
+         |  WHERE length(text) >= $RollWindow AND p % 8 = 1),
+         |rare AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM w GROUP BY h)
+         |         WHERE df <= 10 AND df >= 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM (SELECT * FROM w JOIN rare USING (h)) a
+         |JOIN (SELECT * FROM w JOIN rare USING (h)) b
+         |  ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_rolling_fp" -> {
       // direct-polynomial recompute of every window hash in HUGEINT —
       // the independent check of RollingHashExpr's O(1) recurrence

@@ -204,6 +204,35 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** #41b Containment / partial-overlap pairs via sampled rolling-hash
+    * windows: two docs share a char-level span iff they share window
+    * hashes (graft.functions.RollingHashExpr, 16-char windows sampled
+    * every 8 positions — any common span ≥ 23 chars guarantees ≥1
+    * shared sampled window). Catches ASYMMETRIC duplication — a short
+    * doc quoted inside a long one — which Jaccard-threshold MinHash
+    * structurally misses (the union term dilutes containment).
+    * Frequent windows (boilerplate, > `maxDf` docs) are dropped before
+    * pairing, the standard bound that keeps candidates sublinear at
+    * 100 TB; pairs need ≥ 2 shared sampled windows. */
+  def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {
+    val win = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        posexplode(graft.functions.RollingHash.rollingHashes($"text", 16)))
+      .filter($"pos" % 8 === 0)
+      .select($"doc_id", $"col".as("h"))
+      .distinct()
+    val rare = win.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" <= maxDf && $"df" >= 2)
+      .select($"h")
+    win.join(rare, "h").as("a")
+      .join(win.join(rare, "h").as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** #42 Embedding-cosine near-dup pairs (cos >= 0.4) — the exact
     * all-pairs form, as a broadcast + per-partition primitive-array
     * kernel: the quantized corpus (N×64 longs) broadcasts, each
