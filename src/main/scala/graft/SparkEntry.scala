@@ -107,6 +107,38 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Direct-polynomial recompute of the RollWindow-char rolling-window
+    * hashes in HUGEINT (`w(doc_id, p, h)`) — the ONE independent
+    * check of RollingHashExpr's O(1) recurrence, shared by
+    * q_rolling_fp and q_overlap_pairs so the two oracles cannot
+    * drift. */
+  private val rollWindowCte: String = {
+    import graft.functions.RollingHash.{B, P}
+    import graft.operators.TextOps.RollWindow
+    val pows = (0 until RollWindow).map { k => // B^(w-1-i) for char i=k
+      java.math.BigInteger.valueOf(B)
+        .modPow(java.math.BigInteger.valueOf(RollWindow - 1 - k),
+          java.math.BigInteger.valueOf(P))
+        .longValueExact()
+    }
+    s"""w AS (
+       |  SELECT doc_id, p,
+       |    CAST(list_sum(list_transform(generate_series(0, ${RollWindow - 1}),
+       |      i -> CAST([${pows.mkString(",")}][i+1] AS HUGEINT) * ord(substr(text, p + i, 1)))) % $P AS BIGINT) AS h
+       |  FROM documents
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(text) - ${RollWindow - 1})) AS p)
+       |  WHERE length(text) >= $RollWindow)""".stripMargin
+  }
+
+  /** The language-ID decision CASE over marker-hit columns — shared by
+    * q_text_langid and q_curation (the en>de>fr priority tie-break is
+    * load-bearing; one definition). Mirrors
+    * TextFunctions.detectedLang. */
+  private def detectedLangSql(en: String, de: String, fr: String): String =
+    s"""CASE WHEN $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |       WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |       WHEN $fr > 0 THEN 'fr' ELSE 'und' END""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -419,9 +451,7 @@ object SparkEntry {
          |  CAST(len(list_filter(tk, t -> list_contains(${inList(frMarkers)}, t))) AS BIGINT) AS fr_hits,
          |  CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv)
          |SELECT doc_id, en_hits, de_hits, fr_hits, n_tokens,
-         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-         |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-         |       WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS detected
+         |  ${detectedLangSql("en_hits", "de_hits", "fr_hits")} AS detected
          |FROM m ORDER BY doc_id""".stripMargin
     },
     "q_text_quality" -> {
@@ -466,10 +496,9 @@ object SparkEntry {
          |        CAST(len(list_filter(tk, x -> list_contains(${inList(frMarkers)}, x))) AS BIGINT) AS fr_hits
          |      FROM tkv JOIN documents t USING (doc_id)),
          |gated AS (SELECT doc_id, text FROM q
-         |  WHERE n_tokens >= 10 AND (n_tokens - n_distinct) * 10000 <= n_tokens * 3000
-         |    AND (CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-         |              WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-         |              WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END) = lang)
+         |  WHERE n_tokens >= 10 AND (n_tokens - n_distinct) * 10000 // n_tokens <= 3000
+         |    AND (NOT list_contains(${inList(graft.functions.TextFunctions.detectableLangs)}, lang)
+         |         OR ${detectedLangSql("en_hits", "de_hits", "fr_hits")} = lang))
          |SELECT min(doc_id) AS doc_id FROM gated
          |GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin
     },
@@ -484,56 +513,22 @@ object SparkEntry {
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv)
          |SELECT doc_id, CAST(sum(${h60("tok")} % 1000000007) % 1000000007 AS BIGINT) AS fp
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_overlap_pairs" -> {
-      // same direct-polynomial window recompute as q_rolling_fp,
-      // sampled every 8th position (1-based p%8==1 ≡ Spark 0-based
-      // pos%8==0), doc-frequency-bounded, >=2 shared windows per pair
-      import graft.functions.RollingHash.{B, P}
-      import graft.operators.TextOps.RollWindow
-      val pows = (0 until RollWindow).map { k =>
-        java.math.BigInteger.valueOf(B)
-          .modPow(java.math.BigInteger.valueOf(RollWindow - 1 - k),
-            java.math.BigInteger.valueOf(P))
-          .longValueExact()
-      }
-      s"""WITH w AS (
-         |  SELECT DISTINCT doc_id,
-         |    CAST(list_sum(list_transform(generate_series(0, ${RollWindow - 1}),
-         |      i -> CAST([${pows.mkString(",")}][i+1] AS HUGEINT) * ord(substr(text, p + i, 1)))) % $P AS BIGINT) AS h
-         |  FROM documents
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(text) - ${RollWindow - 1})) AS p)
-         |  WHERE length(text) >= $RollWindow AND p % 8 = 1),
-         |rare AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM w GROUP BY h)
+    "q_overlap_pairs" ->
+      s"""WITH $rollWindowCte,
+         |s AS (SELECT DISTINCT doc_id, h FROM w WHERE h % ${graft.operators.DedupOps.OverlapSample} = 0),
+         |rare AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM s GROUP BY h)
          |         WHERE df <= 10 AND df >= 2)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM (SELECT * FROM w JOIN rare USING (h)) a
-         |JOIN (SELECT * FROM w JOIN rare USING (h)) b
+         |FROM (SELECT * FROM s JOIN rare USING (h)) a
+         |JOIN (SELECT * FROM s JOIN rare USING (h)) b
          |  ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
-    "q_rolling_fp" -> {
-      // direct-polynomial recompute of every window hash in HUGEINT —
-      // the independent check of RollingHashExpr's O(1) recurrence
-      import graft.functions.RollingHash.{B, P}
-      import graft.operators.TextOps.RollWindow
-      val pows = (0 until RollWindow).map { k => // B^(w-1-i) for char i=k
-        java.math.BigInteger.valueOf(B)
-          .modPow(java.math.BigInteger.valueOf(RollWindow - 1 - k),
-            java.math.BigInteger.valueOf(P))
-          .longValueExact()
-      }
-      s"""WITH w AS (
-         |  SELECT doc_id, p,
-         |    CAST(list_sum(list_transform(generate_series(0, ${RollWindow - 1}),
-         |      i -> CAST([${pows.mkString(",")}][i+1] AS HUGEINT) * ord(substr(text, p + i, 1)))) % $P AS BIGINT) AS h
-         |  FROM documents
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(text) - ${RollWindow - 1})) AS p)
-         |  WHERE length(text) >= $RollWindow)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_rolling_fp" ->
+      s"""WITH $rollWindowCte
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
          |  min(h) AS min_h, max(h) AS max_h,
-         |  CAST(sum(CAST(h AS HUGEINT)) % $P AS BIGINT) AS sum_mod
-         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |  CAST(sum(CAST(h AS HUGEINT)) % ${graft.functions.RollingHash.P} AS BIGINT) AS sum_mod
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -74,4 +74,17 @@ object TextFunctions {
   val enMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
   val deMarkers = Seq("der", "die", "das", "und", "ist", "ein")
   val frMarkers = Seq("le", "la", "les", "et", "est", "un", "une")
+
+  /** Languages the heuristic can detect — gates that compare against
+    * a declared lang must pass through anything else. */
+  val detectableLangs = Seq("en", "de", "fr")
+
+  /** The language-ID decision over marker-hit columns (en>de>fr
+    * priority tie-break — load-bearing for oracle agreement; ONE
+    * definition, mirrored by SparkEntry's detectedLangSql). */
+  def detectedLang(en: Column, de: Column, fr: Column): Column =
+    when(en >= de && en >= fr && en > 0, "en")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
 }

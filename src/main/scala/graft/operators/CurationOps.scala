@@ -46,10 +46,14 @@ object CurationOps {
   /** End-to-end curation: quality gate → language gate → exact dedup,
     * emitting the kept doc ids. The composition every ingest pipeline
     * runs; each stage is the already-gated primitive:
-    *  - quality: ≥ 10 tokens and duplicate-token ratio ≤ 30%
-    *    (TextOps.textQuality metrics);
-    *  - language: the n-gram language-ID heuristic must agree with
-    *    the declared lang (TextOps.textLangid);
+    *  - quality: ≥ 10 tokens and duplicate-token ratio ≤ 30%, using
+    *    the SAME floored fixed-point metric textQuality publishes
+    *    (dup_ratio_e4 ≤ 3000), so `textQuality.filter(...)` and
+    *    `curate` agree on boundary docs;
+    *  - language: where the heuristic HAS coverage (en/de/fr), the
+    *    detected language must agree with the declared one; declared
+    *    langs outside the detector's vocabulary pass through — a
+    *    consistency check, never blanket corpus loss;
     *  - dedup: exact md5 on normalized text, min doc_id survives
     *    (DedupOps.dedupExact).
     * Plan: narrow maps for both gates (no shuffle), ONE shuffle for
@@ -60,17 +64,13 @@ object CurationOps {
       .withColumn("tk", tokens($"text"))
       .withColumn("n_tokens", size($"tk").cast(LongType))
       .withColumn("n_distinct", size(array_distinct($"tk")).cast(LongType))
-      .filter($"n_tokens" >= 10 &&
-        ($"n_tokens" - $"n_distinct") * 10000 <= $"n_tokens" * 3000)
-      .withColumn("en_hits", markerHits($"tk", enMarkers))
-      .withColumn("de_hits", markerHits($"tk", deMarkers))
-      .withColumn("fr_hits", markerHits($"tk", frMarkers))
-      .withColumn("detected",
-        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" > 0, "en")
-          .when($"de_hits" >= $"fr_hits" && $"de_hits" > 0, "de")
-          .when($"fr_hits" > 0, "fr")
-          .otherwise("und"))
-      .filter($"detected" === $"lang")
+      .filter($"n_tokens" >= 10)
+      .filter(expr("(n_tokens - n_distinct) * 10000 div n_tokens") <= 3000)
+      .withColumn("detected", detectedLang(
+        markerHits($"tk", enMarkers), markerHits($"tk", deMarkers),
+        markerHits($"tk", frMarkers)))
+      .filter(!$"lang".isin(detectableLangs.map(l => l: Any): _*) ||
+        $"detected" === $"lang")
     docs
       .select($"doc_id", md5(lower(trim($"text"))).as("text_hash"))
       .groupBy($"text_hash")

@@ -204,22 +204,29 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** #41b Containment / partial-overlap pairs via sampled rolling-hash
-    * windows: two docs share a char-level span iff they share window
-    * hashes (graft.functions.RollingHashExpr, 16-char windows sampled
-    * every 8 positions — any common span ≥ 23 chars guarantees ≥1
-    * shared sampled window). Catches ASYMMETRIC duplication — a short
-    * doc quoted inside a long one — which Jaccard-threshold MinHash
-    * structurally misses (the union term dilutes containment).
-    * Frequent windows (boilerplate, > `maxDf` docs) are dropped before
+  /** Sampling rate for [[overlapPairs]] (keep windows with h % rate
+    * == 0) — shared with the q_overlap_pairs oracle. */
+  val OverlapSample = 8L
+
+  /** #41b Containment / partial-overlap pairs via CONTENT-DEFINED
+    * sampled rolling-hash windows: 16-char window hashes
+    * (graft.functions.RollingHashExpr, window = TextOps.RollWindow),
+    * keeping the windows whose hash ≡ 0 mod [[OverlapSample]].
+    * Content-defined selection is alignment-independent: an identical
+    * span selects the SAME windows in both documents wherever it
+    * occurs (positional sampling would miss 7/8 of offsets), and a
+    * shared span of length L yields a shared sampled window with
+    * P ≈ 1−(7/8)^(L−15) — near-certain by ~70 chars. Catches
+    * ASYMMETRIC duplication — a short doc quoted inside a long one —
+    * which Jaccard-threshold MinHash structurally misses. Frequent
+    * windows (boilerplate, > `maxDf` docs) are dropped before
     * pairing, the standard bound that keeps candidates sublinear at
     * 100 TB; pairs need ≥ 2 shared sampled windows. */
   def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {
     val win = Tables.documents(spark, sfDir)
       .select($"doc_id",
-        posexplode(graft.functions.RollingHash.rollingHashes($"text", 16)))
-      .filter($"pos" % 8 === 0)
-      .select($"doc_id", $"col".as("h"))
+        explode(graft.functions.RollingHash.rollingHashes($"text", TextOps.RollWindow)).as("h"))
+      .filter($"h" % OverlapSample === 0L)
       .distinct()
     val rare = win.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
       .filter($"df" <= maxDf && $"df" >= 2)

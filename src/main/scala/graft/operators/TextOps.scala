@@ -28,11 +28,7 @@ object TextOps {
         markerHits($"tk", deMarkers).as("de_hits"),
         markerHits($"tk", frMarkers).as("fr_hits"),
         size($"tk").cast(LongType).as("n_tokens"))
-      .withColumn("detected",
-        when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" > 0, "en")
-          .when($"de_hits" >= $"fr_hits" && $"de_hits" > 0, "de")
-          .when($"fr_hits" > 0, "fr")
-          .otherwise("und"))
+      .withColumn("detected", detectedLang($"en_hits", $"de_hits", $"fr_hits"))
       .orderBy($"doc_id")
 
   /** #46 Quality metrics: char len, token counts, duplicate-token and
