@@ -98,12 +98,20 @@ object DedupOps {
     * becomes a shuffle join on doc_id — still equi, still uniform). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newLongArrayEncoder, newProductEncoder, newLongEncoder}
-    val bands = minhashBands(spark, sfDir)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    // ONE pass over the signatures: group each band bucket, expand its
+    // doc list to ordered pairs. Equivalent to the band self-join but
+    // the narrow signature computation runs once instead of twice and
+    // the join shuffle becomes a single groupBy (bucket sizes are
+    // bounded — uniform 62-bit band keys).
+    val cand = minhashBands(spark, sfDir)
+      .groupBy($"band", $"band_hash")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ids, a -> transform(ids, b -> struct(a AS doc_a, b AS doc_b)))),
+          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
     val gs = spark.sparkContext.broadcast(
       gramSets(spark, sfDir, 2).as[(Long, Array[Long])].collect().toMap)
