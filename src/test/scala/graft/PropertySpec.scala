@@ -101,6 +101,23 @@ class PropertySpec extends AnyFunSuite {
     assert(rolled.toSeq == cps.sliding(w).map(direct).toSeq)
   }
 
+  test("content-defined window sampling is alignment-independent (containment survives any offset)") {
+    // the sampled windows of a span are selected by hash value, so a
+    // doc containing that span at ANY offset shares them — the
+    // property positional sampling (pos % k) lacks
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    def sampled(t: String): Set[Long] =
+      RollingHash.rollingJvm(t, 16).filter(_ % 8 == 0).toSet
+    val spanWins = sampled(span)
+    assert(spanWins.nonEmpty, "test span must select at least one window")
+    forSamples(Gen.zip(Gen.choose(0, 13), Gen.alphaNumStr, Gen.alphaNumStr), n = 100) {
+      case (pad, pre, post) =>
+        val host = pre.take(pad) + " " + span + " " + post.take(7)
+        assert(spanWins.subsetOf(sampled(host)),
+          s"containment lost at offset ${pre.take(pad).length + 1}")
+    }
+  }
+
   test("intersectCount on sorted distinct arrays equals set intersection size") {
     val arr = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
     forSamples(Gen.zip(arr, arr)) { case (a, b) =>
