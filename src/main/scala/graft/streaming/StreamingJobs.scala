@@ -82,6 +82,16 @@ object StreamingJobs {
     (tagged.filter(!$"_late").drop("_late"), tagged.filter($"_late").drop("_late"))
   }
 
+  /** Stream–static enrichment join: a stream joined against a batch
+    * dimension table (the Flink broadcast-state / connect-with-
+    * control-stream enrichment pattern). Spark broadcasts the static
+    * side into every micro-batch — no stream state at all, and the
+    * dim can be arbitrarily refreshed between restarts. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
+                    dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left_outer")
+      .drop(dim(dimKey))
+
   /** Stream–stream interval join: each order pairs with payment
     * events for the same user within [0, `interval`] after the order
     * (the Flink connect/CoProcessFunction enrichment pattern,

@@ -92,6 +92,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static dim join enriches each micro-batch (broadcast-state analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingJobs.enrichWithDim(
+      in.toDF().toDF("user_id", "value"), dim, "user_id", "id")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, 5.0), (3L, 7.0)) // 3 has no dim row → null tier
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select(col("user_id").as[Long], col("tier").as[Option[String]])
+        .collect().toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs payments within the window after an order") {
     implicit val sqlCtx = spark.sqlContext
     val orders = MemoryStream[(Timestamp, Long, Long)]
