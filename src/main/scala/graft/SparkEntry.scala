@@ -27,6 +27,7 @@ object SparkEntry {
     "q_pivot" -> (CoreOps.pivotAgg _),
     "q_keyed_minmax" -> (CoreOps.keyedMinMax _),
     "q_minby" -> (CoreOps.minBy _),
+    "q_maxby" -> (CoreOps.maxBy _),
     "q_reduce_running" -> (CoreOps.reduceRunning _),
     "q_split_select" -> (CoreOps.splitSelect _),
     "q_union_connect" -> (CoreOps.unionConnect _),
@@ -183,6 +184,10 @@ object SparkEntry {
     "q_minby" ->
       """SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_maxby" ->
+      """SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_reduce_running" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -119,6 +119,18 @@ object CoreOps {
       .orderBy($"user_id")
   }
 
+  /** maxBy: whole row achieving the key's max (reference maxBy,
+    * WindowTest.scala:76) — same shape as [[minBy]], descending. */
+  def maxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .orderBy($"user_id")
+  }
+
   /** Running keyed fold — Flink's emit-per-element keyBy.reduce
     * (TransformTest.scala:30): cumulative count/sum per key in event
     * order. Cumulative frame over integers → deterministic. */
