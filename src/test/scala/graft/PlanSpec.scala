@@ -73,4 +73,26 @@ class PlanSpec extends SparkTestBase {
     val plan = fullPlanString("q_dedup_exact")
     assert(plan.contains("partial_min") || plan.contains("partial_count"))
   }
+
+  test("q_dedup_minhash builds lazily — no driver-side collect of the corpus") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.add(s.stageInfo.name)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // Force full analysis + optimization; a collect+broadcast verify
+      // would have to run a corpus-scan job here. The only jobs allowed
+      // are `spark.read.parquet`'s constant-size schema-inference reads
+      // (one footer per table open — they don't scan data).
+      SparkEntry.queries("q_dedup_minhash")(spark, sf).queryExecution.executedPlan
+      org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
+      val offending = stages.toArray(Array.empty[String])
+        .filterNot(_.startsWith("parquet at "))
+      assert(offending.isEmpty,
+        s"plan construction must not run data-scanning jobs; saw: ${offending.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
