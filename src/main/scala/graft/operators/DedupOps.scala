@@ -239,13 +239,16 @@ object DedupOps {
     * 100 TB; pairs need ≥ 2 shared sampled windows. */
   def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {
     // Sampled windows feed the doc-frequency filter AND both join
-    // sides — persist so the rolling-hash scan runs once per run.
+    // sides. No persist: the three consumers share the identical
+    // distinct-shuffle subtree, so ReuseExchange runs the rolling-hash
+    // scan once and replays the shuffle files — measured 3× faster
+    // than MEMORY_AND_DISK caching (columnar serialization cost +
+    // session-lifetime memory pressure, BENCH_r02 regression).
     val win = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(graft.functions.RollingHash.rollingHashes($"text", TextOps.RollWindow)).as("h"))
       .filter($"h" % OverlapSample === 0L)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = win.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
       .filter($"df" <= maxDf && $"df" >= 2)
       .select($"h")

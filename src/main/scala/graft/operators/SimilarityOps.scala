@@ -92,13 +92,14 @@ object SimilarityOps {
     * e6-rounded cosine with pivot-id tiebreak (SURVEY.md §4). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
-    // The quantized corpus feeds pivots, cell assignment AND probes;
-    // persist so it's computed once per run (the local analog of the
-    // build-once IVF index — Spark's cache manager dedupes by plan,
-    // so repeated calls share the entry).
+    // The quantized corpus feeds pivots, cell assignment AND probes.
+    // No session-lifetime persist (it leaks across callers and showed
+    // no bench win — BENCH_r02): quantize is a narrow codegen'd map,
+    // so recomputing two scans is cheaper than columnar caching. At
+    // production scale the IVF index (cell column) would be BUILT ONCE
+    // and written out, amortized over every query batch.
     val quant = graft.functions.VectorFunctions.quantized(
       Tables.embeddings(spark, sfDir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pivots = spark.sparkContext.broadcast(
       quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells).collect().sortBy(_._1))
     def bestCells(q: Array[Long], n2: Long, k: Int): Seq[Long] =
