@@ -49,11 +49,29 @@ object Readers {
       // exactly-once-friendly: fail rather than silently lose data
       "failOnDataLoss" -> "true")
 
+  /** True iff the `kafka` streaming source resolves on this classpath
+    * (Spark's own lookup, including provider aliases). The connector
+    * ships separately from spark-sql, so a deployment can silently
+    * lack it — callers use this to fail fast at build time. */
+  def kafkaAvailable(spark: SparkSession): Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("kafka", spark.sessionState.conf)
+      true
+    } catch { case _: Exception => false }
+
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
-                  startingOffsets: String = "latest"): DataFrame =
+                  startingOffsets: String = "latest"): DataFrame = {
+    // Fail fast with an actionable message instead of Spark's
+    // DATA_SOURCE_NOT_FOUND at first load() deep inside a job.
+    require(kafkaAvailable(spark),
+      "the 'kafka' data source is not on the classpath — deploy the " +
+        "spark-sql-kafka-0-10 connector artifact matching your Spark version " +
+        "(e.g. --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)")
     spark.readStream.format("kafka")
       .options(kafkaSourceOptions(bootstrap, topic, startingOffsets))
       .load()
+  }
 
   /** Streaming file source over a directory (the live-tested analog of
     * the Kafka plan: same unbounded-scan node, bounded per trigger). */

@@ -15,6 +15,11 @@ case class JumpAlarm(id: String, tsUs: Long, prev: Double, value: Double)
   * (≥ the hold period). */
 case class RiseAlarm(id: String, startUs: Long, endUs: Long)
 
+/** One COMPLETED per-key count window (reference StateTest.scala:119
+  * countWindow): bucket index, element count (== window size) and
+  * fixed-point e6 value sum (the Det.sumFixed integer contract). */
+case class CountWin(id: String, winIdx: Long, cnt: Long, sumValueE6: Long)
+
 /** Keyed-state / timer jobs via `flatMapGroupsWithState`
   * (SURVEY.md §2.3) — the streaming-native forms of StateOps.
   *
@@ -43,6 +48,42 @@ object StatefulJobs {
   /** Per-key state for [[risingAlarms]]; riseStartUs < 0 = not rising
     * (the "no timer registered" state). */
   case class RiseState(lastValue: Double, riseStartUs: Long)
+
+  /** Per-key state for [[countWindows]]: the open (unfilled) bucket. */
+  case class CountState(winIdx: Long, cnt: Long, sumE6: Long)
+
+  /** Streaming keyed count window (reference StateTest.scala:119
+    * countWindow comment; batch analog WindowOps.windowCount): every
+    * `size` elements of a key emit one window, Flink tumbling-count
+    * semantics — a window fires exactly when it fills, the trailing
+    * partial stays in state (the batch form emits it because batch
+    * input is bounded). Elements are ordered (tsUs, value) within a
+    * micro-batch, same contract as the other stateful jobs.
+    *
+    * Scale: one shuffle on the key, state is O(1)/key (three longs) —
+    * count windows never buffer elements because count+sum are the
+    * only window functions we expose (any associative agg fits). */
+  def countWindows(readings: Dataset[Reading], size: Int): Dataset[CountWin] = {
+    implicit val winEnc = Encoders.product[CountWin]
+    implicit val stateEnc = Encoders.product[CountState]
+    implicit val keyEnc = Encoders.STRING
+    readings
+      .groupByKey(_.id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (id: String, rows: Iterator[Reading], state: GroupState[CountState]) =>
+          var cur = state.getOption.getOrElse(CountState(0L, 0L, 0L))
+          val out = Seq.newBuilder[CountWin]
+          rows.toSeq.sortBy(r => (r.tsUs, r.value)).foreach { r =>
+            cur = CountState(cur.winIdx, cur.cnt + 1, cur.sumE6 + math.round(r.value * 1e6))
+            if (cur.cnt == size) {
+              out += CountWin(id, cur.winIdx, cur.cnt, cur.sumE6)
+              cur = CountState(cur.winIdx + 1, 0L, 0L)
+            }
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
 
   def jumpAlarms(readings: Dataset[Reading], threshold: Double): Dataset[JumpAlarm] = {
     implicit val alarmEnc = Encoders.product[JumpAlarm]

@@ -3,6 +3,32 @@ package graft.streaming
 import graft.ColumnInterpolator
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQueryListener}
+
+/** Tracks the engine's own event-time watermark for one named query by
+  * listening to query progress (the Flink analog: the operator reads
+  * ITS watermark, not a caller-supplied one — reference
+  * windowTest/WindowTest.scala:72 allowedLateness/sideOutputLateData).
+  *
+  * `progress.eventTime("watermark")` is the engine's global watermark
+  * as of the END of the reported micro-batch, so during batch N the
+  * tracker holds the watermark that batch N's stateful operators use
+  * (derived from batches < N) — exactly the boundary Flink's
+  * side-output-late-data applies. Register with
+  * `spark.streams.addListener` before starting the query. */
+final class EngineWatermark(queryName: String) extends StreamingQueryListener {
+  @volatile private var wmUs: Long = 0L
+  /** Current engine watermark in epoch micros (0 until first progress). */
+  def watermarkUs: Long = wmUs
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    if (e.progress.name == queryName) {
+      val w = e.progress.eventTime.get("watermark")
+      if (w != null)
+        wmUs = java.time.Instant.parse(w).toEpochMilli * 1000L
+    }
+}
 
 /** Structured-Streaming transform builders (SURVEY.md §2.1/§2.2).
   *
@@ -81,6 +107,25 @@ object StreamingJobs {
     val tagged = batch.withColumn("_late", unix_micros($"ts") < watermarkUs)
     (tagged.filter(!$"_late").drop("_late"), tagged.filter($"_late").drop("_late"))
   }
+
+  /** Engine-driven late side output (reference WindowTest.scala:72):
+    * a `foreachBatch` query over the RAW watermarked stream that
+    * splits every micro-batch by the ENGINE's current watermark — read
+    * from [[EngineWatermark]], i.e. the same boundary the stateful
+    * operators drop on — and routes each half to a caller sink.
+    * The caller registers `wm` with `spark.streams.addListener` and
+    * names the started query `queryName`. */
+  def lateRouted(events: DataFrame, delay: String, wm: EngineWatermark)
+                (onTime: DataFrame => Unit, late: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark("ts", delay)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (ok, lateRows) = lateSplit(batch, wm.watermarkUs)
+        onTime(ok)
+        late(lateRows)
+      }
 
   /** Stream–static enrichment join: a stream joined against a batch
     * dimension table (the Flink broadcast-state / connect-with-

@@ -40,6 +40,21 @@ class SourcesSpec extends SparkTestBase {
     assert(opts("failOnDataLoss") == "true")
   }
 
+  test("kafkaSource resolves the connector or fails fast with an actionable error") {
+    if (Readers.kafkaAvailable(spark)) {
+      // connector deployed → the plan must build as a streaming source
+      assert(Readers.kafkaSource(spark, "broker:9092", "sensor").isStreaming)
+    } else {
+      // this sandbox has no spark-sql-kafka jar: the builder must fail
+      // at CONSTRUCTION with a deploy hint, not DATA_SOURCE_NOT_FOUND
+      // at first load() deep inside a job
+      val e = intercept[IllegalArgumentException] {
+        Readers.kafkaSource(spark, "broker:9092", "sensor")
+      }
+      assert(e.getMessage.contains("spark-sql-kafka-0-10"))
+    }
+  }
+
   test("streaming file source drains a directory with bounded triggers") {
     val srcDir = tmpDir("fsrc")
     Seq((1L, "a"), (2L, "b")).toDF("id", "tag").write.mode("append").parquet(srcDir)

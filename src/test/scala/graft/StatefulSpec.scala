@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{JumpAlarm, Reading, RiseAlarm, StatefulJobs}
+import graft.streaming.{CountWin, JumpAlarm, Reading, RiseAlarm, StatefulJobs}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -79,6 +79,28 @@ class StatefulSpec extends SparkTestBase {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("streaming count window fires every N elements per key (countWindow analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Reading]
+    val q = StatefulJobs.countWindows(in.toDS(), size = 2)
+      .writeStream.format("memory").queryName("cwin").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Reading("s1", 1, 1.5), Reading("s1", 2, 2.5),
+        Reading("s1", 3, 4.0), Reading("s2", 1, 7.0))
+      q.processAllAvailable()
+      // only s1's first bucket filled; s1's 3rd element and s2 pend in state
+      assert(spark.table("cwin").as[CountWin].collect().toSet ==
+        Set(CountWin("s1", 0L, 2L, 4_000_000L)))
+      // partial buckets fill ACROSS micro-batches (state carries over)
+      in.addData(Reading("s1", 4, 0.5), Reading("s2", 2, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("cwin").as[CountWin].collect().toSet == Set(
+        CountWin("s1", 0L, 2L, 4_000_000L),
+        CountWin("s1", 1L, 2L, 4_500_000L),
+        CountWin("s2", 0L, 2L, 8_000_000L)))
+    } finally q.stop()
   }
 
   test("rising alarm fires via event-time timeout when the key goes quiet (onTimer analog)") {

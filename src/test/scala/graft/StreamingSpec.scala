@@ -62,6 +62,36 @@ class StreamingSpec extends SparkTestBase {
     assert(late.select(unix_timestamp(col("ts")).as[Long]).head() == 5L)
   }
 
+  test("engine-driven late side output routes rows by the ENGINE's watermark (listener-fed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val wm = new graft.streaming.EngineWatermark("laterouter")
+    spark.streams.addListener(wm)
+    val onTime = collection.mutable.Set[Long]()
+    val late = collection.mutable.Set[Long]()
+    val q = StreamingJobs.lateRouted(events, "10 seconds", wm)(
+      b => onTime ++= b.select(unix_timestamp(col("ts")).as[Long]).collect(),
+      b => late ++= b.select(unix_timestamp(col("ts")).as[Long]).collect())
+      .queryName("laterouter").start()
+    def flush() =
+      org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
+    try {
+      in.addData((ts(30), 1L, 1.0))
+      q.processAllAvailable(); flush() // engine watermark now 20s
+      in.addData((ts(120), 1L, 2.0))
+      q.processAllAvailable(); flush() // engine watermark now 110s
+      // late row (10s < 110s) + on-time row in one batch: the split
+      // must come from the listener-tracked engine watermark — the
+      // test never passes a watermark value anywhere
+      in.addData((ts(10), 1L, 9.0), (ts(130), 1L, 3.0))
+      q.processAllAvailable()
+      assert(late.toSet == Set(10L), s"late=$late")
+      assert(onTime.toSet == Set(30L, 120L, 130L), s"onTime=$onTime")
+      assert(wm.watermarkUs == 110L * 1000000L)
+    } finally { q.stop(); spark.streams.removeListener(wm) }
+  }
+
   test("Trigger.AvailableNow drains a bounded backlog then stops (FIRE_AND_PURGE analog)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
