@@ -101,7 +101,8 @@ object TextHash {
     sig
   }
 
-  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
+  /** SimHash of caller-supplied width (`bits`; DedupOps uses 60) over
+    * whitespace tokens (with multiplicity): bit b
     * set iff Σ_tokens (2·bit_b(hash60(tok)) − 1) > 0. Per-bit sums are
     * order-independent integers → identical to the explode+groupBy
     * form and the DuckDB oracle. Token-less docs return -1 (a value

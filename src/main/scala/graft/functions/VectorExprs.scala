@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native Catalyst expressions for the embedding hot path.
+/** Native Catalyst expressions for the embedding hot path — the
+  * implementations behind [[VectorFunctions.quantize]] / `dotL` /
+  * `norm2`.
   *
   * The declarative forms (`transform`/`zip_with`/`aggregate`) are
   * INTERPRETED higher-order functions — ~128 lambda invocations per
@@ -39,13 +41,17 @@ object VectorExprs {
 case class QuantizeE3Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val elemIsDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType ==
+      org.apache.spark.sql.types.DoubleType
   override def nullSafeEval(emb: Any): Any = {
     val a = emb.asInstanceOf[ArrayData]
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      out(i) = VectorFunctions.roundHalfUp(a.getFloat(i).toDouble * 1000)
+      val x = if (elemIsDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      out(i) = VectorFunctions.roundHalfUp(x * 1000)
       i += 1
     }
     new GenericArrayData(out)
@@ -58,13 +64,16 @@ case class QuantizeE3Expr(child: Expression)
 case class DotLongExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData].toLongArray()
     val bb = b.asInstanceOf[ArrayData].toLongArray()
+    // zip_with pads the shorter array with nulls and null*x sums to
+    // null — mismatched lengths yield NULL, never a truncated dot
+    if (aa.length != bb.length) return null
     var dot = 0L
     var i = 0
-    val n = math.min(aa.length, bb.length)
-    while (i < n) { dot += aa(i) * bb(i); i += 1 }
+    while (i < aa.length) { dot += aa(i) * bb(i); i += 1 }
     dot
   }
   override protected def withNewChildrenInternal(

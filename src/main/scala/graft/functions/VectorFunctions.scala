@@ -12,8 +12,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * integer (`round(x*1000)`), do all cross-element arithmetic (dot
   * product, squared norm) in BIGINT — associative, order-independent —
   * then derive cosine as a single per-row double division/sqrt, which
-  * is IEEE-deterministic across engines. All expressed with
-  * `zip_with`/`aggregate` higher-order functions: codegen'd, no UDF.
+  * is IEEE-deterministic across engines. The per-element loops run as
+  * native expressions ([[VectorExprs]]) — Spark's higher-order
+  * functions (`transform`/`zip_with`/`aggregate`) are INTERPRETED,
+  * ~16 µs/lambda (NOTES.md), which dominated the ANN family before
+  * the switch.
   *
   * Magnitude safety: |element| ≲ 1e3 after e3 quantization, so a
   * 64-dim squared norm ≤ 6.4e7 and a norm product ≤ 4.1e15 — well
@@ -21,17 +24,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object VectorFunctions {
 
-  /** Fixed-point e3 quantization of an array<float> → array<long>. */
-  def quantize(emb: Column): Column =
-    transform(emb, x => round(x.cast(DoubleType) * 1000, 0).cast(LongType))
+  /** Fixed-point e3 quantization of an array<float|double> →
+    * array<long>: round(x*1000) HALF_UP per element, identical to
+    * `transform(emb, x -> round(x*1000, 0))`. */
+  def quantize(emb: Column): Column = VectorExprs.quantizeE3(emb)
 
-  /** Integer dot product of two array<long> columns. */
-  def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two array<long> columns. NULL when the
+    * lengths differ (`zip_with` pad-with-null semantics). */
+  def dotL(a: Column, b: Column): Column = VectorExprs.dotLong(a, b)
 
   /** Integer squared norm. */
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+  def norm2(a: Column): Column = VectorExprs.norm2Long(a)
 
   /** Cosine from integer dot + squared norms (per-row IEEE ops only). */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =

@@ -135,11 +135,16 @@ object DedupOps {
     * distribution; a giant bucket is split by a secondary hash salt
     * (NOTES.md) — no broadcast of the corpus either way. */
   /** Sub-slots per log bucket: log buckets are few, so without this a
-    * mega-bucket serializes on one core. The build side hashes into
-    * `ngramSlots` slots, the probe side replicates across all of them
-    * — identical pair set, `buckets × slots`-way parallelism. This IS
-    * the giant-bucket salting from NOTES.md, applied unconditionally
-    * (a no-op cost when buckets are already small). */
+    * mega-bucket serializes on one core. The PROBE side lands in the
+    * one slot its own id hashes to (×3 bucket replicas); the BUILD
+    * side replicates across all slots of its own bucket (×8) —
+    * identical pair set (a pair meets exactly once, in cell
+    * (bucket(b), a%slots)), `buckets × slots`-way parallelism, and
+    * 3|P|+8|B| ≈ 11× total shingle-array shuffle copies instead of
+    * the 24|P|+|B| ≈ 25× of probing every slot (VERDICT r1 #10 —
+    * ~2.3× less shuffle volume). This IS the giant-bucket salting
+    * from NOTES.md, applied unconditionally (a no-op cost when
+    * buckets are already small). */
   val ngramSlots = 8
 
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
@@ -148,16 +153,19 @@ object DedupOps {
     val gs = gramSets(spark, sfDir, 3).as[(Long, Array[Long])]
     val probe = gs.flatMap { case (id, g) =>
       val bk = log2bucket(g.length)
-      for (b <- bk - 1 to bk + 1; s <- 0 until ngramSlots)
-        yield (b * ngramSlots + s, id, g)
+      val s = (id % ngramSlots + ngramSlots) % ngramSlots
+      for (b <- bk - 1 to bk + 1) yield (b * ngramSlots + s, id, g)
     }
-    val build = gs.map { case (id, g) =>
-      (log2bucket(g.length) * ngramSlots + (id % ngramSlots + ngramSlots) % ngramSlots, id, g)
+    val build = gs.flatMap { case (id, g) =>
+      val base = log2bucket(g.length) * ngramSlots
+      for (s <- 0 until ngramSlots) yield (base + s, id, g)
     }
+    // Materialize the PROBE slice (≈ 3·bucket/slots docs per cell —
+    // the bounded side) and stream the build docs past it.
     probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) { (_, ls, rs) =>
-      val right = rs.map(r => (r._2, r._3)).toArray
-      ls.flatMap { case (_, ida, ga) =>
-        right.iterator.filter(_._1 > ida).flatMap { case (idb, gb) =>
+      val left = ls.map(l => (l._2, l._3)).toArray
+      rs.flatMap { case (_, idb, gb) =>
+        left.iterator.filter(_._1 < idb).flatMap { case (ida, ga) =>
           val common = intersectCount(ga, gb)
           val union = ga.length + gb.length - common
           if (common * 2 >= union) Iterator.single((ida, idb, common.toLong, union.toLong))

@@ -74,6 +74,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_min") || plan.contains("partial_count"))
   }
 
+  test("q_json_extract parses JSON exactly once per row") {
+    // The filter must stay ABOVE the parse projection (the _fence
+    // contract in CoreOps.jsonExtract); if a Spark upgrade re-enables
+    // pushing it through, from_json appears twice — once inlined
+    // inside the pushed filter (VERDICT r1 #4's 2× parse).
+    val plan = fullPlanString("q_json_extract")
+    assert(!plan.contains("get_json_object"), "must use from_json, not get_json_object")
+    val parses = "from_json".r.findAllIn(plan).size
+    assert(parses == 1, s"expected exactly 1 from_json in the plan, saw $parses")
+  }
+
   test("q_dedup_minhash builds lazily — no driver-side collect of the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
