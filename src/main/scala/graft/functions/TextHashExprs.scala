@@ -4,8 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -141,6 +141,36 @@ object TextHash {
     c
   }
 
+  // ---- codegen kernels: ArrayData/UTF8String-typed static forwarders
+  // ---- called from both generated Java and the interpreted evals ----
+
+  def gramHashesData(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(gramHashesJvm(text.toString, n))
+
+  def simhashData(text: UTF8String, bits: Int): Long =
+    simhashJvm(text.toString, bits)
+
+  def intersectCountData(a: ArrayData, b: ArrayData): Long =
+    intersectCountJvm(a.toLongArray(), b.toLongArray()).toLong
+
+  def minhashSigData(text: UTF8String, n: Int, pa: Array[Long], pb: Array[Long]): ArrayData = {
+    val gs = gramHashesJvm(text.toString, n)
+    val k = pa.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var gi = 0
+    while (gi < gs.length) {
+      val hm = gs(gi) % TextFunctions.MinhashP
+      var i = 0
+      while (i < k) {
+        val v = (pa(i) * hm + pb(i)) % TextFunctions.MinhashP
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      gi += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   def gramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(text), n))
 
@@ -156,21 +186,26 @@ object TextHash {
 }
 
 case class GramHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(text: Any): Any =
-    new GenericArrayData(
-      TextHash.gramHashesJvm(text.asInstanceOf[UTF8String].toString, n))
+    TextHash.gramHashesData(text.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.gramHashesData($c, $n);")
   override protected def withNewChildInternal(c: Expression): GramHashesExpr =
     copy(child = c)
   override def prettyName: String = "gram_hashes"
 }
 
 case class SimhashExpr(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(text: Any): Any =
-    TextHash.simhashJvm(text.asInstanceOf[UTF8String].toString, bits)
+    TextHash.simhashData(text.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.simhashData($c, $bits);")
   override protected def withNewChildInternal(c: Expression): SimhashExpr =
     copy(child = c)
   override def prettyName: String = "simhash"
@@ -180,12 +215,14 @@ case class SimhashExpr(child: Expression, bits: Int)
   * walk) — lets Jaccard verification stay fully declarative after an
   * equi join, with no driver-side gram map (VERDICT r1 #1). */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
-    TextHash.intersectCountJvm(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()).toLong
+    TextHash.intersectCountData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHash.intersectCountData($a, $b);")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): SortedIntersectCountExpr =
     copy(left = l, right = r)
@@ -193,12 +230,19 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 }
 
 case class MinhashSigExpr(child: Expression, n: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private lazy val ab = TextFunctions.minhashAB(k).toArray
+  private lazy val pa: Array[Long] = ab.map(_._1)
+  private lazy val pb: Array[Long] = ab.map(_._2)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(text: Any): Any =
-    new GenericArrayData(
-      TextHash.minhashSigJvm(text.asInstanceOf[UTF8String].toString, n, ab))
+    TextHash.minhashSigData(text.asInstanceOf[UTF8String], n, pa, pb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val paRef = ctx.addReferenceObj("minhashPa", pa, "long[]")
+    val pbRef = ctx.addReferenceObj("minhashPb", pb, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.minhashSigData($c, $n, $paRef, $pbRef);")
+  }
   override protected def withNewChildInternal(c: Expression): MinhashSigExpr =
     copy(child = c)
   override def prettyName: String = "minhash_sig"

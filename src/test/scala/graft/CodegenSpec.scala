@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{RollingHash, TextHash, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native expressions ship real `doGenCode` (not CodegenFallback)
+  * so the scan→project→join stages around them stay inside
+  * whole-stage codegen. Two properties gate that:
+  *
+  *  1. the generated Java COMPILES — run under
+  *     `spark.sql.codegen.factoryMode=CODEGEN_ONLY`, where a codegen
+  *     failure throws instead of silently falling back to the
+  *     interpreted projection;
+  *  2. codegen and interpreted eval agree bit-for-bit — run the same
+  *     frame under `NO_CODEGEN` and exact-compare.
+  */
+class CodegenSpec extends SparkTestBase {
+
+  private val FactoryMode = "spark.sql.codegen.factoryMode"
+
+  private def collectUnder(mode: String)(df: => DataFrame): Seq[String] = {
+    val prev = spark.conf.getOption(FactoryMode)
+    spark.conf.set(FactoryMode, mode)
+    try df.collect().map(_.toString).toSeq.sorted
+    finally prev match {
+      case Some(v) => spark.conf.set(FactoryMode, v)
+      case None => spark.conf.unset(FactoryMode)
+    }
+  }
+
+  private def exprFrame: DataFrame = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the dog"),
+      (3L, "completely different words here"),
+      (4L, ""),
+      (5L, "emoji 😀 text and more tokens to hash")
+    ).toDF("id", "text")
+    val emb = Seq(
+      (1L, Array(0.1f, -0.2f, 0.3f, 0.0005f)),
+      (2L, Array(0.1f, -0.2f, 0.3f, -0.0005f)),
+      (3L, Array(-1.0f, 1.0f, 0.5f, 0.25f))
+    ).toDF("vid", "embedding")
+    val q = VectorFunctions.quantize(col("embedding"))
+    val e = emb.select(
+      col("vid"),
+      q.as("q"),
+      VectorFunctions.norm2(q).as("n2"),
+      VectorFunctions.dotL(q, q).as("self_dot"),
+      // mismatched lengths must yield NULL (zip_with pad semantics)
+      VectorFunctions.dotL(q, slice(q, 1, 2)).as("mismatch_dot"))
+    val t = docs.select(
+      col("id"),
+      TextHash.gramHashes(col("text"), 3).as("grams"),
+      TextHash.simhash(col("text"), 60).as("sh"),
+      TextHash.minhashSig(col("text"), 3, 16).as("sig"),
+      RollingHash.rollingHashes(col("text"), 8).as("rolling"))
+    val tt = t.select(
+      col("id"), col("grams"), col("sh"), col("sig"), col("rolling"),
+      TextHash.sortedIntersectCount(
+        sort_array(col("grams")), sort_array(col("grams"))).as("self_common"))
+    tt.crossJoin(e)
+  }
+
+  test("native expressions compile under CODEGEN_ONLY and match interpreted eval") {
+    val gen = collectUnder("CODEGEN_ONLY")(exprFrame)
+    val interp = collectUnder("NO_CODEGEN")(exprFrame)
+    assert(gen.nonEmpty)
+    assert(gen == interp)
+  }
+
+  test("dot_long is NULL on mismatched lengths in both modes") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+      .select(VectorFunctions.dotL(col("a"), col("b")).as("d"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val rows = collectUnder(mode)(df)
+      assert(rows == Seq("[null]"), s"mode=$mode got $rows")
+    }
+  }
+}

@@ -85,6 +85,34 @@ class PlanSpec extends SparkTestBase {
     assert(parses == 1, s"expected exactly 1 from_json in the plan, saw $parses")
   }
 
+  test("native hash expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // CollapseCodegenStages refuses WSCG for any node holding a
+    // CodegenFallback expression — so this asserts the expressions
+    // ship real doGenCode, keeping the scan→project stage fused.
+    for ((q, marker) <- Seq(
+        "q_minhash_band" -> "minhash_sig",
+        "q_simhash" -> "simhash")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      // AQE only inserts WSCG into the FINAL plan at execution; collect()
+      // (not count(), which builds a separate QueryExecution) runs THIS plan
+      df.collect()
+      var fused = List.empty[WholeStageCodegenExec]
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case w: WholeStageCodegenExec =>
+          if (w.child.toString.contains(marker)) fused ::= w
+          w.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(fused.nonEmpty,
+        s"$q: expected the $marker projection inside WholeStageCodegen:\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("q_dedup_minhash builds lazily — no driver-side collect of the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
