@@ -54,6 +54,7 @@ object SparkEntry {
     "q_simhash" -> (DedupOps.simhash _),
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
+    "q_dedup_cluster" -> (ClusterOps.dedupCluster _),
     "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
     "q_dedup_embedding_lsh" -> (DedupOps.dedupEmbeddingLsh _),
     "q_overlap_pairs" -> ((s: SparkSession, d: String) => DedupOps.overlapPairs(s, d)),
@@ -65,6 +66,8 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.textQuality _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_text_pii" -> (TextOps.textPii _),
+    "q_decontaminate" -> (CurationOps.decontaminate _),
+    "q_sample_stratified" -> (CurationOps.stratifiedSample _),
     "q_split_train_val" -> (CurationOps.splitTrainVal _),
     "q_source_stats" -> (CurationOps.sourceStats _),
     "q_curation" -> (CurationOps.curate _),
@@ -359,6 +362,23 @@ object SparkEntry {
          |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b)
          |SELECT doc_a, doc_b, n_common, n_union FROM ver
          |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(2)},
+         |$mhCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
+         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+         |reach AS (SELECT s, d FROM e
+         |  UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
+         |SELECT s AS doc_id,
+         |  CAST(least(s, min(d)) AS BIGINT) AS cluster_id,
+         |  CAST(CASE WHEN least(s, min(d)) = s THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     "q_simhash" ->
       s"""WITH $tkCte,
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv),
@@ -489,6 +509,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $tkCte, ${gramsCte(CurationOps.DecontGram)},
+         |bg AS (SELECT DISTINCT unnest(gs) AS h FROM g3 WHERE doc_id % ${CurationOps.DecontMod} = 0),
+         |hits AS (SELECT doc_id, unnest(gs) AS h FROM g3 WHERE doc_id % ${CurationOps.DecontMod} <> 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |FROM hits JOIN bg USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" -> {
+      val rateCase = CurationOps.SampleRates
+        .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+        .mkString("CASE ", " ", s" ELSE ${CurationOps.SampleDefaultRate} END")
+      s"""SELECT doc_id, source, bucket FROM (
+         |  SELECT doc_id, source,
+         |    ${h60("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+         |    $rateCase AS rate
+         |  FROM documents)
+         |WHERE bucket < rate ORDER BY doc_id""".stripMargin
+    },
     "q_split_train_val" ->
       s"""SELECT doc_id, source,
          |  CASE WHEN ${h60("source")} % 100 < 90 THEN 'train'

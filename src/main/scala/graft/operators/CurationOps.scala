@@ -78,4 +78,68 @@ object CurationOps {
       .select($"doc_id")
       .orderBy($"doc_id")
   }
+
+  /** n-gram width for [[decontaminate]] — short enough that the test
+    * corpus's docs HAVE 5-grams, long enough that shared grams mean
+    * real shared phrasing (production decontamination uses 8-13). */
+  val DecontGram = 5
+
+  /** Benchmark-membership modulus: docs with doc_id % [[DecontMod]]
+    * == 0 stand in for the held-out eval set. */
+  val DecontMod = 23L
+
+  /** #51 Decontamination: flag training docs that share word n-grams
+    * with a held-out benchmark set — the exact-overlap check every
+    * LLM data pipeline runs before training (the eval answers must
+    * not be IN the corpus). Here the "benchmark" is the docs with
+    * doc_id % 23 == 0; in production it is a separate small table.
+    *
+    * Scale shape: the benchmark gram set is tiny (real eval sets are
+    * MBs against a 100 TB corpus) → distinct-aggregate it and
+    * BROADCAST-semi-join the corpus's exploded grams against it. The
+    * corpus side is a narrow scan + explode with NO shuffle before
+    * the broadcast join; only contaminated grams reach the per-doc
+    * count aggregation. Output: contaminated docs and how many
+    * distinct benchmark grams they hit. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val benchGrams = docs.filter($"doc_id" % DecontMod === 0L)
+      .select(explode(
+        graft.functions.TextHash.gramHashes($"text", DecontGram)).as("h"))
+      .distinct()
+    docs.filter($"doc_id" % DecontMod =!= 0L)
+      // gramHashes is per-doc DISTINCT, so count(*) after the join is
+      // the distinct contaminated-gram count
+      .select($"doc_id", explode(
+        graft.functions.TextHash.gramHashes($"text", DecontGram)).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-mille keep rates per source for [[stratifiedSample]] —
+    * the "training mix" knob (upsample curated sources, downsample
+    * crawl). Shared with the oracle so the rates cannot drift. */
+  val SampleRates: Seq[(String, Long)] =
+    Seq("src0" -> 900L, "src1" -> 700L, "src2" -> 400L, "src3" -> 150L)
+  val SampleDefaultRate = 250L
+
+  /** #52 Deterministic stratified sampling: keep a doc iff
+    * hash60(doc_id) % 1000 < rate(source). A pure narrow map — no
+    * shuffle, no rand(): re-running on a grown corpus keeps exactly
+    * the docs it kept before (reproducible training mixes, stable
+    * incremental pipelines). At 100 TB this runs at scan speed and
+    * composes with partition pruning. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(SampleDefaultRate)) {
+      case ((src, r), e) => when($"source" === src, lit(r)).otherwise(e)
+    }
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source",
+        (hash60($"doc_id".cast("string")) % 1000L).as("bucket"), rate.as("rate"))
+      .filter($"bucket" < $"rate")
+      .select($"doc_id", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
 }

@@ -95,7 +95,12 @@ object DedupOps {
     * and the verify is join + narrow map, so the whole operator is
     * shuffle-bounded at 100 TB (candidates are the sublinear LSH
     * output, grams flow through the joins once per side). */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir).orderBy($"doc_a", $"doc_b")
+
+  /** [[dedupMinhash]] without the presentation sort — the edge-list
+    * input to [[ClusterOps.dedupCluster]]. */
+  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // ONE pass over the signatures: group each band bucket, expand its
     // doc list to ordered pairs. Equivalent to the band self-join but
     // the narrow signature computation runs once instead of twice and
@@ -120,7 +125,6 @@ object DedupOps {
         (size($"gs_a") + size($"gs_b")).cast(LongType).as("sz"))
       .select($"doc_a", $"doc_b", $"n_common", ($"sz" - $"n_common").as("n_union"))
       .filter($"n_common" * 2 >= $"n_union")
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) with
