@@ -20,8 +20,20 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // Per-query isolation so BENCH_rN is attributable: any session
+    // debris a query leaves (SQL cache, persisted/checkpointed RDD
+    // blocks, garbage) must not charge its cost to whoever runs next —
+    // BENCH_r03's phantom regressions were exactly that (leaked
+    // localCheckpoint blocks inflating q_json_extract 0.5 s → 21 s).
+    def resetSession(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     // a failed query reports -1, never a plausible-looking time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      resetSession()
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -41,7 +41,10 @@ object TextOps {
         size($"tk").cast(LongType).as("n_tokens"),
         size(array_distinct($"tk")).cast(LongType).as("n_distinct"),
         markerHits($"tk", enMarkers).as("stop_hits"),
-        aggregate($"tk", lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+        // total token chars WITHOUT an interpreted higher-order
+        // function (`aggregate` runs ~16 µs/lambda — NOTES.md):
+        // concat_ws + length is codegen'd and value-identical
+        length(concat_ws("", $"tk")).cast(LongType).as("tok_chars"))
       .filter($"n_tokens" > 0)
       .select($"doc_id", $"n_chars_m", $"n_tokens", $"n_distinct",
         expr("(n_tokens - n_distinct) * 10000 div n_tokens").as("dup_ratio_e4"),

@@ -74,7 +74,11 @@ object StatefulJobs {
           var cur = state.getOption.getOrElse(CountState(0L, 0L, 0L))
           val out = Seq.newBuilder[CountWin]
           rows.toSeq.sortBy(r => (r.tsUs, r.value)).foreach { r =>
-            cur = CountState(cur.winIdx, cur.cnt + 1, cur.sumE6 + math.round(r.value * 1e6))
+            // roundHalfUp, not math.round: math.round takes -2.5 → -2
+            // (toward +∞) while the batch/oracle Det.sumFixed contract
+            // is HALF_UP away from zero (-2.5 → -3)
+            cur = CountState(cur.winIdx, cur.cnt + 1,
+              cur.sumE6 + graft.functions.VectorFunctions.roundHalfUp(r.value * 1e6))
             if (cur.cnt == size) {
               out += CountWin(id, cur.winIdx, cur.cnt, cur.sumE6)
               cur = CountState(cur.winIdx + 1, 0L, 0L)

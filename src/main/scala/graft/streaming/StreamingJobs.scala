@@ -1,33 +1,35 @@
 package graft.streaming
 
 import graft.ColumnInterpolator
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQueryListener}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 
-/** Tracks the engine's own event-time watermark for one named query by
-  * listening to query progress (the Flink analog: the operator reads
-  * ITS watermark, not a caller-supplied one — reference
-  * windowTest/WindowTest.scala:72 allowedLateness/sideOutputLateData).
+/** Reads the engine's own event-time watermark for a running query
+  * SYNCHRONOUSLY (the Flink analog: the operator reads ITS watermark,
+  * not a caller-supplied one — reference windowTest/WindowTest.scala:72
+  * allowedLateness/sideOutputLateData).
   *
-  * `progress.eventTime("watermark")` is the engine's global watermark
-  * as of the END of the reported micro-batch, so during batch N the
-  * tracker holds the watermark that batch N's stateful operators use
-  * (derived from batches < N) — exactly the boundary Flink's
-  * side-output-late-data applies. Register with
-  * `spark.streams.addListener` before starting the query. */
-final class EngineWatermark(queryName: String) extends StreamingQueryListener {
-  @volatile private var wmUs: Long = 0L
-  /** Current engine watermark in epoch micros (0 until first progress). */
-  def watermarkUs: Long = wmUs
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-    if (e.progress.name == queryName) {
-      val w = e.progress.eventTime.get("watermark")
-      if (w != null)
-        wmUs = java.time.Instant.parse(w).toEpochMilli * 1000L
-    }
+  * Source: the query's `WatermarkTracker` via
+  * [[org.apache.spark.sql.graftbridge.StreamingBridge]]. It is updated
+  * on the stream-execution thread at batch commit — strictly before
+  * the next batch's `foreachBatch` runs on that thread — so a read
+  * during batch N is exactly the boundary batch N's stateful
+  * operators drop late rows on (derived from batches < N). The two
+  * public alternatives are both wrong for this: a
+  * `StreamingQueryListener` rides the ASYNC listener bus (batch N can
+  * run before batch N-1's event arrives), and `lastProgress` reports
+  * the watermark USED by the finished batch, i.e. one batch stale
+  * (both measured on Spark 4.1; pinned by StreamingSpec's
+  * three-micro-batch boundary test). */
+object EngineWatermark {
+  /** Engine watermark in epoch micros for the CURRENT micro-batch of
+    * `queryName` (0 before the first batch / if not running). */
+  def watermarkUs(spark: SparkSession, queryName: String): Long =
+    spark.streams.active.find(_.name == queryName)
+      .flatMap(org.apache.spark.sql.graftbridge.StreamingBridge.currentWatermarkMs)
+      .map(_ * 1000L)
+      .getOrElse(0L)
 }
 
 /** Structured-Streaming transform builders (SURVEY.md §2.1/§2.2).
@@ -111,21 +113,27 @@ object StreamingJobs {
   /** Engine-driven late side output (reference WindowTest.scala:72):
     * a `foreachBatch` query over the RAW watermarked stream that
     * splits every micro-batch by the ENGINE's current watermark — read
-    * from [[EngineWatermark]], i.e. the same boundary the stateful
-    * operators drop on — and routes each half to a caller sink.
-    * The caller registers `wm` with `spark.streams.addListener` and
-    * names the started query `queryName`. */
-  def lateRouted(events: DataFrame, delay: String, wm: EngineWatermark)
-                (onTime: DataFrame => Unit, late: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    * synchronously via [[EngineWatermark.watermarkUs]] from the
+    * query's own watermark tracker, i.e. the same boundary the
+    * stateful operators drop on — and routes each half to a caller
+    * sink. The
+    * caller must `.queryName(queryName)` the returned writer before
+    * `start()` (the name is how the batch finds its own query). */
+  def lateRouted(events: DataFrame, delay: String, queryName: String)
+                (onTime: DataFrame => Unit, late: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val session = events.sparkSession
     events
       .withWatermark("ts", delay)
       .writeStream
+      .queryName(queryName)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (ok, lateRows) = lateSplit(batch, wm.watermarkUs)
+        val (ok, lateRows) =
+          lateSplit(batch, EngineWatermark.watermarkUs(session, queryName))
         onTime(ok)
         late(lateRows)
       }
+  }
 
   /** Stream–static enrichment join: a stream joined against a batch
     * dimension table (the Flink broadcast-state / connect-with-

@@ -1,0 +1,66 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Block-manager hygiene helpers for iterative operators.
+  *
+  * `localCheckpoint` truncates lineage by persisting the plan's RDD,
+  * but `Dataset.unpersist` does NOT free those blocks (it only drops
+  * the SQL cache entry) — they stay resident for the session unless
+  * the underlying RDD itself is unpersisted. That leak measurably
+  * taxed every later query sharing the session (BENCH_r03:
+  * q_json_extract 21 s in-bench vs 0.5 s isolated). These helpers
+  * give iterative code an explicit lifetime: find the checkpoint RDD
+  * behind a frame, free it once superseded, and copy a final result
+  * OUT of the block manager via a short parquet round-trip (on a real
+  * cluster that round-trip is the reliable-checkpoint / write-out step
+  * a production pipeline does anyway).
+  */
+object Materialize {
+
+  /** The persisted RDD behind a `localCheckpoint`ed frame (the
+    * `LogicalRDD` leaf Spark rewrites the plan to), if any. Works on
+    * any narrow projection of the checkpointed frame too. */
+  def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
+  /** Free the checkpoint blocks behind `df` (no-op if none). Safe to
+    * call once the frame's data has been copied or superseded —
+    * recomputation is impossible after this (lineage was truncated). */
+  def freeCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
+  private lazy val tmpRoot: Path = {
+    val dir = Files.createTempDirectory("graft-materialize-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))))
+    dir
+  }
+
+  /** Copy `df` out of the block manager: write parquet under a
+    * session-temp dir and return a plain scan of it. The result holds
+    * no cached/checkpointed blocks, so every checkpoint feeding `df`
+    * can be freed immediately after this returns. */
+  def parquetRoundTrip(df: DataFrame, name: String): DataFrame = {
+    val dir = Files.createTempDirectory(tmpRoot, name).toString
+    df.write.mode("overwrite").parquet(dir)
+    // explicit schema: an all-empty frame writes no part files, which
+    // would otherwise fail schema inference on the read back
+    df.sparkSession.read.schema(df.schema).parquet(dir)
+  }
+
+  /** Write `df` as parquet under the session-temp root and return the
+    * path — for build-once/probe-many indexes (e.g. IVF cells). */
+  def writeParquet(df: DataFrame, name: String): String = {
+    val dir = Files.createTempDirectory(tmpRoot, name).toString
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
+}

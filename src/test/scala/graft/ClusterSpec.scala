@@ -33,6 +33,59 @@ class ClusterSpec extends SparkTestBase {
     assert(labels.values.toSet == Set(1L))
   }
 
+  test("no persisted or checkpointed blocks survive a call (BENCH_r03 leak)") {
+    import spark.implicits._
+    // capture baseline: other suites may share the session
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      .toDF("a", "b")
+    val result = ClusterOps.connectedComponents(pairs, "a", "b")
+    assert(result.count() == 10)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"connectedComponents must free every persist/localCheckpoint it creates; leaked RDD ids: $leaked")
+    // and the RESULT must not depend on block-manager state at all:
+    // a plain parquet-backed plan recomputes fine after a cache wipe
+    spark.catalog.clearCache()
+    assert(result.count() == 10)
+  }
+
+  test("each propagation round is ONE Spark job (convergence rides the round's aggregate)") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    // chain of 16 → diameter 15 → multiple pointer-jump rounds
+    val pairs = (1L to 15L).map(i => (i, i + 1)).toDF("a", "b")
+    // AQE turns every query stage into its own job and broadcast
+    // joins add broadcast-collect jobs — both would drown the claim
+    // under test (no SEPARATE convergence action per round), so pin
+    // plain one-job-per-action execution for the duration
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      ClusterOps.connectedComponents(pairs, "a", "b").count()
+      org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
+      val rounds = ClusterOps.lastRounds
+      assert(rounds >= 2, s"chain-16 must take multiple rounds, took $rounds")
+      // per call: 1 eager-init job + 1 job/round + parquet write +
+      // read-back + the count above ≈ rounds + 4. The old separate
+      // join+count convergence job would cost 2·rounds + overhead.
+      val total = jobs.get()
+      assert(total <= rounds + 5,
+        s"expected ≈1 job/round (+constant), saw $total jobs for $rounds rounds")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("dedupCluster keeps exactly one doc per cluster") {
     val df = ClusterOps.dedupCluster(spark, sf)
     val rows = df.collect()

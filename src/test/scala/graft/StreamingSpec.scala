@@ -62,34 +62,65 @@ class StreamingSpec extends SparkTestBase {
     assert(late.select(unix_timestamp(col("ts")).as[Long]).head() == 5L)
   }
 
-  test("engine-driven late side output routes rows by the ENGINE's watermark (listener-fed)") {
+  test("engine-driven late side output routes rows by the ENGINE's watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
     val events = in.toDF().toDF("ts", "user_id", "value")
-    val wm = new graft.streaming.EngineWatermark("laterouter")
-    spark.streams.addListener(wm)
     val onTime = collection.mutable.Set[Long]()
     val late = collection.mutable.Set[Long]()
-    val q = StreamingJobs.lateRouted(events, "10 seconds", wm)(
+    val q = StreamingJobs.lateRouted(events, "10 seconds", "laterouter")(
       b => onTime ++= b.select(unix_timestamp(col("ts")).as[Long]).collect(),
       b => late ++= b.select(unix_timestamp(col("ts")).as[Long]).collect())
-      .queryName("laterouter").start()
-    def flush() =
-      org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
+      .start()
     try {
       in.addData((ts(30), 1L, 1.0))
-      q.processAllAvailable(); flush() // engine watermark now 20s
+      q.processAllAvailable() // engine watermark now 20s
       in.addData((ts(120), 1L, 2.0))
-      q.processAllAvailable(); flush() // engine watermark now 110s
+      q.processAllAvailable() // engine watermark now 110s
       // late row (10s < 110s) + on-time row in one batch: the split
-      // must come from the listener-tracked engine watermark — the
-      // test never passes a watermark value anywhere
+      // must come from the query's own lastProgress — the test never
+      // passes a watermark value anywhere, and no listener barrier is
+      // needed because the read is synchronous on the batch thread
       in.addData((ts(10), 1L, 9.0), (ts(130), 1L, 3.0))
       q.processAllAvailable()
       assert(late.toSet == Set(10L), s"late=$late")
       assert(onTime.toSet == Set(30L, 120L, 130L), s"onTime=$onTime")
-      assert(wm.watermarkUs == 110L * 1000000L)
-    } finally { q.stop(); spark.streams.removeListener(wm) }
+      assert(graft.streaming.EngineWatermark.watermarkUs(spark, "laterouter") == 120L * 1000000L)
+    } finally q.stop()
+  }
+
+  test("late routing uses the boundary from batches < N across ≥3 micro-batches") {
+    // Pins the watermark-lag contract: batch N splits on the watermark
+    // derived from batches 1..N-1, NOT on anything batch N contributes.
+    // A row at t=95 is LATE for the boundary after batch 2 (wm=110)
+    // but would be ON-TIME for the boundary after batch 1 (wm=50) —
+    // it must route late in batch 3. Conversely a row at t=55 in batch
+    // 2 (wm=50 from batch 1) must route on-time even though batch 2's
+    // own max event time (120) would call it late.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val perBatchLate = collection.mutable.ArrayBuffer[Set[Long]]()
+    val perBatchOnTime = collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = StreamingJobs.lateRouted(events, "10 seconds", "latebatches")(
+      b => perBatchOnTime.synchronized {
+        perBatchOnTime += b.select(unix_timestamp(col("ts")).as[Long]).collect().toSet },
+      b => perBatchLate.synchronized {
+        perBatchLate += b.select(unix_timestamp(col("ts")).as[Long]).collect().toSet })
+      .start()
+    try {
+      in.addData((ts(60), 1L, 1.0))              // batch 1: wm was 0 → all on-time; wm → 50
+      q.processAllAvailable()
+      in.addData((ts(55), 1L, 2.0), (ts(120), 1L, 3.0)) // batch 2: boundary 50 → 55 on-time; wm → 110
+      q.processAllAvailable()
+      in.addData((ts(95), 1L, 4.0), (ts(130), 1L, 5.0)) // batch 3: boundary 110 → 95 late
+      q.processAllAvailable()
+      val late = perBatchLate.filter(_.nonEmpty)
+      val onTime = perBatchOnTime.filter(_.nonEmpty)
+      assert(onTime == Seq(Set(60L), Set(55L, 120L), Set(130L)),
+        s"onTime per batch = $onTime")
+      assert(late == Seq(Set(95L)), s"late per batch = $late")
+    } finally q.stop()
   }
 
   test("Trigger.AvailableNow drains a bounded backlog then stops (FIRE_AND_PURGE analog)") {
