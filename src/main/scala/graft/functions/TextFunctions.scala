@@ -6,12 +6,17 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 /** Codegen-friendly text primitives (SURVEY.md §2.7).
   *
-  * Everything here is built from `org.apache.spark.sql.functions._`
-  * (higher-order array functions + md5), so the whole text pipeline
-  * stays inside whole-stage codegen — no UDF serialization cost, and
-  * the expressions are visible to Catalyst for pruning/pushdown. The
-  * only hash used is md5, which is bit-identical across engines
-  * (the cross-engine determinism contract, SURVEY.md §4).
+  * Built from codegen'd `org.apache.spark.sql.functions._` built-ins
+  * plus native expressions where a built-in form would need an
+  * interpreted higher-order function ([[TextSetExprs]] for marker
+  * counting) — no UDF serialization cost, expressions visible to
+  * Catalyst for pruning/pushdown, and the per-document projections
+  * stay inside whole-stage codegen (PlanSpec guards the text-family
+  * plans against `lambdafunction` reappearing). The only hash used is
+  * md5, which is bit-identical across engines (the cross-engine
+  * determinism contract, SURVEY.md §4). The n-gram builder still uses
+  * a `transform` HOF — it sits off the per-token hot path (one lambda
+  * per SHINGLE, in plans dominated by their shuffle).
   */
 object TextFunctions {
 
@@ -25,9 +30,16 @@ object TextFunctions {
   def hash60Sql(inner: String): String =
     s"CAST(concat('0x', substr(md5($inner),1,15)) AS BIGINT)"
 
-  /** Whitespace tokens, empty strings dropped. */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+  /** Whitespace tokens, empty strings dropped. Trim + split-on-runs
+    * is value-identical to `filter(split(text, " "), _ != "")` but
+    * avoids the interpreted filter-lambda per token (split/trim are
+    * codegen'd built-ins); the `when` guards the one divergent case —
+    * all-space input, where split would return a single "" token. */
+  def tokens(text: Column): Column = {
+    val t = trim(text, " ")
+    when(t === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(t, " +"))
+  }
 
   /** Distinct word n-grams joined with single spaces. Empty array when
     * the doc has fewer than n tokens (guards `sequence`, which would
@@ -65,9 +77,11 @@ object TextFunctions {
     s"($a * ($inner % $MinhashP) + $b) % $MinhashP"
 
   /** Count of tokens that appear in a marker set (with multiplicity) —
-    * the n-gram-heuristic language-ID building block. */
+    * the n-gram-heuristic language-ID building block. Native
+    * codegen'd expression ([[TextSetExprs.countInSet]]); the HOF form
+    * `size(filter(tk, isin))` ran one interpreted lambda per token. */
   def markerHits(tk: Column, markers: Seq[String]): Column =
-    size(filter(tk, t => t.isin(markers.map(m => m: Any): _*))).cast(LongType)
+    TextSetExprs.countInSet(tk, markers)
 
   /** English/German/French stopword markers for the language-ID
     * heuristic. Short, high-frequency function words. */

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native set-membership counting over string arrays — the
+  * implementation behind [[TextFunctions.markerHits]].
+  *
+  * The declarative form `size(filter(tk, t -> t.isin(markers)))` is an
+  * INTERPRETED higher-order function (a lambda invocation per token —
+  * the NOTES.md ~16 µs/lambda class) sitting in the per-document hot
+  * path of language ID, quality scoring, and curation. This expression
+  * keeps the exact semantics (count WITH multiplicity, nulls never
+  * match) as one hash-set probe per token, and ships real `doGenCode`
+  * so the text projections stay inside whole-stage codegen
+  * (`CollapseCodegenStages` refuses WSCG for any node holding a
+  * `CodegenFallback`). */
+object TextSetExprs {
+
+  /** Count of elements of `tk` (array<string>) present in `markers`,
+    * with multiplicity. */
+  def countInSet(tk: Column, markers: Seq[String]): Column =
+    ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(tk), markers))
+
+  // codegen kernel (static forwarder; called from generated Java and
+  // the interpreted eval path)
+  def countInSetData(a: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
+    val n = a.numElements()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+}
+
+case class CountInSetExpr(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  // rebuilt per JVM after serialization; UTF8String equality is
+  // byte-wise, matching Spark's string semantics for isin
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](markers.size * 2)
+    markers.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextSetExprs.countInSetData(a.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("markerSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSetExprs.countInSetData($c, $setRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): CountInSetExpr =
+    copy(child = c)
+  override def prettyName: String = "count_in_set"
+}

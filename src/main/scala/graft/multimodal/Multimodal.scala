@@ -15,10 +15,13 @@ case class MediaFeature(doc_id: Long, kind: String, frameIdx: Int,
 /** Multimodal-column pipeline: binary media columns flowing through
   * typed Spark stages.
   *
-  * The real codec libraries (JPEG/PNG/ffmpeg) are not in this
-  * container, so [[StubCodec]] is a clearly-marked deterministic
-  * fake: it derives "pixels"/"samples" from a rolling hash of the
-  * bytes. Everything AROUND the codec is the real article — schema
+  * Images decode for REAL via the JDK's `javax.imageio`
+  * ([[ImageIoCodec]] — PNG/JPEG, zero added dependencies). Audio and
+  * video codecs (ffmpeg) are not in this container, so [[StubCodec]]
+  * is their clearly-marked deterministic stand-in: it derives
+  * "samples" from a rolling hash of the bytes, and also catches
+  * undecodable image records so a malformed row can't kill a job.
+  * Everything AROUND the codecs is the real article — schema
   * (binary column + typed metadata), per-partition batched decode via
   * `mapPartitions` (one codec instance per partition, the same shape
   * as an `mapInPandas`/Arrow batch UDF on a Python stack), frame
@@ -28,8 +31,46 @@ case class MediaFeature(doc_id: Long, kind: String, frameIdx: Int,
   */
 object Multimodal {
 
-  /** STUB — deterministic stand-in for a real image/audio decoder.
-    * Replace `decode` with an actual codec on a real deployment. */
+  /** REAL image codec: PNG/JPEG (and any other `javax.imageio`
+    * service-provider format in the JDK — zero added dependencies)
+    * decoded to an n-dim luminance feature: pixels scanned row-major,
+    * mean-pooled over n proportional blocks, each value the ITU-R
+    * BT.601 integer-weighted luma in [0, 1]. Deterministic: PNG/JPEG
+    * decode and `getRGB`'s sRGB conversion are pixel-exact in the
+    * JDK, and the pooling is fixed-order arithmetic. */
+  object ImageIoCodec {
+    /** None when the bytes are not a decodable image (caller falls
+      * back to [[StubCodec]] — a malformed record must not kill a
+      * 100 TB job). */
+    def decode(bytes: Array[Byte], n: Int): Option[Array[Float]] =
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val total = w.toLong * h
+          val sums = new Array[Double](n)
+          val cnts = new Array[Long](n)
+          var idx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000.0 / 255.0
+              val slot = (idx * n / total).toInt
+              sums(slot) += lum; cnts(slot) += 1
+              idx += 1; x += 1
+            }
+            y += 1
+          }
+          Array.tabulate(n)(i => if (cnts(i) > 0) (sums(i) / cnts(i)).toFloat else 0.0f)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB — deterministic stand-in for the audio/video decoders (no
+    * ffmpeg in this container) and the fallback for undecodable image
+    * bytes. Replace with an actual codec on a real deployment. */
   object StubCodec {
     /** Deterministic pseudo-pixels: FNV-1a rolling hash over bytes. */
     def decode(bytes: Array[Byte], n: Int): Array[Float] = {
@@ -111,14 +152,17 @@ object Multimodal {
 
   /** Decode + feature-extract, one codec per partition (the expensive
     * stage; batched like an Arrow UDF). featDim models "resize to a
-    * fixed feature grid". */
+    * fixed feature grid". Images go through the REAL JDK codec
+    * ([[ImageIoCodec]] — PNG/JPEG); audio/video and undecodable image
+    * bytes fall back to the deterministic stub. */
   def extractFeatures(sampled: Dataset[(MediaAsset, Int)], featDim: Int): Dataset[MediaFeature] = {
     import sampled.sparkSession.implicits._
     sampled.mapPartitions { it =>
       // one decoder instance per partition — mirrors opening one
       // libjpeg/ffmpeg context per task rather than per record
       it.map { case (a, frame) =>
-        val feat = StubCodec.decode(a.bytes ++ BigInt(frame).toByteArray, featDim)
+        val feat = (if (a.kind == "image") ImageIoCodec.decode(a.bytes, featDim) else None)
+          .getOrElse(StubCodec.decode(a.bytes ++ BigInt(frame).toByteArray, featDim))
         MediaFeature(a.doc_id, a.kind, frame, featDim, feat)
       }
     }

@@ -81,34 +81,40 @@ object SimilarityOps {
 
   val ivfCells = 8
 
-  /** IVF-style ANN top-3: the corpus is partitioned into cells by
-    * nearest pivot (cell assignment = one narrow map against the
-    * broadcast pivot set — at 100 TB this is the build-once index
-    * shuffle, reusable for every query batch), and each query probes
-    * its 2 nearest cells. Pivots here are the `ivfCells` lowest
-    * corpus vectors — a deterministic stand-in for trained k-means
-    * centroids; the plan shape (assign → cell equi-join → rank) is
-    * the production article. Determinism: cell choice compares
-    * e6-rounded cosine with pivot-id tiebreak (SURVEY.md §4). */
+  /** Materialized IVF index path per corpus dir: the cell assignment
+    * is BUILT ONCE (one narrow map against the broadcast pivot set +
+    * one parquet write) and every later query batch probes the saved
+    * table — the 100 TB amortization story in code, not just a
+    * comment. A production deployment writes this next to the corpus;
+    * here it lands under the session temp root. */
+  private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** IVF-style ANN top-3: each query probes its 2 nearest cells of
+    * the materialized index. Pivots are the `ivfCells` lowest corpus
+    * vectors — a deterministic stand-in for trained k-means
+    * centroids; the plan shape (probe → cell equi-join on the saved
+    * index → rank) is the production article, and the corpus-side
+    * cell assignment runs exactly once per corpus, not per query
+    * batch. Determinism: cell choice compares e6-rounded cosine with
+    * pivot-id tiebreak (SURVEY.md §4). */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
-    // The quantized corpus feeds pivots, cell assignment AND probes.
-    // No session-lifetime persist (it leaks across callers and showed
-    // no bench win — BENCH_r02): quantize is a narrow codegen'd map,
-    // so recomputing two scans is cheaper than columnar caching. At
-    // production scale the IVF index (cell column) would be BUILT ONCE
-    // and written out, amortized over every query batch.
     val quant = graft.functions.VectorFunctions.quantized(
       Tables.embeddings(spark, sfDir))
+    // 8 pivot VECTORS only — never the corpus — cross the driver
     val pivots = spark.sparkContext.broadcast(
       quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells).collect().sortBy(_._1))
     def bestCells(q: Array[Long], n2: Long, k: Int): Seq[Long] =
       pivots.value.map { case (pid, pq, pn2) =>
         (pid, graft.functions.VectorFunctions.cosineE6Jvm(q, pq, n2, pn2))
       }.sortBy { case (pid, c6) => (-c6, pid) }.take(k).map(_._1).toSeq
-    val cells = quant.filter(_._1 >= 10)
-      .map { case (id, q, n2) => (bestCells(q, n2, 1).head, id, q, n2) }
-      .toDF("cell", "vec_id", "q", "n2")
+    val indexPath = ivfIndex.computeIfAbsent(sfDir, _ => {
+      val cells = quant.filter(_._1 >= 10)
+        .map { case (id, q, n2) => (bestCells(q, n2, 1).head, id, q, n2) }
+        .toDF("cell", "vec_id", "q", "n2")
+      graft.tools.Materialize.writeParquet(cells, "ivf-index")
+    })
+    val cells = spark.read.parquet(indexPath)
     val probes = quant.filter(_._1 < 10)
       .flatMap { case (id, q, n2) => bestCells(q, n2, 2).map(c => (c, id, q, n2)) }
       .toDF("qcell", "query_id", "q", "n2")

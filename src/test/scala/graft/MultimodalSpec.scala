@@ -45,6 +45,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(nExchanges(resized) == nExchanges(feats))
   }
 
+  test("real PNG decodes through javax.imageio to exact block-mean luminance") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 4×2 image: left half black, right half white → with n=2 the
+    // row-major first block is the first row (black,black,white,white)
+    // and the second block the second row — both mean 0.5
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val feat = Multimodal.ImageIoCodec.decode(png, 2).get
+    assert(feat.length == 2)
+    // white luma = (255*299+255*587+255*114)/1000/255 = 1.0; mean = 0.5
+    assert(feat.forall(v => math.abs(v - 0.5f) < 1e-6f), feat.toSeq)
+    // deterministic across decodes
+    assert(Multimodal.ImageIoCodec.decode(png, 2).get.toSeq == feat.toSeq)
+    // non-image bytes → None (pipeline falls back to the stub)
+    assert(Multimodal.ImageIoCodec.decode("not a png".getBytes, 2).isEmpty)
+    // JPEG decodes too (lossy — assert structure, not exact values)
+    val jbuf = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", jbuf)
+    val jfeat = Multimodal.ImageIoCodec.decode(jbuf.toByteArray, 2)
+    assert(jfeat.exists(f => f.length == 2 && f.forall(v => v >= 0f && v <= 1f)))
+
+    // end-to-end: a real PNG asset flows through the Spark pipeline
+    // (typed Dataset → mapPartitions decode → resize) with the REAL
+    // codec, not the stub
+    val assets = Seq(MediaAsset(7L, "image", png, 4, 2, 0)).toDS()
+    val feats = Multimodal.extractFeatures(Multimodal.sampleFrames(assets, 5), 2)
+    val row = feats.head()
+    assert(row.feature.toSeq == feat.toSeq,
+      "extractFeatures must use the ImageIO path for decodable image bytes")
+    val resized = Multimodal.resize(feats, 1).head()
+    assert(math.abs(resized.feature(0) - 0.5f) < 1e-6f)
+  }
+
   test("stub decode is deterministic and feature extraction is distributed") {
     val a = Multimodal.StubCodec.decode("hello".getBytes, 4)
     val b = Multimodal.StubCodec.decode("hello".getBytes, 4)

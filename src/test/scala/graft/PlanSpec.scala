@@ -113,6 +113,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("text/curation plans contain no interpreted higher-order functions") {
+    // Spark HOFs (aggregate/transform/zip_with) evaluate the lambda
+    // INTERPRETED (~16 µs/element — NOTES.md) and always print as
+    // `lambdafunction(...)` in the plan; the text family must stay
+    // fully codegen'd (q_rolling_fp is the one documented exception:
+    // its mod-P fold has no built-in equivalent).
+    for (q <- Seq("q_text_quality", "q_text_langid", "q_token_count",
+        "q_text_pii", "q_curation")) {
+      val plan = fullPlanString(q)
+      assert(!plan.contains("lambdafunction"),
+        s"$q: interpreted HOF found in plan:\n" +
+          plan.linesIterator.filter(_.contains("lambdafunction")).take(3).mkString("\n"))
+    }
+  }
+
   test("q_dedup_minhash builds lazily — no driver-side collect of the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()

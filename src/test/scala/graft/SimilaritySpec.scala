@@ -21,6 +21,31 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF probes the materialized index — corpus cell assignment is not recomputed") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SimilarityOps.annIvf(spark, sf)
+    df.collect() // finalize the adaptive plan
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val s = scans(df.queryExecution.executedPlan)
+    def paths(f: FileSourceScanExec) =
+      f.relation.location.rootPaths.map(_.toString)
+    assert(s.exists(paths(_).exists(_.contains("ivf-index"))),
+      s"the corpus side must be a scan of the saved IVF index table; scans: ${s.flatMap(paths)}")
+    // the raw embeddings are read ONLY for the 10 probe vectors — if
+    // the corpus side re-derived cells per query batch, a second
+    // embeddings scan (plus the pivot-distance map) would show up here
+    val embScans = s.filter(paths(_).exists(_.contains("embeddings")))
+    assert(embScans.size == 1,
+      s"exactly one embeddings scan (probe side) expected, saw ${embScans.size}")
+  }
+
   test("LSH top-k results appear in the brute-force ranking with identical cosines") {
     val brute = SimilarityOps.annTopk(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
