@@ -56,9 +56,13 @@ class CodegenSpec extends SparkTestBase {
       TextHash.gramHashes(col("text"), 3).as("grams"),
       TextHash.simhash(col("text"), 60).as("sh"),
       TextHash.minhashSig(col("text"), 3, 16).as("sig"),
-      RollingHash.rollingHashes(col("text"), 8).as("rolling"))
+      RollingHash.rollingHashes(col("text"), 8).as("rolling"),
+      graft.functions.TextSetExprs.countInSet(
+        graft.functions.TextFunctions.tokens(col("text")),
+        graft.functions.TextFunctions.enMarkers).as("marker_hits"))
     val tt = t.select(
       col("id"), col("grams"), col("sh"), col("sig"), col("rolling"),
+      col("marker_hits"),
       TextHash.sortedIntersectCount(
         sort_array(col("grams")), sort_array(col("grams"))).as("self_common"))
     tt.crossJoin(e)
