@@ -73,6 +73,9 @@ object SparkEntry {
     "q_curation" -> (CurationOps.curate _),
     "q_fingerprint" -> (TextOps.fingerprint _),
     "q_rolling_fp" -> (TextOps.rollingFp _),
+    "q_text_repetition" -> (TextOps.textRepetition _),
+    "q_ngram_topk" -> (TextOps.ngramTopk _),
+    "q_lang_mismatch" -> (CurationOps.langMismatch _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -583,5 +586,49 @@ object SparkEntry {
          |  min(h) AS min_h, max(h) AS max_h,
          |  CAST(sum(CAST(h AS HUGEINT)) % ${graft.functions.RollingHash.P} AS BIGINT) AS sum_mod
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // len(gs) counts DISTINCT gram strings on both sides (g3 dedupes
+    // the strings BEFORE hashing, mirroring gramHashesJvm), so the
+    // bigram arithmetic is hash-collision-proof
+    "q_text_repetition" ->
+      s"""WITH $tkCte, ${gramsCte(2)},
+         |rep AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv WHERE len(tk) > 0),
+         |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok_cnt FROM (
+         |    SELECT doc_id, t, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(tk) AS t FROM tkv) GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |bg AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_distinct_bigrams FROM g3)
+         |SELECT doc_id, n_tokens, top_tok_cnt,
+         |  top_tok_cnt * 10000 // n_tokens AS top_tok_ratio_e4,
+         |  n_tokens - 1 AS n_bigrams,
+         |  n_tokens - 1 - n_distinct_bigrams AS dup_bigram_cnt,
+         |  CASE WHEN n_tokens > 1
+         |       THEN (n_tokens - 1 - n_distinct_bigrams) * 10000 // (n_tokens - 1)
+         |       ELSE 0 END AS dup_bigram_ratio_e4
+         |FROM rep JOIN top USING (doc_id) JOIN bg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_ngram_topk" ->
+      s"""WITH $tkCte,
+         |gstr AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(generate_series(1, len(tk)-1),
+         |      i -> tk[i] || ' ' || tk[i+1]))) AS gram
+         |  FROM tkv)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+         |FROM gstr GROUP BY gram
+         |ORDER BY doc_freq DESC, gram ASC LIMIT 20""".stripMargin,
+    "q_lang_mismatch" -> {
+      import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
+      s"""WITH $tkCte,
+         |m AS (SELECT d.source, d.lang,
+         |    ${detectedLangSql(
+               s"len(list_filter(tk, t -> list_contains(${inList(enMarkers)}, t)))",
+               s"len(list_filter(tk, t -> list_contains(${inList(deMarkers)}, t)))",
+               s"len(list_filter(tk, t -> list_contains(${inList(frMarkers)}, t)))")} AS detected
+         |  FROM tkv JOIN documents d USING (doc_id))
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (detected <> lang) AS BIGINT) AS n_mismatch,
+         |  CAST(count(*) FILTER (detected <> lang) AS BIGINT) * 10000
+         |    // CAST(count(*) AS BIGINT) AS mismatch_ratio_e4
+         |FROM m GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    },
   )
 }

@@ -56,11 +56,11 @@ object TextHash {
     if (n == parts.length) out else java.util.Arrays.copyOf(out, n)
   }
 
-  /** Distinct hashed word n-grams, first-occurrence order. */
-  def gramHashesJvm(text: String, n: Int): Array[Long] = {
+  /** Distinct space-joined word n-grams, first-occurrence order. */
+  def gramsJvm(text: String, n: Int): java.util.LinkedHashSet[String] = {
     val tk = tokensJvm(text)
-    if (tk.length < n) return Array.emptyLongArray
     val seen = new java.util.LinkedHashSet[String](tk.length * 2)
+    if (tk.length < n) return seen
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= tk.length - n) {
@@ -74,6 +74,12 @@ object TextHash {
       seen.add(sb.toString)
       i += 1
     }
+    seen
+  }
+
+  /** Distinct hashed word n-grams, first-occurrence order. */
+  def gramHashesJvm(text: String, n: Int): Array[Long] = {
+    val seen = gramsJvm(text, n)
     val out = new Array[Long](seen.size)
     var j = 0
     val it = seen.iterator()
@@ -147,6 +153,15 @@ object TextHash {
   def gramHashesData(text: UTF8String, n: Int): ArrayData =
     new GenericArrayData(gramHashesJvm(text.toString, n))
 
+  def gramStringsData(text: UTF8String, n: Int): ArrayData = {
+    val seen = gramsJvm(text.toString, n)
+    val out = new Array[Any](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def simhashData(text: UTF8String, bits: Int): Long =
     simhashJvm(text.toString, bits)
 
@@ -174,6 +189,11 @@ object TextHash {
   def gramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(text), n))
 
+  /** Distinct n-gram STRINGS (not hashes) — for operators whose
+    * output is the human-readable gram, e.g. vocabulary profiling. */
+  def gramStrings(text: Column, n: Int): Column =
+    ColumnBridge.column(GramStringsExpr(ColumnBridge.expression(text), n))
+
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -196,6 +216,20 @@ case class GramHashesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): GramHashesExpr =
     copy(child = c)
   override def prettyName: String = "gram_hashes"
+}
+
+case class GramStringsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    TextHash.gramStringsData(text.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.gramStringsData($c, $n);")
+  override protected def withNewChildInternal(c: Expression): GramStringsExpr =
+    copy(child = c)
+  override def prettyName: String = "gram_strings"
 }
 
 case class SimhashExpr(child: Expression, bits: Int)

@@ -27,8 +27,14 @@ object TextSetExprs {
   def countInSet(tk: Column, markers: Seq[String]): Column =
     ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(tk), markers))
 
-  // codegen kernel (static forwarder; called from generated Java and
-  // the interpreted eval path)
+  /** Occurrence count of the most frequent element of `tk`
+    * (array<string>); 0 for an empty array — the Gopher-style
+    * repetition signal's kernel. */
+  def maxTokenCount(tk: Column): Column =
+    ColumnBridge.column(MaxTokenCountExpr(ColumnBridge.expression(tk)))
+
+  // codegen kernels (static forwarders; called from generated Java and
+  // the interpreted eval paths)
   def countInSetData(a: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
     val n = a.numElements()
     var cnt = 0L
@@ -38,6 +44,23 @@ object TextSetExprs {
       i += 1
     }
     cnt
+  }
+
+  def maxTokenCountData(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        val c = counts.merge(s, 1, (x, y) => x + y)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best.toLong
   }
 }
 
@@ -61,4 +84,17 @@ case class CountInSetExpr(child: Expression, markers: Seq[String])
   override protected def withNewChildInternal(c: Expression): CountInSetExpr =
     copy(child = c)
   override def prettyName: String = "count_in_set"
+}
+
+case class MaxTokenCountExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    TextSetExprs.maxTokenCountData(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSetExprs.maxTokenCountData($c);")
+  override protected def withNewChildInternal(c: Expression): MaxTokenCountExpr =
+    copy(child = c)
+  override def prettyName: String = "max_token_count"
 }

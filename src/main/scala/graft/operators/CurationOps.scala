@@ -118,6 +118,24 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** #54 Declared-vs-detected language audit: per (source, declared
+    * lang), how many docs the n-gram heuristic disagrees with — the
+    * metadata-trust report a pipeline runs before deciding whether
+    * declared labels are usable as a gate. Narrow detection map +
+    * one partial-agg'd shuffle on (source, lang). */
+  def langMismatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .withColumn("detected", detectedLang(
+        markerHits($"tk", enMarkers), markerHits($"tk", deMarkers),
+        markerHits($"tk", frMarkers)))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"detected" =!= $"lang", 1L).otherwise(0L)).as("n_mismatch"))
+      .select($"source", $"lang", $"n_docs", $"n_mismatch",
+        expr("n_mismatch * 10000 div n_docs").as("mismatch_ratio_e4"))
+      .orderBy($"source", $"lang")
+
   /** Per-mille keep rates per source for [[stratifiedSample]] —
     * the "training mix" knob (upsample curated sources, downsample
     * crawl). Shared with the oracle so the rates cannot drift. */

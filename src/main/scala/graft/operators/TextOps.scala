@@ -99,6 +99,44 @@ object TextOps {
 
   val RollWindow = 16
 
+  /** #53 Repetition metrics (the Gopher-style repetition quality
+    * filter): occurrence count + e4 fraction of the single most
+    * frequent token, and the duplicated-bigram count + e4 fraction
+    * (total bigram positions minus distinct bigrams). High values
+    * flag boilerplate/spam for removal before training. All per-doc
+    * narrow-map native expressions — no explode, no shuffle; the
+    * 100 TB plan is scan → project → sort. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .select($"doc_id",
+        size($"tk").cast(LongType).as("n_tokens"),
+        graft.functions.TextSetExprs.maxTokenCount($"tk").as("top_tok_cnt"),
+        size(graft.functions.TextHash.gramHashes($"text", 2))
+          .cast(LongType).as("n_distinct_bigrams"))
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_tokens", $"top_tok_cnt",
+        expr("top_tok_cnt * 10000 div n_tokens").as("top_tok_ratio_e4"),
+        ($"n_tokens" - 1).as("n_bigrams"),
+        ($"n_tokens" - 1 - $"n_distinct_bigrams").as("dup_bigram_cnt"),
+        expr("CASE WHEN n_tokens > 1 THEN (n_tokens - 1 - n_distinct_bigrams) * 10000 div (n_tokens - 1) ELSE 0 END")
+          .as("dup_bigram_ratio_e4"))
+      .orderBy($"doc_id")
+
+  /** #55 Corpus vocabulary profile: top-20 bigrams by DOCUMENT
+    * frequency (each doc contributes its distinct grams once), count
+    * desc with gram-text tiebreak. Scale: distinct-gram generation is
+    * the narrow native expression, the count partial-aggregates
+    * before its single shuffle, and the top-20 is
+    * `TakeOrderedAndProject` — never a global sort. */
+  def ngramTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextHash.gramStrings($"text", 2)).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"gram".asc)
+      .limit(20)
+
   /** #47b Pattern scrubbing metrics: email / URL / long-digit-run
     * counts per document — the flag-before-redact pass of a
     * training-data pipeline. Patterns restricted to the regex subset

@@ -120,7 +120,8 @@ class PlanSpec extends SparkTestBase {
     // fully codegen'd (q_rolling_fp is the one documented exception:
     // its mod-P fold has no built-in equivalent).
     for (q <- Seq("q_text_quality", "q_text_langid", "q_token_count",
-        "q_text_pii", "q_curation")) {
+        "q_text_pii", "q_curation", "q_text_repetition", "q_ngram_topk",
+        "q_lang_mismatch")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +
