@@ -30,16 +30,13 @@ object TextFunctions {
   def hash60Sql(inner: String): String =
     s"CAST(concat('0x', substr(md5($inner),1,15)) AS BIGINT)"
 
-  /** Whitespace tokens, empty strings dropped. Trim + split-on-runs
-    * is value-identical to `filter(split(text, " "), _ != "")` but
-    * avoids the interpreted filter-lambda per token (split/trim are
-    * codegen'd built-ins); the `when` guards the one divergent case —
-    * all-space input, where split would return a single "" token. */
-  def tokens(text: Column): Column = {
-    val t = trim(text, " ")
-    when(t === "", array().cast(ArrayType(StringType)))
-      .otherwise(split(t, " +"))
-  }
+  /** Whitespace tokens, empty strings dropped. `array_remove` is
+    * value-identical to `filter(split(text, " "), _ != "")` (drops
+    * every "" produced by leading/trailing/consecutive spaces, null
+    * text stays null) but is a codegen'd built-in — no interpreted
+    * filter-lambda per token. */
+  def tokens(text: Column): Column =
+    array_remove(split(text, " "), "")
 
   /** Distinct word n-grams joined with single spaces. Empty array when
     * the doc has fewer than n tokens (guards `sequence`, which would

@@ -44,7 +44,12 @@ object Multimodal {
       * 100 TB job). */
     def decode(bytes: Array[Byte], n: Int): Option[Array[Float]] =
       try {
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        // MemoryCacheImageInputStream: plain ImageIO.read(InputStream)
+        // would spill each record to a temp FILE cache — per-record
+        // disk I/O in the hot decode stage for data already in memory
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        Option(javax.imageio.ImageIO.read(iis)).map { img =>
           val w = img.getWidth; val h = img.getHeight
           val total = w.toLong * h
           val sums = new Array[Double](n)

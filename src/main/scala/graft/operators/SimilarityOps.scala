@@ -81,13 +81,15 @@ object SimilarityOps {
 
   val ivfCells = 8
 
-  /** Materialized IVF index path per corpus dir: the cell assignment
-    * is BUILT ONCE (one narrow map against the broadcast pivot set +
-    * one parquet write) and every later query batch probes the saved
-    * table — the 100 TB amortization story in code, not just a
-    * comment. A production deployment writes this next to the corpus;
-    * here it lands under the session temp root. */
-  private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Materialized IVF index per corpus dir — (parquet path, pivot
+    * vectors): BOTH the cell assignment and the driver-collected
+    * pivots are built once and reused by every later query batch —
+    * the 100 TB amortization story in code, not just a comment. A
+    * production deployment writes the index next to the corpus; here
+    * it lands under the session temp root. The 8 pivots are ~4 KB, so
+    * they ride task closures directly (no broadcast to leak). */
+  private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Long, Array[Long], Long)])]()
 
   /** IVF-style ANN top-3: each query probes its 2 nearest cells of
     * the materialized index. Pivots are the `ivfCells` lowest corpus
@@ -97,26 +99,29 @@ object SimilarityOps {
     * cell assignment runs exactly once per corpus, not per query
     * batch. Determinism: cell choice compares e6-rounded cosine with
     * pivot-id tiebreak (SURVEY.md §4). */
+  private def bestCells(pivots: Array[(Long, Array[Long], Long)])(
+      q: Array[Long], n2: Long, k: Int): Seq[Long] =
+    pivots.map { case (pid, pq, pn2) =>
+      (pid, graft.functions.VectorFunctions.cosineE6Jvm(q, pq, n2, pn2))
+    }.sortBy { case (pid, c6) => (-c6, pid) }.take(k).map(_._1).toSeq
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
-    val quant = graft.functions.VectorFunctions.quantized(
+    def quant = graft.functions.VectorFunctions.quantized(
       Tables.embeddings(spark, sfDir))
-    // 8 pivot VECTORS only — never the corpus — cross the driver
-    val pivots = spark.sparkContext.broadcast(
-      quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells).collect().sortBy(_._1))
-    def bestCells(q: Array[Long], n2: Long, k: Int): Seq[Long] =
-      pivots.value.map { case (pid, pq, pn2) =>
-        (pid, graft.functions.VectorFunctions.cosineE6Jvm(q, pq, n2, pn2))
-      }.sortBy { case (pid, c6) => (-c6, pid) }.take(k).map(_._1).toSeq
-    val indexPath = ivfIndex.computeIfAbsent(sfDir, _ => {
+    val (indexPath, pivots) = ivfIndex.computeIfAbsent(sfDir, _ => {
+      // 8 pivot VECTORS only — never the corpus — cross the driver,
+      // and only on this build-once path
+      val p = quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells)
+        .collect().sortBy(_._1)
       val cells = quant.filter(_._1 >= 10)
-        .map { case (id, q, n2) => (bestCells(q, n2, 1).head, id, q, n2) }
+        .map { case (id, q, n2) => (bestCells(p)(q, n2, 1).head, id, q, n2) }
         .toDF("cell", "vec_id", "q", "n2")
-      graft.tools.Materialize.writeParquet(cells, "ivf-index")
+      (graft.tools.Materialize.writeParquet(cells, "ivf-index"), p)
     })
     val cells = spark.read.parquet(indexPath)
     val probes = quant.filter(_._1 < 10)
-      .flatMap { case (id, q, n2) => bestCells(q, n2, 2).map(c => (c, id, q, n2)) }
+      .flatMap { case (id, q, n2) => bestCells(pivots)(q, n2, 2).map(c => (c, id, q, n2)) }
       .toDF("qcell", "query_id", "q", "n2")
     ranked(
       cells.as("b").join(broadcast(probes.as("a")), $"qcell" === $"cell"),

@@ -116,9 +116,10 @@ object StreamingJobs {
     * synchronously via [[EngineWatermark.watermarkUs]] from the
     * query's own watermark tracker, i.e. the same boundary the
     * stateful operators drop on — and routes each half to a caller
-    * sink. The
-    * caller must `.queryName(queryName)` the returned writer before
-    * `start()` (the name is how the batch finds its own query). */
+    * sink. The writer is already named `queryName` (how each batch
+    * finds its own query); callers must NOT override it — a missing
+    * name fails the batch loudly rather than silently routing every
+    * row on-time against watermark 0. */
   def lateRouted(events: DataFrame, delay: String, queryName: String)
                 (onTime: DataFrame => Unit, late: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
     val session = events.sparkSession
@@ -128,8 +129,13 @@ object StreamingJobs {
       .queryName(queryName)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (ok, lateRows) =
-          lateSplit(batch, EngineWatermark.watermarkUs(session, queryName))
+        val query = session.streams.active.find(_.name == queryName).getOrElse(
+          throw new IllegalStateException(
+            s"lateRouted query '$queryName' not found among active streams — " +
+              "was the writer's queryName overridden after lateRouted()?"))
+        val wmUs = org.apache.spark.sql.graftbridge.StreamingBridge
+          .currentWatermarkMs(query).map(_ * 1000L).getOrElse(0L)
+        val (ok, lateRows) = lateSplit(batch, wmUs)
         onTime(ok)
         late(lateRows)
       }

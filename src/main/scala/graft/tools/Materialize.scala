@@ -23,17 +23,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Materialize {
 
-  /** The persisted RDD behind a `localCheckpoint`ed frame (the
-    * `LogicalRDD` leaf Spark rewrites the plan to), if any. Works on
-    * any narrow projection of the checkpointed frame too. */
-  def checkpointRdd(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+  /** The persisted RDDs behind a `localCheckpoint`ed frame (every
+    * `LogicalRDD` leaf Spark rewrote the plan to) — plural, so a
+    * join/union of checkpointed frames frees ALL of them, not just
+    * the first leaf. Works on any projection of the checkpointed
+    * frame(s) too. */
+  def checkpointRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }.distinct
 
   /** Free the checkpoint blocks behind `df` (no-op if none). Safe to
     * call once the frame's data has been copied or superseded —
     * recomputation is impossible after this (lineage was truncated). */
   def freeCheckpoint(df: DataFrame): Unit =
-    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+    checkpointRdds(df).foreach(_.unpersist(blocking = false))
 
   private lazy val tmpRoot: Path = {
     val dir = Files.createTempDirectory("graft-materialize-")
@@ -44,16 +46,40 @@ object Materialize {
     dir
   }
 
+  // last K dirs per name, so a long-lived session calling the same
+  // operator repeatedly doesn't grow temp disk monotonically
+  private val KeepPerName = 4
+  private val dirsByName =
+    new java.util.concurrent.ConcurrentHashMap[String, List[Path]]()
+
+  private def trackAndPrune(name: String, dir: Path): Unit = {
+    val evicted = new java.util.concurrent.atomic.AtomicReference[List[Path]](Nil)
+    dirsByName.compute(name, (_, old) => {
+      val all = dir :: (if (old == null) Nil else old)
+      val (keep, drop) = all.splitAt(KeepPerName)
+      evicted.set(drop)
+      keep
+    })
+    evicted.get.foreach(p =>
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f)))
+  }
+
   /** Copy `df` out of the block manager: write parquet under a
     * session-temp dir and return a plain scan of it. The result holds
     * no cached/checkpointed blocks, so every checkpoint feeding `df`
-    * can be freed immediately after this returns. */
+    * can be freed immediately after this returns. Disk is bounded:
+    * only the last [[KeepPerName]] round-trips per `name` are kept —
+    * consume (or persist elsewhere) a result before calling the same
+    * operator that many more times. */
   def parquetRoundTrip(df: DataFrame, name: String): DataFrame = {
-    val dir = Files.createTempDirectory(tmpRoot, name).toString
-    df.write.mode("overwrite").parquet(dir)
+    val dir = Files.createTempDirectory(tmpRoot, name)
+    df.write.mode("overwrite").parquet(dir.toString)
+    trackAndPrune(name, dir)
     // explicit schema: an all-empty frame writes no part files, which
     // would otherwise fail schema inference on the read back
-    df.sparkSession.read.schema(df.schema).parquet(dir)
+    df.sparkSession.read.schema(df.schema).parquet(dir.toString)
   }
 
   /** Write `df` as parquet under the session-temp root and return the
