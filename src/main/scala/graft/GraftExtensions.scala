@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GramHashesExpr, MinhashSigExpr, RollingHashExpr}
+import graft.functions.{CountInSetExpr, GramHashesExpr, GramStringsExpr, MaxTokenCountExpr, MinhashSigExpr, RollingHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -13,9 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `.withExtensions(new GraftExtensions)` (or
   * `spark.sql.extensions=graft.GraftExtensions`) can call
   *
-  *   graft_gram_hashes(text, n)    — distinct hashed word n-grams
-  *   graft_minhash_sig(text, n, k) — k-permutation MinHash signature
-  *   graft_rolling_hashes(text, w) — Rabin–Karp window fingerprints
+  *   graft_gram_hashes(text, n)     — distinct hashed word n-grams
+  *   graft_gram_strings(text, n)    — distinct word n-gram strings
+  *   graft_minhash_sig(text, n, k)  — k-permutation MinHash signature
+  *   graft_rolling_hashes(text, w)  — Rabin–Karp window fingerprints
+  *   graft_count_in_set(arr, csv)   — elements present in a
+  *                                    comma-separated literal set
+  *   graft_max_token_count(arr)     — top element multiplicity
   *
   * without touching the Scala API. Shape parameters must be integer
   * literals; arity and literal-ness are validated when the analyzer
@@ -32,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def litCsv(e: Expression, fn: String, arg: String): Seq[String] = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString.split(',').toSeq
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a comma-separated string literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -56,6 +67,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         checkArity("graft_rolling_hashes", "(text, window)", args, 2)
         RollingHashExpr(args.head, litInt(args(1), "graft_rolling_hashes", "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram_strings"),
+      new ExpressionInfo(classOf[GramStringsExpr].getName, "graft_gram_strings"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_gram_strings", "(text, n)", args, 2)
+        GramStringsExpr(args.head, litInt(args(1), "graft_gram_strings", "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_count_in_set"),
+      new ExpressionInfo(classOf[CountInSetExpr].getName, "graft_count_in_set"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_count_in_set", "(arr, 'a,b,c')", args, 2)
+        CountInSetExpr(args.head, litCsv(args(1), "graft_count_in_set", "set"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_max_token_count"),
+      new ExpressionInfo(classOf[MaxTokenCountExpr].getName, "graft_max_token_count"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_max_token_count", "(arr)", args, 1)
+        MaxTokenCountExpr(args.head)
       }))
   }
 }

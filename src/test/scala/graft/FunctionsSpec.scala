@@ -60,6 +60,17 @@ class FunctionsSpec extends SparkTestBase {
       val rh = s2.sql("SELECT size(graft_rolling_hashes('hello world', 4)) AS n")
         .collect()(0).getInt(0)
       assert(rh == "hello world".length - 3)
+      val gs = s2.sql("SELECT graft_gram_strings('a b c', 2) AS g")
+        .collect()(0).getSeq[String](0)
+      assert(gs == Seq("a b", "b c"))
+      val cis = s2.sql(
+        "SELECT graft_count_in_set(array('the','fox','the'), 'the,a,of') AS c")
+        .collect()(0).getLong(0)
+      assert(cis == 2L)
+      val mtc = s2.sql(
+        "SELECT graft_max_token_count(array('x','y','x','x')) AS m")
+        .collect()(0).getLong(0)
+      assert(mtc == 3L)
       // non-literal shape parameter is rejected with a clear error
       val err = intercept[Exception](
         s2.sql("SELECT graft_gram_hashes('a b', CAST(rand()*2 AS INT))").collect())

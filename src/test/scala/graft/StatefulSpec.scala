@@ -103,6 +103,22 @@ class StatefulSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("count window sums round negative half-µ values HALF_UP like the batch contract") {
+    // -2.5 µ must round to -3 (away from zero, the Det.sumFixed /
+    // Spark round(x, 0) contract), not -2 (math.round's toward-+∞) —
+    // the ADVICE-flagged batch/stream divergence, now pinned
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Reading]
+    val q = StatefulJobs.countWindows(in.toDS(), size = 2)
+      .writeStream.format("memory").queryName("cwneg").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Reading("k", 1, -2.5e-6), Reading("k", 2, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("cwneg").as[CountWin].collect().toSet ==
+        Set(CountWin("k", 0L, 2L, -3L)))
+    } finally q.stop()
+  }
+
   test("rising alarm fires via event-time timeout when the key goes quiet (onTimer analog)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Reading]
