@@ -33,6 +33,17 @@ class ClusterSpec extends SparkTestBase {
     assert(labels.values.toSet == Set(1L))
   }
 
+  test("empty pair set yields an empty, schema-correct result") {
+    // exercises the all-empty parquet round-trip (no part files are
+    // written; the read-back must use the explicit schema) — the shape
+    // q_dedup_cluster hits on a tiny SF with no near-dup pairs
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = ClusterOps.connectedComponents(empty, "a", "b")
+    assert(out.columns.toSeq == Seq("id", "label"))
+    assert(out.count() == 0)
+  }
+
   test("no persisted or checkpointed blocks survive a call (BENCH_r03 leak)") {
     import spark.implicits._
     // capture baseline: other suites may share the session
