@@ -129,6 +129,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_ngram_topk partial-aggregates and takes top-k without a global sort") {
+    val plan = fullPlanString("q_ngram_topk")
+    assert(plan.contains("partial_count"), "doc-frequency count must map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
   test("q_dedup_minhash builds lazily — no driver-side collect of the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
