@@ -76,6 +76,7 @@ object SparkEntry {
     "q_text_repetition" -> (TextOps.textRepetition _),
     "q_ngram_topk" -> (TextOps.ngramTopk _),
     "q_lang_mismatch" -> (CurationOps.langMismatch _),
+    "q_asof_join" -> (JoinOps.asofOrderEvents _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -615,6 +616,20 @@ object SparkEntry {
          |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
          |FROM gstr GROUP BY gram
          |ORDER BY doc_freq DESC, gram ASC LIMIT 20""".stripMargin,
+    // DuckDB's native ASOF JOIN is the independent check of the
+    // union+window carry-forward implementation
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |d AS (SELECT o_custkey AS user_id,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS day_total_e2
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, ev.user_id, ev.day AS event_day, d.day AS order_day,
+        |  n_orders, day_total_e2
+        |FROM ev ASOF JOIN d ON ev.user_id = d.user_id AND ev.day >= d.day
+        |ORDER BY event_id""".stripMargin,
     "q_lang_mismatch" -> {
       import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
       s"""WITH $tkCte,

@@ -80,6 +80,71 @@ object JoinOps {
       .orderBy($"o_orderpriority", $"rank")
   }
 
+  /** As-of join — each left row matched to the single right row with
+    * the greatest `time` ≤ the left row's `time` for the same `key`
+    * (inner semantics: unmatched left rows drop). Spark has no native
+    * ASOF join, and the naive `l.key = r.key AND r.time <= l.time`
+    * range join explodes into per-key cross products at scale. This
+    * is the single-shuffle pattern instead: tag and union both sides,
+    * window per key ordered by (time, tag) — right rows (tag 0) sort
+    * BEFORE left rows (tag 1) at equal time, giving `<=` — and carry
+    * the latest right-side values forward with `last(ignoreNulls)`.
+    * One shuffle on the key, a linear within-partition sort, no range
+    * explosion: the 100 TB plan. The matched right `time` is emitted
+    * as `matchedTimeCol`.
+    *
+    * Caller contract: one right row per (key, time) — pre-aggregate
+    * otherwise — and no column-name overlap between the two payloads. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               matchedTimeCol: String): DataFrame = {
+    val lPayload = left.columns.filterNot(c => c == key || c == time).toSeq
+    val rPayload = right.columns.filterNot(c => c == key || c == time).toSeq
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"as-of payload columns must be disjoint; both sides have ${lPayload.intersect(rPayload)}")
+    val timeType = left.schema(time).dataType
+    val l = left.select(
+      col(key) +: col(time) +: lit(1).as("_tag") +:
+        lit(null).cast(timeType).as(matchedTimeCol) +:
+        (lPayload.map(col) ++
+          rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right.select(
+      col(key) +: col(time) +: lit(0).as("_tag") +:
+        col(time).as(matchedTimeCol) +:
+        (lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rPayload.map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (matchedTimeCol +: rPayload).foldLeft(l.unionByName(r)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_tag") === 1 && col(matchedTimeCol).isNotNull)
+      .select(col(key) +: col(time) +: (lPayload ++ (matchedTimeCol +: rPayload)).map(col): _*)
+  }
+
+  /** As-of enrichment of the event stream: each event picks up the
+    * most recent order-day summary (count + fixed-point total) of the
+    * same user at-or-before the event's day — the "state of the world
+    * when the event happened" join every feature/training pipeline
+    * needs for point-in-time-correct features (no future leakage).
+    * The right side is pre-aggregated to one row per (user, day), so
+    * the match is unambiguous and deterministic. */
+  def asofOrderEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val dim = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey".as("user_id"),
+        datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.sumFixed($"o_totalprice", 2).as("day_total_e2"))
+    asofJoin(ev, dim, "user_id", "day", "order_day")
+      .select($"event_id", $"user_id", $"day".as("event_day"),
+        $"order_day", $"n_orders", $"day_total_e2")
+      .orderBy($"event_id")
+  }
+
   /** Multi-way join + date filters (TPC-H Q3-shaped): shipping
     * priority revenue. Exercises filter pushdown on the fact scan. */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
