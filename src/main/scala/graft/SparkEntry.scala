@@ -77,6 +77,7 @@ object SparkEntry {
     "q_ngram_topk" -> (TextOps.ngramTopk _),
     "q_lang_mismatch" -> (CurationOps.langMismatch _),
     "q_asof_join" -> (JoinOps.asofOrderEvents _),
+    "q_range_join" -> (JoinOps.rangeEventBursts _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -630,6 +631,16 @@ object SparkEntry {
         |  n_orders, day_total_e2
         |FROM ev ASOF JOIN d ON ev.user_id = d.user_id AND ev.day >= d.day
         |ORDER BY event_id""".stripMargin,
+    // the oracle states the band as a plain inequality join — fine at
+    // oracle scale; the Spark side must produce identical pairs from
+    // its bucket-replication equi join
+    "q_range_join" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events)
+         |SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |  CAST(sum(CAST(round(b.value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS nbr_value_e6
+         |FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+         |  AND abs(a.t - b.t) <= ${graft.operators.JoinOps.BurstBandUs}
+         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
     "q_lang_mismatch" -> {
       import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
       s"""WITH $tkCte,

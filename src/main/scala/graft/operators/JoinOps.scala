@@ -145,6 +145,50 @@ object JoinOps {
       .orderBy($"event_id")
   }
 
+  /** Banded range join — all (left, right) pairs with the same `key`
+    * and |left.time − right.time| ≤ `band`. Spark plans a naive
+    * inequality join as BroadcastNestedLoopJoin (a per-key cross
+    * product). This is the bucketed form instead: bucket width =
+    * `band`, RIGHT side replicated to buckets {b−1, b, b+1}, equi
+    * join on (key, bucket), exact band filter after. |l−r| ≤ band
+    * guarantees the bucket ids differ by at most 1, and the three
+    * replicas have distinct bucket values so each qualifying pair
+    * matches exactly once. Cost: one equi shuffle at 3× the right
+    * side's rows — the 100 TB shape, never a product. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+                band: Long): DataFrame = {
+    require(band > 0, s"band must be positive, got $band")
+    val lb = left.withColumn("_bucket", expr(s"$time div $band"))
+    val rb = right
+      .withColumn("_bucket",
+        explode(array((-1 to 1).map(d => expr(s"$time div $band") + d): _*)))
+      .withColumnRenamed(time, s"${time}_r")
+    lb.join(rb, Seq(key, "_bucket"))
+      .filter(abs(col(time) - col(s"${time}_r")) <= band)
+      .drop("_bucket")
+  }
+
+  /** Band in [[rangeEventBursts]]: ±12 hours in microseconds. */
+  val BurstBandUs = 43200000000L
+
+  /** Range-join query — burst detection: per event, how many OTHER
+    * events the same user produced within ±12 hours, and their
+    * fixed-point value sum (the "activity around this event" feature;
+    * a self band-join, the hardest range-join shape because both
+    * sides are the full stream). Inner: solitary events drop. */
+  def rangeEventBursts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t"), $"value")
+    val left = ev.select($"event_id", $"user_id", $"t")
+    val right = ev.select($"user_id", $"t", $"event_id".as("nbr_id"), $"value")
+    rangeJoin(left, right, "user_id", "t", band = BurstBandUs)
+      .filter($"nbr_id" =!= $"event_id")
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        Det.sumFixed($"value", 6).as("nbr_value_e6"))
+      .orderBy($"event_id")
+  }
+
   /** Multi-way join + date filters (TPC-H Q3-shaped): shipping
     * priority revenue. Exercises filter pushdown on the fact scan. */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {

@@ -46,4 +46,28 @@ class AsofJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"as-of must not fall back to a product join:\n$plan")
   }
+
+  test("rangeJoin pairs exactly the rows within the band, once each") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 7L, 70L), (1L, 13L, 130L), (1L, 14L, 140L),
+      (2L, 30L, 300L)).toDF("k", "t", "rv")
+    val out = JoinOps.rangeJoin(left, right, "k", "t", band = 3L)
+      .select(col("lv"), col("rv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a(t=10): 7 and 13 within ±3; 14 is 4 away. b(t=20): none within ±3
+    // of {7,13,14}... 17..23 → none. c(k=2,t=10): 30 is 20 away → none.
+    assert(out.sorted.toSeq == Seq(("a", 70L), ("a", 130L)), s"got ${out.toSeq}")
+    // each qualifying pair appears exactly once despite 3× replication
+    assert(out.length == out.distinct.length)
+  }
+
+  test("rangeJoin plan is an equi join — no nested-loop product") {
+    val left = Seq((1L, 5L, 10L)).toDF("k", "t", "lv")
+    val right = Seq((1L, 3L, 30L)).toDF("k", "t", "rv")
+    val plan = JoinOps.rangeJoin(left, right, "k", "t", band = 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay equi-bucketed:\n$plan")
+  }
 }
