@@ -78,6 +78,8 @@ object SparkEntry {
     "q_lang_mismatch" -> (CurationOps.langMismatch _),
     "q_asof_join" -> (JoinOps.asofOrderEvents _),
     "q_range_join" -> (JoinOps.rangeEventBursts _),
+    "q_kmv_distinct" -> (CurationOps.kmvDistinct _),
+    "q_quantiles" -> (CurationOps.sourceQuantiles _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -641,6 +643,35 @@ object SparkEntry {
          |FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_id <> b.event_id
          |  AND abs(a.t - b.t) <= ${graft.operators.JoinOps.BurstBandUs}
          |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    // both engines share the md5 hash space, so the K minima — and the
+    // integer KMV estimate — agree bit-for-bit (HLL sketches can't)
+    "q_kmv_distinct" -> {
+      import graft.operators.CurationOps.{KmvK, KmvSpace}
+      s"""WITH $tkCte,
+         |t AS (SELECT DISTINCT d.source, ${h60("tok")} AS h
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkv) u
+         |  JOIN documents d USING (doc_id)),
+         |r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_exact,
+         |  CAST(CASE WHEN count(*) < $KmvK THEN count(*)
+         |       ELSE ${KmvK - 1} * ($KmvSpace // greatest(max(CASE WHEN rk <= $KmvK THEN h END), 1))
+         |       END AS BIGINT) AS kmv_est
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_quantiles" ->
+      """WITH lens AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT source, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM lens)
+        |SELECT source, max(n) AS n_docs,
+        |  max(CASE WHEN rk = floor((n-1) * 0.5) + 1 THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rk = floor((n-1) * 0.9) + 1 THEN n_tokens END) AS p90_tokens,
+        |  max(CASE WHEN rk = floor((n-1) * 0.99) + 1 THEN n_tokens END) AS p99_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_lang_mismatch" -> {
       import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
       s"""WITH $tkCte,

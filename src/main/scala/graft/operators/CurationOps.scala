@@ -136,6 +136,65 @@ object CurationOps {
         expr("n_mismatch * 10000 div n_docs").as("mismatch_ratio_e4"))
       .orderBy($"source", $"lang")
 
+  /** K for [[kmvDistinct]] — sketches keep the K smallest hashes. */
+  val KmvK = 16
+  /** hash60 value space: 2^60. */
+  val KmvSpace = 1152921504606846976L
+
+  /** #58 KMV (k-minimum-values) distinct sketch: estimate the
+    * distinct-token count per source from only the K smallest token
+    * hashes — the mergeable sketch a 100 TB profiler ships instead of
+    * exact distinct (whose state is unbounded). DETERMINISTIC and
+    * oracle-exact, unlike HLL-style sketches whose binary layouts
+    * differ per engine: both engines see the same md5-derived hashes,
+    * so the K minima — and the integer estimate
+    * `(K-1) · (2^60 div kth_min)` — agree bit-for-bit. Exact count
+    * emitted alongside to gate estimator quality. Sketch state is
+    * O(K) per group; the plan is distinct → per-group rank ≤ K →
+    * aggregate (two keyed shuffles, no unbounded state). */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val th = Tables.documents(spark, sfDir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .select($"source", hash60($"tok").as("h"))
+      .distinct()
+    val w = Window.partitionBy($"source").orderBy($"h".asc)
+    th.withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_distinct_exact"),
+        max(when($"rk" <= KmvK, $"h")).as("kth"))
+      .select($"source", $"n_distinct_exact",
+        // integer div, NOT `/` (double division would round the
+        // quotient before truncation — off-by-one vs the oracle)
+        when($"n_distinct_exact" < KmvK, $"n_distinct_exact")
+          .otherwise(lit(KmvK - 1L) * expr(s"$KmvSpace div greatest(kth, 1L)"))
+          .as("kmv_est"))
+      .orderBy($"source")
+  }
+
+  /** #59 Exact per-source token-count quantiles (p50/p90/p99) by rank
+    * position — the corpus length profile. Rank-based selection
+    * (value at sorted position `(n-1)·q` floored) is engine-
+    * independent, unlike interpolated percentile functions. One sort
+    * shuffle per group, no global sort. */
+  def sourceQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy($"source").orderBy($"n_tokens".asc, $"doc_id".asc)
+    val ranked = lens
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    def pick(q: Double) =
+      max(when($"rk" === (floor(($"n" - 1) * q) + 1), $"n_tokens"))
+    ranked.groupBy($"source")
+      .agg(max($"n").as("n_docs"),
+        pick(0.5).as("p50_tokens"),
+        pick(0.9).as("p90_tokens"),
+        pick(0.99).as("p99_tokens"))
+      .orderBy($"source")
+  }
+
   /** Per-mille keep rates per source for [[stratifiedSample]] —
     * the "training mix" knob (upsample curated sources, downsample
     * crawl). Shared with the oracle so the rates cannot drift. */
