@@ -40,7 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litCsv(e: Expression, fn: String, arg: String): Seq[String] = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
-      v.toString.split(',').toSeq
+      // trim around commas ('the, a, of' means the/a/of, not ' a');
+      // reject empties so a trailing comma fails loudly instead of
+      // silently shrinking the set. Markers cannot contain commas.
+      val parts = v.toString.split(",", -1).map(_.trim).toSeq
+      if (parts.exists(_.isEmpty)) throw new IllegalArgumentException(
+        s"$fn: $arg has an empty element (leading/trailing/double comma): '$v'")
+      parts
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a comma-separated string literal, got $other")
   }

@@ -101,26 +101,32 @@ object JoinOps {
     val rPayload = right.columns.filterNot(c => c == key || c == time).toSeq
     require(lPayload.intersect(rPayload).isEmpty,
       s"as-of payload columns must be disjoint; both sides have ${lPayload.intersect(rPayload)}")
-    val timeType = left.schema(time).dataType
+    val reserved = Seq("_tag", "_asof", matchedTimeCol)
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"as-of inputs must not contain reserved columns $reserved")
     val l = left.select(
       col(key) +: col(time) +: lit(1).as("_tag") +:
-        lit(null).cast(timeType).as(matchedTimeCol) +:
         (lPayload.map(col) ++
           rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
     val r = right.select(
       col(key) +: col(time) +: lit(0).as("_tag") +:
-        col(time).as(matchedTimeCol) +:
         (lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           rPayload.map(col)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (matchedTimeCol +: rPayload).foldLeft(l.unionByName(r)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("_tag") === 1 && col(matchedTimeCol).isNotNull)
-      .select(col(key) +: col(time) +: (lPayload ++ (matchedTimeCol +: rPayload)).map(col): _*)
+    // the matched right row is carried as ONE struct, not per-column:
+    // per-column last(ignoreNulls) would skip a legitimately-NULL
+    // payload value and fuse it with a STALE value from an older right
+    // row — a row that never existed. The struct is null exactly on
+    // left rows, so ignoreNulls lands on the latest right ROW whole.
+    val asofRow = when(col("_tag") === 0,
+      struct(col(time).as(matchedTimeCol) +: rPayload.map(col): _*))
+    l.unionByName(r)
+      .withColumn("_asof", last(asofRow, ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1 && col("_asof").isNotNull)
+      .select(col(key) +: col(time) +: (lPayload.map(col) ++
+        (matchedTimeCol +: rPayload).map(c => col(s"_asof.$c").as(c))): _*)
   }
 
   /** As-of enrichment of the event stream: each event picks up the
@@ -158,6 +164,9 @@ object JoinOps {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                 band: Long): DataFrame = {
     require(band > 0, s"band must be positive, got $band")
+    val reserved = Seq("_bucket", s"${time}_r")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"range-join inputs must not contain reserved columns $reserved")
     val lb = left.withColumn("_bucket", expr(s"$time div $band"))
     val rb = right
       .withColumn("_bucket",

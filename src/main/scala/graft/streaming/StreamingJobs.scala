@@ -23,13 +23,23 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
   * (both measured on Spark 4.1; pinned by StreamingSpec's
   * three-micro-batch boundary test). */
 object EngineWatermark {
+  private def trackerUs(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    org.apache.spark.sql.graftbridge.StreamingBridge.currentWatermarkMs(q)
+      .map(_ * 1000L).getOrElse(0L)
+
   /** Engine watermark in epoch micros for the CURRENT micro-batch of
     * `queryName` (0 before the first batch / if not running). */
   def watermarkUs(spark: SparkSession, queryName: String): Long =
-    spark.streams.active.find(_.name == queryName)
-      .flatMap(org.apache.spark.sql.graftbridge.StreamingBridge.currentWatermarkMs)
-      .map(_ * 1000L)
-      .getOrElse(0L)
+    spark.streams.active.find(_.name == queryName).map(trackerUs).getOrElse(0L)
+
+  /** Strict form for code running INSIDE the query (foreachBatch):
+    * a missing name there is a misconfiguration, and falling back to
+    * watermark 0 would silently treat every row as on-time. */
+  def watermarkUsOrThrow(spark: SparkSession, queryName: String): Long =
+    trackerUs(spark.streams.active.find(_.name == queryName).getOrElse(
+      throw new IllegalStateException(
+        s"streaming query '$queryName' not found among active streams — " +
+          "was the writer's queryName overridden?")))
 }
 
 /** Structured-Streaming transform builders (SURVEY.md §2.1/§2.2).
@@ -113,8 +123,8 @@ object StreamingJobs {
   /** Engine-driven late side output (reference WindowTest.scala:72):
     * a `foreachBatch` query over the RAW watermarked stream that
     * splits every micro-batch by the ENGINE's current watermark — read
-    * synchronously via [[EngineWatermark.watermarkUs]] from the
-    * query's own watermark tracker, i.e. the same boundary the
+    * synchronously via [[EngineWatermark.watermarkUsOrThrow]] from
+    * the query's own watermark tracker, i.e. the same boundary the
     * stateful operators drop on — and routes each half to a caller
     * sink. The writer is already named `queryName` (how each batch
     * finds its own query); callers must NOT override it — a missing
@@ -129,13 +139,8 @@ object StreamingJobs {
       .queryName(queryName)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val query = session.streams.active.find(_.name == queryName).getOrElse(
-          throw new IllegalStateException(
-            s"lateRouted query '$queryName' not found among active streams — " +
-              "was the writer's queryName overridden after lateRouted()?"))
-        val wmUs = org.apache.spark.sql.graftbridge.StreamingBridge
-          .currentWatermarkMs(query).map(_ * 1000L).getOrElse(0L)
-        val (ok, lateRows) = lateSplit(batch, wmUs)
+        val (ok, lateRows) =
+          lateSplit(batch, EngineWatermark.watermarkUsOrThrow(session, queryName))
         onTime(ok)
         late(lateRows)
       }

@@ -37,33 +37,41 @@ object Materialize {
   def freeCheckpoint(df: DataFrame): Unit =
     checkpointRdds(df).foreach(_.unpersist(blocking = false))
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close() // an unclosed walk leaks a directory fd
+    }
+
   private lazy val tmpRoot: Path = {
     val dir = Files.createTempDirectory("graft-materialize-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      if (Files.exists(dir))
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
     dir
   }
 
   // last K dirs per name, so a long-lived session calling the same
-  // operator repeatedly doesn't grow temp disk monotonically
+  // operator repeatedly doesn't grow temp disk monotonically; evicted
+  // dirs additionally get a grace period, so a lazily-unread frame
+  // from a few calls back stays readable as long as it is consumed
+  // within EvictAfterNanos of its creation
   private val KeepPerName = 4
+  private val EvictAfterNanos = 10L * 60 * 1000000000L // 10 minutes
   private val dirsByName =
-    new java.util.concurrent.ConcurrentHashMap[String, List[Path]]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[(Path, Long)]]()
 
   private def trackAndPrune(name: String, dir: Path): Unit = {
+    val now = System.nanoTime()
     val evicted = new java.util.concurrent.atomic.AtomicReference[List[Path]](Nil)
     dirsByName.compute(name, (_, old) => {
-      val all = dir :: (if (old == null) Nil else old)
-      val (keep, drop) = all.splitAt(KeepPerName)
-      evicted.set(drop)
-      keep
+      val all = (dir, now) :: (if (old == null) Nil else old)
+      val (keep, old2) = all.splitAt(KeepPerName)
+      val (young, drop) = old2.partition { case (_, t) => now - t < EvictAfterNanos }
+      evicted.set(drop.map(_._1))
+      keep ++ young
     })
-    evicted.get.foreach(p =>
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f)))
+    evicted.get.foreach(deleteRecursively)
   }
 
   /** Copy `df` out of the block manager: write parquet under a

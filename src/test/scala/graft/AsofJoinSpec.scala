@@ -31,6 +31,19 @@ class AsofJoinSpec extends SparkTestBase {
       s"got $out")
   }
 
+  test("a NULL right payload value is preserved — never fused with a stale row") {
+    // right (t=5) legitimately carries v=null; per-column
+    // last(ignoreNulls) carry would emit (t=5, v=10) — a row that
+    // never existed. The struct carry must yield (t=5, null).
+    val left = Seq((1L, 6L, "e")).toDF("k", "t", "ev")
+    val right = Seq((1L, 1L, Some(10L)), (1L, 5L, None)).toDF("k", "t", "v")
+    val out = JoinOps.asofJoin(left, right, "k", "t", "t_right")
+      .select(col("t_right"), col("v")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 5L && out(0).isNullAt(1),
+      s"expected (5, null), got ${out(0)}")
+  }
+
   test("payload-name collision is rejected up front") {
     val l = Seq((1L, 1L, 1L)).toDF("k", "t", "v")
     val r = Seq((1L, 1L, 2L)).toDF("k", "t", "v")
