@@ -75,6 +75,52 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out.length == out.distinct.length)
   }
 
+  test("asofJoin equals brute force on seeded random inputs") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val left = Seq.fill(40)(
+        (rnd.nextInt(5).toLong, rnd.nextInt(30).toLong, rnd.nextInt(1000).toLong))
+      val right = Seq.fill(40)((rnd.nextInt(5).toLong, rnd.nextInt(30).toLong))
+        .distinct // one right row per (key, time) — the caller contract
+        .map { case (k, t) => (k, t, rnd.nextInt(1000).toLong) }
+      val got = JoinOps.asofJoin(left.toDF("k", "t", "lv"),
+          right.toDF("k", "t", "rv"), "k", "t", "mt")
+        .select(col("k"), col("t"), col("lv"), col("mt"), col("rv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+      val expect = left.flatMap { case (k, t, lv) =>
+        val cand = right.filter(rr => rr._1 == k && rr._2 <= t)
+        if (cand.isEmpty) None
+        else { val m = cand.maxBy(_._2); Some((k, t, lv, m._2, m._3)) }
+      }.sorted
+      assert(got == expect, s"round $round")
+    }
+  }
+
+  test("rangeJoin equals brute force on seeded random inputs") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 3) {
+      val band = 1L + rnd.nextInt(7)
+      val left = Seq.fill(40)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+      val right = Seq.fill(40)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+      val got = JoinOps.rangeJoin(left.toDF("k", "t", "lv"),
+          right.toDF("k", "t", "rv"), "k", "t", band)
+        .select(col("k"), col("t"), col("lv"), col("t_r"), col("rv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sorted
+      val expect = (for {
+        (k, t, lv) <- left
+        (k2, t2, rv) <- right
+        if k == k2 && math.abs(t - t2) <= band
+      } yield (k, t, lv, t2, rv)).sorted
+      assert(got == expect, s"round $round band=$band")
+    }
+  }
+
   test("rangeJoin plan is an equi join — no nested-loop product") {
     val left = Seq((1L, 5L, 10L)).toDF("k", "t", "lv")
     val right = Seq((1L, 3L, 30L)).toDF("k", "t", "rv")
