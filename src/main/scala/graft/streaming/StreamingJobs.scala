@@ -146,6 +146,22 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming as-of enrichment: every micro-batch is point-in-time
+    * joined (JoinOps.asofJoin — greatest dim time ≤ event time per
+    * key, never a FUTURE dim row) against a batch dimension keyed by
+    * (key, time) — the slowly-changing-dimension feature join, with
+    * the same no-future-leakage guarantee as the batch form. The dim
+    * re-evaluates per micro-batch, so a refreshed dim table is picked
+    * up on the next trigger without restarting the query. */
+  def asofEnrich(stream: DataFrame, dim: DataFrame, key: String, time: String,
+                 matchedTimeCol: String)(sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.JoinOps.asofJoin(batch, dim, key, time, matchedTimeCol))
+      }
+
   /** Stream–static enrichment join: a stream joined against a batch
     * dimension table (the Flink broadcast-state / connect-with-
     * control-stream enrichment pattern). Spark broadcasts the static

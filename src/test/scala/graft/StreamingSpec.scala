@@ -153,6 +153,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment picks the latest dim row at-or-before each event") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, 10L, "v1"), (1L, 20L, "v2"), (2L, 5L, "w1"))
+      .toDF("k", "t", "tier")
+    val in = MemoryStream[(Long, Long, Double)]
+    val got = collection.mutable.Set[(Long, Long, Long, String)]()
+    val q = StreamingJobs.asofEnrich(
+      in.toDF().toDF("k", "t", "value"), dim, "k", "t", "dim_t")(
+      b => got.synchronized {
+        got ++= b.select(col("k").as[Long], col("t").as[Long],
+          col("dim_t").as[Long], col("tier").as[String]).collect()
+      }).start()
+    try {
+      in.addData((1L, 15L, 1.0), (1L, 25L, 2.0))
+      q.processAllAvailable()
+      in.addData((2L, 4L, 3.0), (2L, 6L, 4.0)) // 4 < 5 → no dim yet, drops
+      q.processAllAvailable()
+      assert(got.toSet == Set(
+        (1L, 15L, 10L, "v1"),  // latest dim ≤ 15 is t=10
+        (1L, 25L, 20L, "v2"),  // picks v2, never a future row
+        (2L, 6L, 5L, "w1")), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static dim join enriches each micro-batch (broadcast-state analog)") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("id", "tier")
