@@ -31,18 +31,24 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    // a failed query reports -1, never a plausible-looking time
+    // Best-of-2 per query (each attempt behind a session reset):
+    // transient host/CPU contention during a single pass otherwise
+    // reads as a uniform phantom regression — observed 45 s → 106 s
+    // for identical code between two runs minutes apart. The minimum
+    // of two isolated attempts is the query's cost, not the noise's.
+    // A failed query reports -1, never a plausible-looking time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      resetSession()
-      val t0 = System.nanoTime()
-      val elapsed =
+      val attempts = (1 to 2).map { _ =>
+        resetSession()
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
-      name -> elapsed
+      }
+      name -> (if (attempts.exists(_ < 0)) -1.0 else attempts.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
