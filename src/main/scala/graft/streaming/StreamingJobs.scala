@@ -3,7 +3,7 @@ package graft.streaming
 import graft.ColumnInterpolator
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Reads the engine's own event-time watermark for a running query
   * SYNCHRONOUSLY (the Flink analog: the operator reads ITS watermark,
@@ -201,6 +201,69 @@ object StreamingJobs {
       .withColumn("text_hash", md5(lower(trim($"text"))))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Per-band-bucket membership for [[streamingNearDup]]; bounded by
+    * the event-time TTL. */
+  case class BucketState(ids: Seq[Long])
+
+  /** Streaming MinHash-LSH near-dup CANDIDATES — the streaming form
+    * of DedupOps.dedupMinhash for a continuous ingest pipeline: each
+    * arriving doc is signed (native MinhashSigExpr, narrow), exploded
+    * into the same 8 band buckets as the batch operator, and paired
+    * against the docs already resident in its buckets via keyed state.
+    * The watermark + `ttlMs` bound bucket state: a bucket forgets its
+    * members once event time moves `ttlMs` past their arrival, so
+    * state is O(docs per bucket per TTL window) — the dedup horizon a
+    * 100 TB/day pipeline actually wants (near-dups arrive close in
+    * time; the full-history pass stays a batch job). Emission is
+    * at-least-once per pair (a pair can collide in several bands) —
+    * downstream dedups exactly like the batch candidate stream, and
+    * candidates still need the exact-Jaccard verify (batch join). */
+  def streamingNearDup(docs: DataFrame, delay: String, ttlMs: Long): Dataset[(Long, Long)] = {
+    import graft.operators.DedupOps.{numBands, numHashes}
+    import graft.functions.TextFunctions.MinhashP
+    val rows = numHashes / numBands
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (element_at($"sig", rows * b + 1) * MinhashP +
+          element_at($"sig", rows * b + 2)).as("band_hash"))
+    }
+    val spark = docs.sparkSession
+    // selective import: the full `spark.implicits._` would make the
+    // `$` interpolator ambiguous with graft.ColumnInterpolator
+    import spark.implicits.newProductEncoder
+    val banded = docs
+      .withColumn("sig", graft.functions.TextHash.minhashSig($"text", 2, numHashes))
+      .filter(element_at($"sig", 1) =!= Long.MaxValue) // docs with ≥1 gram
+      .withWatermark("ts", delay)
+      .select($"ts", $"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"ts", $"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
+      .as[(java.sql.Timestamp, Long, Long, Long)]
+    banded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Long, Long), batch: Iterator[(java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            var maxTsMs = 0L
+            val out = Seq.newBuilder[(Long, Long)]
+            batch.toSeq.sortBy(r => (r._1.getTime, r._2)).foreach { r =>
+              val d = r._2
+              maxTsMs = math.max(maxTsMs, r._1.getTime)
+              if (!ids.contains(d)) {
+                ids.foreach(e => out += ((math.min(d, e), math.max(d, e))))
+                ids = ids :+ d
+              }
+            }
+            state.update(BucketState(ids))
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
 
   /** Double-11 dashboard, per-province half (reference
     * orderTest/OrderAnalysy.scala:465 GroupDataFuc): per-day

@@ -235,6 +235,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs docs across micro-batches; TTL forgets old buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val similar = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words with nothing shared at all here now"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingJobs.streamingNearDup(
+        in.toDF().toDF("ts", "doc_id", "text"), "10 seconds", ttlMs = 60000L)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append).start()
+    def pairs() = spark.table("neardup")
+      .as[(Long, Long)].collect().toSet
+    try {
+      in.addData((ts(10), 1L, similar), (ts(11), 3L, other))
+      q.processAllAvailable()
+      assert(pairs().isEmpty, "nothing to pair yet")
+      // identical doc in a LATER micro-batch pairs via bucket state
+      in.addData((ts(20), 2L, similar))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)), s"got ${pairs()}")
+      // advance the watermark far past ttl (60 s) with an UNRELATED
+      // doc: watermark 500-10=490 s passes every bucket's
+      // last-activity + ttl, so the next trigger fires the timeouts
+      // and drops bucket state...
+      in.addData((ts(500), 4L, "a third unrelated sentence appears exactly once right here"))
+      q.processAllAvailable()
+      // ...and docs identical to the EXPIRED ones find empty buckets
+      in.addData((ts(510), 5L, similar), (ts(511), 6L, other))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)),
+        s"expired buckets must not pair; got ${pairs()}")
+    } finally q.stop()
+  }
+
   test("session window groups by inactivity gap (streaming form)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
