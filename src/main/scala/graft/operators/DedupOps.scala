@@ -57,20 +57,29 @@ object DedupOps {
     * no shuffle; bands of 2 rows combined into one integer band key
     * (mh1*P + mh2 — exact in BIGINT). At 100 TB this is a pure map
     * over the corpus scan. */
-  def minhashBands(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Sign `text` and explode into (band, band_hash) rows, keeping
+    * every other input column — ONE definition of the signature and
+    * banding math, shared by the batch operator below and
+    * [[graft.streaming.StreamingJobs.streamingNearDup]] so the two
+    * can never silently desynchronize. */
+  private[graft] def bandExplode(docs: DataFrame): DataFrame = {
     val rows = numHashes / numBands
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b.toLong).as("band"),
         (element_at($"sig", rows * b + 1) * MinhashP +
           element_at($"sig", rows * b + 2)).as("band_hash"))
     }
-    Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        graft.functions.TextHash.minhashSig($"text", 2, numHashes).as("sig"))
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .withColumn("sig",
+        graft.functions.TextHash.minhashSig($"text", 2, numHashes))
       .filter(element_at($"sig", 1) =!= Long.MaxValue) // docs with ≥1 gram
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
+      .select(keep :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(keep :+ $"bb.band".as("band") :+ $"bb.band_hash".as("band_hash"): _*)
   }
+
+  def minhashBands(spark: SparkSession, sfDir: String): DataFrame =
+    bandExplode(Tables.documents(spark, sfDir).select($"doc_id", $"text"))
 
   def minhashBandsQ(spark: SparkSession, sfDir: String): DataFrame =
     minhashBands(spark, sfDir).orderBy($"doc_id", $"band")

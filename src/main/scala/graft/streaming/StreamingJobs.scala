@@ -202,42 +202,38 @@ object StreamingJobs {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("text_hash")
 
-  /** Per-band-bucket membership for [[streamingNearDup]]; bounded by
-    * the event-time TTL. */
-  case class BucketState(ids: Seq[Long])
+  /** Per-band-bucket membership for [[streamingNearDup]]:
+    * (doc_id, arrival event-time ms) pairs plus the RUNNING max event
+    * time — members older than ttl behind the max are pruned on every
+    * update, and the group timeout derives from the running max so an
+    * out-of-order arrival can never shorten a previously promised
+    * TTL. */
+  case class BucketState(members: Seq[(Long, Long)], maxTsMs: Long)
 
   /** Streaming MinHash-LSH near-dup CANDIDATES — the streaming form
     * of DedupOps.dedupMinhash for a continuous ingest pipeline: each
-    * arriving doc is signed (native MinhashSigExpr, narrow), exploded
-    * into the same 8 band buckets as the batch operator, and paired
-    * against the docs already resident in its buckets via keyed state.
-    * The watermark + `ttlMs` bound bucket state: a bucket forgets its
-    * members once event time moves `ttlMs` past their arrival, so
-    * state is O(docs per bucket per TTL window) — the dedup horizon a
-    * 100 TB/day pipeline actually wants (near-dups arrive close in
-    * time; the full-history pass stays a batch job). Emission is
-    * at-least-once per pair (a pair can collide in several bands) —
-    * downstream dedups exactly like the batch candidate stream, and
-    * candidates still need the exact-Jaccard verify (batch join). */
+    * arriving doc is signed and exploded into band buckets by the
+    * SAME shared code as the batch operator (DedupOps.bandExplode) and
+    * paired against the docs already resident in its buckets via
+    * keyed state. State is genuinely O(docs per bucket per TTL
+    * window): each update prunes members more than `ttlMs` behind the
+    * bucket's max event time — so a continuously-active bucket stays
+    * bounded and never emits pairs across more than the TTL horizon —
+    * and an idle bucket is dropped whole by the event-time timeout.
+    * That horizon is the dedup contract a 100 TB/day pipeline wants
+    * (near-dups arrive close in time; full history stays a batch
+    * job). Emission is at-least-once per pair (a pair can collide in
+    * several bands) — downstream dedups exactly like the batch
+    * candidate stream, and candidates still need the exact-Jaccard
+    * verify (batch join). */
   def streamingNearDup(docs: DataFrame, delay: String, ttlMs: Long): Dataset[(Long, Long)] = {
-    import graft.operators.DedupOps.{numBands, numHashes}
-    import graft.functions.TextFunctions.MinhashP
-    val rows = numHashes / numBands
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        (element_at($"sig", rows * b + 1) * MinhashP +
-          element_at($"sig", rows * b + 2)).as("band_hash"))
-    }
     val spark = docs.sparkSession
     // selective import: the full `spark.implicits._` would make the
     // `$` interpolator ambiguous with graft.ColumnInterpolator
     import spark.implicits.newProductEncoder
-    val banded = docs
-      .withColumn("sig", graft.functions.TextHash.minhashSig($"text", 2, numHashes))
-      .filter(element_at($"sig", 1) =!= Long.MaxValue) // docs with ≥1 gram
+    val banded = graft.operators.DedupOps.bandExplode(
+        docs.select($"ts", $"doc_id", $"text"))
       .withWatermark("ts", delay)
-      .select($"ts", $"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"ts", $"doc_id", $"bb.band".as("band"), $"bb.band_hash".as("band_hash"))
       .as[(java.sql.Timestamp, Long, Long, Long)]
     banded
       .groupByKey(r => (r._3, r._4))
@@ -246,20 +242,27 @@ object StreamingJobs {
          state: GroupState[BucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var ids = state.getOption.map(_.ids).getOrElse(Seq.empty)
-            var maxTsMs = 0L
+            val prev = state.getOption.getOrElse(BucketState(Nil, 0L))
+            var members = prev.members
+            var maxTs = prev.maxTsMs
             val out = Seq.newBuilder[(Long, Long)]
             batch.toSeq.sortBy(r => (r._1.getTime, r._2)).foreach { r =>
               val d = r._2
-              maxTsMs = math.max(maxTsMs, r._1.getTime)
-              if (!ids.contains(d)) {
-                ids.foreach(e => out += ((math.min(d, e), math.max(d, e))))
-                ids = ids :+ d
+              val tsMs = r._1.getTime
+              maxTs = math.max(maxTs, tsMs)
+              // evict BEFORE pairing: emitted pairs are always within
+              // the ttl horizon of each other
+              members = members.filter(_._2 >= maxTs - ttlMs)
+              if (!members.exists(_._1 == d)) {
+                members.foreach { case (e, _) =>
+                  out += ((math.min(d, e), math.max(d, e)))
+                }
+                members = members :+ (d, tsMs)
               }
             }
-            state.update(BucketState(ids))
+            state.update(BucketState(members, maxTs))
             state.setTimeoutTimestamp(
-              math.max(maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

@@ -268,6 +268,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup buckets evict members past the ttl horizon even while active") {
+    // the bucket NEVER idles long enough for the group timeout — the
+    // O(docs per TTL window) bound must come from per-member eviction
+    implicit val sqlCtx = spark.sqlContext
+    val similar = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingJobs.streamingNearDup(
+        in.toDF().toDF("ts", "doc_id", "text"), "10 seconds", ttlMs = 60000L)
+      .writeStream.format("memory").queryName("neardup2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(10), 1L, similar))
+      q.processAllAvailable()
+      in.addData((ts(50), 2L, similar)) // 40 s after doc 1 → within ttl
+      q.processAllAvailable()
+      in.addData((ts(200), 3L, similar)) // 150 s after doc 2 → outside
+      q.processAllAvailable()
+      val got = spark.table("neardup2").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)),
+        s"doc 3 must not pair with members older than the ttl horizon; got $got")
+    } finally q.stop()
+  }
+
   test("session window groups by inactivity gap (streaming form)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
