@@ -76,6 +76,33 @@ object VectorExprs {
     while (i < n) { val v = a.getLong(i); n2 += v * v; i += 1 }
     n2
   }
+
+  /** Σ elements mod p (elements already in [0, p)) — the reduction
+    * behind rollingFp's order-independent window-hash summary. */
+  def sumModData(a: ArrayData, p: Long): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s = (s + a.getLong(i)) % p; i += 1 }
+    s
+  }
+
+  /** Column form of [[sumModData]]. */
+  def sumMod(a: Column, p: Long): Column =
+    ColumnBridge.column(SumModLongExpr(ColumnBridge.expression(a), p))
+}
+
+case class SumModLongExpr(child: Expression, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    VectorExprs.sumModData(a.asInstanceOf[ArrayData], p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorExprs.sumModData($c, ${p}L);")
+  override protected def withNewChildInternal(c: Expression): SumModLongExpr =
+    copy(child = c)
+  override def prettyName: String = "sum_mod_long"
 }
 
 case class QuantizeE3Expr(child: Expression)

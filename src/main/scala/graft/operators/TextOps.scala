@@ -93,7 +93,9 @@ object TextOps {
         size($"hs").cast(LongType).as("n_windows"),
         array_min($"hs").as("min_h"),
         array_max($"hs").as("max_h"),
-        aggregate($"hs", lit(0L), (acc, h) => (acc + h) % P).as("sum_mod"))
+        // native sum-mod — the last hot-path aggregate() HOF is gone;
+        // same left-fold (acc + h) % P the oracle computes in HUGEINT
+        graft.functions.VectorExprs.sumMod($"hs", P).as("sum_mod"))
       .orderBy($"doc_id")
   }
 

@@ -57,12 +57,15 @@ class CodegenSpec extends SparkTestBase {
       TextHash.simhash(col("text"), 60).as("sh"),
       TextHash.minhashSig(col("text"), 3, 16).as("sig"),
       RollingHash.rollingHashes(col("text"), 8).as("rolling"),
+      TextHash.gramStrings(col("text"), 2).as("gram_strs"),
+      graft.functions.VectorExprs.sumMod(
+        TextHash.gramHashes(col("text"), 3), 1000000007L).as("sum_mod"),
       graft.functions.TextSetExprs.countInSet(
         graft.functions.TextFunctions.tokens(col("text")),
         graft.functions.TextFunctions.enMarkers).as("marker_hits"))
     val tt = t.select(
       col("id"), col("grams"), col("sh"), col("sig"), col("rolling"),
-      col("marker_hits"),
+      col("gram_strs"), col("sum_mod"), col("marker_hits"),
       TextHash.sortedIntersectCount(
         sort_array(col("grams")), sort_array(col("grams"))).as("self_common"))
     tt.crossJoin(e)

@@ -117,11 +117,11 @@ class PlanSpec extends SparkTestBase {
     // Spark HOFs (aggregate/transform/zip_with) evaluate the lambda
     // INTERPRETED (~16 µs/element — NOTES.md) and always print as
     // `lambdafunction(...)` in the plan; the text family must stay
-    // fully codegen'd (q_rolling_fp is the one documented exception:
-    // its mod-P fold has no built-in equivalent).
+    // fully codegen'd (q_rolling_fp's mod-P fold is now the native
+    // SumModLongExpr, so no exceptions remain).
     for (q <- Seq("q_text_quality", "q_text_langid", "q_token_count",
         "q_text_pii", "q_curation", "q_text_repetition", "q_ngram_topk",
-        "q_lang_mismatch")) {
+        "q_lang_mismatch", "q_rolling_fp", "q_fingerprint")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +
