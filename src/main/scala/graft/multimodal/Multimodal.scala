@@ -174,14 +174,22 @@ object Multimodal {
   }
 
   /** End-to-end: media table → sampled frames → features → per-doc
-    * mean feature norm (small aggregate; bytes never shuffle). */
+    * mean feature norm (small aggregate; bytes never shuffle). The
+    * per-frame norm² runs in the typed map (same float-accumulation
+    * order as the old `aggregate` HOF — bit-identical, but no
+    * interpreted lambda per element). */
   def pipeline(spark: SparkSession, sfDir: String, stride: Int = 5,
                featDim: Int = 8): DataFrame = {
     val feats = extractFeatures(sampleFrames(mediaFromDocuments(spark, sfDir), stride), featDim)
     import spark.implicits._
     feats
-      .select($"doc_id", $"kind", $"frameIdx",
-        aggregate($"feature", lit(0.0f), (acc, x) => acc + x * x).as("norm2"))
+      .map { f =>
+        var n2 = 0.0f
+        var i = 0
+        while (i < f.feature.length) { n2 += f.feature(i) * f.feature(i); i += 1 }
+        (f.doc_id, f.kind, f.frameIdx, n2)
+      }
+      .toDF("doc_id", "kind", "frameIdx", "norm2")
       .groupBy($"doc_id", $"kind")
       .agg(count(lit(1)).as("n_frames"), sum($"norm2").as("sum_norm2"))
       .orderBy($"doc_id")
