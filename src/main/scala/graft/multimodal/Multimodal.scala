@@ -46,10 +46,14 @@ object Multimodal {
       try {
         // MemoryCacheImageInputStream: plain ImageIO.read(InputStream)
         // would spill each record to a temp FILE cache — per-record
-        // disk I/O in the hot decode stage for data already in memory
+        // disk I/O in the hot decode stage for data already in memory.
+        // ImageIO.read does NOT dispose the stream it is handed, so
+        // close it here rather than leaving cache resources to GC
+        // finalization in the hot stage.
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        Option(javax.imageio.ImageIO.read(iis)).map { img =>
+        val decoded = try javax.imageio.ImageIO.read(iis) finally iis.close()
+        Option(decoded).map { img =>
           val w = img.getWidth; val h = img.getHeight
           val total = w.toLong * h
           val sums = new Array[Double](n)

@@ -12,40 +12,105 @@ import org.apache.spark.storage.StorageLevel
   * canonical doc per cluster. That grouping is connected components
   * over the pair graph.
   *
-  * Scale design (100 TB): min-label propagation with POINTER JUMPING
-  * (label := label of label, the Shiloach–Vishkin / large-star move),
-  * which converges in O(log d) rounds instead of O(d) for diameter-d
-  * components. Each round is two equi shuffles on uniform ids (edges
-  * ⋈ labels, labels ⋈ labels) and exactly ONE Spark job: the
-  * convergence check rides along as a `sum(label < old)` aggregate on
-  * the round's own output instead of a separate join+count job. The
-  * label frame is one row per node, `localCheckpoint`ed each round to
-  * truncate lineage (on a real cluster: `checkpoint` to durable
-  * storage); each round's blocks are freed the moment the next round
-  * lands, and the FINAL labels are copied out of the block manager
-  * with a parquet round-trip (the production write-out step) so a
-  * call leaves ZERO resident blocks behind — the BENCH_r03 lesson,
-  * where leaked checkpoint blocks taxed every later query in the
-  * session. Near-dup graphs are dense blobs with tiny diameters, so
-  * rounds ≈ 2-4 in practice regardless of corpus size.
+  * Scale design (100 TB): ADAPTIVE, the same small-side reasoning
+  * Spark applies to broadcast joins. The edge count is known for free
+  * (the edge frame is persisted for the iterations anyway):
+  *   - at or below [[DriverEdgeLimit]] edges (~16 MB of id pairs —
+  *     broadcast-threshold-sized), union–find with path compression on
+  *     the driver in O(E α(E)) — one job to gather, zero iterative
+  *     shuffles. A near-dup pair graph is a tiny projection of the
+  *     corpus (pairs above a high Jaccard bar), so this is the common
+  *     case even at large SF, exactly like a dim table staying
+  *     broadcastable while the fact table grows.
+  *   - above the limit, min-label propagation with POINTER JUMPING
+  *     (label := label of label, the Shiloach–Vishkin / large-star
+  *     move), which converges in O(log d) rounds instead of O(d) for
+  *     diameter-d components. Each round is two equi shuffles on
+  *     uniform ids and exactly ONE Spark job: the convergence check
+  *     rides along as a `sum(label < old)` aggregate on the round's
+  *     own output. The label frame is `localCheckpoint`ed each round
+  *     to truncate lineage (on a real cluster: `checkpoint` to durable
+  *     storage); each round's blocks are freed the moment the next
+  *     round lands, and the FINAL labels are copied out of the block
+  *     manager with a parquet round-trip (the production write-out
+  *     step) so a call leaves ZERO resident blocks behind — the
+  *     BENCH_r03 lesson, where leaked checkpoint blocks taxed every
+  *     later query in the session. Near-dup graphs are dense blobs
+  *     with tiny diameters, so rounds ≈ 2-4 regardless of corpus size.
   */
 object ClusterOps {
 
-  /** Rounds taken by the most recent [[connectedComponents]] call
-    * (test observability: ClusterSpec asserts one job per round). */
-  @volatile private[graft] var lastRounds: Int = 0
+  /** Edge counts at or below this take the driver union–find path —
+    * sized like a broadcast-join small side (2^20 edges ≈ 16 MB of id
+    * pairs). Pass `driverEdgeLimit = 0` to force the distributed
+    * pointer-jumping loop (ClusterSpec pins its per-round job count
+    * that way). */
+  val DriverEdgeLimit = 1L << 20
+
+  /** Rounds taken by this thread's most recent [[connectedComponents]]
+    * call — 0 for the driver union–find path (test observability;
+    * thread-local so concurrent callers can't read each other's
+    * value). */
+  private[graft] val lastRounds: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
 
   /** Connected components of an undirected edge list: returns
     * `(id, label)` with label = MIN node id in the component —
-    * deterministic, engine-independent. Only nodes that appear in
-    * `pairs` are returned (isolated docs are their own trivial
-    * cluster; emitting them would just echo the corpus). The result
-    * is backed by a plain parquet scan — no cached or checkpointed
-    * blocks outlive the call. */
-  def connectedComponents(pairs: DataFrame, a: String, b: String): DataFrame = {
+    * deterministic, engine-independent, identical from both paths.
+    * Only nodes that appear in `pairs` are returned (isolated docs are
+    * their own trivial cluster; emitting them would just echo the
+    * corpus). The result holds no cached or checkpointed blocks in
+    * either path. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(a).as("s"), col(b).as("d"))
       .union(pairs.select(col(b).as("s"), col(a).as("d")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // materializes the persisted edges — the count both paths need
+      val edgeCount = edges.count()
+      if (edgeCount <= driverEdgeLimit) driverUnionFind(spark, edges)
+      else pointerJump(edges)
+    } finally edges.unpersist()
+  }
+
+  /** Small-graph path: gather the (persisted, already-counted) edges
+    * and union–find with path compression + union-by-min on the
+    * driver. The gather is the same driver-side traffic a broadcast
+    * join's build side pays; the result returns as a local relation
+    * (no block-manager state). */
+  private def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    lastRounds.set(0)
+    // symmetric union means each undirected edge appears twice; the
+    // second occurrence is a no-op union
+    val es = edges.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (s, d) =>
+      parent.putIfAbsent(s, s); parent.putIfAbsent(d, d)
+      val rs = find(s); val rd = find(d)
+      // union by MIN root so the final label needs no second pass
+      if (rs < rd) parent.put(rd, rs) else if (rd < rs) parent.put(rs, rd)
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("id", "label")
+  }
+
+  /** Distributed path: min-label propagation with pointer jumping,
+    * one job per round, zero resident blocks after the call. */
+  private def pointerJump(edges: DataFrame): DataFrame = {
     var labels = edges.select($"s".as("id")).distinct()
       .select($"id", $"id".as("label"))
       .localCheckpoint(true)
@@ -89,8 +154,7 @@ object ClusterOps {
       Materialize.parquetRoundTrip(labels, "cc_labels")
     } finally {
       Materialize.freeCheckpoint(labels)
-      edges.unpersist()
-      lastRounds = rounds
+      lastRounds.set(rounds)
     }
   }
 

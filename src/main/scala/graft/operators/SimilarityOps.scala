@@ -81,15 +81,29 @@ object SimilarityOps {
 
   val ivfCells = 8
 
-  /** Materialized IVF index per corpus dir — (parquet path, pivot
+  /** Materialized IVF index per corpus — (parquet path, pivot
     * vectors): BOTH the cell assignment and the driver-collected
     * pivots are built once and reused by every later query batch —
     * the 100 TB amortization story in code, not just a comment. A
     * production deployment writes the index next to the corpus; here
     * it lands under the session temp root. The 8 pivots are ~4 KB, so
-    * they ride task closures directly (no broadcast to leak). */
+    * they ride task closures directly (no broadcast to leak).
+    *
+    * Keyed by dir PLUS a (name, size, mtime) fingerprint of the
+    * embedding files, so regenerating the parquet under the same path
+    * in one JVM rebuilds the index instead of serving stale cells. */
   private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Long, Array[Long], Long)])]()
+
+  private def embeddingsFingerprint(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$sfDir/embeddings.parquet")
+    if (!root.exists()) "absent"
+    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(",")
+  }
 
   /** IVF-style ANN top-3: each query probes its 2 nearest cells of
     * the materialized index. Pivots are the `ivfCells` lowest corpus
@@ -109,7 +123,8 @@ object SimilarityOps {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
     def quant = graft.functions.VectorFunctions.quantized(
       Tables.embeddings(spark, sfDir))
-    val (indexPath, pivots) = ivfIndex.computeIfAbsent(sfDir, _ => {
+    val indexKey = s"$sfDir|${embeddingsFingerprint(sfDir)}"
+    val (indexPath, pivots) = ivfIndex.computeIfAbsent(indexKey, _ => {
       // 8 pivot VECTORS only — never the corpus — cross the driver,
       // and only on this build-once path
       val p = quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells)

@@ -51,40 +51,22 @@ object Materialize {
     dir
   }
 
-  // last K dirs per name, so a long-lived session calling the same
-  // operator repeatedly doesn't grow temp disk monotonically; evicted
-  // dirs additionally get a grace period, so a lazily-unread frame
-  // from a few calls back stays readable as long as it is consumed
-  // within EvictAfterNanos of its creation
-  private val KeepPerName = 4
-  private val EvictAfterNanos = 10L * 60 * 1000000000L // 10 minutes
-  private val dirsByName =
-    new java.util.concurrent.ConcurrentHashMap[String, List[(Path, Long)]]()
-
-  private def trackAndPrune(name: String, dir: Path): Unit = {
-    val now = System.nanoTime()
-    val evicted = new java.util.concurrent.atomic.AtomicReference[List[Path]](Nil)
-    dirsByName.compute(name, (_, old) => {
-      val all = (dir, now) :: (if (old == null) Nil else old)
-      val (keep, old2) = all.splitAt(KeepPerName)
-      val (young, drop) = old2.partition { case (_, t) => now - t < EvictAfterNanos }
-      evicted.set(drop.map(_._1))
-      keep ++ young
-    })
-    evicted.get.foreach(deleteRecursively)
-  }
-
   /** Copy `df` out of the block manager: write parquet under a
     * session-temp dir and return a plain scan of it. The result holds
     * no cached/checkpointed blocks, so every checkpoint feeding `df`
-    * can be freed immediately after this returns. Disk is bounded:
-    * only the last [[KeepPerName]] round-trips per `name` are kept —
-    * consume (or persist elsewhere) a result before calling the same
-    * operator that many more times. */
+    * can be freed immediately after this returns.
+    *
+    * Lifetime: the backing dir lives until JVM exit (reclaimed by the
+    * [[tmpRoot]] shutdown hook), so the returned frame is valid no
+    * matter how late it is consumed. An earlier last-K-per-name eager
+    * eviction could delete the dir under a still-held lazily-read
+    * frame; frames round-tripped here are small by contract (label /
+    * index frames, never corpora), so session temp growth is bounded
+    * by call count, not data size — per-call eviction buys nothing
+    * worth that failure mode. */
   def parquetRoundTrip(df: DataFrame, name: String): DataFrame = {
     val dir = Files.createTempDirectory(tmpRoot, name)
     df.write.mode("overwrite").parquet(dir.toString)
-    trackAndPrune(name, dir)
     // explicit schema: an all-empty frame writes no part files, which
     // would otherwise fail schema inference on the read back
     df.sparkSession.read.schema(df.schema).parquet(dir.toString)

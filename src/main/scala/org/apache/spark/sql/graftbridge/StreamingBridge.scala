@@ -20,9 +20,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingBridge {
   // `watermarkTracker` is `protected` in MicroBatchExecution (Scala
   // protected compiles to a public bytecode accessor) — reached via
-  // reflection; one call per micro-batch, cost irrelevant
+  // reflection; one call per micro-batch, cost irrelevant. The lookup
+  // is version-sensitive: fail with the assumption spelled out rather
+  // than a bare NoSuchMethodException inside someone's micro-batch.
   private lazy val trackerAccessor =
-    classOf[MicroBatchExecution].getMethod("watermarkTracker")
+    try classOf[MicroBatchExecution].getMethod("watermarkTracker")
+    catch {
+      case e: NoSuchMethodException => throw new IllegalStateException(
+        "graftbridge.StreamingBridge assumes Spark 4.1's " +
+          "MicroBatchExecution.watermarkTracker accessor (StreamingSpec " +
+          "pins the semantics); this Spark build renamed or moved it — " +
+          "update StreamingBridge for the new runtime layout", e)
+    }
 
   /** Engine watermark (epoch ms) the CURRENT micro-batch's stateful
     * operators use; None for non-microbatch queries. */

@@ -4,61 +4,77 @@ import graft.operators.ClusterOps
 import org.apache.spark.sql.functions._
 
 /** Connected-components clustering (ClusterOps): label = min id in
-  * the component, only paired nodes returned, O(log d) pointer-jump
-  * convergence (exercised by the chain graph, whose diameter forces
-  * multiple rounds). */
+  * the component, only paired nodes returned, both execution paths —
+  * driver union–find under the broadcast-sized edge limit, O(log d)
+  * pointer-jump propagation above it (exercised by forcing
+  * `driverEdgeLimit = 0`; the chain graph's diameter forces multiple
+  * rounds). */
 class ClusterSpec extends SparkTestBase {
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(pairs: Seq[(Long, Long)], limit: Long): Map[Long, Long] = {
     import spark.implicits._
     val df = pairs.toDF("a", "b")
-    ClusterOps.connectedComponents(df, "a", "b")
+    ClusterOps.connectedComponents(df, "a", "b", driverEdgeLimit = limit)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("chain, triangle, and isolated pair resolve to min-id labels") {
-    // chain 1-2-3-4-5-6-7-8 (diameter 7 → needs >1 pointer-jump round),
-    // triangle {100,101,102}, pair {200,201}
-    val pairs = (1L to 7L).map(i => (i, i + 1)) ++
-      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
-    val labels = cc(pairs)
+  // chain 1-2-3-4-5-6-7-8 (diameter 7 → needs >1 pointer-jump round),
+  // triangle {100,101,102}, pair {200,201}
+  private val chainTrianglePair = (1L to 7L).map(i => (i, i + 1)) ++
+    Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+
+  private def assertChainTrianglePair(labels: Map[Long, Long]): Unit = {
     assert((1L to 8L).forall(labels(_) == 1L))
     assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
     assert(labels(200L) == 200L && labels(201L) == 200L)
     assert(labels.size == 13) // no isolated nodes invented
   }
 
-  test("edge direction does not matter") {
-    val labels = cc(Seq((5L, 3L), (3L, 9L), (9L, 1L)))
-    assert(labels.values.toSet == Set(1L))
+  test("chain, triangle, and isolated pair resolve to min-id labels (both paths agree)") {
+    val driver = cc(chainTrianglePair, limit = ClusterOps.DriverEdgeLimit)
+    val distributed = cc(chainTrianglePair, limit = 0)
+    assertChainTrianglePair(driver)
+    assert(driver == distributed,
+      "driver union–find and pointer-jump propagation must produce identical labels")
   }
 
-  test("empty pair set yields an empty, schema-correct result") {
-    // exercises the all-empty parquet round-trip (no part files are
-    // written; the read-back must use the explicit schema) — the shape
-    // q_dedup_cluster hits on a tiny SF with no near-dup pairs
+  test("edge direction does not matter (both paths)") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 1L))
+    assert(cc(pairs, limit = ClusterOps.DriverEdgeLimit).values.toSet == Set(1L))
+    assert(cc(pairs, limit = 0).values.toSet == Set(1L))
+  }
+
+  test("empty pair set yields an empty, schema-correct result (both paths)") {
+    // the distributed path (limit = -1 so 0 edges still exceeds it)
+    // exercises the all-empty parquet round-trip: no part files are
+    // written and the read-back must use the explicit schema — the
+    // shape q_dedup_cluster hits on a tiny SF with no near-dup pairs
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
-    val out = ClusterOps.connectedComponents(empty, "a", "b")
-    assert(out.columns.toSeq == Seq("id", "label"))
-    assert(out.count() == 0)
+    for (limit <- Seq(ClusterOps.DriverEdgeLimit, -1L)) {
+      val out = ClusterOps.connectedComponents(empty, "a", "b", driverEdgeLimit = limit)
+      assert(out.columns.toSeq == Seq("id", "label"))
+      assert(out.count() == 0)
+    }
   }
 
-  test("no persisted or checkpointed blocks survive a call (BENCH_r03 leak)") {
+  test("no persisted or checkpointed blocks survive a call on either path (BENCH_r03 leak)") {
     import spark.implicits._
     // capture baseline: other suites may share the session
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = ((1L to 7L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
       .toDF("a", "b")
-    val result = ClusterOps.connectedComponents(pairs, "a", "b")
-    assert(result.count() == 10)
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty,
-      s"connectedComponents must free every persist/localCheckpoint it creates; leaked RDD ids: $leaked")
-    // and the RESULT must not depend on block-manager state at all:
-    // a plain parquet-backed plan recomputes fine after a cache wipe
-    spark.catalog.clearCache()
-    assert(result.count() == 10)
+    for (limit <- Seq(ClusterOps.DriverEdgeLimit, 0L)) {
+      val result = ClusterOps.connectedComponents(pairs, "a", "b", driverEdgeLimit = limit)
+      assert(result.count() == 10)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"connectedComponents must free every persist/localCheckpoint it creates (limit=$limit); leaked RDD ids: $leaked")
+      // and the RESULT must not depend on block-manager state at all:
+      // its plan recomputes fine after a cache wipe
+      spark.catalog.clearCache()
+      assert(result.count() == 10)
+    }
   }
 
   test("each propagation round is ONE Spark job (convergence rides the round's aggregate)") {
@@ -80,15 +96,15 @@ class ClusterSpec extends SparkTestBase {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sparkContext.addSparkListener(l)
     try {
-      ClusterOps.connectedComponents(pairs, "a", "b").count()
+      ClusterOps.connectedComponents(pairs, "a", "b", driverEdgeLimit = 0).count()
       org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
-      val rounds = ClusterOps.lastRounds
+      val rounds = ClusterOps.lastRounds.get()
       assert(rounds >= 2, s"chain-16 must take multiple rounds, took $rounds")
-      // per call: 1 eager-init job + 1 job/round + parquet write +
-      // read-back + the count above ≈ rounds + 4. The old separate
-      // join+count convergence job would cost 2·rounds + overhead.
+      // per call: 1 edge-count job + 1 eager-init job + 1 job/round +
+      // parquet write + read-back + the count above ≈ rounds + 5. The
+      // old separate join+count convergence job would cost 2·rounds.
       val total = jobs.get()
-      assert(total <= rounds + 5,
+      assert(total <= rounds + 6,
         s"expected ≈1 job/round (+constant), saw $total jobs for $rounds rounds")
     } finally {
       spark.sparkContext.removeSparkListener(l)
