@@ -47,12 +47,16 @@ object Multimodal {
         // MemoryCacheImageInputStream: plain ImageIO.read(InputStream)
         // would spill each record to a temp FILE cache — per-record
         // disk I/O in the hot decode stage for data already in memory.
-        // ImageIO.read does NOT dispose the stream it is handed, so
-        // close it here rather than leaving cache resources to GC
-        // finalization in the hot stage.
+        // ImageIO.read(ImageInputStream) CLOSES the stream itself on a
+        // successful read (OpenJDK 17) and leaves it open only on the
+        // no-reader null-return path — so close idempotently: swallow
+        // the already-closed IOException instead of letting it turn a
+        // good decode into a stub fallback.
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val decoded = try javax.imageio.ImageIO.read(iis) finally iis.close()
+        val decoded =
+          try javax.imageio.ImageIO.read(iis)
+          finally try iis.close() catch { case _: java.io.IOException => () }
         Option(decoded).map { img =>
           val w = img.getWidth; val h = img.getHeight
           val total = w.toLong * h
@@ -159,18 +163,35 @@ object Multimodal {
     }
   }
 
+  /** Named counter for image records whose bytes failed the real codec
+    * and fell back to the stub. The round-5 regression shipped because
+    * a total codec outage produced plausible stub output — fallback
+    * must be OBSERVABLE, not silent. Wire one of these into
+    * [[extractFeatures]]/[[pipeline]] and alert on nonzero (the
+    * MultimodalSpec e2e path asserts zero on real PNGs). Task retries
+    * can overcount (accumulator semantics) — fine for an outage
+    * signal, never read it as an exact tally. */
+  def imageFallbackCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.multimodal.imageFallbacks")
+
   /** Decode + feature-extract, one codec per partition (the expensive
     * stage; batched like an Arrow UDF). featDim models "resize to a
     * fixed feature grid". Images go through the REAL JDK codec
     * ([[ImageIoCodec]] — PNG/JPEG); audio/video and undecodable image
-    * bytes fall back to the deterministic stub. */
-  def extractFeatures(sampled: Dataset[(MediaAsset, Int)], featDim: Int): Dataset[MediaFeature] = {
+    * bytes fall back to the deterministic stub. Image-kind fallbacks
+    * tick `fallbacks` so a codec outage surfaces instead of silently
+    * degrading every feature to the stub. */
+  def extractFeatures(sampled: Dataset[(MediaAsset, Int)], featDim: Int,
+                      fallbacks: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[MediaFeature] = {
     import sampled.sparkSession.implicits._
     sampled.mapPartitions { it =>
       // one decoder instance per partition — mirrors opening one
       // libjpeg/ffmpeg context per task rather than per record
       it.map { case (a, frame) =>
-        val feat = (if (a.kind == "image") ImageIoCodec.decode(a.bytes, featDim) else None)
+        val real = if (a.kind == "image") ImageIoCodec.decode(a.bytes, featDim) else None
+        if (a.kind == "image" && real.isEmpty) fallbacks.foreach(_.add(1L))
+        val feat = real
           .getOrElse(StubCodec.decode(a.bytes ++ BigInt(frame).toByteArray, featDim))
         MediaFeature(a.doc_id, a.kind, frame, featDim, feat)
       }
@@ -183,8 +204,17 @@ object Multimodal {
     * order as the old `aggregate` HOF — bit-identical, but no
     * interpreted lambda per element). */
   def pipeline(spark: SparkSession, sfDir: String, stride: Int = 5,
-               featDim: Int = 8): DataFrame = {
-    val feats = extractFeatures(sampleFrames(mediaFromDocuments(spark, sfDir), stride), featDim)
+               featDim: Int = 8,
+               fallbacks: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    pipelineFrom(mediaFromDocuments(spark, sfDir), stride, featDim, fallbacks)
+
+  /** [[pipeline]] over an explicit media table — lets callers (and the
+    * zero-fallback e2e spec) feed real decodable assets through the
+    * exact production stages. */
+  def pipelineFrom(assets: Dataset[MediaAsset], stride: Int = 5, featDim: Int = 8,
+                   fallbacks: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = assets.sparkSession
+    val feats = extractFeatures(sampleFrames(assets, stride), featDim, fallbacks)
     import spark.implicits._
     feats
       .map { f =>

@@ -77,12 +77,32 @@ class MultimodalSpec extends SparkTestBase {
     // (typed Dataset → mapPartitions decode → resize) with the REAL
     // codec, not the stub
     val assets = Seq(MediaAsset(7L, "image", png, 4, 2, 0)).toDS()
-    val feats = Multimodal.extractFeatures(Multimodal.sampleFrames(assets, 5), 2)
+    val ctr = Multimodal.imageFallbackCounter(spark)
+    val feats = Multimodal.extractFeatures(Multimodal.sampleFrames(assets, 5), 2, Some(ctr))
     val row = feats.head()
     assert(row.feature.toSeq == feat.toSeq,
       "extractFeatures must use the ImageIO path for decodable image bytes")
     val resized = Multimodal.resize(feats, 1).head()
     assert(math.abs(resized.feature(0) - 0.5f) < 1e-6f)
+
+    // the r5 lesson, pinned at the PIPELINE level: a codec outage must
+    // be observable, so the full production path over real PNGs must
+    // report ZERO stub fallbacks...
+    val pipeCtr = Multimodal.imageFallbackCounter(spark)
+    val agg = Multimodal.pipelineFrom(
+      Seq(MediaAsset(7L, "image", png, 4, 2, 0),
+          MediaAsset(8L, "image", jbuf.toByteArray, 4, 2, 0)).toDS(),
+      stride = 5, featDim = 2, fallbacks = Some(pipeCtr))
+    assert(agg.count() == 2)
+    assert(pipeCtr.value == 0L,
+      s"real-image e2e pipeline reported ${pipeCtr.value} codec fallbacks — image decode is broken")
+    // ...and undecodable image bytes must TICK the counter (an outage
+    // can never again ship invisibly behind plausible stub output)
+    val badCtr = Multimodal.imageFallbackCounter(spark)
+    Multimodal.pipelineFrom(
+      Seq(MediaAsset(9L, "image", "not a png".getBytes, 4, 2, 0)).toDS(),
+      stride = 5, featDim = 2, fallbacks = Some(badCtr)).count()
+    assert(badCtr.value == 1L)
   }
 
   test("stub decode is deterministic and feature extraction is distributed") {
