@@ -15,8 +15,10 @@ import org.apache.spark.storage.StorageLevel
   * Scale design (100 TB): ADAPTIVE, the same small-side reasoning
   * Spark applies to broadcast joins. The edge count is known for free
   * (the edge frame is persisted for the iterations anyway):
-  *   - at or below [[DriverEdgeLimit]] edges (~16 MB of id pairs —
-  *     broadcast-threshold-sized), union–find with path compression on
+  *   - at or below [[DriverEdgeLimit]] DIRECTED edges — the count is
+  *     taken on the symmetric-doubled frame both paths build, so up to
+  *     2^19 undirected pairs (~8 MB of id pairs, broadcast-threshold-
+  *     sized) — union–find with path compression on
   *     the driver in O(E α(E)) — one job to gather, zero iterative
   *     shuffles. A near-dup pair graph is a tiny projection of the
   *     corpus (pairs above a high Jaccard bar), so this is the common
@@ -40,9 +42,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object ClusterOps {
 
-  /** Edge counts at or below this take the driver union–find path —
-    * sized like a broadcast-join small side (2^20 edges ≈ 16 MB of id
-    * pairs). Pass `driverEdgeLimit = 0` to force the distributed
+  /** Directed-edge counts at or below this take the driver union–find
+    * path. The count is measured on the SYMMETRIC (doubled) edge frame,
+    * so the effective threshold is 2^19 undirected pairs ≈ 8 MB of id
+    * pairs — deliberately conservative, sized like a broadcast-join
+    * small side (the driver gathers ≤ 2^20 (s,d) tuples and the
+    * union–find map holds ≤ 2^21 boxed entries, tens of MB of heap at
+    * the limit). Pass `driverEdgeLimit = 0` to force the distributed
     * pointer-jumping loop (ClusterSpec pins its per-round job count
     * that way). */
   val DriverEdgeLimit = 1L << 20

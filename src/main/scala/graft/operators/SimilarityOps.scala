@@ -95,14 +95,29 @@ object SimilarityOps {
   private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Array[(Long, Array[Long], Long)])]()
 
-  private def embeddingsFingerprint(sfDir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
-      else Seq(f)
-    val root = new java.io.File(s"$sfDir/embeddings.parquet")
-    if (!root.exists()) "absent"
-    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(",")
+  /** Latest index key per corpus dir — when a regenerated corpus lands
+    * a new fingerprint under the same dir, the old entry is provably
+    * unreachable (its key embeds the old fingerprint), so it is evicted
+    * and its index dir deleted instead of leaking until JVM exit. */
+  private val ivfCurrent = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (name, size, mtime) fingerprint of the embedding files, resolved
+    * through the Hadoop FileSystem of the path — works on hdfs:// and
+    * s3:// the same as file:// (a java.io.File walk would fingerprint
+    * every remote store as a constant, silently serving stale cells). */
+  private def embeddingsFingerprint(spark: SparkSession, sfDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) "absent"
+    else {
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(path, true) // recursive, files only
+      while (it.hasNext) {
+        val st = it.next()
+        files += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
+      files.sorted.mkString(",")
+    }
   }
 
   /** IVF-style ANN top-3: each query probes its 2 nearest cells of
@@ -121,21 +136,34 @@ object SimilarityOps {
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
-    def quant = graft.functions.VectorFunctions.quantized(
-      Tables.embeddings(spark, sfDir))
-    val indexKey = s"$sfDir|${embeddingsFingerprint(sfDir)}"
+    import graft.functions.VectorFunctions.quantized
+    // every vec_id selection is a COLUMN filter applied before the
+    // typed quantize map, so it reaches the parquet scan as a pushed
+    // filter — the probe path must extract 10 query vectors without
+    // reading (or quantizing) the 100 TB corpus
+    def emb = Tables.embeddings(spark, sfDir)
+    val indexKey = s"$sfDir|${embeddingsFingerprint(spark, sfDir)}"
     val (indexPath, pivots) = ivfIndex.computeIfAbsent(indexKey, _ => {
       // 8 pivot VECTORS only — never the corpus — cross the driver,
       // and only on this build-once path
-      val p = quant.filter(r => r._1 >= 10 && r._1 < 10 + ivfCells)
+      val p = quantized(emb.filter($"vec_id" >= 10 && $"vec_id" < 10 + ivfCells))
         .collect().sortBy(_._1)
-      val cells = quant.filter(_._1 >= 10)
+      val cells = quantized(emb.filter($"vec_id" >= 10))
         .map { case (id, q, n2) => (bestCells(p)(q, n2, 1).head, id, q, n2) }
         .toDF("cell", "vec_id", "q", "n2")
       (graft.tools.Materialize.writeParquet(cells, "ivf-index"), p)
     })
+    // evict the superseded entry (old fingerprint, same dir): no future
+    // call can reference it — its key embeds the dead fingerprint —
+    // and any in-flight reader of it was already invalid, because the
+    // corpus files it derives from were rewritten underneath it
+    val prev = ivfCurrent.put(sfDir, indexKey)
+    if (prev != null && prev != indexKey)
+      Option(ivfIndex.remove(prev)).foreach { case (oldPath, _) =>
+        graft.tools.Materialize.deleteDir(oldPath)
+      }
     val cells = spark.read.parquet(indexPath)
-    val probes = quant.filter(_._1 < 10)
+    val probes = quantized(emb.filter($"vec_id" < 10))
       .flatMap { case (id, q, n2) => bestCells(pivots)(q, n2, 2).map(c => (c, id, q, n2)) }
       .toDF("qcell", "query_id", "q", "n2")
     ranked(

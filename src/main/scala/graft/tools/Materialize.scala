@@ -79,4 +79,11 @@ object Materialize {
     df.write.mode("overwrite").parquet(dir)
     dir
   }
+
+  /** Reclaim a [[writeParquet]] dir whose entry is provably dead (e.g.
+    * an IVF index superseded by a new corpus fingerprint) — the only
+    * sanctioned early delete; everything else waits for the shutdown
+    * hook per the lazily-read-frame caveat on [[parquetRoundTrip]]. */
+  def deleteDir(path: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(path))
 }

@@ -44,6 +44,51 @@ class SimilaritySpec extends SparkTestBase {
     val embScans = s.filter(paths(_).exists(_.contains("embeddings")))
     assert(embScans.size == 1,
       s"exactly one embeddings scan (probe side) expected, saw ${embScans.size}")
+    // ...and that probe-side scan must prune on vec_id AT THE SCAN: a
+    // typed-lambda filter after the quantize map would read (and
+    // quantize) the whole corpus to extract 10 query vectors — the
+    // exact cost the materialized index exists to avoid
+    val pushed = embScans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("vec_id"),
+      s"probe-side embeddings scan must push the vec_id filter, got PushedFilters: $pushed")
+  }
+
+  test("Hamming-1 multi-probe strictly improves bucket recall over single-probe LSH") {
+    import graft.functions.VectorFunctions._
+    // JVM mirror of lshBucket: bit j = (q · plane_j) > 0
+    def bucketOf(q: Array[Long]): Long =
+      (0 until nPlanes).map { j =>
+        var d = 0L; var i = 0
+        while (i < dim) { d += q(i) * planes(j)(i); i += 1 }
+        if (d > 0) 1L << j else 0L
+      }.sum
+    // tiny base (quantizes to 2 per coord) keeps every plane dot small
+    // (|2·Σw| ≲ tens of thousands), so a one-coordinate nudge — worth
+    // up to ±500k dot units — can cross exactly one plane's boundary
+    val base = Array.fill(dim)(0.002f)
+    val bq = bucketOf(quantizeJvm(base))
+    // deterministic search: nudge ONE coordinate until exactly one
+    // hyperplane sign flips — a true near neighbor (63 of 64 coords
+    // identical) that single-probe LSH structurally cannot see
+    val neighbor = (0 until dim).iterator.flatMap { i =>
+      Seq(0.004f, 0.0f, 0.01f, 0.02f, 0.05f, 0.1f, -0.002f, 0.2f, 0.5f)
+        .iterator.map { v => val cand = base.clone(); cand(i) = v; cand }
+    }.find(c => java.lang.Long.bitCount(bucketOf(quantizeJvm(c)) ^ bq) == 1)
+      .getOrElse(fail("no single-coordinate nudge flips exactly one plane"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-multiprobe-").toString
+    // query 0 = base; corpus: 10 = the Hamming-1 neighbor, 11 = base
+    // itself (same bucket, so single-probe still returns rows)
+    Seq((0L, base.toSeq), (10L, neighbor.toSeq), (11L, base.toSeq))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val single = SimilarityOps.annLsh(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val multi = SimilarityOps.annMultiprobe(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(single.contains((0L, 11L)) && !single.contains((0L, 10L)),
+      s"construction broken: single-probe saw $single")
+    assert(single.subsetOf(multi) && multi.contains((0L, 10L)),
+      s"multi-probe must be a strict superset: single=$single multi=$multi")
   }
 
   test("LSH top-k results appear in the brute-force ranking with identical cosines") {
