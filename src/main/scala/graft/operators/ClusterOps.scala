@@ -171,7 +171,7 @@ object ClusterOps {
     * corpus to drop redundant docs. */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame =
     connectedComponents(
-      DedupOps.minhashPairs(spark, sfDir).select($"doc_a", $"doc_b"),
+      DedupOps.minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b"),
       "doc_a", "doc_b")
       .select($"id".as("doc_id"), $"label".as("cluster_id"),
         when($"id" === $"label", 1L).otherwise(0L).as("keep"))

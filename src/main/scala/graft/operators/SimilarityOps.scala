@@ -92,33 +92,9 @@ object SimilarityOps {
     * Keyed by dir PLUS a (name, size, mtime) fingerprint of the
     * embedding files, so regenerating the parquet under the same path
     * in one JVM rebuilds the index instead of serving stale cells. */
-  private val ivfIndex = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(Long, Array[Long], Long)])]()
-
-  /** Latest index key per corpus dir — when a regenerated corpus lands
-    * a new fingerprint under the same dir, the old entry is provably
-    * unreachable (its key embeds the old fingerprint), so it is evicted
-    * and its index dir deleted instead of leaking until JVM exit. */
-  private val ivfCurrent = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** (name, size, mtime) fingerprint of the embedding files, resolved
-    * through the Hadoop FileSystem of the path — works on hdfs:// and
-    * s3:// the same as file:// (a java.io.File walk would fingerprint
-    * every remote store as a constant, silently serving stale cells). */
-  private def embeddingsFingerprint(spark: SparkSession, sfDir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) "absent"
-    else {
-      val files = scala.collection.mutable.ArrayBuffer.empty[String]
-      val it = fs.listFiles(path, true) // recursive, files only
-      while (it.hasNext) {
-        val st = it.next()
-        files += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
-      }
-      files.sorted.mkString(",")
-    }
-  }
+  private val ivfIndex =
+    new graft.tools.Materialize.SupersedingCache[(String, Array[(Long, Array[Long], Long)])](
+      { case (path, _) => graft.tools.Materialize.deleteDir(path) })
 
   /** IVF-style ANN top-3: each query probes its 2 nearest cells of
     * the materialized index. Pivots are the `ivfCells` lowest corpus
@@ -142,8 +118,8 @@ object SimilarityOps {
     // filter — the probe path must extract 10 query vectors without
     // reading (or quantizing) the 100 TB corpus
     def emb = Tables.embeddings(spark, sfDir)
-    val indexKey = s"$sfDir|${embeddingsFingerprint(spark, sfDir)}"
-    val (indexPath, pivots) = ivfIndex.computeIfAbsent(indexKey, _ => {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    val (indexPath, pivots) = ivfIndex.getOrBuild(sfDir, fp) {
       // 8 pivot VECTORS only — never the corpus — cross the driver,
       // and only on this build-once path
       val p = quantized(emb.filter($"vec_id" >= 10 && $"vec_id" < 10 + ivfCells))
@@ -152,16 +128,7 @@ object SimilarityOps {
         .map { case (id, q, n2) => (bestCells(p)(q, n2, 1).head, id, q, n2) }
         .toDF("cell", "vec_id", "q", "n2")
       (graft.tools.Materialize.writeParquet(cells, "ivf-index"), p)
-    })
-    // evict the superseded entry (old fingerprint, same dir): no future
-    // call can reference it — its key embeds the dead fingerprint —
-    // and any in-flight reader of it was already invalid, because the
-    // corpus files it derives from were rewritten underneath it
-    val prev = ivfCurrent.put(sfDir, indexKey)
-    if (prev != null && prev != indexKey)
-      Option(ivfIndex.remove(prev)).foreach { case (oldPath, _) =>
-        graft.tools.Materialize.deleteDir(oldPath)
-      }
+    }
     val cells = spark.read.parquet(indexPath)
     val probes = quantized(emb.filter($"vec_id" < 10))
       .flatMap { case (id, q, n2) => bestCells(pivots)(q, n2, 2).map(c => (c, id, q, n2)) }

@@ -86,4 +86,45 @@ object Materialize {
     * hook per the lazily-read-frame caveat on [[parquetRoundTrip]]. */
   def deleteDir(path: String): Unit =
     deleteRecursively(java.nio.file.Paths.get(path))
+
+  /** (name, size, mtime) fingerprint of a table path, resolved through
+    * the path's Hadoop FileSystem — works on hdfs:// and s3:// the
+    * same as file:// (a java.io.File walk would fingerprint every
+    * remote store as a constant, silently serving stale derived data).
+    * "absent" when the path does not exist. */
+  def fingerprint(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true) // recursive, files only
+      while (it.hasNext) {
+        val st = it.next()
+        files += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
+      files.sorted.mkString(",")
+    }
+  }
+
+  /** Build-once cache for derived artifacts keyed by (source dir,
+    * source [[fingerprint]]), with SUPERSEDE eviction: when a new
+    * fingerprint lands for a dir, the old entry can never be served
+    * again (its key embeds the dead fingerprint), so it is dropped and
+    * `release`d (reclaiming its temp dir) instead of leaking until JVM
+    * exit. Any in-flight reader of the released artifact was already
+    * invalid — the source files it derives from were rewritten
+    * underneath it. */
+  final class SupersedingCache[V](release: V => Unit) {
+    private val entries = new java.util.concurrent.ConcurrentHashMap[String, V]()
+    private val current = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def getOrBuild(dir: String, fingerprint: String)(build: => V): V = {
+      val key = s"$dir|$fingerprint"
+      val v = entries.computeIfAbsent(key, _ => build)
+      val prev = current.put(dir, key)
+      if (prev != null && prev != key)
+        Option(entries.remove(prev)).foreach(release)
+      v
+    }
+  }
 }
