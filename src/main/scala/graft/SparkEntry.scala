@@ -80,6 +80,10 @@ object SparkEntry {
     "q_range_join" -> (JoinOps.rangeEventBursts _),
     "q_kmv_distinct" -> (CurationOps.kmvDistinct _),
     "q_quantiles" -> (CurationOps.sourceQuantiles _),
+    "q_cms_heavy" -> (CurationOps.cmsHeavy _),
+    "q_tfidf_topk" -> (TextOps.tfidfTopk _),
+    "q_embed_profile" -> (SimilarityOps.embedProfile _),
+    "q_decontaminate_substr" -> (CurationOps.decontaminateSubstr _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -686,6 +690,55 @@ object SparkEntry {
          |  CAST(count(*) FILTER (detected <> lang) AS BIGINT) * 10000
          |    // CAST(count(*) AS BIGINT) AS mismatch_ratio_e4
          |FROM m GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    },
+    "q_cms_heavy" -> {
+      import graft.operators.CurationOps.{CmsRows, CmsTopK, CmsWidth}
+      s"""WITH $tkCte,
+         |u AS (SELECT unnest(tk) AS token FROM tkv),
+         |js AS (SELECT unnest(generate_series(0, ${CmsRows - 1})) AS j),
+         |cells AS (SELECT j, ${h60("CAST(j AS VARCHAR) || ':' || token")} % $CmsWidth AS cell,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM u CROSS JOIN js GROUP BY 1, 2),
+         |top AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM u
+         |  GROUP BY token ORDER BY n_exact DESC, token ASC LIMIT $CmsTopK),
+         |probe AS (SELECT token, n_exact, j,
+         |    ${h60("CAST(j AS VARCHAR) || ':' || token")} % $CmsWidth AS cell
+         |  FROM top CROSS JOIN js)
+         |SELECT token, n_exact, min(cnt) AS cms_est
+         |FROM probe JOIN cells USING (j, cell)
+         |GROUP BY token, n_exact ORDER BY n_exact DESC, token ASC""".stripMargin
+    },
+    "q_tfidf_topk" -> {
+      import graft.operators.TextOps.{TfidfDocLimit, TfidfTopK}
+      s"""WITH $tkCte,
+         |u AS (SELECT doc_id, unnest(tk) AS term FROM tkv),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM u GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM u
+         |  WHERE doc_id < $TfidfDocLimit GROUP BY doc_id, term),
+         |s AS (SELECT doc_id, term, tf, df, tf * ((1000000 * n_docs) // df) AS score_e6
+         |  FROM tf JOIN df USING (term) CROSS JOIN nn),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS BIGINT) AS rnk FROM s)
+         |SELECT doc_id, rnk, term, tf, df, score_e6 FROM r WHERE rnk <= $TfidfTopK
+         |ORDER BY doc_id, rnk""".stripMargin
+    },
+    "q_embed_profile" ->
+      """WITH e AS (SELECT unnest(range(len(q))) AS dim, unnest(q) AS qv FROM
+        |  (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(qv) AS BIGINT) AS sum_q, min(qv) AS min_q, max(qv) AS max_q,
+        |  CAST(round(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_decontaminate_substr" -> {
+      import graft.operators.CurationOps.DecontMod
+      import graft.operators.DedupOps.OverlapSample
+      s"""WITH $rollWindowCte,
+         |s AS (SELECT DISTINCT doc_id, h FROM w WHERE h % $OverlapSample = 0),
+         |bg AS (SELECT DISTINCT h FROM s WHERE doc_id % $DecontMod = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |FROM s JOIN bg USING (h)
+         |WHERE doc_id % $DecontMod <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
   )
 }

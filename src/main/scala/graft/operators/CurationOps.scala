@@ -195,6 +195,77 @@ object CurationOps {
       .orderBy($"source")
   }
 
+  /** Count-Min sketch geometry for [[cmsHeavy]]: [[CmsRows]] hash rows
+    * × [[CmsWidth]] cells — 1024 counters total, shared with the
+    * oracle so the cell math cannot drift. */
+  val CmsRows = 4
+  val CmsWidth = 256L
+  /** Heavy hitters reported by [[cmsHeavy]]. */
+  val CmsTopK = 20
+
+  /** #60 Count-Min heavy hitters: estimate token frequencies from a
+    * FIXED-size sketch (d×w counters) and report the top-k tokens with
+    * exact count alongside the sketch estimate — the standard
+    * overestimate-only sketch a 100 TB profiler ships when a
+    * vocab-sized exact table is too big to keep per slice.
+    * DETERMINISTIC and oracle-exact: cell counts are plain sums over
+    * md5-derived hash cells (commutative integer aggregation), and the
+    * estimate is `min` over the d cells a token maps to — no
+    * randomness, no engine-specific layout. Scale shape: the sketch
+    * build partial-aggregates to d·w = 1024 cells (map-side combine,
+    * bounded state); the probe side is the tiny top-k set, and the
+    * sketch itself broadcasts. The exact top-k here doubles as the
+    * estimator-quality gate (cms_est ≥ n_exact always; equality when
+    * no cell collision). */
+  def cmsHeavy(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens($"text")).as("token"))
+    val rows = explode(array((0 until CmsRows).map(lit(_)): _*)).as("j")
+    def cellOf(j: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+      hash60(concat(j.cast("string"), lit(":"), tok)) % CmsWidth
+    val sketch = toks.select($"token", rows)
+      .select($"j", cellOf($"j", $"token").as("cell"))
+      .groupBy($"j", $"cell")
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"token".asc)
+      .limit(CmsTopK)
+    top.select($"token", $"n_exact", rows)
+      .withColumn("cell", cellOf($"j", $"token"))
+      .join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy($"token", $"n_exact")
+      .agg(min($"cnt").as("cms_est"))
+      .orderBy($"n_exact".desc, $"token".asc)
+  }
+
+  /** #63 Exact-substring decontamination at the CHARACTER level — the
+    * complement of the token-gram check in [[decontaminate]]: flag
+    * training docs sharing a verbatim [[TextOps.RollWindow]]-char span
+    * with the held-out set, via the same content-defined sampled
+    * rolling-hash windows as [[DedupOps.overlapPairs]] (keep windows
+    * with h ≡ 0 mod [[DedupOps.OverlapSample]]; alignment-independent,
+    * so an identical span selects the SAME windows in both docs
+    * wherever it occurs). Catches eval answers pasted inside longer
+    * documents, where token-gram Jaccard is diluted and word
+    * tokenization can straddle the splice. Scale shape mirrors
+    * [[decontaminate]]: the benchmark window set is MBs → distinct-agg
+    * + broadcast-semi-join; the corpus side is a narrow scan+explode
+    * with no pre-join shuffle. */
+  def decontaminateSubstr(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def wins(df: DataFrame) = df
+      .select($"doc_id", explode(graft.functions.RollingHash
+        .rollingHashes($"text", TextOps.RollWindow)).as("h"))
+      .filter($"h" % DedupOps.OverlapSample === 0L)
+      .distinct()
+    val benchWins = wins(docs.filter($"doc_id" % DecontMod === 0L)).select($"h").distinct()
+    wins(docs.filter($"doc_id" % DecontMod =!= 0L))
+      .join(broadcast(benchWins), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-mille keep rates per source for [[stratifiedSample]] —
     * the "training mix" knob (upsample curated sources, downsample
     * crawl). Shared with the oracle so the rates cannot drift. */

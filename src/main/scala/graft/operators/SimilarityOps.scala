@@ -79,6 +79,25 @@ object SimilarityOps {
       k = 3)
   }
 
+  /** #62 Embedding-space corpus profile: per-dimension integer stats
+    * of the e3-quantized embeddings (count, sum, min, max, HALF_UP
+    * mean) — the drift/health report a pipeline runs before trusting
+    * ANN or cosine dedup on a new corpus drop (a shifted or collapsed
+    * dimension shows up here first). All cross-row math is BIGINT
+    * sums/extrema (order-independent); the mean is ONE IEEE division
+    * + HALF_UP rounding per output row (SURVEY.md §4). Scale: narrow
+    * posexplode of the native quantize expression, then a
+    * partial-agg'd shuffle to exactly `dim` groups — bounded state,
+    * map-side combined. */
+  def embedProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(quantize($"embedding")).as(Seq("dim", "q")))
+      .groupBy($"dim".cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum($"q").as("sum_q"),
+        min($"q").as("min_q"), max($"q").as("max_q"),
+        round(sum($"q").cast("double") / count(lit(1))).cast(LongType).as("mean_q"))
+      .orderBy($"dim")
+
   val ivfCells = 8
 
   /** Materialized IVF index per corpus — (parquet path, pivot

@@ -139,6 +139,41 @@ object TextOps {
       .orderBy($"doc_freq".desc, $"gram".asc)
       .limit(20)
 
+  /** Docs profiled by [[tfidfTopk]] (df/N still span the WHOLE
+    * corpus) and terms kept per doc. Shared with the oracle. */
+  val TfidfDocLimit = 50L
+  val TfidfTopK = 3
+
+  /** #61 TF-IDF top terms per document — the classic relevance signal
+    * (rare-term salience) in INTEGER rational arithmetic so the oracle
+    * matches bit-for-bit: idf_e6 = (1e6·N) div df replaces ln(N/df)
+    * (a monotone transform — per-doc ranking by tf·idf is preserved
+    * for fixed tf; and cross-engine ln is not ulp-stable, so the
+    * standard log form cannot be hash-gated). Scale shape: the
+    * document-frequency table is the corpus-wide vocab aggregation
+    * (one partial-agg'd shuffle); the profiled doc batch is pruned at
+    * the scan and its term counts BROADCAST against the vocab table —
+    * per-batch scoring never reshuffles the corpus. */
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+    val df = terms.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = terms.filter($"doc_id" < TfidfDocLimit)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score_e6".desc, $"term".asc)
+    df.join(broadcast(tf), "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf", $"df",
+        ($"tf" * expr("(1000000 * n_docs) div df")).as("score_e6"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= TfidfTopK)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"score_e6")
+      .orderBy($"doc_id", $"rnk")
+  }
+
   /** #47b Pattern scrubbing metrics: email / URL / long-digit-run
     * counts per document — the flag-before-redact pass of a
     * training-data pipeline. Patterns restricted to the regex subset

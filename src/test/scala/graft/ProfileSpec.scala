@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{CurationOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Sketch/profile operators (SURVEY.md §2.7 #60-63): structural
+  * properties the DuckDB hash gate can't express — estimator bounds,
+  * rank shape, and membership exclusions. */
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("CMS estimate never underestimates and is exact without collisions") {
+    val rows = CurationOps.cmsHeavy(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == CurationOps.CmsTopK)
+    // Count-Min's one-sided error guarantee: cells only ever ADD
+    // colliding tokens' counts, so est >= exact for every token
+    assert(rows.forall { case (_, exact, est) => est >= exact },
+      rows.filter { case (_, exact, est) => est < exact }.toSeq.toString)
+    // top-k ordering is (exact desc, token asc) — total and dense
+    val exacts = rows.map(_._2)
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("TF-IDF ranks are dense 1..k and scores non-increasing per doc") {
+    val rows = TextOps.tfidfTopk(spark, sf)
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_._6)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // only the profiled batch appears; df/N still span the whole corpus
+    assert(rows.forall(_._1 < TextOps.TfidfDocLimit))
+  }
+
+  test("embedding profile covers every dimension with the full corpus") {
+    val rows = SimilarityOps.embedProfile(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L until rows.length))
+    // every vector contributes to every dimension (no ragged arrays)
+    assert(rows.map(_._2).distinct.length == 1)
+    assert(rows.forall { case (_, _, _, mn, mx, mean) => mn <= mean && mean <= mx })
+  }
+
+  test("substring decontamination flags only non-benchmark docs, via a broadcast join") {
+    val df = CurationOps.decontaminateSubstr(spark, sf)
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (id, _) => id % CurationOps.DecontMod != 0L })
+    assert(rows.forall(_._2 >= 1L))
+    // the benchmark window set must broadcast — the corpus side never
+    // shuffles before the semi-join at 100 TB
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "benchmark window set must broadcast")
+  }
+}
