@@ -693,16 +693,22 @@ object SparkEntry {
     },
     "q_cms_heavy" -> {
       import graft.operators.CurationOps.{CmsRows, CmsTopK, CmsWidth}
+      import graft.functions.TextFunctions.{cmsAB, permuteSql}
+      // the d row-cells as a list literal indexed by j — the same
+      // shared-constant discipline as the MinHash band CTE
+      val cellList = cmsAB(CmsRows)
+        .map { case (a, b) => s"${permuteSql("h", a, b)} % $CmsWidth" }
+        .mkString("list_value(", ", ", ")")
       s"""WITH $tkCte,
-         |u AS (SELECT unnest(tk) AS token FROM tkv),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt, ${h60("token")} AS h
+         |  FROM (SELECT unnest(tk) AS token FROM tkv) GROUP BY token),
          |js AS (SELECT unnest(generate_series(0, ${CmsRows - 1})) AS j),
-         |cells AS (SELECT j, ${h60("CAST(j AS VARCHAR) || ':' || token")} % $CmsWidth AS cell,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM u CROSS JOIN js GROUP BY 1, 2),
-         |top AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM u
-         |  GROUP BY token ORDER BY n_exact DESC, token ASC LIMIT $CmsTopK),
-         |probe AS (SELECT token, n_exact, j,
-         |    ${h60("CAST(j AS VARCHAR) || ':' || token")} % $CmsWidth AS cell
+         |cells AS (SELECT j, $cellList[CAST(j+1 AS INTEGER)] AS cell,
+         |    CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM c CROSS JOIN js GROUP BY 1, 2),
+         |top AS (SELECT token, cnt AS n_exact, h FROM c
+         |  ORDER BY cnt DESC, token ASC LIMIT $CmsTopK),
+         |probe AS (SELECT token, n_exact, j, $cellList[CAST(j+1 AS INTEGER)] AS cell
          |  FROM top CROSS JOIN js)
          |SELECT token, n_exact, min(cnt) AS cms_est
          |FROM probe JOIN cells USING (j, cell)

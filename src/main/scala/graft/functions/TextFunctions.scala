@@ -67,6 +67,13 @@ object TextFunctions {
     (0 until k).map(i => (md5mod(s"mh:a:$i", MinhashP - 1) + 1,
       md5mod(s"mh:b:$i", MinhashP)))
 
+  /** Deterministic (a_j, b_j) for the Count-Min rows — the same
+    * universal-hash family as the MinHash permutations, distinct seed
+    * space. */
+  def cmsAB(d: Int): IndexedSeq[(Long, Long)] =
+    (0 until d).map(j => (md5mod(s"cms:a:$j", MinhashP - 1) + 1,
+      md5mod(s"cms:b:$j", MinhashP)))
+
   def permute(h: Column, a: Long, b: Long): Column =
     (lit(a) * (h % MinhashP) + lit(b)) % MinhashP
 

@@ -208,30 +208,35 @@ object CurationOps {
     * exact count alongside the sketch estimate — the standard
     * overestimate-only sketch a 100 TB profiler ships when a
     * vocab-sized exact table is too big to keep per slice.
-    * DETERMINISTIC and oracle-exact: cell counts are plain sums over
-    * md5-derived hash cells (commutative integer aggregation), and the
-    * estimate is `min` over the d cells a token maps to — no
-    * randomness, no engine-specific layout. Scale shape: the sketch
-    * build partial-aggregates to d·w = 1024 cells (map-side combine,
-    * bounded state); the probe side is the tiny top-k set, and the
-    * sketch itself broadcasts. The exact top-k here doubles as the
-    * estimator-quality gate (cms_est ≥ n_exact always; equality when
-    * no cell collision). */
+    * DETERMINISTIC and oracle-exact: each distinct token is md5-hashed
+    * ONCE (hash60), the d row-cells derive from that hash by the same
+    * codegen'd universal-hash permutes MinHash uses (distinct seed
+    * space), and cell counts are plain commutative integer sums — no
+    * randomness, no engine-specific layout. The estimate is `min` over
+    * a token's d cells. Scale shape: one corpus scan feeds a
+    * vocab-sized partial-agg'd count shuffle shared by the sketch
+    * build and the exact gate; the sketch itself collapses to
+    * d·w = 1024 cells and broadcasts against the tiny top-k probe.
+    * (Production keeps only the cells — map-side partial agg of
+    * per-token increments is the same plan minus the gate.) The exact
+    * top-k doubles as the estimator-quality gate (cms_est ≥ n_exact
+    * always; equality when no cell collision). */
   def cmsHeavy(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+    val ab = cmsAB(CmsRows)
+    val counts = Tables.documents(spark, sfDir)
       .select(explode(tokens($"text")).as("token"))
-    val rows = explode(array((0 until CmsRows).map(lit(_)): _*)).as("j")
-    def cellOf(j: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
-      hash60(concat(j.cast("string"), lit(":"), tok)) % CmsWidth
-    val sketch = toks.select($"token", rows)
-      .select($"j", cellOf($"j", $"token").as("cell"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash60($"token"))
+    val cells = array(ab.map { case (a, b) => permute($"h", a, b) % CmsWidth }: _*)
+    val sketch = counts.select($"cnt", posexplode(cells))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "cell"))
       .groupBy($"j", $"cell")
-      .agg(count(lit(1)).as("cnt"))
-    val top = toks.groupBy($"token").agg(count(lit(1)).as("n_exact"))
-      .orderBy($"n_exact".desc, $"token".asc)
+      .agg(sum($"cnt").as("cnt"))
+    val top = counts
+      .orderBy($"cnt".desc, $"token".asc)
       .limit(CmsTopK)
-    top.select($"token", $"n_exact", rows)
-      .withColumn("cell", cellOf($"j", $"token"))
+    top.select($"token", $"cnt".as("n_exact"), posexplode(cells))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "cell"))
       .join(broadcast(sketch), Seq("j", "cell"))
       .groupBy($"token", $"n_exact")
       .agg(min($"cnt").as("cms_est"))
