@@ -722,10 +722,10 @@ object SparkEntry {
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM u
          |  WHERE doc_id < $TfidfDocLimit GROUP BY doc_id, term),
-         |s AS (SELECT doc_id, term, tf, df, tf * ((1000000 * n_docs) // df) AS score_e6
+         |s AS (SELECT doc_id, term, tf, df, tf * ((1000 * n_docs) // df) AS score_e3
          |  FROM tf JOIN df USING (term) CROSS JOIN nn),
-         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS BIGINT) AS rnk FROM s)
-         |SELECT doc_id, rnk, term, tf, df, score_e6 FROM r WHERE rnk <= $TfidfTopK
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_e3 DESC, term ASC) AS BIGINT) AS rnk FROM s)
+         |SELECT doc_id, rnk, term, tf, df, score_e3 FROM r WHERE rnk <= $TfidfTopK
          |ORDER BY doc_id, rnk""".stripMargin
     },
     "q_embed_profile" ->

@@ -262,9 +262,12 @@ object CurationOps {
       .select($"doc_id", explode(graft.functions.RollingHash
         .rollingHashes($"text", TextOps.RollWindow)).as("h"))
       .filter($"h" % DedupOps.OverlapSample === 0L)
-      .distinct()
-    val benchWins = wins(docs.filter($"doc_id" % DecontMod === 0L)).select($"h").distinct()
+    // bench side dedups on h alone (one distinct shuffle, not a
+    // (doc_id, h) pre-distinct it would immediately throw away)
+    val benchWins = wins(docs.filter($"doc_id" % DecontMod === 0L))
+      .select($"h").distinct()
     wins(docs.filter($"doc_id" % DecontMod =!= 0L))
+      .distinct() // per-doc distinct windows: n_hit counts distinct matches
       .join(broadcast(benchWins), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hit"))

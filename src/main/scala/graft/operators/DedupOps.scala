@@ -107,8 +107,7 @@ object DedupOps {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairsShared(spark, sfDir).orderBy($"doc_a", $"doc_b")
 
-  private val pairsIndex = new graft.tools.Materialize.SupersedingCache[String](
-    graft.tools.Materialize.deleteDir)
+  private val pairsIndex = new graft.tools.Materialize.SupersedingCache[String]
 
   /** [[minhashPairs]] materialized ONCE per corpus fingerprint and
     * served as a plain parquet scan — the candidate+verify subtree is
@@ -119,11 +118,14 @@ object DedupOps {
     * the pairs frame is the production artifact a pipeline writes out
     * anyway before clustering. */
   private[operators] def minhashPairsShared(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairs(spark, sfDir)
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     val path = pairsIndex.getOrBuild(sfDir, fp) {
-      graft.tools.Materialize.writeParquet(minhashPairs(spark, sfDir), "minhash-pairs")
+      graft.tools.Materialize.writeParquet(pairs, "minhash-pairs")
     }
-    spark.read.parquet(path)
+    // explicit schema: a dedup-clean corpus writes an EMPTY pairs frame
+    // (no part files), which would fail read-back schema inference
+    spark.read.schema(pairs.schema).parquet(path)
   }
 
   /** [[dedupMinhash]] without the presentation sort — the edge-list

@@ -112,8 +112,7 @@ object SimilarityOps {
     * embedding files, so regenerating the parquet under the same path
     * in one JVM rebuilds the index instead of serving stale cells. */
   private val ivfIndex =
-    new graft.tools.Materialize.SupersedingCache[(String, Array[(Long, Array[Long], Long)])](
-      { case (path, _) => graft.tools.Materialize.deleteDir(path) })
+    new graft.tools.Materialize.SupersedingCache[(String, Array[(Long, Array[Long], Long)])]
 
   /** IVF-style ANN top-3: each query probes its 2 nearest cells of
     * the materialized index. Pivots are the `ivfCells` lowest corpus

@@ -146,14 +146,18 @@ object TextOps {
 
   /** #61 TF-IDF top terms per document — the classic relevance signal
     * (rare-term salience) in INTEGER rational arithmetic so the oracle
-    * matches bit-for-bit: idf_e6 = (1e6·N) div df replaces ln(N/df)
+    * matches bit-for-bit: idf_e3 = (1e3·N) div df replaces ln(N/df)
     * (a monotone transform — per-doc ranking by tf·idf is preserved
     * for fixed tf; and cross-engine ln is not ulp-stable, so the
-    * standard log form cannot be hash-gated). Scale shape: the
-    * document-frequency table is the corpus-wide vocab aggregation
-    * (one partial-agg'd shuffle); the profiled doc batch is pruned at
-    * the scan and its term counts BROADCAST against the vocab table —
-    * per-batch scoring never reshuffles the corpus. */
+    * standard log form cannot be hash-gated). e3, not e6: a df=1 term
+    * at N = 1e9 docs has idf_e3 = 1e12, leaving tf headroom to ~9e6
+    * repetitions before BIGINT overflow (e6 would overflow — ANSI
+    * ArithmeticException — at tf ≈ 9.2e3, reachable in one spammy
+    * doc). Scale shape: the document-frequency table is the
+    * corpus-wide vocab aggregation (one partial-agg'd shuffle); the
+    * profiled doc batch is pruned at the scan and its term counts
+    * BROADCAST against the vocab table — per-batch scoring never
+    * reshuffles the corpus. */
   def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
@@ -163,14 +167,14 @@ object TextOps {
     val tf = terms.filter($"doc_id" < TfidfDocLimit)
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy($"doc_id")
-      .orderBy($"score_e6".desc, $"term".asc)
+      .orderBy($"score_e3".desc, $"term".asc)
     df.join(broadcast(tf), "term")
       .crossJoin(broadcast(n))
       .select($"doc_id", $"term", $"tf", $"df",
-        ($"tf" * expr("(1000000 * n_docs) div df")).as("score_e6"))
+        ($"tf" * expr("(1000 * n_docs) div df")).as("score_e3"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter($"rnk" <= TfidfTopK)
-      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"score_e6")
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"score_e3")
       .orderBy($"doc_id", $"rnk")
   }
 

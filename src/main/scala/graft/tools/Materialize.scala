@@ -80,13 +80,6 @@ object Materialize {
     dir
   }
 
-  /** Reclaim a [[writeParquet]] dir whose entry is provably dead (e.g.
-    * an IVF index superseded by a new corpus fingerprint) — the only
-    * sanctioned early delete; everything else waits for the shutdown
-    * hook per the lazily-read-frame caveat on [[parquetRoundTrip]]. */
-  def deleteDir(path: String): Unit =
-    deleteRecursively(java.nio.file.Paths.get(path))
-
   /** (name, size, mtime) fingerprint of a table path, resolved through
     * the path's Hadoop FileSystem — works on hdfs:// and s3:// the
     * same as file:// (a java.io.File walk would fingerprint every
@@ -101,7 +94,9 @@ object Materialize {
       val it = fs.listFiles(p, true) // recursive, files only
       while (it.hasNext) {
         val st = it.next()
-        files += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        // FULL path, not base name: partition-dir names carry data
+        // (year=2026/...), so a layout-only move must change the key
+        files += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
       }
       files.sorted.mkString(",")
     }
@@ -109,21 +104,23 @@ object Materialize {
 
   /** Build-once cache for derived artifacts keyed by (source dir,
     * source [[fingerprint]]), with SUPERSEDE eviction: when a new
-    * fingerprint lands for a dir, the old entry can never be served
-    * again (its key embeds the dead fingerprint), so it is dropped and
-    * `release`d (reclaiming its temp dir) instead of leaking until JVM
-    * exit. Any in-flight reader of the released artifact was already
-    * invalid — the source files it derives from were rewritten
-    * underneath it. */
-  final class SupersedingCache[V](release: V => Unit) {
+    * fingerprint lands for a dir, the old MAP ENTRY is dropped so the
+    * cache holds one live artifact per source. The superseded temp dir
+    * itself is NOT deleted eagerly: fingerprints carry no ordering, so
+    * under racing callers (one computed its fingerprint just before a
+    * source rewrite) "superseded" cannot be told from "newest", and an
+    * eager delete could destroy the artifact a just-served lazily-read
+    * frame still scans. Disk stays bounded by build count (artifacts
+    * are small by the [[parquetRoundTrip]] contract) and is reclaimed
+    * by the [[tmpRoot]] shutdown hook. */
+  final class SupersedingCache[V] {
     private val entries = new java.util.concurrent.ConcurrentHashMap[String, V]()
     private val current = new java.util.concurrent.ConcurrentHashMap[String, String]()
     def getOrBuild(dir: String, fingerprint: String)(build: => V): V = {
       val key = s"$dir|$fingerprint"
       val v = entries.computeIfAbsent(key, _ => build)
       val prev = current.put(dir, key)
-      if (prev != null && prev != key)
-        Option(entries.remove(prev)).foreach(release)
+      if (prev != null && prev != key) entries.remove(prev)
       v
     }
   }

@@ -139,8 +139,11 @@ class PlanSpec extends SparkTestBase {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     // first touch builds the corpus-fingerprint-keyed pairs artifact
     // (the one-time amortized cost both dedup consumers share) —
-    // force it so the assertions below observe steady state
+    // force it so the assertions below observe steady state, and
+    // drain the async listener bus so no build-stage event can race
+    // into the listener registered next
     SparkEntry.queries("q_dedup_minhash")(spark, sf).queryExecution.executedPlan
+    org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val l = new SparkListener {
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
