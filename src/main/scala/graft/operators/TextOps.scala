@@ -164,7 +164,12 @@ object TextOps {
     val terms = docs.select($"doc_id", explode(tokens($"text")).as("term"))
     val df = terms.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = terms.filter($"doc_id" < TfidfDocLimit)
+    // filter BEFORE the explode: Catalyst does not push predicates
+    // through Generate, so filtering `terms` would read+tokenize the
+    // whole corpus to extract the profiled batch (plan-audited —
+    // PushedFilters was empty the other way)
+    val tf = docs.filter($"doc_id" < TfidfDocLimit)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score_e3".desc, $"term".asc)

@@ -33,6 +33,14 @@ class ProfileSpec extends SparkTestBase {
     }
     // only the profiled batch appears; df/N still span the whole corpus
     assert(rows.forall(_._1 < TextOps.TfidfDocLimit))
+    // ...and the batch prunes AT THE SCAN (the df side legitimately
+    // reads everything; the tf side must not)
+    val scans = TextOps.tfidfTopk(spark, sf).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(scans.exists(_.contains("doc_id")),
+      s"profiled-batch scan must push the doc_id filter; PushedFilters: $scans")
   }
 
   test("embedding profile covers every dimension with the full corpus") {
