@@ -84,6 +84,7 @@ object SparkEntry {
     "q_tfidf_topk" -> (TextOps.tfidfTopk _),
     "q_embed_profile" -> (SimilarityOps.embedProfile _),
     "q_decontaminate_substr" -> (CurationOps.decontaminateSubstr _),
+    "q_token_drift" -> (CurationOps.tokenDrift _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -745,6 +746,26 @@ object SparkEntry {
          |FROM s JOIN bg USING (h)
          |WHERE doc_id % $DecontMod <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_token_drift" -> {
+      import graft.operators.CurationOps.DriftTopK
+      s"""WITH $tkCte,
+         |bysrc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+         |  FROM (SELECT d.source, unnest(tk) AS token FROM tkv JOIN documents d USING (doc_id))
+         |  GROUP BY source, token),
+         |srctot AS (SELECT source, CAST(sum(a) AS BIGINT) AS na FROM bysrc GROUP BY source),
+         |toktot AS (SELECT token, CAST(sum(a) AS BIGINT) AS atot FROM bysrc GROUP BY token),
+         |grand AS (SELECT CAST(sum(na) AS BIGINT) AS ntot FROM srctot),
+         |scored AS (SELECT source, token, a,
+         |    (1000 * a) // na AS rate_e3,
+         |    (1000 * (atot - a)) // greatest(ntot - na, 1) AS rest_rate_e3
+         |  FROM bysrc JOIN toktot USING (token) JOIN srctot USING (source) CROSS JOIN grand),
+         |r AS (SELECT *, rate_e3 - rest_rate_e3 AS drift_e3,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY rate_e3 - rest_rate_e3 DESC, token ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT source, rnk, token, a, rate_e3, rest_rate_e3, drift_e3
+         |FROM r WHERE rnk <= $DriftTopK ORDER BY source, rnk""".stripMargin
     },
   )
 }

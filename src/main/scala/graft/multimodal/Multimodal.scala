@@ -198,6 +198,52 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) of an image: decode to 64 block-mean
+    * luminances via [[ImageIoCodec]], bit i set iff block i is
+    * brighter than the image mean — the classic perceptual
+    * fingerprint (stable under re-encode and mild edits; Hamming
+    * distance counts visual difference). None for undecodable
+    * bytes. */
+  def imageAHash(bytes: Array[Byte]): Option[Long] =
+    ImageIoCodec.decode(bytes, 64).map { f =>
+      var s = 0.0; var i = 0
+      while (i < 64) { s += f(i); i += 1 }
+      val mean = s / 64
+      var h = 0L; i = 0
+      while (i < 64) { if (f(i) > mean) h |= 1L << i; i += 1 }
+      h
+    }
+
+  /** Visual near-dup pairs over image assets — the multimodal
+    * counterpart of SimHash text dedup: aHash per image in the
+    * per-partition decode stage (bytes never shuffle; only
+    * (doc_id, hash) longs do), then the same exact-recall pigeonhole
+    * blocking as `DedupOps.dedupSimhash` — 4×16-bit blocks, so any
+    * pair within Hamming ≤ 3 shares at least one intact block —
+    * equi-joined on (block index, block value) and verified by
+    * popcount. Undecodable images are skipped (they have no visual
+    * content to match). */
+  def visualNearDup(assets: Dataset[MediaAsset], maxHamming: Int = 3): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashed = assets.filter(_.kind == "image")
+      .mapPartitions(it => it.flatMap(a => imageAHash(a.bytes).map(h => (a.doc_id, h))))
+      .toDF("doc_id", "ahash")
+    val blocked = hashed.select($"doc_id", $"ahash",
+      posexplode(array((0 until 4).map(b =>
+        shiftright($"ahash", b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "blk", "col" -> "blk_val"))
+    blocked.as("x")
+      .join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blk_val") === col("y.blk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** End-to-end: media table → sampled frames → features → per-doc
     * mean feature norm (small aggregate; bytes never shuffle). The
     * per-frame norm² runs in the typed map (same float-accumulation

@@ -274,6 +274,48 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Tokens reported per source by [[tokenDrift]]. */
+  val DriftTopK = 5
+
+  /** #64 Token-distribution drift: per source, the top-k tokens most
+    * OVER-represented vs the rest of the corpus — the drift report a
+    * pipeline runs on each new corpus drop before mixing it in (a
+    * source whose top drift tokens are spam markers or boilerplate
+    * fails review before training ever sees it). Integer rational
+    * rates keep it oracle-exact AND overflow-safe: rate_e3 =
+    * (1e3·count) div total stays ≤ 1000, and 1e3·count fits BIGINT up
+    * to ~9e15 per-token occurrences (an e6 rate would overflow at
+    * 100 TB token totals). drift_e3 = own-rate − rest-rate, top-k by
+    * (drift desc, token asc) — a total order both engines share.
+    * Plan: one (source, token) partial-agg'd count shuffle; the
+    * per-source and per-token totals derive from it (vocab-sized
+    * re-aggregations), the tiny per-source totals broadcast, and the
+    * top-k is a per-source window over the scored frame. */
+  def tokenDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(spark, sfDir)
+      .select($"source", explode(tokens($"text")).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("a"))
+    val srcTot = bySrc.groupBy($"source").agg(sum($"a").as("na"))
+    val tokTot = bySrc.groupBy($"token").agg(sum($"a").as("atot"))
+    val grand = srcTot.agg(sum($"na").as("ntot"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"drift_e3".desc, $"token".asc)
+    bySrc.join(tokTot, "token")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .select($"source", $"token", $"a",
+        expr("(1000 * a) div na").as("rate_e3"),
+        // greatest(...,1): a single-source corpus has an empty "rest" —
+        // rate 0, not a division error
+        expr("(1000 * (atot - a)) div greatest(ntot - na, 1)").as("rest_rate_e3"))
+      .withColumn("drift_e3", $"rate_e3" - $"rest_rate_e3")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter($"rnk" <= DriftTopK)
+      .select($"source", $"rnk", $"token", $"a", $"rate_e3", $"rest_rate_e3", $"drift_e3")
+      .orderBy($"source", $"rnk")
+  }
+
   /** Per-mille keep rates per source for [[stratifiedSample]] —
     * the "training mix" knob (upsample curated sources, downsample
     * crawl). Shared with the oracle so the rates cannot drift. */

@@ -105,6 +105,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(badCtr.value == 1L)
   }
 
+  test("visual near-dup pairs close aHashes and excludes dissimilar images") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, f(x, y))
+      val buf = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    // A: horizontal gradient; B: same gradient, one pixel nudged
+    // (perceptually identical); C: inverted gradient (opposite hash)
+    def grad(x: Int): Int = { val v = x * 16; (v << 16) | (v << 8) | v }
+    val a = png((x, _) => grad(x))
+    val b = png((x, y) => if (x == 3 && y == 3) grad(x) + 0x050505 else grad(x))
+    val c = png((x, _) => grad(15 - x))
+    val ha = Multimodal.imageAHash(a).get
+    val hb = Multimodal.imageAHash(b).get
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 3, "near-identical images must hash close")
+    assert(Multimodal.imageAHash("junk".getBytes).isEmpty)
+
+    val assets = Seq(
+      MediaAsset(1L, "image", a, 16, 16, 0),
+      MediaAsset(2L, "image", b, 16, 16, 0),
+      MediaAsset(3L, "image", c, 16, 16, 0),
+      MediaAsset(4L, "audio", a, 16, 16, 1000), // non-images never pair
+      MediaAsset(5L, "image", "junk".getBytes, 16, 16, 0)).toDS()
+    val pairs = Multimodal.visualNearDup(assets)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the near-identical image pair expected, got $pairs")
+    assert(pairs.head._3 <= 3)
+  }
+
   test("stub decode is deterministic and feature extraction is distributed") {
     val a = Multimodal.StubCodec.decode("hello".getBytes, 4)
     val b = Multimodal.StubCodec.decode("hello".getBytes, 4)

@@ -52,6 +52,22 @@ class ProfileSpec extends SparkTestBase {
     assert(rows.forall { case (_, _, _, mn, mx, mean) => mn <= mean && mean <= mx })
   }
 
+  test("token drift ranks are dense, rates bounded, and drift consistent") {
+    val rows = CurationOps.tokenDrift(spark, sf)
+      .as[(String, Long, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      val drifts = sorted.map(_._7)
+      assert(drifts.zip(drifts.tail).forall { case (x, y) => x >= y })
+    }
+    // per-mille-e3 rates are bounded and drift is their difference
+    assert(rows.forall { case (_, _, _, _, rate, rest, drift) =>
+      rate >= 0 && rate <= 1000 && rest >= 0 && rest <= 1000 && drift == rate - rest
+    })
+  }
+
   test("substring decontamination flags only non-benchmark docs, via a broadcast join") {
     val df = CurationOps.decontaminateSubstr(spark, sf)
     val rows = df.as[(Long, Long)].collect()
