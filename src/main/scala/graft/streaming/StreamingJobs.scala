@@ -191,6 +191,31 @@ object StreamingJobs {
       .select($"order_id", $"o_user".as("user_id"), $"o_ts", $"p_ts", $"amount")
   }
 
+  /** Streaming Count-Min sketch: running token-frequency cells over an
+    * unbounded stream — the streaming form of
+    * `CurationOps.cmsHeavy`'s sketch build (SURVEY.md §2.7 #60). The
+    * d×w cell grid IS the streaming aggregation state — bounded by
+    * construction, which is the entire point of shipping a sketch
+    * instead of a vocab-sized table on a 100 TB/day ingest. Each
+    * micro-batch map-side combines into at most d·w updated rows.
+    * Cell math is the SHARED cmsAB/permute/hash60 definition, so the
+    * batch and streaming sketches cannot drift (StreamingSpec asserts
+    * cell-for-cell equality over the same data); estimates are served
+    * by probing min over a token's d cells, exactly as in the batch
+    * operator. Works on a batch frame too (same plan minus the
+    * incremental state). */
+  def streamingCms(toks: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{cmsAB, hash60, permute}
+    import graft.operators.CurationOps.{CmsRows, CmsWidth}
+    val cells = array(cmsAB(CmsRows).map { case (a, b) =>
+      permute(hash60($"token"), a, b) % CmsWidth
+    }: _*)
+    toks.select(posexplode(cells))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "cell"))
+      .groupBy($"j", $"cell")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact dedup: first occurrence per key wins; the
     * watermark bounds how long keys are remembered
     * (`dropDuplicatesWithinWatermark`) so state doesn't grow without

@@ -14,6 +14,28 @@ class StreamingSpec extends SparkTestBase {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("streaming CMS sketch equals the batch sketch cell-for-cell") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamingJobs.streamingCms(in.toDF().toDF("token"))
+      .writeStream.format("memory").queryName("cms").outputMode(OutputMode.Complete).start()
+    try {
+      in.addData("aa", "bb", "aa", "cc")
+      q.processAllAvailable()
+      in.addData("aa", "dd", "bb")
+      q.processAllAvailable()
+      val streamed = spark.table("cms").as[(Int, Long, Long)].collect().toSet
+      val batch = StreamingJobs.streamingCms(
+        Seq("aa", "bb", "aa", "cc", "aa", "dd", "bb").toDF("token"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch sketch drift: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+      // state is bounded by the grid, whatever the vocab
+      assert(streamed.size <= graft.operators.CurationOps.CmsRows *
+        graft.operators.CurationOps.CmsWidth)
+    } finally q.stop()
+  }
+
   test("stream wordcount updates counts per micro-batch (StreamWordCount analog)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
