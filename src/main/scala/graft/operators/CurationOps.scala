@@ -257,17 +257,14 @@ object CurationOps {
     * + broadcast-semi-join; the corpus side is a narrow scan+explode
     * with no pre-join shuffle. */
   def decontaminateSubstr(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    def wins(df: DataFrame) = df
-      .select($"doc_id", explode(graft.functions.RollingHash
-        .rollingHashes($"text", TextOps.RollWindow)).as("h"))
-      .filter($"h" % DedupOps.OverlapSample === 0L)
-    // bench side dedups on h alone (one distinct shuffle, not a
-    // (doc_id, h) pre-distinct it would immediately throw away)
-    val benchWins = wins(docs.filter($"doc_id" % DecontMod === 0L))
+    // both sides are cheap projections of the materialized
+    // sampled-windows artifact shared with DedupOps.overlapPairs —
+    // the rolling-hash explode + distinct shuffle runs once per
+    // corpus, not once per consumer
+    val wins = DedupOps.sampledWindowsShared(spark, sfDir)
+    val benchWins = wins.filter($"doc_id" % DecontMod === 0L)
       .select($"h").distinct()
-    wins(docs.filter($"doc_id" % DecontMod =!= 0L))
-      .distinct() // per-doc distinct windows: n_hit counts distinct matches
+    wins.filter($"doc_id" % DecontMod =!= 0L)
       .join(broadcast(benchWins), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hit"))

@@ -279,18 +279,33 @@ object DedupOps {
     * windows (boilerplate, > `maxDf` docs) are dropped before
     * pairing, the standard bound that keeps candidates sublinear at
     * 100 TB; pairs need ≥ 2 shared sampled windows. */
-  def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {
-    // Sampled windows feed the doc-frequency filter AND both join
-    // sides. No persist: the three consumers share the identical
-    // distinct-shuffle subtree, so ReuseExchange runs the rolling-hash
-    // scan once and replays the shuffle files — measured 3× faster
-    // than MEMORY_AND_DISK caching (columnar serialization cost +
-    // session-lifetime memory pressure, BENCH_r02 regression).
-    val win = Tables.documents(spark, sfDir)
+  private val windowsIndex = new graft.tools.Materialize.SupersedingCache[String]
+
+  /** The content-defined sampled rolling-hash windows `(doc_id, h)`,
+    * materialized ONCE per corpus fingerprint — the subtree is shared
+    * by [[overlapPairs]] (three consumers) and
+    * [[CurationOps.decontaminateSubstr]], so each query reads a plain
+    * parquet scan instead of re-running the rolling-hash explode +
+    * distinct shuffle. (Within one query ReuseExchange already
+    * deduplicated the subtree — measured 3× faster than
+    * MEMORY_AND_DISK caching back in BENCH_r02 — but only the
+    * materialized artifact is shared ACROSS queries.) */
+  private[operators] def sampledWindowsShared(spark: SparkSession, sfDir: String): DataFrame = {
+    val wins = Tables.documents(spark, sfDir)
       .select($"doc_id",
         explode(graft.functions.RollingHash.rollingHashes($"text", TextOps.RollWindow)).as("h"))
       .filter($"h" % OverlapSample === 0L)
       .distinct()
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
+    val path = windowsIndex.getOrBuild(sfDir, fp) {
+      graft.tools.Materialize.writeParquet(wins, "sampled-windows")
+    }
+    // explicit schema: short docs (< window) yield an empty frame
+    spark.read.schema(wins.schema).parquet(path)
+  }
+
+  def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {
+    val win = sampledWindowsShared(spark, sfDir)
     val rare = win.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
       .filter($"df" <= maxDf && $"df" >= 2)
       .select($"h")
