@@ -202,46 +202,46 @@ object Multimodal {
     * luminances via [[ImageIoCodec]], bit i set iff block i is
     * brighter than the image mean — the classic perceptual
     * fingerprint (stable under re-encode and mild edits; Hamming
-    * distance counts visual difference). None for undecodable
-    * bytes. */
+    * distance counts visual difference). None for undecodable bytes
+    * AND for flat (zero-contrast) images: every flat image would hash
+    * to 0 regardless of its color, so an all-black and an all-white
+    * frame would otherwise pair as hamming-0 "duplicates" — no
+    * structure means nothing to match. */
   def imageAHash(bytes: Array[Byte]): Option[Long] =
-    ImageIoCodec.decode(bytes, 64).map { f =>
-      var s = 0.0; var i = 0
-      while (i < 64) { s += f(i); i += 1 }
-      val mean = s / 64
-      var h = 0L; i = 0
-      while (i < 64) { if (f(i) > mean) h |= 1L << i; i += 1 }
-      h
+    ImageIoCodec.decode(bytes, 64).flatMap { f =>
+      var mn = Float.MaxValue; var mx = Float.MinValue; var s = 0.0
+      var i = 0
+      while (i < 64) { s += f(i); if (f(i) < mn) mn = f(i); if (f(i) > mx) mx = f(i); i += 1 }
+      if (mx - mn < 1e-6f) None
+      else {
+        val mean = s / 64
+        var h = 0L
+        i = 0
+        while (i < 64) { if (f(i) > mean) h |= 1L << i; i += 1 }
+        Some(h)
+      }
     }
 
   /** Visual near-dup pairs over image assets — the multimodal
     * counterpart of SimHash text dedup: aHash per image in the
     * per-partition decode stage (bytes never shuffle; only
-    * (doc_id, hash) longs do), then the same exact-recall pigeonhole
-    * blocking as `DedupOps.dedupSimhash` — 4×16-bit blocks, so any
-    * pair within Hamming ≤ 3 shares at least one intact block —
-    * equi-joined on (block index, block value) and verified by
-    * popcount. Undecodable images are skipped (they have no visual
-    * content to match). */
-  def visualNearDup(assets: Dataset[MediaAsset], maxHamming: Int = 3): DataFrame = {
+    * (doc_id, hash) longs do), then the SHARED exact-recall pigeonhole
+    * blocking (`DedupOps.blockedHammingPairs`, 4×16-bit blocks —
+    * maxHamming ≤ 3 enforced there). aHash blocks are far less
+    * uniform than md5 band keys (dark/blown-out regions repeat across
+    * a photo corpus), so the block-frequency cap is ON by default —
+    * the quadratic-bucket guard, same as overlapPairs' df bound.
+    * Undecodable and flat images are skipped (nothing visual to
+    * match). */
+  def visualNearDup(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+                    maxBlockDf: Int = 1000): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
     val hashed = assets.filter(_.kind == "image")
       .mapPartitions(it => it.flatMap(a => imageAHash(a.bytes).map(h => (a.doc_id, h))))
       .toDF("doc_id", "ahash")
-    val blocked = hashed.select($"doc_id", $"ahash",
-      posexplode(array((0 until 4).map(b =>
-        shiftright($"ahash", b * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnsRenamed(Map("pos" -> "blk", "col" -> "blk_val"))
-    blocked.as("x")
-      .join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.blk_val") === col("y.blk_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("long").as("hamming"))
-      .filter($"hamming" <= maxHamming)
-      .distinct()
-      .orderBy($"doc_a", $"doc_b")
+    graft.operators.DedupOps.blockedHammingPairs(
+      hashed, "ahash", blocks = 4, blockBits = 16, maxHamming, maxBlockDf)
   }
 
   /** End-to-end: media table → sampled frames → features → per-doc

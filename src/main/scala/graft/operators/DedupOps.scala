@@ -107,7 +107,8 @@ object DedupOps {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairsShared(spark, sfDir).orderBy($"doc_a", $"doc_b")
 
-  private val pairsIndex = new graft.tools.Materialize.SupersedingCache[String]
+  private val pairsIndex = new graft.tools.Materialize.SupersedingCache[
+    (String, org.apache.spark.sql.types.StructType)]
 
   /** [[minhashPairs]] materialized ONCE per corpus fingerprint and
     * served as a plain parquet scan — the candidate+verify subtree is
@@ -118,14 +119,16 @@ object DedupOps {
     * the pairs frame is the production artifact a pipeline writes out
     * anyway before clustering. */
   private[operators] def minhashPairsShared(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashPairs(spark, sfDir)
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
-    val path = pairsIndex.getOrBuild(sfDir, fp) {
-      graft.tools.Materialize.writeParquet(pairs, "minhash-pairs")
+    // the schema rides the cache entry: explicit because a dedup-clean
+    // corpus writes an EMPTY frame (no part files → inference fails),
+    // cached because re-deriving it would analyze the whole candidate
+    // plan on every steady-state call
+    val (path, schema) = pairsIndex.getOrBuild(sfDir, fp) {
+      val pairs = minhashPairs(spark, sfDir)
+      (graft.tools.Materialize.writeParquet(pairs, "minhash-pairs"), pairs.schema)
     }
-    // explicit schema: a dedup-clean corpus writes an EMPTY pairs frame
-    // (no part files), which would fail read-back schema inference
-    spark.read.schema(pairs.schema).parquet(path)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** [[dedupMinhash]] without the presentation sort — the edge-list
@@ -245,18 +248,50 @@ object DedupOps {
       .select($"doc_id",
         graft.functions.TextHash.simhash($"text", SimhashBits).as("simhash"))
       .filter($"simhash" =!= -1L) // token-less docs have no signature
-    val blocks = sigs.select($"doc_id", $"simhash",
-      explode(array((0 until SimhashBlocks).map(b =>
-        struct(lit(b.toLong).as("b"),
-          shiftright($"simhash", SimhashBlockBits * b)
-            .bitwiseAND(SimhashBlockMask).as("key"))): _*)).as("blk"))
-      .select($"doc_id", $"simhash", $"blk.b".as("b"), $"blk.key".as("key"))
-    blocks.as("x")
-      .join(blocks.as("y"),
+    blockedHammingPairs(sigs, "simhash", SimhashBlocks, SimhashBlockBits,
+      maxHamming = 3)
+  }
+
+  /** Pigeonhole-blocked Hamming pairing, shared by [[dedupSimhash]]
+    * and `Multimodal.visualNearDup`: split each hash into `blocks`
+    * blocks of `blockBits` bits; Hamming ≤ blocks−1 can corrupt at
+    * most blocks−1 of them, so every true pair shares an intact
+    * (block, key) — candidates come from an EQUI self-join on that key
+    * with EXACT recall (pigeonhole, which is why maxHamming < blocks
+    * is REQUIRED — a larger threshold would silently lose recall),
+    * then one popcount verifies. `maxBlockDf > 0` drops block keys
+    * shared by more than that many rows first: unlike md5-derived band
+    * keys, hash blocks are NOT uniform, and a corpus-common value
+    * (flat image regions, boilerplate) would otherwise build a
+    * quadratic candidate bucket — the same df bound [[overlapPairs]]
+    * applies. */
+  private[graft] def blockedHammingPairs(hashed: DataFrame, hashCol: String,
+      blocks: Int, blockBits: Int, maxHamming: Int,
+      maxBlockDf: Int = 0): DataFrame = {
+    require(maxHamming < blocks,
+      s"pigeonhole recall needs maxHamming < blocks, got $maxHamming >= $blocks")
+    val mask = (1L << blockBits) - 1
+    // rename FIRST, explode in a second select: referencing the alias
+    // in the same projection is a lateral column reference (internal
+    // analyzer error under a typed child plan)
+    val blk = hashed.select($"doc_id", col(hashCol).as("hash"))
+      .select($"doc_id", $"hash",
+        explode(array((0 until blocks).map(b =>
+          struct(lit(b.toLong).as("b"),
+            shiftright($"hash", blockBits * b)
+              .bitwiseAND(mask).as("key"))): _*)).as("blk"))
+      .select($"doc_id", $"hash", $"blk.b".as("b"), $"blk.key".as("key"))
+    val cands = if (maxBlockDf > 0) {
+      val rare = blk.groupBy($"b", $"key").agg(count(lit(1)).as("df"))
+        .filter($"df" <= maxBlockDf).select($"b", $"key")
+      blk.join(rare, Seq("b", "key"))
+    } else blk
+    cands.as("x")
+      .join(cands.as("y"),
         $"x.b" === $"y.b" && $"x.key" === $"y.key" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).cast(LongType).as("hamming"))
-      .filter($"hamming" <= 3)
+        bit_count($"x.hash".bitwiseXOR($"y.hash")).cast(LongType).as("hamming"))
+      .filter($"hamming" <= maxHamming)
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
@@ -279,7 +314,8 @@ object DedupOps {
     * windows (boilerplate, > `maxDf` docs) are dropped before
     * pairing, the standard bound that keeps candidates sublinear at
     * 100 TB; pairs need ≥ 2 shared sampled windows. */
-  private val windowsIndex = new graft.tools.Materialize.SupersedingCache[String]
+  private val windowsIndex = new graft.tools.Materialize.SupersedingCache[
+    (String, org.apache.spark.sql.types.StructType)]
 
   /** The content-defined sampled rolling-hash windows `(doc_id, h)`,
     * materialized ONCE per corpus fingerprint — the subtree is shared
@@ -291,17 +327,18 @@ object DedupOps {
     * MEMORY_AND_DISK caching back in BENCH_r02 — but only the
     * materialized artifact is shared ACROSS queries.) */
   private[operators] def sampledWindowsShared(spark: SparkSession, sfDir: String): DataFrame = {
-    val wins = Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        explode(graft.functions.RollingHash.rollingHashes($"text", TextOps.RollWindow)).as("h"))
-      .filter($"h" % OverlapSample === 0L)
-      .distinct()
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
-    val path = windowsIndex.getOrBuild(sfDir, fp) {
-      graft.tools.Materialize.writeParquet(wins, "sampled-windows")
+    // schema rides the cache entry (all-short-doc corpora write an
+    // empty frame; steady-state calls skip plan construction)
+    val (path, schema) = windowsIndex.getOrBuild(sfDir, fp) {
+      val wins = Tables.documents(spark, sfDir)
+        .select($"doc_id",
+          explode(graft.functions.RollingHash.rollingHashes($"text", TextOps.RollWindow)).as("h"))
+        .filter($"h" % OverlapSample === 0L)
+        .distinct()
+      (graft.tools.Materialize.writeParquet(wins, "sampled-windows"), wins.schema)
     }
-    // explicit schema: short docs (< window) yield an empty frame
-    spark.read.schema(wins.schema).parquet(path)
+    spark.read.schema(schema).parquet(path)
   }
 
   def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {

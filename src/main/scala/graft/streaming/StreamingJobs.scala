@@ -208,9 +208,12 @@ object StreamingJobs {
     import graft.functions.TextFunctions.{cmsAB, hash60, permute}
     import graft.operators.CurationOps.{CmsRows, CmsWidth}
     val cells = array(cmsAB(CmsRows).map { case (a, b) =>
-      permute(hash60($"token"), a, b) % CmsWidth
+      permute($"h", a, b) % CmsWidth
     }: _*)
-    toks.select(posexplode(cells))
+    // hash each token ONCE; the d cells are integer permutes of it —
+    // inlining hash60 into the generator would pay d md5s per token
+    toks.select(hash60($"token").as("h"))
+      .select(posexplode(cells))
       .withColumnsRenamed(Map("pos" -> "j", "col" -> "cell"))
       .groupBy($"j", $"cell")
       .agg(count(lit(1)).as("cnt"))

@@ -126,13 +126,21 @@ class MultimodalSpec extends SparkTestBase {
     val hb = Multimodal.imageAHash(b).get
     assert(java.lang.Long.bitCount(ha ^ hb) <= 3, "near-identical images must hash close")
     assert(Multimodal.imageAHash("junk".getBytes).isEmpty)
+    // flat images carry no structure: an all-black and an all-white
+    // frame would both hash to 0 and pair as hamming-0 "duplicates" —
+    // they must be skipped, not matched
+    val black = png((_, _) => 0x000000)
+    val white = png((_, _) => 0xffffff)
+    assert(Multimodal.imageAHash(black).isEmpty && Multimodal.imageAHash(white).isEmpty)
 
     val assets = Seq(
       MediaAsset(1L, "image", a, 16, 16, 0),
       MediaAsset(2L, "image", b, 16, 16, 0),
       MediaAsset(3L, "image", c, 16, 16, 0),
       MediaAsset(4L, "audio", a, 16, 16, 1000), // non-images never pair
-      MediaAsset(5L, "image", "junk".getBytes, 16, 16, 0)).toDS()
+      MediaAsset(5L, "image", "junk".getBytes, 16, 16, 0),
+      MediaAsset(6L, "image", black, 16, 16, 0),
+      MediaAsset(7L, "image", white, 16, 16, 0)).toDS()
     val pairs = Multimodal.visualNearDup(assets)
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
