@@ -121,7 +121,9 @@ class PlanSpec extends SparkTestBase {
     // SumModLongExpr, so no exceptions remain).
     for (q <- Seq("q_text_quality", "q_text_langid", "q_token_count",
         "q_text_pii", "q_curation", "q_text_repetition", "q_ngram_topk",
-        "q_lang_mismatch", "q_rolling_fp", "q_fingerprint")) {
+        "q_lang_mismatch", "q_rolling_fp", "q_fingerprint",
+        "q_cms_heavy", "q_tfidf_topk", "q_token_drift",
+        "q_decontaminate_substr", "q_embed_profile")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +
