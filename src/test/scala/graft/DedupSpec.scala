@@ -27,6 +27,23 @@ class DedupSpec extends SparkTestBase {
     assert(TextHash.tokensJvm("  a   b ").toSeq == Seq("a", "b"))
   }
 
+  test("shared artifacts tolerate a dedup-clean / short-doc corpus (empty frames)") {
+    // every text unique and shorter than the rolling window → the
+    // minhash-pairs AND sampled-windows artifacts are EMPTY frames
+    // (parquet dirs with no part files); the schema-explicit read-back
+    // must serve them instead of failing inference
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean-corpus-").toString
+    Seq((1L, "alpha one", "en", "srcA", 9L),
+        (2L, "beta two", "en", "srcA", 8L),
+        (3L, "gamma three", "en", "srcB", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(DedupOps.dedupMinhash(spark, dir).count() == 0L)
+    assert(graft.operators.ClusterOps.dedupCluster(spark, dir).count() == 0L)
+    assert(DedupOps.overlapPairs(spark, dir).count() == 0L)
+    assert(graft.operators.CurationOps.decontaminateSubstr(spark, dir).count() == 0L)
+  }
+
   test("SimHash: near-identical docs land within small Hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val out = DedupOps.simhash(spark, sf).as[(Long, Long)].collect().toMap
