@@ -85,6 +85,7 @@ object SparkEntry {
     "q_embed_profile" -> (SimilarityOps.embedProfile _),
     "q_decontaminate_substr" -> (CurationOps.decontaminateSubstr _),
     "q_token_drift" -> (CurationOps.tokenDrift _),
+    "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -766,6 +767,20 @@ object SparkEntry {
          |  FROM scored)
          |SELECT source, rnk, token, a, rate_e3, rest_rate_e3, drift_e3
          |FROM r WHERE rnk <= $DriftTopK ORDER BY source, rnk""".stripMargin
+    },
+    "q_dedup_incremental" -> {
+      import graft.operators.DedupOps.IncrMod
+      s"""WITH $tkCte, ${gramsCte(2)},
+         |$mhCtes,
+         |cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |  FROM bnd n JOIN bnd o ON n.b = o.b AND n.band_hash = o.band_hash
+         |  WHERE n.doc_id % $IncrMod = 0 AND o.doc_id % $IncrMod <> 0),
+         |ver AS (SELECT doc_new, doc_old,
+         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
+         |  FROM cand JOIN g3 x ON x.doc_id = doc_new JOIN g3 y ON y.doc_id = doc_old)
+         |SELECT doc_new, doc_old, n_common, n_union FROM ver
+         |WHERE n_common * 2 >= n_union ORDER BY doc_new, doc_old""".stripMargin
     },
   )
 }

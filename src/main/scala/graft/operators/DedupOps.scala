@@ -131,6 +131,43 @@ object DedupOps {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** Modulus selecting the stand-in "daily drop" for
+    * [[dedupIncremental]]: docs with doc_id % IncrMod == 0 play the
+    * NEW side (in production the drop is its own table). Shared with
+    * the oracle. */
+  val IncrMod = 10L
+
+  /** #66 Incremental near-dup check — the daily-ingest form of
+    * [[dedupMinhash]]: only NEW docs (the drop) pair against the
+    * EXISTING corpus. Old×old was deduped when the corpus was built
+    * and new×new is the intra-drop [[dedupMinhash]] pass, so paying
+    * for them again is pure waste — and the asymmetry is the scale
+    * win: the drop's band rows are MBs against a 100 TB corpus, so
+    * they BROADCAST against the corpus's banded scan (the corpus is
+    * never reshuffled for a daily drop) and only the candidates pay
+    * the exact-Jaccard verify joins. Emits
+    * (doc_new, doc_old, n_common, n_union) at the same J ≥ 1/2 bar as
+    * the batch operator. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = minhashBands(spark, sfDir)
+    val newB = bands.filter($"doc_id" % IncrMod === 0L)
+      .select($"band", $"band_hash", $"doc_id".as("doc_new"))
+    val oldB = bands.filter($"doc_id" % IncrMod =!= 0L)
+      .select($"band", $"band_hash", $"doc_id".as("doc_old"))
+    val cand = oldB.join(broadcast(newB), Seq("band", "band_hash"))
+      .select($"doc_new", $"doc_old").distinct()
+    val gs = gramSets(spark, sfDir, 2)
+    cand
+      .join(gs.select($"doc_id".as("doc_new"), $"gs".as("gs_n")), "doc_new")
+      .join(gs.select($"doc_id".as("doc_old"), $"gs".as("gs_o")), "doc_old")
+      .select($"doc_new", $"doc_old",
+        graft.functions.TextHash.sortedIntersectCount($"gs_n", $"gs_o").as("n_common"),
+        (size($"gs_n") + size($"gs_o")).cast(LongType).as("sz"))
+      .select($"doc_new", $"doc_old", $"n_common", ($"sz" - $"n_common").as("n_union"))
+      .filter($"n_common" * 2 >= $"n_union")
+      .orderBy($"doc_new", $"doc_old")
+  }
+
   /** [[dedupMinhash]] without the presentation sort — the edge-list
     * subtree behind [[minhashPairsShared]]. */
   private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {

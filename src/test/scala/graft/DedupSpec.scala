@@ -44,6 +44,28 @@ class DedupSpec extends SparkTestBase {
     assert(graft.operators.CurationOps.decontaminateSubstr(spark, dir).count() == 0L)
   }
 
+  test("incremental dedup equals the full pair listing restricted to one-new-one-old") {
+    import graft.operators.DedupOps.IncrMod
+    val full = DedupOps.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expected = full.flatMap { case (a, b) =>
+      // exactly one side in the drop → emitted as (new, old)
+      (a % IncrMod == 0, b % IncrMod == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _ => None
+      }
+    }.toSet
+    val incr = DedupOps.dedupIncremental(spark, sf)
+      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    assert(incr == expected,
+      s"drift between incremental and full pair listing: " +
+        s"extra=${incr.diff(expected)} missing=${expected.diff(incr)}")
+    // the drop side must broadcast — the corpus is never reshuffled
+    assert(DedupOps.dedupIncremental(spark, sf).queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("SimHash: near-identical docs land within small Hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val out = DedupOps.simhash(spark, sf).as[(Long, Long)].collect().toMap
