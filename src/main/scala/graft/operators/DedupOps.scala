@@ -46,7 +46,10 @@ object DedupOps {
     * sorted long arrays make the verify intersections a two-pointer
     * merge walk. */
   private def gramSets(spark: SparkSession, sfDir: String, n: Int): DataFrame =
-    Tables.documents(spark, sfDir)
+    gramSetsOf(Tables.documents(spark, sfDir), n)
+
+  private def gramSetsOf(docs: DataFrame, n: Int = 2): DataFrame =
+    docs
       .select($"doc_id",
         sort_array(graft.functions.TextHash.gramHashes($"text", n)).as("gs"))
       .filter(size($"gs") > 0)
@@ -149,24 +152,35 @@ object DedupOps {
     * (doc_new, doc_old, n_common, n_union) at the same J ≥ 1/2 bar as
     * the batch operator. */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val bands = minhashBands(spark, sfDir)
-    val newB = bands.filter($"doc_id" % IncrMod === 0L)
-      .select($"band", $"band_hash", $"doc_id".as("doc_new"))
-    val oldB = bands.filter($"doc_id" % IncrMod =!= 0L)
-      .select($"band", $"band_hash", $"doc_id".as("doc_old"))
+    // split BEFORE the signature/gram passes: minhash_sig and
+    // gram_hashes are the dominant narrow cost, and Spark evaluates
+    // per-select expressions before a later filter can discard the row
+    // (the same filter-below-the-expensive-map lesson as tfidfTopk)
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val newDocs = docs.filter($"doc_id" % IncrMod === 0L)
+    val oldDocs = docs.filter($"doc_id" % IncrMod =!= 0L)
+    val newB = bandExplode(newDocs).select($"band", $"band_hash", $"doc_id".as("doc_new"))
+    val oldB = bandExplode(oldDocs).select($"band", $"band_hash", $"doc_id".as("doc_old"))
     val cand = oldB.join(broadcast(newB), Seq("band", "band_hash"))
       .select($"doc_new", $"doc_old").distinct()
-    val gs = gramSets(spark, sfDir, 2)
-    cand
-      .join(gs.select($"doc_id".as("doc_new"), $"gs".as("gs_n")), "doc_new")
-      .join(gs.select($"doc_id".as("doc_old"), $"gs".as("gs_o")), "doc_old")
-      .select($"doc_new", $"doc_old",
-        graft.functions.TextHash.sortedIntersectCount($"gs_n", $"gs_o").as("n_common"),
-        (size($"gs_n") + size($"gs_o")).cast(LongType).as("sz"))
-      .select($"doc_new", $"doc_old", $"n_common", ($"sz" - $"n_common").as("n_union"))
-      .filter($"n_common" * 2 >= $"n_union")
+    verifyJaccard(cand, gramSetsOf(newDocs), gramSetsOf(oldDocs), "doc_new", "doc_old")
       .orderBy($"doc_new", $"doc_old")
   }
+
+  /** Exact 2-gram Jaccard verify at the shared J ≥ 1/2 bar — ONE
+    * definition of the union math and threshold for every MinHash
+    * consumer ([[minhashPairs]], [[dedupIncremental]]), the same
+    * no-desync discipline as [[bandExplode]]. */
+  private def verifyJaccard(cand: DataFrame, gsA: DataFrame, gsB: DataFrame,
+      aCol: String, bCol: String): DataFrame =
+    cand
+      .join(gsA.select($"doc_id".as(aCol), $"gs".as("gs_a")), aCol)
+      .join(gsB.select($"doc_id".as(bCol), $"gs".as("gs_b")), bCol)
+      .select(col(aCol), col(bCol),
+        graft.functions.TextHash.sortedIntersectCount($"gs_a", $"gs_b").as("n_common"),
+        (size($"gs_a") + size($"gs_b")).cast(LongType).as("sz"))
+      .select(col(aCol), col(bCol), $"n_common", ($"sz" - $"n_common").as("n_union"))
+      .filter($"n_common" * 2 >= $"n_union")
 
   /** [[dedupMinhash]] without the presentation sort — the edge-list
     * subtree behind [[minhashPairsShared]]. */
@@ -187,14 +201,7 @@ object DedupOps {
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
     val gs = gramSets(spark, sfDir, 2)
-    cand
-      .join(gs.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
-      .join(gs.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        graft.functions.TextHash.sortedIntersectCount($"gs_a", $"gs_b").as("n_common"),
-        (size($"gs_a") + size($"gs_b")).cast(LongType).as("sz"))
-      .select($"doc_a", $"doc_b", $"n_common", ($"sz" - $"n_common").as("n_union"))
-      .filter($"n_common" * 2 >= $"n_union")
+    verifyJaccard(cand, gs, gs, "doc_a", "doc_b")
   }
 
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) with

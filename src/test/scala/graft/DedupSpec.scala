@@ -32,7 +32,7 @@ class DedupSpec extends SparkTestBase {
     // minhash-pairs AND sampled-windows artifacts are EMPTY frames
     // (parquet dirs with no part files); the schema-explicit read-back
     // must serve them instead of failing inference
-    val dir = java.nio.file.Files.createTempDirectory("graft-clean-corpus-").toString
+    val dir = tmpDir("graft-clean-corpus-")
     Seq((1L, "alpha one", "en", "srcA", 9L),
         (2L, "beta two", "en", "srcA", 8L),
         (3L, "gamma three", "en", "srcB", 11L))
@@ -56,14 +56,28 @@ class DedupSpec extends SparkTestBase {
         case _ => None
       }
     }.toSet
-    val incr = DedupOps.dedupIncremental(spark, sf)
-      .select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
+    val incrDf = DedupOps.dedupIncremental(spark, sf)
+    val incr = incrDf.select("doc_new", "doc_old").as[(Long, Long)].collect().toSet
     assert(incr == expected,
       s"drift between incremental and full pair listing: " +
         s"extra=${incr.diff(expected)} missing=${expected.diff(incr)}")
-    // the drop side must broadcast — the corpus is never reshuffled
-    assert(DedupOps.dedupIncremental(spark, sf).queryExecution.sparkPlan.toString
-      .contains("BroadcastHashJoin"))
+    // the DROP side must be the broadcast build side — auto-broadcast
+    // off, so the hinted exchange is the only one and the assertion
+    // can't pass vacuously off a size-based broadcast of the corpus
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bjs = DedupOps.dedupIncremental(spark, sf).queryExecution.sparkPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bjs.nonEmpty, "the band join must broadcast the drop side")
+      assert(bjs.forall { b =>
+        val build = if (b.buildSide == BuildLeft) b.left else b.right
+        build.output.map(_.name).contains("doc_new")
+      }, "only the drop side may broadcast — the corpus must never be built")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("SimHash: near-identical docs land within small Hamming distance") {

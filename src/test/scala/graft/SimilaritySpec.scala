@@ -75,7 +75,7 @@ class SimilaritySpec extends SparkTestBase {
         .iterator.map { v => val cand = base.clone(); cand(i) = v; cand }
     }.find(c => java.lang.Long.bitCount(bucketOf(quantizeJvm(c)) ^ bq) == 1)
       .getOrElse(fail("no single-coordinate nudge flips exactly one plane"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-multiprobe-").toString
+    val dir = tmpDir("graft-multiprobe-")
     // query 0 = base; corpus: 10 = the Hamming-1 neighbor, 11 = base
     // itself (same bucket, so single-probe still returns rows)
     Seq((0L, base.toSeq), (10L, neighbor.toSeq), (11L, base.toSeq))
