@@ -16,11 +16,13 @@ case class MediaFeature(doc_id: Long, kind: String, frameIdx: Int,
   * typed Spark stages.
   *
   * Images decode for REAL via the JDK's `javax.imageio`
-  * ([[ImageIoCodec]] — PNG/JPEG, zero added dependencies). Audio and
-  * video codecs (ffmpeg) are not in this container, so [[StubCodec]]
-  * is their clearly-marked deterministic stand-in: it derives
-  * "samples" from a rolling hash of the bytes, and also catches
-  * undecodable image records so a malformed row can't kill a job.
+  * ([[ImageIoCodec]] — PNG/JPEG) and audio via the JDK's
+  * `javax.sound.sampled` ([[AudioWavCodec]] — 16-bit PCM WAV), both
+  * zero added dependencies. Video and compressed-audio codecs
+  * (ffmpeg) are not in this container, so [[StubCodec]] is their
+  * clearly-marked deterministic stand-in: it derives "samples" from a
+  * rolling hash of the bytes, and also catches undecodable
+  * image/audio records so a malformed row can't kill a job.
   * Everything AROUND the codecs is the real article — schema
   * (binary column + typed metadata), per-partition batched decode via
   * `mapPartitions` (one codec instance per partition, the same shape
@@ -81,9 +83,61 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** STUB — deterministic stand-in for the audio/video decoders (no
-    * ffmpeg in this container) and the fallback for undecodable image
-    * bytes. Replace with an actual codec on a real deployment. */
+  /** REAL audio codec for PCM WAV via the JDK's `javax.sound.sampled`
+    * (zero added dependencies — the same no-ffmpeg story as
+    * [[ImageIoCodec]]): decodes 16-bit signed PCM frames (mono or
+    * multi-channel, either endianness — the WAV container's standard
+    * encoding), averages channels to mono, and mean-pools the
+    * normalized amplitude MAGNITUDE |s|/32768 over n proportional
+    * windows — a deterministic loudness-envelope feature. None for
+    * anything `AudioSystem` can't parse or non-16-bit-PCM encodings
+    * (compressed audio still needs ffmpeg and stays stubbed). */
+  object AudioWavCodec {
+    def decode(bytes: Array[Byte], n: Int): Option[Array[Float]] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val data = ais.readAllBytes()
+            val ch = fmt.getChannels
+            val frames = data.length / (2 * ch)
+            if (frames == 0) None
+            else {
+              val big = fmt.isBigEndian
+              val sums = new Array[Double](n)
+              val cnts = new Array[Long](n)
+              var f = 0
+              while (f < frames) {
+                var s = 0.0
+                var c = 0
+                while (c < ch) {
+                  val i = (f * ch + c) * 2
+                  val v =
+                    if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                    else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+                  s += math.abs(v.toDouble) / 32768.0
+                  c += 1
+                }
+                val slot = (f.toLong * n / frames).toInt
+                sums(slot) += s / ch; cnts(slot) += 1
+                f += 1
+              }
+              Some(Array.tabulate(n)(i =>
+                if (cnts(i) > 0) (sums(i) / cnts(i)).toFloat else 0.0f))
+            }
+          }
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB — deterministic stand-in for the video decoder and
+    * compressed-audio formats (no ffmpeg in this container) and the
+    * fallback for undecodable image/audio bytes. Replace with an
+    * actual codec on a real deployment. */
   object StubCodec {
     /** Deterministic pseudo-pixels: FNV-1a rolling hash over bytes. */
     def decode(bytes: Array[Byte], n: Int): Array[Float] = {
@@ -163,24 +217,26 @@ object Multimodal {
     }
   }
 
-  /** Named counter for image records whose bytes failed the real codec
-    * and fell back to the stub. The round-5 regression shipped because
-    * a total codec outage produced plausible stub output — fallback
-    * must be OBSERVABLE, not silent. Wire one of these into
+  /** Named counter for image/audio records whose bytes failed the real
+    * codec and fell back to the stub. The round-5 regression shipped
+    * because a total codec outage produced plausible stub output —
+    * fallback must be OBSERVABLE, not silent. Wire one of these into
     * [[extractFeatures]]/[[pipeline]] and alert on nonzero (the
-    * MultimodalSpec e2e path asserts zero on real PNGs). Task retries
-    * can overcount (accumulator semantics) — fine for an outage
-    * signal, never read it as an exact tally. */
+    * MultimodalSpec e2e paths assert zero on real PNG/WAV). Task
+    * retries can overcount (accumulator semantics) — fine for an
+    * outage signal, never read it as an exact tally. */
   def imageFallbackCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
-    spark.sparkContext.longAccumulator("graft.multimodal.imageFallbacks")
+    spark.sparkContext.longAccumulator("graft.multimodal.codecFallbacks")
 
   /** Decode + feature-extract, one codec per partition (the expensive
     * stage; batched like an Arrow UDF). featDim models "resize to a
-    * fixed feature grid". Images go through the REAL JDK codec
-    * ([[ImageIoCodec]] — PNG/JPEG); audio/video and undecodable image
-    * bytes fall back to the deterministic stub. Image-kind fallbacks
-    * tick `fallbacks` so a codec outage surfaces instead of silently
-    * degrading every feature to the stub. */
+    * fixed feature grid". Images go through the REAL JDK image codec
+    * ([[ImageIoCodec]] — PNG/JPEG) and audio through the REAL JDK WAV
+    * codec ([[AudioWavCodec]] — 16-bit PCM); video, compressed audio,
+    * and undecodable bytes fall back to the deterministic stub. A
+    * fallback on a kind that HAS a real codec ticks `fallbacks` so a
+    * codec outage surfaces instead of silently degrading every
+    * feature to the stub. */
   def extractFeatures(sampled: Dataset[(MediaAsset, Int)], featDim: Int,
                       fallbacks: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[MediaFeature] = {
@@ -189,8 +245,13 @@ object Multimodal {
       // one decoder instance per partition — mirrors opening one
       // libjpeg/ffmpeg context per task rather than per record
       it.map { case (a, frame) =>
-        val real = if (a.kind == "image") ImageIoCodec.decode(a.bytes, featDim) else None
-        if (a.kind == "image" && real.isEmpty) fallbacks.foreach(_.add(1L))
+        val real = a.kind match {
+          case "image" => ImageIoCodec.decode(a.bytes, featDim)
+          case "audio" => AudioWavCodec.decode(a.bytes, featDim)
+          case _       => None
+        }
+        if ((a.kind == "image" || a.kind == "audio") && real.isEmpty)
+          fallbacks.foreach(_.add(1L))
         val feat = real
           .getOrElse(StubCodec.decode(a.bytes ++ BigInt(frame).toByteArray, featDim))
         MediaFeature(a.doc_id, a.kind, frame, featDim, feat)

@@ -105,6 +105,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(badCtr.value == 1L)
   }
 
+  test("real PCM WAV decodes through javax.sound.sampled to exact loudness envelope") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled._
+    // 1000 frames mono 16-bit LE: first half silence, second half
+    // full-scale alternating square — slot 0 mean 0, slot 1 mean
+    // 32767/32768
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val nFrames = 1000
+    val raw = new Array[Byte](nFrames * 2)
+    for (f <- 500 until 1000) {
+      val v: Short = if (f % 2 == 0) 32767 else -32767
+      raw(2 * f) = (v & 0xff).toByte
+      raw(2 * f + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(raw), fmt, nFrames),
+      AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+
+    val feat = Multimodal.AudioWavCodec.decode(wav, 2).get
+    assert(feat(0) == 0.0f, "silent half must pool to zero")
+    assert(math.abs(feat(1) - 32767f / 32768f) < 1e-4f, feat.toSeq)
+    assert(Multimodal.AudioWavCodec.decode(wav, 2).get.toSeq == feat.toSeq)
+    assert(Multimodal.AudioWavCodec.decode("not a wav".getBytes, 2).isEmpty)
+
+    // e2e: a real WAV asset flows through the pipeline on the REAL
+    // codec path — zero stub fallbacks
+    val ctr = Multimodal.imageFallbackCounter(spark)
+    val assets = Seq(MediaAsset(11L, "audio", wav, 0, 0, 1000)).toDS()
+    val rows = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(assets, 5), 2, Some(ctr)).collect()
+    assert(rows.length == 1 && rows.head.feature.toSeq == feat.toSeq)
+    assert(ctr.value == 0L,
+      s"real-WAV e2e reported ${ctr.value} codec fallbacks — audio decode is broken")
+  }
+
   test("visual near-dup pairs close aHashes and excludes dissimilar images") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
