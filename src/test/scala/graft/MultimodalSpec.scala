@@ -129,6 +129,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(feat(1) - 32767f / 32768f) < 1e-4f, feat.toSeq)
     assert(Multimodal.AudioWavCodec.decode(wav, 2).get.toSeq == feat.toSeq)
     assert(Multimodal.AudioWavCodec.decode("not a wav".getBytes, 2).isEmpty)
+    // big-endian branch: the same PCM frames as AIFF (BE by spec)
+    // must decode to the identical envelope
+    val beFmt = new AudioFormat(8000f, 16, 1, true, true)
+    val beRaw = new Array[Byte](nFrames * 2)
+    for (f <- 500 until 1000) {
+      val v: Short = if (f % 2 == 0) 32767 else -32767
+      beRaw(2 * f) = ((v >> 8) & 0xff).toByte
+      beRaw(2 * f + 1) = (v & 0xff).toByte
+    }
+    val beOut = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(beRaw), beFmt, nFrames),
+      AudioFileFormat.Type.AIFF, beOut)
+    assert(Multimodal.AudioWavCodec.decode(beOut.toByteArray, 2).get.toSeq == feat.toSeq,
+      "AIFF (big-endian PCM) must decode to the same envelope")
 
     // e2e: a real WAV asset flows through the pipeline on the REAL
     // codec path — zero stub fallbacks
