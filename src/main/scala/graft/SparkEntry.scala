@@ -360,12 +360,12 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS cnt FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q_minhash_band" ->
-      s"""WITH $tkCte, ${gramsCte(2)},
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes
          |SELECT doc_id, b AS band, band_hash FROM bnd
          |ORDER BY doc_id, band""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH $tkCte, ${gramsCte(2)},
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
@@ -376,7 +376,7 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_common, n_union FROM ver
          |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_cluster" ->
-      s"""WITH RECURSIVE $tkCte, ${gramsCte(2)},
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
@@ -770,7 +770,7 @@ object SparkEntry {
     },
     "q_dedup_incremental" -> {
       import graft.operators.DedupOps.IncrMod
-      s"""WITH $tkCte, ${gramsCte(2)},
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
          |cand AS (SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
          |  FROM bnd n JOIN bnd o ON n.b = o.b AND n.band_hash = o.band_hash

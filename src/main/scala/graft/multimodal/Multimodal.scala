@@ -89,11 +89,15 @@ object Multimodal {
     * multi-channel, either endianness — the WAV container's standard
     * encoding), averages channels to mono, and mean-pools the
     * normalized amplitude MAGNITUDE |s|/32768 over n proportional
-    * windows — a deterministic loudness-envelope feature. None for
-    * anything `AudioSystem` can't parse or non-16-bit-PCM encodings
-    * (compressed audio still needs ffmpeg and stays stubbed). */
+    * windows — a deterministic loudness-envelope feature. `clipSec ≥
+    * 0` restricts pooling to that one-second clip (the frame index
+    * [[sampleFrames]] emits), so per-clip features differ and a long
+    * file is never pooled whole per clip; None when the clip lies
+    * beyond the actual audio. None also for anything `AudioSystem`
+    * can't parse or non-16-bit-PCM encodings (compressed audio still
+    * needs ffmpeg and stays stubbed). */
   object AudioWavCodec {
-    def decode(bytes: Array[Byte], n: Int): Option[Array[Float]] =
+    def decode(bytes: Array[Byte], n: Int, clipSec: Int = -1): Option[Array[Float]] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -105,13 +109,16 @@ object Multimodal {
             val data = ais.readAllBytes()
             val ch = fmt.getChannels
             val frames = data.length / (2 * ch)
-            if (frames == 0) None
+            val rate = math.max(1, math.round(fmt.getFrameRate))
+            val f0 = if (clipSec < 0) 0 else math.min(clipSec.toLong * rate, frames).toInt
+            val f1 = if (clipSec < 0) frames else math.min((clipSec + 1L) * rate, frames).toInt
+            if (f1 <= f0) None
             else {
               val big = fmt.isBigEndian
               val sums = new Array[Double](n)
               val cnts = new Array[Long](n)
-              var f = 0
-              while (f < frames) {
+              var f = f0
+              while (f < f1) {
                 var s = 0.0
                 var c = 0
                 while (c < ch) {
@@ -122,7 +129,7 @@ object Multimodal {
                   s += math.abs(v.toDouble) / 32768.0
                   c += 1
                 }
-                val slot = (f.toLong * n / frames).toInt
+                val slot = ((f - f0).toLong * n / (f1 - f0)).toInt
                 sums(slot) += s / ch; cnts(slot) += 1
                 f += 1
               }
@@ -132,6 +139,21 @@ object Multimodal {
           }
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** True when the bytes parse as 16-bit signed PCM — the domain
+      * [[decode]] is EXPECTED to handle. A stub fallback on such
+      * bytes is a codec outage (counted); a fallback on anything else
+      * (MP3/OGG/garbage) is the stub's legitimate documented domain
+      * (not counted — it must not be a standing false alarm). */
+    def isPcm(bytes: Array[Byte]): Boolean =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try ais.getFormat.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          ais.getFormat.getSampleSizeInBits == 16
+        finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** STUB — deterministic stand-in for the video decoder and
@@ -217,15 +239,17 @@ object Multimodal {
     }
   }
 
-  /** Named counter for image/audio records whose bytes failed the real
-    * codec and fell back to the stub. The round-5 regression shipped
+  /** Named counter for records whose bytes were in a REAL codec's
+    * expected domain (any image bytes; PCM audio) but failed decode
+    * and fell back to the stub. The round-5 regression shipped
     * because a total codec outage produced plausible stub output —
-    * fallback must be OBSERVABLE, not silent. Wire one of these into
-    * [[extractFeatures]]/[[pipeline]] and alert on nonzero (the
-    * MultimodalSpec e2e paths assert zero on real PNG/WAV). Task
-    * retries can overcount (accumulator semantics) — fine for an
-    * outage signal, never read it as an exact tally. */
-  def imageFallbackCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    * fallback must be OBSERVABLE, not silent. Expected stubbing
+    * (video, compressed audio) does NOT tick, so nonzero always means
+    * outage — alert on it (the MultimodalSpec e2e paths assert zero
+    * on real PNG/WAV). Task retries can overcount (accumulator
+    * semantics) — fine for an outage signal, never read it as an
+    * exact tally. */
+  def codecFallbackCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
     spark.sparkContext.longAccumulator("graft.multimodal.codecFallbacks")
 
   /** Decode + feature-extract, one codec per partition (the expensive
@@ -247,10 +271,15 @@ object Multimodal {
       it.map { case (a, frame) =>
         val real = a.kind match {
           case "image" => ImageIoCodec.decode(a.bytes, featDim)
-          case "audio" => AudioWavCodec.decode(a.bytes, featDim)
+          case "audio" => AudioWavCodec.decode(a.bytes, featDim, clipSec = frame)
           case _       => None
         }
-        if ((a.kind == "image" || a.kind == "audio") && real.isEmpty)
+        // outage signal only: image bytes are always the real codec's
+        // domain; audio bytes only when they parse as PCM (compressed
+        // audio legitimately stubs — a standing tick would be noise)
+        if (real.isEmpty &&
+            (a.kind == "image" ||
+              (a.kind == "audio" && AudioWavCodec.isPcm(a.bytes))))
           fallbacks.foreach(_.add(1L))
         val feat = real
           .getOrElse(StubCodec.decode(a.bytes ++ BigInt(frame).toByteArray, featDim))

@@ -41,6 +41,13 @@ object DedupOps {
   val numBands = 8 // 8 bands x 2 rows: P(candidate | J=0.5) ≈ 0.9
   private val ab = minhashAB(numHashes)
 
+  /** Shingle width of the MinHash signature AND its exact-Jaccard
+    * verify — one definition shared by every consumer and oracle (a
+    * literal at one call site and a default at another silently
+    * desynchronize; the oracle's band CTE derives its minima from the
+    * same gram CTE, so the two widths MUST agree). */
+  private[graft] val VerifyGram = 2
+
   /** doc_id + distinct word-n-gram shingle set, 60-bit-hashed and
     * sorted (one narrow per-row pass in [[TextHash.gramHashes]]);
     * sorted long arrays make the verify intersections a two-pointer
@@ -48,7 +55,7 @@ object DedupOps {
   private def gramSets(spark: SparkSession, sfDir: String, n: Int): DataFrame =
     gramSetsOf(Tables.documents(spark, sfDir), n)
 
-  private def gramSetsOf(docs: DataFrame, n: Int = 2): DataFrame =
+  private def gramSetsOf(docs: DataFrame, n: Int): DataFrame =
     docs
       .select($"doc_id",
         sort_array(graft.functions.TextHash.gramHashes($"text", n)).as("gs"))
@@ -75,7 +82,7 @@ object DedupOps {
     val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
     docs
       .withColumn("sig",
-        graft.functions.TextHash.minhashSig($"text", 2, numHashes))
+        graft.functions.TextHash.minhashSig($"text", VerifyGram, numHashes))
       .filter(element_at($"sig", 1) =!= Long.MaxValue) // docs with ≥1 gram
       .select(keep :+ explode(array(bandCols: _*)).as("bb"): _*)
       .select(keep :+ $"bb.band".as("band") :+ $"bb.band_hash".as("band_hash"): _*)
@@ -152,10 +159,11 @@ object DedupOps {
     * (doc_new, doc_old, n_common, n_union) at the same J ≥ 1/2 bar as
     * the batch operator. */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    // split BEFORE the signature/gram passes: minhash_sig and
-    // gram_hashes are the dominant narrow cost, and Spark evaluates
-    // per-select expressions before a later filter can discard the row
-    // (the same filter-below-the-expensive-map lesson as tfidfTopk)
+    // split BEFORE the signature/gram passes: plan-audited on the
+    // filter-after-bandExplode shape, the %IncrMod conjunct fused
+    // into the signature-validity filter ABOVE the sig projection
+    // (minhash_sig evaluated for every doc, then 90% discarded)
+    // instead of splitting and pushing below it
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val newDocs = docs.filter($"doc_id" % IncrMod === 0L)
     val oldDocs = docs.filter($"doc_id" % IncrMod =!= 0L)
@@ -163,7 +171,8 @@ object DedupOps {
     val oldB = bandExplode(oldDocs).select($"band", $"band_hash", $"doc_id".as("doc_old"))
     val cand = oldB.join(broadcast(newB), Seq("band", "band_hash"))
       .select($"doc_new", $"doc_old").distinct()
-    verifyJaccard(cand, gramSetsOf(newDocs), gramSetsOf(oldDocs), "doc_new", "doc_old")
+    verifyJaccard(cand, gramSetsOf(newDocs, VerifyGram),
+      gramSetsOf(oldDocs, VerifyGram), "doc_new", "doc_old")
       .orderBy($"doc_new", $"doc_old")
   }
 
@@ -200,7 +209,7 @@ object DedupOps {
           |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
-    val gs = gramSets(spark, sfDir, 2)
+    val gs = gramSets(spark, sfDir, VerifyGram)
     verifyJaccard(cand, gs, gs, "doc_a", "doc_b")
   }
 

@@ -77,7 +77,7 @@ class MultimodalSpec extends SparkTestBase {
     // (typed Dataset → mapPartitions decode → resize) with the REAL
     // codec, not the stub
     val assets = Seq(MediaAsset(7L, "image", png, 4, 2, 0)).toDS()
-    val ctr = Multimodal.imageFallbackCounter(spark)
+    val ctr = Multimodal.codecFallbackCounter(spark)
     val feats = Multimodal.extractFeatures(Multimodal.sampleFrames(assets, 5), 2, Some(ctr))
     val row = feats.head()
     assert(row.feature.toSeq == feat.toSeq,
@@ -88,7 +88,7 @@ class MultimodalSpec extends SparkTestBase {
     // the r5 lesson, pinned at the PIPELINE level: a codec outage must
     // be observable, so the full production path over real PNGs must
     // report ZERO stub fallbacks...
-    val pipeCtr = Multimodal.imageFallbackCounter(spark)
+    val pipeCtr = Multimodal.codecFallbackCounter(spark)
     val agg = Multimodal.pipelineFrom(
       Seq(MediaAsset(7L, "image", png, 4, 2, 0),
           MediaAsset(8L, "image", jbuf.toByteArray, 4, 2, 0)).toDS(),
@@ -98,7 +98,7 @@ class MultimodalSpec extends SparkTestBase {
       s"real-image e2e pipeline reported ${pipeCtr.value} codec fallbacks — image decode is broken")
     // ...and undecodable image bytes must TICK the counter (an outage
     // can never again ship invisibly behind plausible stub output)
-    val badCtr = Multimodal.imageFallbackCounter(spark)
+    val badCtr = Multimodal.codecFallbackCounter(spark)
     Multimodal.pipelineFrom(
       Seq(MediaAsset(9L, "image", "not a png".getBytes, 4, 2, 0)).toDS(),
       stride = 5, featDim = 2, fallbacks = Some(badCtr)).count()
@@ -146,13 +146,46 @@ class MultimodalSpec extends SparkTestBase {
 
     // e2e: a real WAV asset flows through the pipeline on the REAL
     // codec path — zero stub fallbacks
-    val ctr = Multimodal.imageFallbackCounter(spark)
+    val ctr = Multimodal.codecFallbackCounter(spark)
     val assets = Seq(MediaAsset(11L, "audio", wav, 0, 0, 1000)).toDS()
     val rows = Multimodal.extractFeatures(
       Multimodal.sampleFrames(assets, 5), 2, Some(ctr)).collect()
     assert(rows.length == 1 && rows.head.feature.toSeq == feat.toSeq)
     assert(ctr.value == 0L,
       s"real-WAV e2e reported ${ctr.value} codec fallbacks — audio decode is broken")
+
+    // per-clip windowing: the clips of a 2 s file (silent s, loud s)
+    // carry DIFFERENT envelopes — decode pools the clip, not the file
+    val fmt2 = new AudioFormat(1000f, 16, 1, true, false)
+    val raw2 = new Array[Byte](2000 * 2)
+    for (f <- 1000 until 2000) {
+      raw2(2 * f) = (32767 & 0xff).toByte
+      raw2(2 * f + 1) = ((32767 >> 8) & 0xff).toByte
+    }
+    val out2 = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(new ByteArrayInputStream(raw2), fmt2, 2000),
+      AudioFileFormat.Type.WAVE, out2)
+    val wav2 = out2.toByteArray
+    assert(Multimodal.AudioWavCodec.decode(wav2, 2, clipSec = 0).get.forall(_ == 0f))
+    assert(Multimodal.AudioWavCodec.decode(wav2, 2, clipSec = 1).get
+      .forall(v => math.abs(v - 32767f / 32768f) < 1e-4f))
+    val clipCtr = Multimodal.codecFallbackCounter(spark)
+    val clipRows = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(Seq(MediaAsset(12L, "audio", wav2, 0, 0, 2000)).toDS(), 5),
+      2, Some(clipCtr)).collect().sortBy(_.frameIdx)
+    assert(clipRows.length == 2 && clipRows(0).feature.toSeq != clipRows(1).feature.toSeq,
+      "per-second clips must carry per-clip features")
+    assert(clipCtr.value == 0L)
+
+    // expected stubbing (non-PCM bytes — compressed audio's stand-in)
+    // must NOT tick: only a PCM-domain failure is an outage
+    val stubCtr = Multimodal.codecFallbackCounter(spark)
+    Multimodal.extractFeatures(
+      Multimodal.sampleFrames(
+        Seq(MediaAsset(13L, "audio", "mp3-ish junk".getBytes, 0, 0, 1000)).toDS(), 5),
+      2, Some(stubCtr)).collect()
+    assert(stubCtr.value == 0L,
+      "non-PCM audio is the stub's documented domain, not a standing false alarm")
   }
 
   test("visual near-dup pairs close aHashes and excludes dissimilar images") {
