@@ -86,6 +86,8 @@ object SparkEntry {
     "q_decontaminate_substr" -> (CurationOps.decontaminateSubstr _),
     "q_token_drift" -> (CurationOps.tokenDrift _),
     "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
+    "q_kmeans" -> (SimilarityOps.kmeansProfile _),
+    "q_pack_sequences" -> (CurationOps.packSequences _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -781,6 +783,49 @@ object SparkEntry {
          |  FROM cand JOIN g3 x ON x.doc_id = doc_new JOIN g3 y ON y.doc_id = doc_old)
          |SELECT doc_new, doc_old, n_common, n_union FROM ver
          |WHERE n_common * 2 >= n_union ORDER BY doc_new, doc_old""".stripMargin
+    },
+    "q_kmeans" -> {
+      import graft.operators.SimilarityOps.KmeansK
+      // dist = n2v + n2c − 2·dot: every term BIGINT, so the argmin and
+      // sums are integer-exact; the centroid update is the HALF_UP
+      // mean per (cluster, dim) — the q_embed_profile mean contract
+      s"""WITH $quantCte,
+         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, q, n2
+         |  FROM (SELECT * FROM n ORDER BY vec_id ASC LIMIT $KmeansK)),
+         |a1 AS (SELECT vec_id, c, q FROM (
+         |    SELECT vec_id, c, q, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
+         |      SELECT v.vec_id, s.c, v.q,
+         |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
+         |      FROM n v CROSS JOIN seeds s))
+         |  WHERE rk = 1),
+         |cd AS (SELECT c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+         |  FROM (SELECT c, unnest(range(len(q))) AS dim, unnest(q) AS qv FROM a1)
+         |  GROUP BY c, dim),
+         |c2 AS (SELECT c, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+         |  FROM (SELECT c, list(cv ORDER BY dim ASC) AS q FROM cd GROUP BY c)),
+         |a2 AS (SELECT vec_id, c, dist FROM (
+         |    SELECT vec_id, c, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
+         |      SELECT v.vec_id, s.c,
+         |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
+         |      FROM n v CROSS JOIN c2 s))
+         |  WHERE rk = 1)
+         |SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS n_members, min(vec_id) AS min_vec_id,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  CAST(round(CAST(sum(dist) AS DOUBLE)/count(*)) AS BIGINT) AS mean_dist
+         |FROM a2 GROUP BY c ORDER BY cluster_id""".stripMargin
+    },
+    "q_pack_sequences" -> {
+      import graft.operators.CurationOps.PackBudget
+      s"""WITH $tkCte,
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+         |  FROM lens)
+         |SELECT doc_id, n_tokens, cum_prev,
+         |  CAST(cum_prev // $PackBudget AS BIGINT) AS first_pack,
+         |  CAST((cum_prev + greatest(n_tokens, 1) - 1) // $PackBudget AS BIGINT) AS last_pack,
+         |  CAST((cum_prev + greatest(n_tokens, 1) - 1) // $PackBudget - cum_prev // $PackBudget + 1 AS BIGINT) AS n_packs
+         |FROM c ORDER BY doc_id""".stripMargin
     },
   )
 }

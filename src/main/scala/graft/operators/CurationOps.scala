@@ -313,6 +313,56 @@ object CurationOps {
       .orderBy($"source", $"rnk")
   }
 
+  /** Token budget of one packed training sequence. */
+  val PackBudget = 256L
+  /** Docs per prefix-sum block — bounds every within-block window
+    * partition in [[packSequences]]. */
+  val PackBlock = 1024L
+
+  /** #68 Sequence packing: lay the corpus's token stream end-to-end
+    * (doc_id order) and cut fixed [[PackBudget]]-token training
+    * sequences — the doc → pack placement map a trainer consumes
+    * (docs straddling a cut get `n_packs > 1`, the attention-mask
+    * boundary case). The core is a GLOBAL exclusive prefix sum of
+    * per-doc token counts, computed scalably as a TWO-LEVEL scan:
+    *  - within-block running sums over `block = doc_id div
+    *    [[PackBlock]]` — every window partition is ≤ PackBlock rows,
+    *    so no executor ever sorts more than a block;
+    *  - block totals (one partial-agg'd shuffle) cumulated on a frame
+    *    1/PackBlock the corpus size, then broadcast back.
+    * The single-partition window runs only on that tiny block frame
+    * (at 100 TB / 4 KB docs ≈ 25e9 docs → 24M block rows; recurse the
+    * same two-level split once more if that ever exceeds one
+    * executor). A naive `Window.orderBy(doc_id)` over the corpus —
+    * the one-partition global sort Spark warns about — never touches
+    * the full data. PackingSpec proves this two-level path row-equal
+    * to the naive single-window form. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"),
+        expr(s"doc_id div $PackBlock").as("block"))
+    val wBlk = Window.orderBy($"block".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = lens.groupBy($"block").agg(sum($"n_tokens").as("btok"))
+      .withColumn("boff", coalesce(sum($"btok").over(wBlk), lit(0L)))
+      .select($"block", $"boff")
+    val wIn = Window.partitionBy($"block").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lens
+      .withColumn("in_off", coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .join(broadcast(offsets), "block")
+      .withColumn("cum_prev", $"boff" + $"in_off")
+      // greatest(n_tokens, 1): an empty doc still OCCUPIES a position
+      // (first_pack = last_pack), never a degenerate last < first
+      .withColumn("first_pack", expr(s"cum_prev div $PackBudget"))
+      .withColumn("last_pack",
+        expr(s"(cum_prev + greatest(n_tokens, 1) - 1) div $PackBudget"))
+      .select($"doc_id", $"n_tokens", $"cum_prev", $"first_pack", $"last_pack",
+        ($"last_pack" - $"first_pack" + 1L).as("n_packs"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-mille keep rates per source for [[stratifiedSample]] —
     * the "training mix" knob (upsample curated sources, downsample
     * crawl). Shared with the oracle so the rates cannot drift. */

@@ -128,6 +128,89 @@ object SimilarityOps {
       (pid, graft.functions.VectorFunctions.cosineE6Jvm(q, pq, n2, pn2))
     }.sortBy { case (pid, c6) => (-c6, pid) }.take(k).map(_._1).toSeq
 
+  /** Clusters for [[kmeansProfile]] — seeds are the K lowest vec_ids. */
+  val KmeansK = 8
+
+  /** Nearest centroid by integer squared L2 (n2v + n2c − 2·dot; every
+    * term BIGINT, so cross-engine exact). `cents` is sorted by cluster
+    * id ascending and ties keep the FIRST minimum — the same
+    * (dist asc, c asc) total order the oracle's row_number uses. */
+  private def nearestCluster(cents: Array[(Long, Array[Long], Long)])(
+      q: Array[Long], n2: Long): (Long, Long) = {
+    var bestC = -1L; var bestD = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val (c, cq, cn2) = cents(i)
+      var dot = 0L; var j = 0
+      while (j < cq.length) { dot += q(j) * cq(j); j += 1 }
+      val d = n2 + cn2 - 2 * dot
+      if (d < bestD) { bestD = d; bestC = c }
+      i += 1
+    }
+    (bestC, bestD)
+  }
+
+  /** #67 Deterministic k-means profile over the embedding corpus —
+    * the cluster-balance report a curation pipeline runs to pick
+    * per-cluster sampling rates (topic balance) or to seed IVF cells
+    * from REAL centroids instead of [[annIvf]]'s pivot stand-ins.
+    * One Lloyd round from fixed seeds (the [[KmeansK]] lowest
+    * vec_ids), then a final assignment: seeds → assign → centroid
+    * update → assign → per-cluster stats.
+    *
+    * Deterministic and oracle-exact end to end: distances are integer
+    * squared L2 on the e3-quantized vectors with lowest-cluster-id
+    * ties, and the centroid update is the HALF_UP integer mean per
+    * (cluster, dim) — one IEEE division per centroid cell, the same
+    * [[embedProfile]] mean contract (SURVEY.md §4). No rand(), no
+    * float accumulation across rows.
+    *
+    * Scale shape: each assignment is ONE narrow corpus scan with the
+    * k×dim centroid table riding the task closure (~4 KB — the IVF
+    * pivot story); the update is a posexplode + partial-agg'd shuffle
+    * to k·dim groups; only k·dim centroid cells and k result rows
+    * ever cross the driver. Lloyd's per-iteration full scan is
+    * inherent to the algorithm — the knob at 100 TB is the iteration
+    * count (fixed at one update here), never per-row state. */
+  def kmeansProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
+    import graft.functions.VectorFunctions.quantized
+    def emb = Tables.embeddings(spark, sfDir)
+    // k seed VECTORS cross the driver (TakeOrdered — no full sort)
+    val seeds = quantized(emb.orderBy($"vec_id".asc).limit(KmeansK))
+      .collect().sortBy(_._1).zipWithIndex
+      .map { case ((_, q, n2), c) => (c.toLong, q, n2) }
+    def corpus = quantized(emb)
+    val assigned1 = corpus
+      .map { case (id, q, n2) => (nearestCluster(seeds)(q, n2)._1, id, q) }
+      .toDF("c", "vec_id", "q")
+    // HALF_UP mean per (cluster, dim); k·dim rows — bounded driver
+    // gather, same contract as the IVF pivots
+    val cellRows = assigned1
+      .select($"c", posexplode($"q").as(Seq("dim", "qv")))
+      .groupBy($"c", $"dim")
+      .agg(round(sum($"qv").cast("double") / count(lit(1))).cast(LongType).as("cv"))
+      .collect()
+    val cents = cellRows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (c, rows) =>
+        val q = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+        var n2 = 0L; var i = 0
+        while (i < q.length) { n2 += q(i) * q(i); i += 1 }
+        (c, q, n2)
+      }
+    corpus
+      .map { case (id, q, n2) =>
+        val (c, d) = nearestCluster(cents)(q, n2)
+        (c, id, d)
+      }
+      .toDF("cluster_id", "vec_id", "dist")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("min_vec_id"),
+        sum($"dist").as("sum_dist"),
+        round(sum($"dist").cast("double") / count(lit(1))).cast(LongType).as("mean_dist"))
+      .orderBy($"cluster_id")
+  }
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
     import graft.functions.VectorFunctions.quantized

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.TextFunctions.tokens
+import graft.operators.CurationOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing (#68): the scalable two-level prefix sum must be
+  * row-identical to the naive single-partition global window it
+  * replaces, and the block-offset join must broadcast. */
+class PackingSpec extends SparkTestBase {
+  // selective import: the package-level ColumnInterpolator supplies $
+  import spark.implicits.{newLongEncoder, newProductEncoder}
+
+  private def naive = {
+    val w = Window.orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sf)
+      .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .withColumn("cum_prev", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("first_pack", expr(s"cum_prev div ${CurationOps.PackBudget}"))
+      .withColumn("last_pack",
+        expr(s"(cum_prev + greatest(n_tokens, 1) - 1) div ${CurationOps.PackBudget}"))
+      .select($"doc_id", $"n_tokens", $"cum_prev", $"first_pack", $"last_pack",
+        ($"last_pack" - $"first_pack" + 1L).as("n_packs"))
+      .orderBy($"doc_id")
+  }
+
+  test("two-level prefix sum equals the naive global-window form") {
+    val fast = CurationOps.packSequences(spark, sf).collect().toSeq
+    val slow = naive.collect().toSeq
+    assert(fast == slow)
+  }
+
+  test("packing covers the token stream with no gaps or overlaps") {
+    val rows = CurationOps.packSequences(spark, sf)
+      .select($"n_tokens", $"cum_prev").as[(Long, Long)].collect()
+    // cum_prev of each doc is exactly the sum of all earlier docs —
+    // the packed stream has no holes, so pack cuts land where the
+    // trainer expects them
+    var cum = 0L
+    rows.foreach { case (n, prev) => assert(prev == cum); cum += n }
+  }
+
+  test("block offsets broadcast — the per-doc side never shuffles for the join") {
+    val plan = CurationOps.packSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join on the block-offset frame:\n$plan")
+  }
+}

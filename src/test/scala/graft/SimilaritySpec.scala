@@ -107,4 +107,26 @@ class SimilaritySpec extends SparkTestBase {
       assert(rs.map(_._2).sorted.toSeq == (1L to rs.length))
     }
   }
+
+  test("k-means clusters partition the corpus and report consistent stats") {
+    val corpusN = Tables.embeddings(spark, sf).count()
+    val rows = SimilarityOps.kmeansProfile(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every cluster id in [0, K), all K non-empty on this corpus, and
+    // the memberships partition the corpus exactly
+    assert(rows.map(_._1).toSeq == (0L until SimilarityOps.KmeansK))
+    assert(rows.map(_._2).sum == corpusN)
+    rows.foreach { case (_, n, minId, sumD, meanD) =>
+      assert(n > 0 && minId >= 0 && sumD >= 0)
+      // mean_dist is the HALF_UP rounding of sum_dist / n_members —
+      // the same one-IEEE-division contract the oracle applies
+      assert(meanD == math.floor(sumD.toDouble / n + 0.5).toLong)
+    }
+  }
+
+  test("k-means is deterministic across invocations") {
+    val a = SimilarityOps.kmeansProfile(spark, sf).collect().toSeq
+    val b = SimilarityOps.kmeansProfile(spark, sf).collect().toSeq
+    assert(a == b)
+  }
 }
