@@ -88,6 +88,8 @@ object SparkEntry {
     "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
     "q_kmeans" -> (SimilarityOps.kmeansProfile _),
     "q_pack_sequences" -> (CurationOps.packSequences _),
+    "q_dup_matrix" -> (DedupOps.dupSourceMatrix _),
+    "q_cluster_best" -> (ClusterOps.clusterBest _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -827,5 +829,44 @@ object SparkEntry {
          |  CAST((cum_prev + greatest(n_tokens, 1) - 1) // $PackBudget - cum_prev // $PackBudget + 1 AS BIGINT) AS n_packs
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    "q_dup_matrix" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
+         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+         |        JOIN documents db ON db.doc_id = pr.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+         |ver AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
+         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
+         |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+         |reach AS (SELECT s, d FROM e
+         |  UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+         |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv),
+         |j AS (SELECT lab.doc_id, lab.cluster_id, lens.n_tokens,
+         |    row_number() OVER (PARTITION BY lab.cluster_id
+         |      ORDER BY lens.n_tokens DESC, lab.doc_id ASC) AS rk
+         |  FROM lab JOIN lens USING (doc_id))
+         |SELECT doc_id, cluster_id, n_tokens,
+         |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

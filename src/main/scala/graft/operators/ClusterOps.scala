@@ -176,4 +176,34 @@ object ClusterOps {
       .select($"id".as("doc_id"), $"label".as("cluster_id"),
         when($"id" === $"label", 1L).otherwise(0L).as("keep"))
       .orderBy($"doc_id")
+
+  /** #70 Quality-weighted cluster representative: within each
+    * near-dup cluster keep the LONGEST doc (token count, doc_id
+    * tiebreak) instead of [[dedupCluster]]'s min-id canonical — the
+    * retention policy real pipelines want, since the longest variant
+    * of a mirrored page is usually the least truncated. Same
+    * transitive clusters (same [[connectedComponents]] over the
+    * materialized pairs artifact); only the keep choice differs.
+    * Scale shape: cluster labels cover only docs in near-dup pairs
+    * (the small LSH output) — the token-length lookup is an equi-join
+    * on the corpus with AQE free to broadcast the label side, and the
+    * per-cluster ranking windows over cluster-sized partitions. */
+  def clusterBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(
+      DedupOps.minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b"),
+      "doc_a", "doc_b")
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+    val lens = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text"))
+          .cast(org.apache.spark.sql.types.LongType).as("n_tokens"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_tokens".desc, $"doc_id".asc)
+    labels.join(lens, "doc_id")
+      .withColumn("keep",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select($"doc_id", $"cluster_id", $"n_tokens", $"keep")
+      .orderBy($"doc_id")
+  }
 }

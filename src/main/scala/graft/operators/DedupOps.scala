@@ -141,6 +141,31 @@ object DedupOps {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** #69 Cross-source duplication matrix: for every near-dup pair,
+    * which (source, source) combination produced it — the provenance
+    * report that tells a pipeline which crawls/feeds copy from which
+    * (a high src_a×src_b cell means one feed mirrors the other;
+    * a hot diagonal means a source self-duplicates). Pure reuse of
+    * the materialized [[minhashPairsShared]] artifact: the expensive
+    * candidate+verify subtree never re-runs. The (least, greatest)
+    * canonicalization makes the matrix upper-triangular, so A→B and
+    * B→A copying land in one cell. Scale shape: the pairs frame is
+    * the small LSH output while doc→source is corpus-sized, so the
+    * lookup is an equi-join ON the corpus (never a corpus broadcast);
+    * AQE broadcasts the pairs side when it fits. */
+  def dupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b")
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Modulus selecting the stand-in "daily drop" for
     * [[dedupIncremental]]: docs with doc_id % IncrMod == 0 play the
     * NEW side (in production the drop is its own table). Shared with

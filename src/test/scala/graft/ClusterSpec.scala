@@ -113,6 +113,23 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("clusterBest keeps exactly the longest doc per cluster, same clusters as dedupCluster") {
+    val best = ClusterOps.clusterBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(best.nonEmpty)
+    // identical transitive membership — only the keep policy differs
+    val minPolicy = ClusterOps.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(best.map(t => (t._1, t._2)).toMap == minPolicy)
+    best.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._4 == 1L)
+      assert(kept.length == 1, s"cluster $cid must keep exactly one doc")
+      // the keep is the (n_tokens desc, doc_id asc) maximum
+      val want = members.minBy(t => (-t._3, t._1))
+      assert(kept.head == want.copy(_4 = 1L))
+    }
+  }
+
   test("dedupCluster keeps exactly one doc per cluster") {
     val df = ClusterOps.dedupCluster(spark, sf)
     val rows = df.collect()

@@ -119,4 +119,14 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect()
     assert(rows.forall { case (a, b, c) => a < b && c >= 400000L })
   }
+
+  test("dup-source matrix is canonical and accounts for every pair") {
+    val nPairs = DedupOps.dedupMinhash(spark, sf).count()
+    val m = DedupOps.dupSourceMatrix(spark, sf)
+      .as[(String, String, Long)].collect()
+    // upper-triangular (A→B and B→A land in one cell), every verified
+    // pair counted exactly once
+    assert(m.forall { case (a, b, _) => a <= b })
+    assert(m.map(_._3).sum == nPairs)
+  }
 }
