@@ -121,6 +121,25 @@ object SparkEntry {
        |bnd AS (SELECT doc_id, b, list_value($bandHashes)[CAST(b+1 AS INTEGER)] AS band_hash
        |  FROM m CROSS JOIN (SELECT unnest(generate_series(0,7)) AS b) s)""".stripMargin
   }
+  /** Candidate → exact-Jaccard verify → J ≥ 1/2 pair CTEs (`cand`,
+    * `ver`, `pr`) over the banded signatures — shared by every oracle
+    * consuming the minhash pair listing (#39/#50/#69/#70), so the
+    * verify bar and union math cannot drift between them. Requires
+    * `$mhCtes` (+ gramsCte) upstream. */
+  private val pairsCtes =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+      |ver AS (SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
+      |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
+      |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
+      |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union)""".stripMargin
+  /** Transitive closure (`e`, `reach`) over `pr` — the cluster
+    * definition shared by the #50/#70 oracles (needs WITH RECURSIVE). */
+  private val reachCtes =
+    """e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+      |reach AS (SELECT s, d FROM e
+      |  UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)""".stripMargin
   private val quantCte =
     """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
       |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))""".stripMargin
@@ -371,27 +390,14 @@ object SparkEntry {
     "q_dedup_minhash" ->
       s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
-         |ver AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
-         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
-         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b)
+         |$pairsCtes
          |SELECT doc_a, doc_b, n_common, n_union FROM ver
          |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
-         |ver AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
-         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
-         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
-         |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union),
-         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b AS s, doc_a AS d FROM pr),
-         |reach AS (SELECT s, d FROM e
-         |  UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
+         |$pairsCtes,
+         |$reachCtes
          |SELECT s AS doc_id,
          |  CAST(least(s, min(d)) AS BIGINT) AS cluster_id,
          |  CAST(CASE WHEN least(s, min(d)) = s THEN 1 ELSE 0 END AS BIGINT) AS keep
@@ -832,13 +838,7 @@ object SparkEntry {
     "q_dup_matrix" ->
       s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
-         |ver AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
-         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
-         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
-         |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union)
+         |$pairsCtes
          |SELECT least(da.source, db.source) AS source_a,
          |  greatest(da.source, db.source) AS source_b,
          |  CAST(count(*) AS BIGINT) AS n_pairs
@@ -848,16 +848,8 @@ object SparkEntry {
     "q_cluster_best" ->
       s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM bnd a JOIN bnd b2 ON a.b = b2.b AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
-         |ver AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
-         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
-         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
-         |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union),
-         |e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b AS s, doc_a AS d FROM pr),
-         |reach AS (SELECT s, d FROM e
-         |  UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+         |$pairsCtes,
+         |$reachCtes,
          |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
          |  FROM reach GROUP BY s),
          |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv),

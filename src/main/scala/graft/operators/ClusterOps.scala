@@ -1,9 +1,11 @@
 package graft.operators
 
-import graft.ColumnInterpolator
+import graft.{ColumnInterpolator, Tables}
+import graft.functions.TextFunctions.tokens
 import graft.tools.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution: near-dup PAIRS (MinHash/SimHash/
@@ -169,12 +171,20 @@ object ClusterOps {
     * (= min doc_id in the cluster) and keep = 1 only for that
     * canonical doc — the row set a pipeline anti-joins against the
     * corpus to drop redundant docs. */
-  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame =
+  /** Transitive near-dup cluster labels over the materialized pairs
+    * artifact — THE cluster definition [[dedupCluster]] (#50) and
+    * [[clusterBest]] (#70) share, so their memberships cannot
+    * diverge (only the keep policy differs). */
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     connectedComponents(
       DedupOps.minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b"),
       "doc_a", "doc_b")
-      .select($"id".as("doc_id"), $"label".as("cluster_id"),
-        when($"id" === $"label", 1L).otherwise(0L).as("keep"))
+      .select($"id".as("doc_id"), $"label".as("cluster_id"))
+
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame =
+    clusterLabels(spark, sfDir)
+      .select($"doc_id", $"cluster_id",
+        when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("keep"))
       .orderBy($"doc_id")
 
   /** #70 Quality-weighted cluster representative: within each
@@ -190,14 +200,9 @@ object ClusterOps {
     * per-cluster ranking windows over cluster-sized partitions. */
   def clusterBest(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = connectedComponents(
-      DedupOps.minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b"),
-      "doc_a", "doc_b")
-      .select($"id".as("doc_id"), $"label".as("cluster_id"))
-    val lens = graft.Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        size(graft.functions.TextFunctions.tokens($"text"))
-          .cast(org.apache.spark.sql.types.LongType).as("n_tokens"))
+    val labels = clusterLabels(spark, sfDir)
+    val lens = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
     val w = Window.partitionBy($"cluster_id")
       .orderBy($"n_tokens".desc, $"doc_id".asc)
     labels.join(lens, "doc_id")
