@@ -120,6 +120,34 @@ object DedupOps {
   private val pairsIndex = new graft.tools.Materialize.SupersedingCache[
     (String, org.apache.spark.sql.types.StructType)]
 
+  private val bandsIndex = new graft.tools.Materialize.SupersedingCache[
+    (String, org.apache.spark.sql.types.StructType)]
+
+  private val incrCandIndex = new graft.tools.Materialize.SupersedingCache[
+    (String, org.apache.spark.sql.types.StructType)]
+
+  /** Max candidate-doc ids inlined as a scan IN filter by
+    * [[dedupIncremental]]'s verify; beyond this the id list stops
+    * being "driver-trivially small" and the broadcast-semi fallback
+    * takes over (same bounded-driver reasoning as ClusterOps's
+    * DriverEdgeLimit). */
+  val IncrIdPushLimit = 1 << 14
+
+  /** Corpus banded signatures (doc_id, band, band_hash) materialized
+    * ONCE per corpus fingerprint — the signature artifact a production
+    * corpus stores alongside the text (16 longs/doc), so consumers
+    * ([[minhashPairs]]' build, every [[dedupIncremental]] drop) scan
+    * the compact band table instead of re-hashing 100 TB of text.
+    * Same supersede-eviction as the pairs/IVF artifacts. */
+  private[graft] def minhashBandsShared(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
+    val (path, schema) = bandsIndex.getOrBuild(sfDir, fp) {
+      val b = minhashBands(spark, sfDir)
+      (graft.tools.Materialize.writeParquet(b, "minhash-bands"), b.schema)
+    }
+    spark.read.schema(schema).parquet(path)
+  }
+
   /** [[minhashPairs]] materialized ONCE per corpus fingerprint and
     * served as a plain parquet scan — the candidate+verify subtree is
     * the dominant cost of BOTH the pair listing (#39) and cluster
@@ -192,12 +220,42 @@ object DedupOps {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val newDocs = docs.filter($"doc_id" % IncrMod === 0L)
     val oldDocs = docs.filter($"doc_id" % IncrMod =!= 0L)
-    val newB = bandExplode(newDocs).select($"band", $"band_hash", $"doc_id".as("doc_new"))
-    val oldB = bandExplode(oldDocs).select($"band", $"band_hash", $"doc_id".as("doc_old"))
-    val cand = oldB.join(broadcast(newB), Seq("band", "band_hash"))
-      .select($"doc_new", $"doc_old").distinct()
+    // the candidate list is itself a pipeline artifact (deterministic
+    // per corpus fingerprint, tiny): built once — drop bands computed
+    // fresh (new data has no artifact yet) against the STORED corpus
+    // band artifact, a compact columnar scan, never a text re-hash —
+    // then every consumer pass is a plain scan of the result. It
+    // feeds BOTH the verify join and the corpus-side gram pruning
+    // below, which without materialization would execute the
+    // candidate subtree twice per run.
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
+    val (candPath, candSchema) = incrCandIndex.getOrBuild(sfDir, fp) {
+      val newB = bandExplode(newDocs)
+        .select($"band", $"band_hash", $"doc_id".as("doc_new"))
+      val oldB = minhashBandsShared(spark, sfDir)
+        .filter($"doc_id" % IncrMod =!= 0L)
+        .select($"band", $"band_hash", $"doc_id".as("doc_old"))
+      val c = oldB.join(broadcast(newB), Seq("band", "band_hash"))
+        .select($"doc_new", $"doc_old").distinct()
+      (graft.tools.Materialize.writeParquet(c, "incr-cand"), c.schema)
+    }
+    val cand = spark.read.schema(candSchema).parquet(candPath)
+    // gram-hash ONLY the candidate old docs, never the whole corpus:
+    // the candidate ids are the tiny LSH output of one drop. Up to
+    // [[IncrIdPushLimit]] of them they are PUSHED into the corpus
+    // scan as an IN filter (row-group pruning — the verify reads
+    // O(candidates), not 100 TB); a larger-than-expected candidate
+    // set falls back to a broadcast semi join (full scan, still no
+    // corpus shuffle and no corpus-wide gram hashing).
+    val candIds = cand.select($"doc_old".as("doc_id")).distinct()
+    val pushable = candIds.take(IncrIdPushLimit + 1)
+    val oldCandDocs =
+      if (pushable.length <= IncrIdPushLimit)
+        oldDocs.filter($"doc_id".isInCollection(pushable.map(_.getLong(0)).toSeq))
+      else oldDocs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val gsOld = gramSetsOf(oldCandDocs, VerifyGram)
     verifyJaccard(cand, gramSetsOf(newDocs, VerifyGram),
-      gramSetsOf(oldDocs, VerifyGram), "doc_new", "doc_old")
+      gsOld, "doc_new", "doc_old")
       .orderBy($"doc_new", $"doc_old")
   }
 
@@ -224,7 +282,7 @@ object DedupOps {
     // the narrow signature computation runs once instead of twice and
     // the join shuffle becomes a single groupBy (bucket sizes are
     // bounded — uniform 62-bit band keys).
-    val cand = minhashBands(spark, sfDir)
+    val cand = minhashBandsShared(spark, sfDir)
       .groupBy($"band", $"band_hash")
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)

@@ -46,6 +46,33 @@ object Profile {
           $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id", $"b.doc_id").distinct().count()
     })
+
+    // incremental-dedup phase attribution (uses the band artifact —
+    // first call below pays its build, the repeats are steady state)
+    val newDocs = docs.select($"doc_id", $"text").filter($"doc_id" % 10 === 0L)
+    val oldDocs = docs.select($"doc_id", $"text").filter($"doc_id" % 10 =!= 0L)
+    time("bands artifact (build)")(
+      graft.operators.DedupOps.minhashBandsShared(spark, sfDir).count())
+    time("bands artifact (scan)")(
+      graft.operators.DedupOps.minhashBandsShared(spark, sfDir).count())
+    time("drop bandExplode")(graft.operators.DedupOps.minhashBandsQ(spark, sfDir)
+      .filter($"doc_id" % 10 === 0L).count())
+    time("incr cand join")({
+      val newB = graft.operators.DedupOps.minhashBandsQ(spark, sfDir)
+        .filter($"doc_id" % 10 === 0L)
+        .select($"band", $"band_hash", $"doc_id".as("doc_new"))
+      val oldB = graft.operators.DedupOps.minhashBandsShared(spark, sfDir)
+        .filter($"doc_id" % 10 =!= 0L)
+        .select($"band", $"band_hash", $"doc_id".as("doc_old"))
+      oldB.join(broadcast(newB), Seq("band", "band_hash"))
+        .select($"doc_new", $"doc_old").distinct().count()
+    })
+    time("drop gram sets")(newDocs.select($"doc_id",
+      sort_array(graft.functions.TextHash.gramHashes($"text", 2)).as("gs")).count())
+    time("full q_dedup_incremental 1")(
+      graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir).count())
+    time("full q_dedup_incremental 2")(
+      graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir).count())
     spark.stop()
   }
 }
