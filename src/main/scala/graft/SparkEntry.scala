@@ -90,6 +90,7 @@ object SparkEntry {
     "q_pack_sequences" -> (CurationOps.packSequences _),
     "q_dup_matrix" -> (DedupOps.dupSourceMatrix _),
     "q_cluster_best" -> (ClusterOps.clusterBest _),
+    "q_event_outliers" -> (CoreOps.eventOutliers _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -860,5 +861,22 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, n_tokens,
          |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
+    "q_event_outliers" ->
+      // (n·v − S1)² > 9·(n·S2 − S1²): exact integer moments, the 3σ
+      // branch taken per row in IEEE doubles — identical inputs +
+      // identical ops ⇒ identical branches in both engines
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS value_e2 FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(value_e2) AS BIGINT) AS s1,
+        |    CAST(sum(value_e2 * value_e2) AS BIGINT) AS s2
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, event_id, user_id, ts_us, value_e2 FROM (
+        |  SELECT ev.*,
+        |    CAST(n AS DOUBLE) * CAST(value_e2 AS DOUBLE) - CAST(s1 AS DOUBLE) AS dev,
+        |    CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS spread
+        |  FROM ev JOIN st USING (event_type))
+        |WHERE dev * dev > 9.0 * spread
+        |ORDER BY event_type, event_id""".stripMargin,
   )
 }

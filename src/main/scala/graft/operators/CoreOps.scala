@@ -195,4 +195,33 @@ object CoreOps {
       .filter($"k" >= 50 || $"_fence" < 0)
       .select($"event_id", $"k")
       .orderBy($"event_id")
+
+  /** #71 Statistical outlier detection: events whose value sits more
+    * than 3σ from their event_type's mean — the anomaly gate a
+    * pipeline runs on metric feeds before trusting aggregates.
+    * Determinism contract: the per-type moments (n, Σv, Σv²) are
+    * EXACT integer aggregates over e2 fixed-point values
+    * (order-independent), and the 3σ test compares
+    * (n·v − S1)² > 9·(n·S2 − S1²) — both sides n²-scaled, evaluated
+    * per row in IEEE doubles from identical integer inputs, so both
+    * engines branch identically (SURVEY.md §4; Σv² fits BIGINT to
+    * ~2e10 rows/type at e2 — drop to e1 fixed point beyond).
+    * Scale shape: one partial-agg'd shuffle to |event_type| rows, the
+    * tiny stats frame broadcast back, the flag a narrow map — the
+    * corpus is scanned once and never shuffled. */
+  def eventOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts").as("ts_us"), Det.toFixed($"value", 2).as("value_e2"))
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value_e2").as("s1"),
+        sum($"value_e2" * $"value_e2").as("s2"))
+    val dev = $"n".cast("double") * $"value_e2".cast("double") - $"s1".cast("double")
+    val spread = $"n".cast("double") * $"s2".cast("double") -
+      $"s1".cast("double") * $"s1".cast("double")
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(9.0) * spread)
+      .select($"event_type", $"event_id", $"user_id", $"ts_us", $"value_e2")
+      .orderBy($"event_type", $"event_id")
+  }
 }

@@ -334,19 +334,45 @@ object DedupOps {
       for (s <- 0 until ngramSlots) yield (base + s, id, g)
     }
     // Materialize the PROBE slice (≈ 3·bucket/slots docs per cell —
-    // the bounded side) and stream the build docs past it.
+    // the bounded side) and stream the build docs past it. The verify
+    // walk is threshold-bounded: J ≥ 1/2 ⇔ common ≥ ⌈(|A|+|B|)/3⌉,
+    // so a pair is skipped outright when even min(|A|,|B|) can't
+    // reach that, and the merge walk bails the moment the remaining
+    // elements can't — most pairs are dissimilar, so most walks stop
+    // ~1/3 early with the identical (exact) result set.
     probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) { (_, ls, rs) =>
       val left = ls.map(l => (l._2, l._3)).toArray
       rs.flatMap { case (_, idb, gb) =>
         left.iterator.filter(_._1 < idb).flatMap { case (ida, ga) =>
-          val common = intersectCount(ga, gb)
+          val need = (ga.length + gb.length + 2) / 3
+          val common =
+            if (math.min(ga.length, gb.length) < need) -1
+            else boundedIntersectCount(ga, gb, need)
           val union = ga.length + gb.length - common
-          if (common * 2 >= union) Iterator.single((ida, idb, common.toLong, union.toLong))
+          if (common >= 0 && common * 2 >= union)
+            Iterator.single((ida, idb, common.toLong, union.toLong))
           else Iterator.empty
         }
       }
     }(pairEnc).toDF("doc_a", "doc_b", "n_common", "n_union")
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Two-pointer intersection of sorted long arrays that returns -1
+    * as soon as the count provably cannot reach `need` — for pairs
+    * that DO reach it the walk always completes, so the returned
+    * count is exact (the early exit only ever fires on pairs the
+    * J ≥ 1/2 filter would discard anyway). */
+  private[graft] def boundedIntersectCount(a: Array[Long], b: Array[Long], need: Int): Int = {
+    var i = 0; var j = 0; var c = 0
+    val la = a.length; val lb = b.length
+    while (i < la && j < lb) {
+      if (c + math.min(la - i, lb - j) < need) return -1
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** SimHash geometry: hash60 supplies 60 entropy bits, so the

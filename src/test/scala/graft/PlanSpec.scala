@@ -69,6 +69,16 @@ class PlanSpec extends SparkTestBase {
       "signature computation must not shuffle (<=1 for the output sort)")
   }
 
+  test("q_event_outliers broadcasts the stats frame — the corpus never shuffles for the join") {
+    val plan = fullPlanString("q_event_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-type moments must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the events scan must not shuffle to meet its own statistics")
+    // moments aggregate + output sort only
+    assert(countShuffles(planOf("q_event_outliers")) <= 2)
+  }
+
   test("q_dedup_exact partial-aggregates before its single shuffle") {
     val plan = fullPlanString("q_dedup_exact")
     assert(plan.contains("partial_min") || plan.contains("partial_count"))
@@ -123,7 +133,8 @@ class PlanSpec extends SparkTestBase {
         "q_text_pii", "q_curation", "q_text_repetition", "q_ngram_topk",
         "q_lang_mismatch", "q_rolling_fp", "q_fingerprint",
         "q_cms_heavy", "q_tfidf_topk", "q_token_drift",
-        "q_decontaminate_substr", "q_embed_profile")) {
+        "q_decontaminate_substr", "q_embed_profile",
+        "q_kmeans", "q_pack_sequences", "q_dup_matrix", "q_cluster_best")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +

@@ -125,6 +125,16 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("boundedIntersectCount is exact at-or-above the threshold, -1 only below it") {
+    val arr = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
+    forSamples(Gen.zip(arr, arr, Gen.choose(0, 30))) { case (a, b, need) =>
+      val exact = a.toSet.intersect(b.toSet).size
+      val got = DedupOps.boundedIntersectCount(a, b, need)
+      if (exact >= need) assert(got == exact)      // never early-exits a real hit
+      else assert(got == exact || got == -1)       // may bail, never lies
+    }
+  }
+
   test("TopKAggregator over any partitioning equals global sorted top-k") {
     val rows = Gen.listOf(for {
       v <- Gen.choose(0.0, 10.0); id <- Gen.choose(0L, 100L)
