@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dup_matrix" -> (DedupOps.dupSourceMatrix _),
     "q_cluster_best" -> (ClusterOps.clusterBest _),
     "q_event_outliers" -> (CoreOps.eventOutliers _),
+    "q_sample_balanced" -> (SimilarityOps.sampleBalanced _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -144,6 +145,34 @@ object SparkEntry {
   private val quantCte =
     """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
       |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))""".stripMargin
+  /** One deterministic Lloyd round over `n` (requires `$quantCte`):
+    * seeds = K lowest vec_ids, integer squared-L2 argmin with
+    * lowest-cluster ties, HALF_UP integer-mean centroid update, final
+    * assignment `a2(vec_id, c, dist)` — shared by the #67/#72 oracles
+    * so the cluster definition cannot drift. dist = n2v + n2c − 2·dot:
+    * every term BIGINT, so argmin and sums are integer-exact. */
+  private val kmeansCtes: String = {
+    val K = graft.operators.SimilarityOps.KmeansK
+    s"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, q, n2
+       |  FROM (SELECT * FROM n ORDER BY vec_id ASC LIMIT $K)),
+       |a1 AS (SELECT vec_id, c, q FROM (
+       |    SELECT vec_id, c, q, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
+       |      SELECT v.vec_id, s.c, v.q,
+       |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
+       |      FROM n v CROSS JOIN seeds s))
+       |  WHERE rk = 1),
+       |cd AS (SELECT c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+       |  FROM (SELECT c, unnest(range(len(q))) AS dim, unnest(q) AS qv FROM a1)
+       |  GROUP BY c, dim),
+       |c2 AS (SELECT c, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+       |  FROM (SELECT c, list(cv ORDER BY dim ASC) AS q FROM cd GROUP BY c)),
+       |a2 AS (SELECT vec_id, c, dist FROM (
+       |    SELECT vec_id, c, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
+       |      SELECT v.vec_id, s.c,
+       |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
+       |      FROM n v CROSS JOIN c2 s))
+       |  WHERE rk = 1)""".stripMargin
+  }
   /** Random-hyperplane sign bucketing of the quantized embeddings —
     * `nb(vec_id, q, n2, bucket)`; shared by q_ann_lsh,
     * q_ann_multiprobe and q_dedup_embedding_lsh so the bucket
@@ -793,36 +822,24 @@ object SparkEntry {
          |SELECT doc_new, doc_old, n_common, n_union FROM ver
          |WHERE n_common * 2 >= n_union ORDER BY doc_new, doc_old""".stripMargin
     },
-    "q_kmeans" -> {
-      import graft.operators.SimilarityOps.KmeansK
-      // dist = n2v + n2c − 2·dot: every term BIGINT, so the argmin and
-      // sums are integer-exact; the centroid update is the HALF_UP
-      // mean per (cluster, dim) — the q_embed_profile mean contract
+    "q_kmeans" ->
       s"""WITH $quantCte,
-         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, q, n2
-         |  FROM (SELECT * FROM n ORDER BY vec_id ASC LIMIT $KmeansK)),
-         |a1 AS (SELECT vec_id, c, q FROM (
-         |    SELECT vec_id, c, q, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
-         |      SELECT v.vec_id, s.c, v.q,
-         |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
-         |      FROM n v CROSS JOIN seeds s))
-         |  WHERE rk = 1),
-         |cd AS (SELECT c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
-         |  FROM (SELECT c, unnest(range(len(q))) AS dim, unnest(q) AS qv FROM a1)
-         |  GROUP BY c, dim),
-         |c2 AS (SELECT c, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
-         |  FROM (SELECT c, list(cv ORDER BY dim ASC) AS q FROM cd GROUP BY c)),
-         |a2 AS (SELECT vec_id, c, dist FROM (
-         |    SELECT vec_id, c, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
-         |      SELECT v.vec_id, s.c,
-         |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
-         |      FROM n v CROSS JOIN c2 s))
-         |  WHERE rk = 1)
+         |$kmeansCtes
          |SELECT c AS cluster_id, CAST(count(*) AS BIGINT) AS n_members, min(vec_id) AS min_vec_id,
          |  CAST(sum(dist) AS BIGINT) AS sum_dist,
          |  CAST(round(CAST(sum(dist) AS DOUBLE)/count(*)) AS BIGINT) AS mean_dist
-         |FROM a2 GROUP BY c ORDER BY cluster_id""".stripMargin
-    },
+         |FROM a2 GROUP BY c ORDER BY cluster_id""".stripMargin,
+    "q_sample_balanced" ->
+      s"""WITH $quantCte,
+         |$kmeansCtes,
+         |cnt AS (SELECT c, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY c),
+         |mn AS (SELECT min(n_members) AS min_members FROM cnt)
+         |SELECT vec_id, cluster_id, bucket FROM (
+         |  SELECT a2.vec_id, a2.c AS cluster_id,
+         |    ${h60("CAST(a2.vec_id AS VARCHAR)")} % cnt.n_members AS bucket,
+         |    mn.min_members AS min_members
+         |  FROM a2 JOIN cnt USING (c) CROSS JOIN mn)
+         |WHERE bucket < min_members ORDER BY vec_id""".stripMargin,
     "q_pack_sequences" -> {
       import graft.operators.CurationOps.PackBudget
       s"""WITH $tkCte,

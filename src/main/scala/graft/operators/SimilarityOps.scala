@@ -172,7 +172,10 @@ object SimilarityOps {
     * ever cross the driver. Lloyd's per-iteration full scan is
     * inherent to the algorithm — the knob at 100 TB is the iteration
     * count (fixed at one update here), never per-row state. */
-  def kmeansProfile(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Final (cluster_id, vec_id, dist) assignment behind
+    * [[kmeansProfile]] — the frame downstream consumers
+    * ([[sampleBalanced]]) compose on. */
+  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
     import graft.functions.VectorFunctions.quantized
     def emb = Tables.embeddings(spark, sfDir)
@@ -204,11 +207,37 @@ object SimilarityOps {
         (c, id, d)
       }
       .toDF("cluster_id", "vec_id", "dist")
+  }
+
+  def kmeansProfile(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansAssign(spark, sfDir)
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"), min($"vec_id").as("min_vec_id"),
         sum($"dist").as("sum_dist"),
         round(sum($"dist").cast("double") / count(lit(1))).cast(LongType).as("mean_dist"))
       .orderBy($"cluster_id")
+
+  /** #72 Cluster-balanced sampling: downsample every k-means cluster
+    * to ≈ the smallest cluster's size — the topic-balancing knob a
+    * curation pipeline turns when one embedding region (one content
+    * genre) dominates the corpus. Deterministic hash-mod keep (the
+    * [[CurationOps.stratifiedSample]] contract — no rand(), stable
+    * under corpus growth): keep iff hash60(vec_id) % n_members <
+    * min_members, so each cluster retains min_members rows in
+    * expectation. Scale shape: the assignment is the k-means narrow
+    * scan; membership counts collapse to k rows broadcast back; the
+    * keep test is a narrow map. */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val asg = kmeansAssign(spark, sfDir).select($"cluster_id", $"vec_id")
+    val counts = asg.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+    val minN = counts.agg(min($"n_members").as("min_members"))
+    asg.join(broadcast(counts), "cluster_id")
+      .crossJoin(broadcast(minN))
+      .withColumn("bucket", hash60($"vec_id".cast("string")) % $"n_members")
+      .filter($"bucket" < $"min_members")
+      .select($"vec_id", $"cluster_id", $"bucket")
+      .orderBy($"vec_id")
   }
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {

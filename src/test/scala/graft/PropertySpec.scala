@@ -125,6 +125,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch is mergeable: k-minima of a union = k-minima of merged sketches") {
+    // the 100 TB contract behind q_kmv_distinct: per-partition sketches
+    // (k smallest hashes) merge by re-taking the k smallest of the
+    // union — the result is EXACTLY the sketch of the combined stream,
+    // so partial aggregation / multi-day merges lose nothing
+    val k = graft.operators.CurationOps.KmvK
+    val hashes = Gen.listOf(Gen.choose(0L, 1L << 60))
+    forSamples(Gen.zip(hashes, hashes)) { case (a, b) =>
+      val whole = (a ++ b).distinct.sorted.take(k)
+      val merged = (a.distinct.sorted.take(k) ++ b.distinct.sorted.take(k))
+        .distinct.sorted.take(k)
+      assert(merged == whole)
+    }
+  }
+
   test("boundedIntersectCount is exact at-or-above the threshold, -1 only below it") {
     val arr = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
     forSamples(Gen.zip(arr, arr, Gen.choose(0, 30))) { case (a, b, need) =>

@@ -129,4 +129,25 @@ class SimilaritySpec extends SparkTestBase {
     val b = SimilarityOps.kmeansProfile(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("balanced sample keeps at most ~min-cluster-size per cluster, deterministically") {
+    val profile = SimilarityOps.kmeansProfile(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val minN = profile.values.min
+    val kept = SimilarityOps.sampleBalanced(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // every kept row passes the hash gate against ITS cluster's size
+    kept.foreach { case (_, c, bucket) =>
+      assert(bucket >= 0 && bucket < minN && profile.contains(c))
+    }
+    // hash-mod keep is a binomial draw at rate min/n per cluster —
+    // sizes concentrate near min_members, never exceed the cluster
+    val byCluster = kept.groupBy(_._2).view.mapValues(_.length)
+    byCluster.foreach { case (c, n) => assert(n <= profile(c)) }
+    // deterministic: same corpus, same rows
+    val again = SimilarityOps.sampleBalanced(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(kept.toSeq == again.toSeq)
+  }
 }
