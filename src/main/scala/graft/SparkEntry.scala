@@ -135,7 +135,7 @@ object SparkEntry {
       |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
       |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
       |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b),
-      |pr AS (SELECT doc_a, doc_b FROM ver WHERE n_common * 2 >= n_union)""".stripMargin
+      |pr AS (SELECT doc_a, doc_b, n_common, n_union FROM ver WHERE n_common * 2 >= n_union)""".stripMargin
   /** Transitive closure (`e`, `reach`) over `pr` — the cluster
     * definition shared by the #50/#70 oracles (needs WITH RECURSIVE). */
   private val reachCtes =
@@ -421,8 +421,8 @@ object SparkEntry {
       s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
          |$pairsCtes
-         |SELECT doc_a, doc_b, n_common, n_union FROM ver
-         |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin,
+         |SELECT doc_a, doc_b, n_common, n_union FROM pr
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,

@@ -166,11 +166,6 @@ object ClusterOps {
     }
   }
 
-  /** #50 Duplicate clusters over the MinHash-LSH near-dup pairs:
-    * every doc in a near-dup pair gets its transitive cluster id
-    * (= min doc_id in the cluster) and keep = 1 only for that
-    * canonical doc — the row set a pipeline anti-joins against the
-    * corpus to drop redundant docs. */
   /** Transitive near-dup cluster labels over the materialized pairs
     * artifact — THE cluster definition [[dedupCluster]] (#50) and
     * [[clusterBest]] (#70) share, so their memberships cannot
@@ -181,6 +176,11 @@ object ClusterOps {
       "doc_a", "doc_b")
       .select($"id".as("doc_id"), $"label".as("cluster_id"))
 
+  /** #50 Duplicate clusters over the MinHash-LSH near-dup pairs:
+    * every doc in a near-dup pair gets its transitive cluster id
+    * (= min doc_id in the cluster) and keep = 1 only for that
+    * canonical doc — the row set a pipeline anti-joins against the
+    * corpus to drop redundant docs. */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame =
     clusterLabels(spark, sfDir)
       .select($"doc_id", $"cluster_id",

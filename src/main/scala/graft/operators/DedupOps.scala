@@ -133,6 +133,23 @@ object DedupOps {
     * DriverEdgeLimit). */
   val IncrIdPushLimit = 1 << 14
 
+  /** The (doc_new, doc_old) candidate subtree [[dedupIncremental]]'s
+    * artifact build executes: fresh drop bands BROADCAST against the
+    * stored corpus band artifact. Exposed (not inlined) so DedupSpec
+    * asserts the drop-side-only broadcast on the PRODUCTION subtree,
+    * not a reconstruction. */
+  private[graft] def incrCandFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val newDocs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").filter($"doc_id" % IncrMod === 0L)
+    val newB = bandExplode(newDocs)
+      .select($"band", $"band_hash", $"doc_id".as("doc_new"))
+    val oldB = minhashBandsShared(spark, sfDir)
+      .filter($"doc_id" % IncrMod =!= 0L)
+      .select($"band", $"band_hash", $"doc_id".as("doc_old"))
+    oldB.join(broadcast(newB), Seq("band", "band_hash"))
+      .select($"doc_new", $"doc_old").distinct()
+  }
+
   /** Corpus banded signatures (doc_id, band, band_hash) materialized
     * ONCE per corpus fingerprint — the signature artifact a production
     * corpus stores alongside the text (16 longs/doc), so consumers
@@ -230,13 +247,7 @@ object DedupOps {
     // candidate subtree twice per run.
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     val (candPath, candSchema) = incrCandIndex.getOrBuild(sfDir, fp) {
-      val newB = bandExplode(newDocs)
-        .select($"band", $"band_hash", $"doc_id".as("doc_new"))
-      val oldB = minhashBandsShared(spark, sfDir)
-        .filter($"doc_id" % IncrMod =!= 0L)
-        .select($"band", $"band_hash", $"doc_id".as("doc_old"))
-      val c = oldB.join(broadcast(newB), Seq("band", "band_hash"))
-        .select($"doc_new", $"doc_old").distinct()
+      val c = incrCandFrame(spark, sfDir)
       (graft.tools.Materialize.writeParquet(c, "incr-cand"), c.schema)
     }
     val cand = spark.read.schema(candSchema).parquet(candPath)

@@ -150,13 +150,9 @@ object SimilarityOps {
     (bestC, bestD)
   }
 
-  /** #67 Deterministic k-means profile over the embedding corpus —
-    * the cluster-balance report a curation pipeline runs to pick
-    * per-cluster sampling rates (topic balance) or to seed IVF cells
-    * from REAL centroids instead of [[annIvf]]'s pivot stand-ins.
-    * One Lloyd round from fixed seeds (the [[KmeansK]] lowest
-    * vec_ids), then a final assignment: seeds → assign → centroid
-    * update → assign → per-cluster stats.
+  /** One deterministic Lloyd round producing the final
+    * (cluster_id, vec_id, dist) assignment: seeds = the [[KmeansK]]
+    * lowest vec_ids → assign → centroid update → assign.
     *
     * Deterministic and oracle-exact end to end: distances are integer
     * squared L2 on the e3-quantized vectors with lowest-cluster-id
@@ -168,13 +164,10 @@ object SimilarityOps {
     * Scale shape: each assignment is ONE narrow corpus scan with the
     * k×dim centroid table riding the task closure (~4 KB — the IVF
     * pivot story); the update is a posexplode + partial-agg'd shuffle
-    * to k·dim groups; only k·dim centroid cells and k result rows
-    * ever cross the driver. Lloyd's per-iteration full scan is
-    * inherent to the algorithm — the knob at 100 TB is the iteration
-    * count (fixed at one update here), never per-row state. */
-  /** Final (cluster_id, vec_id, dist) assignment behind
-    * [[kmeansProfile]] — the frame downstream consumers
-    * ([[sampleBalanced]]) compose on. */
+    * to k·dim groups; only k·dim centroid cells ever cross the
+    * driver. Lloyd's per-iteration full scan is inherent to the
+    * algorithm — the knob at 100 TB is the iteration count (fixed at
+    * one update here), never per-row state. */
   private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
     import graft.functions.VectorFunctions.quantized
@@ -209,8 +202,34 @@ object SimilarityOps {
       .toDF("cluster_id", "vec_id", "dist")
   }
 
+  private val kmeansIndex = new graft.tools.Materialize.SupersedingCache[
+    (String, org.apache.spark.sql.types.StructType)]
+
+  /** [[kmeansAssign]] materialized ONCE per corpus fingerprint — the
+    * doc→cluster table IS a production artifact (a pipeline writes it
+    * next to the corpus and every consumer reads it), and without it
+    * each consumer re-pays the Lloyd scans: [[sampleBalanced]] alone
+    * would run the assignment subtree once per side of its joins.
+    * Same build-once/supersede-evict contract as the IVF index (which
+    * also stores a corpus-cardinality frame). */
+  private[graft] def kmeansAssignShared(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    val (path, schema) = kmeansIndex.getOrBuild(sfDir, fp) {
+      val a = kmeansAssign(spark, sfDir)
+      (graft.tools.Materialize.writeParquet(a, "kmeans-assign"), a.schema)
+    }
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** #67 Deterministic k-means profile over the embedding corpus —
+    * the cluster-balance report a curation pipeline runs to pick
+    * per-cluster sampling rates (topic balance) or to seed IVF cells
+    * from REAL centroids instead of [[annIvf]]'s pivot stand-ins.
+    * Per-cluster stats over the materialized [[kmeansAssignShared]]
+    * table (see [[kmeansAssign]] for the determinism and scale
+    * contract); only k result rows leave the aggregate. */
   def kmeansProfile(spark: SparkSession, sfDir: String): DataFrame =
-    kmeansAssign(spark, sfDir)
+    kmeansAssignShared(spark, sfDir)
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"), min($"vec_id").as("min_vec_id"),
         sum($"dist").as("sum_dist"),
@@ -224,12 +243,13 @@ object SimilarityOps {
     * [[CurationOps.stratifiedSample]] contract — no rand(), stable
     * under corpus growth): keep iff hash60(vec_id) % n_members <
     * min_members, so each cluster retains min_members rows in
-    * expectation. Scale shape: the assignment is the k-means narrow
-    * scan; membership counts collapse to k rows broadcast back; the
-    * keep test is a narrow map. */
+    * expectation. Scale shape: every side reads the materialized
+    * [[kmeansAssignShared]] table (plain columnar scans — the Lloyd
+    * passes never re-run per consumer); membership counts collapse
+    * to k rows broadcast back; the keep test is a narrow map. */
   def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions.hash60
-    val asg = kmeansAssign(spark, sfDir).select($"cluster_id", $"vec_id")
+    val asg = kmeansAssignShared(spark, sfDir).select($"cluster_id", $"vec_id")
     val counts = asg.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
     val minN = counts.agg(min($"n_members").as("min_members"))
     asg.join(broadcast(counts), "cluster_id")

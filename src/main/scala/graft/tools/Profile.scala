@@ -48,25 +48,18 @@ object Profile {
     })
 
     // incremental-dedup phase attribution (uses the band artifact —
-    // first call below pays its build, the repeats are steady state)
+    // first call below pays its build, the repeats are steady state).
+    // Fragments reuse the operator's own unsorted subtrees so the
+    // timings attribute the cost the operator actually pays.
     val newDocs = docs.select($"doc_id", $"text").filter($"doc_id" % 10 === 0L)
-    val oldDocs = docs.select($"doc_id", $"text").filter($"doc_id" % 10 =!= 0L)
     time("bands artifact (build)")(
       graft.operators.DedupOps.minhashBandsShared(spark, sfDir).count())
     time("bands artifact (scan)")(
       graft.operators.DedupOps.minhashBandsShared(spark, sfDir).count())
-    time("drop bandExplode")(graft.operators.DedupOps.minhashBandsQ(spark, sfDir)
+    time("drop bandExplode")(graft.operators.DedupOps.minhashBands(spark, sfDir)
       .filter($"doc_id" % 10 === 0L).count())
-    time("incr cand join")({
-      val newB = graft.operators.DedupOps.minhashBandsQ(spark, sfDir)
-        .filter($"doc_id" % 10 === 0L)
-        .select($"band", $"band_hash", $"doc_id".as("doc_new"))
-      val oldB = graft.operators.DedupOps.minhashBandsShared(spark, sfDir)
-        .filter($"doc_id" % 10 =!= 0L)
-        .select($"band", $"band_hash", $"doc_id".as("doc_old"))
-      oldB.join(broadcast(newB), Seq("band", "band_hash"))
-        .select($"doc_new", $"doc_old").distinct().count()
-    })
+    time("incr cand join")(
+      graft.operators.DedupOps.incrCandFrame(spark, sfDir).count())
     time("drop gram sets")(newDocs.select($"doc_id",
       sort_array(graft.functions.TextHash.gramHashes($"text", 2)).as("gs")).count())
     time("full q_dedup_incremental 1")(

@@ -64,24 +64,16 @@ class DedupSpec extends SparkTestBase {
     // candidate BUILD path: the drop side must be the broadcast build
     // side — auto-broadcast off, so the hinted exchange is the only
     // one and the assertion can't pass vacuously off a size-based
-    // broadcast of the corpus. The build subtree is reconstructed
-    // from the same private helpers the operator composes (its plan
-    // runs inside the artifact cache, so it isn't inspectable from
-    // the returned frame).
+    // broadcast of the corpus. incrCandFrame IS the subtree the
+    // operator's artifact build executes (exposed for exactly this
+    // spec — a hand reconstruction would pin the test's own hint,
+    // not the production plan).
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
-      val newB = DedupOps.bandExplode(docs.filter(col("doc_id") % IncrMod === 0L))
-        .select(col("band"), col("band_hash"), col("doc_id").as("doc_new"))
-      val oldB = DedupOps.minhashBandsShared(spark, sf)
-        .filter(col("doc_id") % IncrMod =!= 0L)
-        .select(col("band"), col("band_hash"), col("doc_id").as("doc_old"))
-      val cand = oldB.join(broadcast(newB), Seq("band", "band_hash"))
-        .select(col("doc_new"), col("doc_old")).distinct()
-      val bjs = cand.queryExecution.sparkPlan.collect {
+      val bjs = DedupOps.incrCandFrame(spark, sf).queryExecution.sparkPlan.collect {
         case b: BroadcastHashJoinExec => b
       }
       assert(bjs.nonEmpty, "the band join must broadcast the drop side")

@@ -130,24 +130,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
-  test("balanced sample keeps at most ~min-cluster-size per cluster, deterministically") {
-    val profile = SimilarityOps.kmeansProfile(spark, sf)
-      .as[(Long, Long, Long, Long, Long)].collect()
-      .map(r => r._1 -> r._2).toMap
-    val minN = profile.values.min
+  test("balanced sample equals an independent recompute from the assignment table") {
+    // independent model: read the materialized assignment, apply the
+    // documented rule (keep iff hash60(vec_id) % n_members <
+    // min_members) with the JVM hash — catches a wrong hash column, a
+    // wrong modulus, or a wrong threshold, not just self-consistency
+    val asg = SimilarityOps.kmeansAssignShared(spark, sf)
+      .select("cluster_id", "vec_id").as[(Long, Long)].collect()
+    val sizes = asg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val minN = sizes.values.min
+    val expected = asg.flatMap { case (c, v) =>
+      val bucket = graft.functions.TextHash.hash60Jvm(v.toString) % sizes(c)
+      if (bucket < minN) Some((v, c, bucket)) else None
+    }.sortBy(_._1).toSeq
     val kept = SimilarityOps.sampleBalanced(spark, sf)
-      .as[(Long, Long, Long)].collect()
-    // every kept row passes the hash gate against ITS cluster's size
-    kept.foreach { case (_, c, bucket) =>
-      assert(bucket >= 0 && bucket < minN && profile.contains(c))
-    }
-    // hash-mod keep is a binomial draw at rate min/n per cluster —
-    // sizes concentrate near min_members, never exceed the cluster
-    val byCluster = kept.groupBy(_._2).view.mapValues(_.length)
-    byCluster.foreach { case (c, n) => assert(n <= profile(c)) }
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kept == expected)
     // deterministic: same corpus, same rows
     val again = SimilarityOps.sampleBalanced(spark, sf)
-      .as[(Long, Long, Long)].collect()
-    assert(kept.toSeq == again.toSeq)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kept == again)
   }
 }
