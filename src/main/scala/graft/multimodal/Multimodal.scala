@@ -16,13 +16,15 @@ case class MediaFeature(doc_id: Long, kind: String, frameIdx: Int,
   * typed Spark stages.
   *
   * Images decode for REAL via the JDK's `javax.imageio`
-  * ([[ImageIoCodec]] — PNG/JPEG) and audio via the JDK's
-  * `javax.sound.sampled` ([[AudioWavCodec]] — 16-bit PCM WAV), both
-  * zero added dependencies. Video and compressed-audio codecs
-  * (ffmpeg) are not in this container, so [[StubCodec]] is their
-  * clearly-marked deterministic stand-in: it derives "samples" from a
-  * rolling hash of the bytes, and also catches undecodable
-  * image/audio records so a malformed row can't kill a job.
+  * ([[ImageIoCodec]] — PNG/JPEG), audio via the JDK's
+  * `javax.sound.sampled` ([[AudioWavCodec]] — 16-bit PCM WAV), and
+  * video frames via `javax.imageio`'s multi-frame GIF reader
+  * ([[GifVideoCodec]] — animated GIF), all zero added dependencies.
+  * Compressed-media codecs (ffmpeg: mp4, mp3/ogg) are not in this
+  * container, so [[StubCodec]] is their clearly-marked deterministic
+  * stand-in: it derives "samples" from a rolling hash of the bytes,
+  * and also catches undecodable image/audio/video records so a
+  * malformed row can't kill a job.
   * Everything AROUND the codecs is the real article — schema
   * (binary column + typed metadata), per-partition batched decode via
   * `mapPartitions` (one codec instance per partition, the same shape
@@ -40,6 +42,31 @@ object Multimodal {
     * BT.601 integer-weighted luma in [0, 1]. Deterministic: PNG/JPEG
     * decode and `getRGB`'s sRGB conversion are pixel-exact in the
     * JDK, and the pooling is fixed-order arithmetic. */
+  /** Row-major mean-pooled BT.601 luma over n proportional blocks —
+    * the shared feature kernel behind [[ImageIoCodec]] (stills) and
+    * [[GifVideoCodec]] (animation frames). */
+  private def poolLuma(img: java.awt.image.BufferedImage, n: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val total = w.toLong * h
+    val sums = new Array[Double](n)
+    val cnts = new Array[Long](n)
+    var idx = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000.0 / 255.0
+        val slot = (idx * n / total).toInt
+        sums(slot) += lum; cnts(slot) += 1
+        idx += 1; x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(n)(i => if (cnts(i) > 0) (sums(i) / cnts(i)).toFloat else 0.0f)
+  }
+
   object ImageIoCodec {
     /** None when the bytes are not a decodable image (caller falls
       * back to [[StubCodec]] — a malformed record must not kill a
@@ -59,27 +86,44 @@ object Multimodal {
         val decoded =
           try javax.imageio.ImageIO.read(iis)
           finally try iis.close() catch { case _: java.io.IOException => () }
-        Option(decoded).map { img =>
-          val w = img.getWidth; val h = img.getHeight
-          val total = w.toLong * h
-          val sums = new Array[Double](n)
-          val cnts = new Array[Long](n)
-          var idx = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000.0 / 255.0
-              val slot = (idx * n / total).toInt
-              sums(slot) += lum; cnts(slot) += 1
-              idx += 1; x += 1
-            }
-            y += 1
+        Option(decoded).map(poolLuma(_, n))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL video codec for the one multi-frame container the JDK ships
+    * a decoder for: animated GIF via `javax.imageio` (same
+    * zero-dependency story as [[ImageIoCodec]]/[[AudioWavCodec]]).
+    * Frame `frameIdx` is decoded to the shared luma-pool feature;
+    * indices beyond the clip LOOP (`frameIdx mod frameCount` — the
+    * sampler's stride indexing never strands a short clip on the
+    * stub). ffmpeg containers (mp4 etc.) have no JDK reader and stay
+    * on the labeled stub. */
+  object GifVideoCodec {
+    /** True when the bytes are a GIF container — the domain [[decode]]
+      * is EXPECTED to handle (the outage-counter gate, mirroring
+      * [[AudioWavCodec.isPcm]]). */
+    def isGif(bytes: Array[Byte]): Boolean =
+      bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+
+    def decode(bytes: Array[Byte], n: Int, frameIdx: Int): Option[Array[Float]] =
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            // seekForwardOnly=false: frame indices loop, so reads may
+            // go backwards across sampler calls on the same reader
+            r.setInput(iis, false, true)
+            try {
+              val cnt = r.getNumImages(true)
+              if (cnt <= 0) None
+              else Some(poolLuma(r.read(((frameIdx % cnt) + cnt) % cnt), n))
+            } finally r.dispose()
           }
-          Array.tabulate(n)(i => if (cnts(i) > 0) (sums(i) / cnts(i)).toFloat else 0.0f)
-        }
+        } finally try iis.close() catch { case _: java.io.IOException => () }
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -255,12 +299,13 @@ object Multimodal {
   /** Decode + feature-extract, one codec per partition (the expensive
     * stage; batched like an Arrow UDF). featDim models "resize to a
     * fixed feature grid". Images go through the REAL JDK image codec
-    * ([[ImageIoCodec]] — PNG/JPEG) and audio through the REAL JDK WAV
-    * codec ([[AudioWavCodec]] — 16-bit PCM); video, compressed audio,
-    * and undecodable bytes fall back to the deterministic stub. A
-    * fallback on a kind that HAS a real codec ticks `fallbacks` so a
-    * codec outage surfaces instead of silently degrading every
-    * feature to the stub. */
+    * ([[ImageIoCodec]] — PNG/JPEG), audio through the REAL JDK WAV
+    * codec ([[AudioWavCodec]] — 16-bit PCM), and video frames through
+    * the REAL JDK animated-GIF reader ([[GifVideoCodec]]);
+    * compressed media and undecodable bytes fall back to the
+    * deterministic stub. A fallback on bytes a real codec owns ticks
+    * `fallbacks` so a codec outage surfaces instead of silently
+    * degrading every feature to the stub. */
   def extractFeatures(sampled: Dataset[(MediaAsset, Int)], featDim: Int,
                       fallbacks: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[MediaFeature] = {
@@ -272,14 +317,18 @@ object Multimodal {
         val real = a.kind match {
           case "image" => ImageIoCodec.decode(a.bytes, featDim)
           case "audio" => AudioWavCodec.decode(a.bytes, featDim, clipSec = frame)
+          case "video" => GifVideoCodec.decode(a.bytes, featDim, frameIdx = frame)
           case _       => None
         }
         // outage signal only: image bytes are always the real codec's
-        // domain; audio bytes only when they parse as PCM (compressed
-        // audio legitimately stubs — a standing tick would be noise)
+        // domain; audio bytes only when they parse as PCM and video
+        // bytes only when they are a GIF container (compressed
+        // audio/video legitimately stub — a standing tick would be
+        // noise)
         if (real.isEmpty &&
             (a.kind == "image" ||
-              (a.kind == "audio" && AudioWavCodec.isPcm(a.bytes))))
+              (a.kind == "audio" && AudioWavCodec.isPcm(a.bytes)) ||
+              (a.kind == "video" && GifVideoCodec.isGif(a.bytes))))
           fallbacks.foreach(_.add(1L))
         val feat = real
           .getOrElse(StubCodec.decode(a.bytes ++ BigInt(frame).toByteArray, featDim))
