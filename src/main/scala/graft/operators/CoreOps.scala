@@ -209,18 +209,34 @@ object CoreOps {
     * Scale shape: one partial-agg'd shuffle to |event_type| rows, the
     * tiny stats frame broadcast back, the flag a narrow map — the
     * corpus is scanned once and never shuffled. */
-  def eventOutliers(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  /** The typed event projection behind [[eventOutliers]]. */
+  private[graft] def eventFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .select($"event_id", $"user_id", $"event_type",
         unix_micros($"ts").as("ts_us"), Det.toFixed($"value", 2).as("value_e2"))
-    val stats = ev.groupBy($"event_type")
+
+  /** Exact per-type integer moments (n, Σv, Σv²) — the broadcastable
+    * stats frame [[eventOutliers]] and the streaming gate share. */
+  private[graft] def eventMoments(ev: DataFrame): DataFrame =
+    ev.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"value_e2").as("s1"),
         sum($"value_e2" * $"value_e2").as("s2"))
+
+  /** The 3σ predicate over (value_e2, n, s1, s2) — ONE definition
+    * shared by the batch operator and
+    * [[graft.streaming.StreamingJobs.streamingOutliers]], so the two
+    * runtimes cannot drift on the boundary. */
+  private[graft] def sigma3Outlier: org.apache.spark.sql.Column = {
     val dev = $"n".cast("double") * $"value_e2".cast("double") - $"s1".cast("double")
     val spread = $"n".cast("double") * $"s2".cast("double") -
       $"s1".cast("double") * $"s1".cast("double")
-    ev.join(broadcast(stats), "event_type")
-      .filter(dev * dev > lit(9.0) * spread)
+    dev * dev > lit(9.0) * spread
+  }
+
+  def eventOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventFrame(spark, sfDir)
+    ev.join(broadcast(eventMoments(ev)), "event_type")
+      .filter(sigma3Outlier)
       .select($"event_type", $"event_id", $"user_id", $"ts_us", $"value_e2")
       .orderBy($"event_type", $"event_id")
   }

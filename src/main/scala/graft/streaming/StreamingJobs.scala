@@ -172,6 +172,20 @@ object StreamingJobs {
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left_outer")
       .drop(dim(dimKey))
 
+  /** Streaming 3σ outlier gate — the stream form of
+    * [[graft.operators.CoreOps.eventOutliers]] (#71): per-type
+    * moments are computed BATCH-side (the production shape — stats
+    * refresh per corpus drop; a stream must not aggregate unbounded
+    * global moments) and broadcast into every micro-batch; the flag
+    * is the SAME shared predicate as the batch operator, so the two
+    * runtimes cannot drift on the boundary. Stateless — no stream
+    * state at any scale. `stream` carries the
+    * (event_id, user_id, event_type, ts_us, value_e2) projection. */
+  def streamingOutliers(stream: DataFrame, stats: DataFrame): DataFrame =
+    stream.join(broadcast(stats), "event_type")
+      .filter(graft.operators.CoreOps.sigma3Outlier)
+      .select($"event_type", $"event_id", $"user_id", $"ts_us", $"value_e2")
+
   /** Stream–stream interval join: each order pairs with payment
     * events for the same user within [0, `interval`] after the order
     * (the Flink connect/CoProcessFunction enrichment pattern,

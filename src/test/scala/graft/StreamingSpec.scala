@@ -14,6 +14,37 @@ class StreamingSpec extends SparkTestBase {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("streaming 3-sigma outlier gate equals the batch operator row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CoreOps
+    // batch side: the oracle-gated operator over the real events table
+    val batch = CoreOps.eventOutliers(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // stream side: the SAME events streamed through the gate with the
+    // SAME batch-computed moments — the production shape (stats
+    // refresh per drop; the stream never aggregates global moments)
+    val ev = CoreOps.eventFrame(spark, sf)
+    val stats = CoreOps.eventMoments(ev)
+    val in = MemoryStream[(Long, Long, String, Long, Long)]
+    val q = StreamingJobs.streamingOutliers(
+      in.toDF().toDF("event_id", "user_id", "event_type", "ts_us", "value_e2"),
+      stats)
+      .writeStream.format("memory").queryName("outliers")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = ev.as[(Long, Long, String, Long, Long)].collect()
+      // two batches: parity must hold across micro-batch boundaries
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("outliers")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"batch/stream outlier drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming CMS sketch equals the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
