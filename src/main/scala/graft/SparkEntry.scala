@@ -92,6 +92,8 @@ object SparkEntry {
     "q_cluster_best" -> (ClusterOps.clusterBest _),
     "q_event_outliers" -> (CoreOps.eventOutliers _),
     "q_sample_balanced" -> (SimilarityOps.sampleBalanced _),
+    "q_chunks" -> (CurationOps.chunkDocs _),
+    "q_chunk_dedup" -> (CurationOps.chunkDedup _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -895,5 +897,33 @@ object SparkEntry {
         |  FROM ev JOIN st USING (event_type))
         |WHERE dev * dev > 9.0 * spread
         |ORDER BY event_type, event_id""".stripMargin,
+    "q_chunks" -> {
+      import graft.operators.CurationOps.{ChunkStride, ChunkWidth}
+      s"""WITH $tkCte,
+         |ch AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk,
+         |    unnest(range(0, len(tk), $ChunkStride)) AS start_tok
+         |  FROM tkv WHERE len(tk) >= 1)
+         |SELECT doc_id,
+         |  CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(least($ChunkWidth, n_tokens - start_tok) AS BIGINT) AS n_in_chunk,
+         |  ${h60(s"array_to_string(tk[CAST(start_tok+1 AS INTEGER):CAST(start_tok+$ChunkWidth AS INTEGER)], ' ')")} AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    "q_chunk_dedup" -> {
+      import graft.operators.CurationOps.{ChunkStride, ChunkWidth}
+      s"""WITH $tkCte,
+         |ch AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk,
+         |    unnest(range(0, len(tk), $ChunkStride)) AS start_tok
+         |  FROM tkv WHERE len(tk) >= 1),
+         |hs AS (SELECT doc_id,
+         |    ${h60(s"array_to_string(tk[CAST(start_tok+1 AS INTEGER):CAST(start_tok+$ChunkWidth AS INTEGER)], ' ')")} AS chunk_hash
+         |  FROM ch)
+         |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM hs GROUP BY chunk_hash HAVING count(*) > 1
+         |ORDER BY chunk_hash""".stripMargin
+    },
   )
 }

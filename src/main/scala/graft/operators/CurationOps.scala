@@ -363,6 +363,48 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Token window width / stride for [[chunkDocs]] — 50% overlap,
+    * the common embedding-pipeline default. */
+  val ChunkWidth = 16
+  val ChunkStride = 8
+
+  /** #73 Document chunking: split each doc into overlapping
+    * [[ChunkWidth]]-token windows every [[ChunkStride]] tokens — the
+    * chunk table an embedding/retrieval pipeline materializes (one
+    * embedding per chunk, not per doc), with a 60-bit content hash
+    * per chunk so chunk-level dedup composes downstream. Pure narrow
+    * explode — no shuffle at any scale; chunk counts follow doc
+    * length, never corpus size. Token-less docs produce no chunks. */
+  def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .withColumn("n_tokens", size($"tk").cast(LongType))
+      .filter($"n_tokens" >= 1)
+      .select($"doc_id", $"n_tokens", $"tk",
+        explode(sequence(lit(0L), $"n_tokens" - 1, lit(ChunkStride.toLong)))
+          .as("start_tok"))
+      .select($"doc_id",
+        expr(s"start_tok div $ChunkStride").as("chunk_idx"),
+        $"start_tok",
+        least(lit(ChunkWidth.toLong), $"n_tokens" - $"start_tok").as("n_in_chunk"),
+        hash60(array_join(
+          slice($"tk", ($"start_tok" + 1).cast("int"), lit(ChunkWidth)), " "))
+          .as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+
+  /** #73b Chunk-level exact dedup stats: how many chunks repeat
+    * verbatim across the corpus (boilerplate headers/footers show up
+    * here long before doc-level dedup sees them). One partial-agg'd
+    * shuffle on the uniform chunk hash. */
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocs(spark, sfDir)
+      .groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_chunks" > 1)
+      .orderBy($"chunk_hash")
+
   /** Per-mille keep rates per source for [[stratifiedSample]] —
     * the "training mix" knob (upsample curated sources, downsample
     * crawl). Shared with the oracle so the rates cannot drift. */
