@@ -147,6 +147,19 @@ object SparkEntry {
   private val quantCte =
     """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
       |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))""".stripMargin
+  /** Overlapping token windows + per-chunk content hash over `tkv`
+    * (`chh(doc_id, n_tokens, start_tok, chunk_hash)`) — ONE
+    * definition of the chunk geometry shared by the #73/#73b oracles
+    * so the window/stride/hash cannot drift between them. */
+  private val chunksCtes: String = {
+    import graft.operators.CurationOps.{ChunkStride, ChunkWidth}
+    s"""chh AS (SELECT doc_id, n_tokens, start_tok,
+       |    ${h60(s"array_to_string(tk[CAST(start_tok+1 AS INTEGER):CAST(start_tok+$ChunkWidth AS INTEGER)], ' ')")} AS chunk_hash
+       |  FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk,
+       |      unnest(range(0, len(tk), $ChunkStride)) AS start_tok
+       |    FROM tkv WHERE len(tk) >= 1))""".stripMargin
+  }
+
   /** One deterministic Lloyd round over `n` (requires `$quantCte`):
     * seeds = K lowest vec_ids, integer squared-L2 argmin with
     * lowest-cluster ties, HALF_UP integer-mean centroid update, final
@@ -897,33 +910,22 @@ object SparkEntry {
         |  FROM ev JOIN st USING (event_type))
         |WHERE dev * dev > 9.0 * spread
         |ORDER BY event_type, event_id""".stripMargin,
-    "q_chunks" -> {
-      import graft.operators.CurationOps.{ChunkStride, ChunkWidth}
+    "q_chunks" ->
       s"""WITH $tkCte,
-         |ch AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk,
-         |    unnest(range(0, len(tk), $ChunkStride)) AS start_tok
-         |  FROM tkv WHERE len(tk) >= 1)
+         |$chunksCtes
          |SELECT doc_id,
-         |  CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok // ${graft.operators.CurationOps.ChunkStride} AS BIGINT) AS chunk_idx,
          |  CAST(start_tok AS BIGINT) AS start_tok,
-         |  CAST(least($ChunkWidth, n_tokens - start_tok) AS BIGINT) AS n_in_chunk,
-         |  ${h60(s"array_to_string(tk[CAST(start_tok+1 AS INTEGER):CAST(start_tok+$ChunkWidth AS INTEGER)], ' ')")} AS chunk_hash
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
-    },
-    "q_chunk_dedup" -> {
-      import graft.operators.CurationOps.{ChunkStride, ChunkWidth}
+         |  CAST(least(${graft.operators.CurationOps.ChunkWidth}, n_tokens - start_tok) AS BIGINT) AS n_in_chunk,
+         |  chunk_hash
+         |FROM chh ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_dedup" ->
       s"""WITH $tkCte,
-         |ch AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk,
-         |    unnest(range(0, len(tk), $ChunkStride)) AS start_tok
-         |  FROM tkv WHERE len(tk) >= 1),
-         |hs AS (SELECT doc_id,
-         |    ${h60(s"array_to_string(tk[CAST(start_tok+1 AS INTEGER):CAST(start_tok+$ChunkWidth AS INTEGER)], ' ')")} AS chunk_hash
-         |  FROM ch)
+         |$chunksCtes
          |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_chunks,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  min(doc_id) AS first_doc
-         |FROM hs GROUP BY chunk_hash HAVING count(*) > 1
-         |ORDER BY chunk_hash""".stripMargin
-    },
+         |FROM chh GROUP BY chunk_hash HAVING count(*) > 1
+         |ORDER BY chunk_hash""".stripMargin,
   )
 }

@@ -35,13 +35,6 @@ case class MediaFeature(doc_id: Long, kind: String, frameIdx: Int,
   */
 object Multimodal {
 
-  /** REAL image codec: PNG/JPEG (and any other `javax.imageio`
-    * service-provider format in the JDK — zero added dependencies)
-    * decoded to an n-dim luminance feature: pixels scanned row-major,
-    * mean-pooled over n proportional blocks, each value the ITU-R
-    * BT.601 integer-weighted luma in [0, 1]. Deterministic: PNG/JPEG
-    * decode and `getRGB`'s sRGB conversion are pixel-exact in the
-    * JDK, and the pooling is fixed-order arithmetic. */
   /** Row-major mean-pooled BT.601 luma over n proportional blocks —
     * the shared feature kernel behind [[ImageIoCodec]] (stills) and
     * [[GifVideoCodec]] (animation frames). */
@@ -67,6 +60,12 @@ object Multimodal {
     Array.tabulate(n)(i => if (cnts(i) > 0) (sums(i) / cnts(i)).toFloat else 0.0f)
   }
 
+  /** REAL image codec: PNG/JPEG (and any other `javax.imageio`
+    * service-provider format in the JDK — zero added dependencies)
+    * decoded to an n-dim luminance feature via [[poolLuma]].
+    * Deterministic: PNG/JPEG decode and `getRGB`'s sRGB conversion
+    * are pixel-exact in the JDK, and the pooling is fixed-order
+    * arithmetic. */
   object ImageIoCodec {
     /** None when the bytes are not a decodable image (caller falls
       * back to [[StubCodec]] — a malformed record must not kill a
@@ -93,19 +92,45 @@ object Multimodal {
   /** REAL video codec for the one multi-frame container the JDK ships
     * a decoder for: animated GIF via `javax.imageio` (same
     * zero-dependency story as [[ImageIoCodec]]/[[AudioWavCodec]]).
-    * Frame `frameIdx` is decoded to the shared luma-pool feature;
-    * indices beyond the clip LOOP (`frameIdx mod frameCount` — the
-    * sampler's stride indexing never strands a short clip on the
-    * stub). ffmpeg containers (mp4 etc.) have no JDK reader and stay
-    * on the labeled stub. */
+    *
+    * Frames are COMPOSITED, not read raw: optimized GIFs store most
+    * frames as delta sub-rectangles against the composited previous
+    * frame, so [[decodeAll]] plays the animation onto a canvas —
+    * each stored frame drawn at its ImageDescriptor offset, the
+    * `restoreToBackgroundColor` disposal honored by clearing the
+    * frame's rect (the rare `restoreToPrevious` is approximated as
+    * do-not-dispose) — and pools the canvas per frame. One reader
+    * pass per clip: features for ALL frames come from a single
+    * container parse, never O(frames) re-parses. Indices beyond the
+    * clip LOOP (`frameIdx mod frameCount` — the sampler's stride
+    * indexing never strands a short clip on the stub). ffmpeg
+    * containers (mp4 etc.) have no JDK reader and stay on the
+    * labeled stub. */
   object GifVideoCodec {
-    /** True when the bytes are a GIF container — the domain [[decode]]
-      * is EXPECTED to handle (the outage-counter gate, mirroring
-      * [[AudioWavCodec.isPcm]]). */
+    /** True when the bytes are a GIF container — the domain
+      * [[decodeAll]] is EXPECTED to handle (the outage-counter gate,
+      * mirroring [[AudioWavCodec.isPcm]]). */
     def isGif(bytes: Array[Byte]): Boolean =
       bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
 
-    def decode(bytes: Array[Byte], n: Int, frameIdx: Int): Option[Array[Float]] =
+    private def intAttr(e: org.w3c.dom.Element, tag: String, attr: String): Int = {
+      val nodes = e.getElementsByTagName(tag)
+      if (nodes.getLength == 0) 0
+      else {
+        val v = nodes.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute(attr)
+        if (v.isEmpty) 0 else try v.toInt catch { case _: NumberFormatException => 0 }
+      }
+    }
+    private def strAttr(e: org.w3c.dom.Element, tag: String, attr: String): String = {
+      val nodes = e.getElementsByTagName(tag)
+      if (nodes.getLength == 0) ""
+      else nodes.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute(attr)
+    }
+
+    /** Pooled luma features for EVERY composited frame of the clip,
+      * from one container parse. None when the bytes aren't a
+      * decodable multi-frame (or single-frame) GIF. */
+    def decodeAll(bytes: Array[Byte], n: Int): Option[Array[Array[Float]]] =
       try {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -114,17 +139,57 @@ object Multimodal {
           if (!readers.hasNext) None
           else {
             val r = readers.next()
-            // seekForwardOnly=false: frame indices loop, so reads may
-            // go backwards across sampler calls on the same reader
-            r.setInput(iis, false, true)
+            // seekForwardOnly=false: getNumImages scans to the end,
+            // then reads restart at frame 0
+            r.setInput(iis, false, false)
             try {
               val cnt = r.getNumImages(true)
               if (cnt <= 0) None
-              else Some(poolLuma(r.read(((frameIdx % cnt) + cnt) % cnt), n))
+              else {
+                // canvas = the GIF logical screen (frame 0's size if
+                // the stream descriptor is absent), background black
+                val sm = Option(r.getStreamMetadata).map(
+                  _.getAsTree("javax_imageio_gif_stream_1.0")
+                    .asInstanceOf[org.w3c.dom.Element])
+                val f0 = r.read(0)
+                val w = sm.map(intAttr(_, "LogicalScreenDescriptor", "logicalScreenWidth"))
+                  .filter(_ > 0).getOrElse(f0.getWidth)
+                val h = sm.map(intAttr(_, "LogicalScreenDescriptor", "logicalScreenHeight"))
+                  .filter(_ > 0).getOrElse(f0.getHeight)
+                val canvas = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = canvas.createGraphics()
+                try {
+                  val out = new Array[Array[Float]](cnt)
+                  var i = 0
+                  while (i < cnt) {
+                    val frame = if (i == 0) f0 else r.read(i)
+                    val md = r.getImageMetadata(i)
+                      .getAsTree("javax_imageio_gif_image_1.0")
+                      .asInstanceOf[org.w3c.dom.Element]
+                    val x = intAttr(md, "ImageDescriptor", "imageLeftPosition")
+                    val y = intAttr(md, "ImageDescriptor", "imageTopPosition")
+                    g.drawImage(frame, x, y, null)
+                    out(i) = poolLuma(canvas, n)
+                    if (strAttr(md, "GraphicControlExtension", "disposalMethod")
+                        == "restoreToBackgroundColor") {
+                      g.setColor(java.awt.Color.BLACK)
+                      g.fillRect(x, y, frame.getWidth, frame.getHeight)
+                    }
+                    i += 1
+                  }
+                  Some(out)
+                } finally g.dispose()
+              }
             } finally r.dispose()
           }
         } finally try iis.close() catch { case _: java.io.IOException => () }
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** One composited frame (index loops past the clip) — the
+      * single-frame convenience over [[decodeAll]]. */
+    def decode(bytes: Array[Byte], n: Int, frameIdx: Int): Option[Array[Float]] =
+      decodeAll(bytes, n).map(fs => fs(((frameIdx % fs.length) + fs.length) % fs.length))
   }
 
   /** REAL audio codec for PCM WAV via the JDK's `javax.sound.sampled`
@@ -312,12 +377,25 @@ object Multimodal {
     import sampled.sparkSession.implicits._
     sampled.mapPartitions { it =>
       // one decoder instance per partition — mirrors opening one
-      // libjpeg/ffmpeg context per task rather than per record
+      // libjpeg/ffmpeg context per task rather than per record.
+      // sampleFrames emits an asset's frames consecutively, so a
+      // one-asset memo turns the video path into ONE container parse
+      // per clip (decodeAll) instead of one per sampled frame.
+      var gifId = Long.MinValue
+      var gifFrames: Option[Array[Array[Float]]] = None
+      def videoFrames(a: MediaAsset): Option[Array[Array[Float]]] = {
+        if (a.doc_id != gifId) {
+          gifId = a.doc_id
+          gifFrames = GifVideoCodec.decodeAll(a.bytes, featDim)
+        }
+        gifFrames
+      }
       it.map { case (a, frame) =>
         val real = a.kind match {
           case "image" => ImageIoCodec.decode(a.bytes, featDim)
           case "audio" => AudioWavCodec.decode(a.bytes, featDim, clipSec = frame)
-          case "video" => GifVideoCodec.decode(a.bytes, featDim, frameIdx = frame)
+          case "video" =>
+            videoFrames(a).map(fs => fs(((frame % fs.length) + fs.length) % fs.length))
           case _       => None
         }
         // outage signal only: image bytes are always the real codec's

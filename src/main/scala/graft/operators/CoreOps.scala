@@ -196,19 +196,6 @@ object CoreOps {
       .select($"event_id", $"k")
       .orderBy($"event_id")
 
-  /** #71 Statistical outlier detection: events whose value sits more
-    * than 3σ from their event_type's mean — the anomaly gate a
-    * pipeline runs on metric feeds before trusting aggregates.
-    * Determinism contract: the per-type moments (n, Σv, Σv²) are
-    * EXACT integer aggregates over e2 fixed-point values
-    * (order-independent), and the 3σ test compares
-    * (n·v − S1)² > 9·(n·S2 − S1²) — both sides n²-scaled, evaluated
-    * per row in IEEE doubles from identical integer inputs, so both
-    * engines branch identically (SURVEY.md §4; Σv² fits BIGINT to
-    * ~2e10 rows/type at e2 — drop to e1 fixed point beyond).
-    * Scale shape: one partial-agg'd shuffle to |event_type| rows, the
-    * tiny stats frame broadcast back, the flag a narrow map — the
-    * corpus is scanned once and never shuffled. */
   /** The typed event projection behind [[eventOutliers]]. */
   private[graft] def eventFrame(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -233,6 +220,19 @@ object CoreOps {
     dev * dev > lit(9.0) * spread
   }
 
+  /** #71 Statistical outlier detection: events whose value sits more
+    * than 3σ from their event_type's mean — the anomaly gate a
+    * pipeline runs on metric feeds before trusting aggregates.
+    * Determinism contract: the per-type moments (n, Σv, Σv²) are
+    * EXACT integer aggregates over e2 fixed-point values
+    * (order-independent), and the 3σ test compares
+    * (n·v − S1)² > 9·(n·S2 − S1²) — both sides n²-scaled, evaluated
+    * per row in IEEE doubles from identical integer inputs, so both
+    * engines branch identically (SURVEY.md §4; Σv² fits BIGINT to
+    * ~2e10 rows/type at e2 — drop to e1 fixed point beyond).
+    * Scale shape: one partial-agg'd shuffle to |event_type| rows, the
+    * tiny stats frame broadcast back, the flag a narrow map — the
+    * corpus is scanned once and never shuffled. */
   def eventOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = eventFrame(spark, sfDir)
     ev.join(broadcast(eventMoments(ev)), "event_type")

@@ -238,6 +238,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(badCtr.value == 1L)
   }
 
+  test("GIF delta frames composite onto the canvas at their descriptor offset") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    // optimized-GIF shape: frame 0 full 4×2 black screen; frame 1 a
+    // 1×1 white DELTA rect at (3,1) — the composited frame 1 is the
+    // black screen with one white pixel, NOT the raw 1×1 sub-image
+    val full = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    val dot = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+    dot.setRGB(0, 0, 0xffffff)
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for ((img, x, y) <- Seq((full, 0, 0), (dot, 3, 1))) {
+      val p = w.getDefaultWriteParam
+      val md = w.getDefaultImageMetadata(new ImageTypeSpecifier(img), p)
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[IIOMetadataNode]
+      val kids = tree.getElementsByTagName("ImageDescriptor")
+      val desc = kids.item(0).asInstanceOf[IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      md.setFromTree("javax_imageio_gif_image_1.0", tree)
+      w.writeToSequence(new IIOImage(img, null, md), p)
+    }
+    w.endWriteSequence(); ios.close()
+    val gif = baos.toByteArray
+
+    val fs = Multimodal.GifVideoCodec.decodeAll(gif, 2).get
+    assert(fs.length == 2)
+    // frame 0: all black
+    assert(fs(0).forall(v => math.abs(v) < 1e-6f), fs(0).toSeq)
+    // frame 1 composited: row 0 still black (block 0 = 0); row 1 has
+    // one white pixel in four (block 1 mean luma = 0.25). A raw
+    // (non-composited) read would pool the lone white pixel → 1.0.
+    assert(math.abs(fs(1)(0)) < 1e-6f, fs(1).toSeq)
+    assert(math.abs(fs(1)(1) - 0.25f) < 1e-6f, fs(1).toSeq)
+  }
+
   test("visual near-dup pairs close aHashes and excludes dissimilar images") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
