@@ -94,6 +94,7 @@ object SparkEntry {
     "q_sample_balanced" -> (SimilarityOps.sampleBalanced _),
     "q_chunks" -> (CurationOps.chunkDocs _),
     "q_chunk_dedup" -> (CurationOps.chunkDedup _),
+    "q_funnel" -> (CurationOps.curationFunnel _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -147,6 +148,28 @@ object SparkEntry {
   private val quantCte =
     """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
       |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))""".stripMargin
+  /** Per-doc curation gate flags over `tkv`
+    * (`flags(doc_id, source, text, q_ok, l_ok)`) — ONE SQL definition
+    * of the quality and language gates shared by the #48e/#74
+    * oracles, mirroring `CurationOps.curationFlags`. */
+  private val curationFlagsCtes: String = {
+    import graft.functions.TextFunctions.{deMarkers, detectableLangs, enMarkers, frMarkers}
+    s"""q AS (SELECT t.doc_id, t.source, t.text, t.lang,
+       |        CAST(len(tk) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+       |        CAST(len(list_filter(tk, x -> list_contains(${inList(enMarkers)}, x))) AS BIGINT) AS en_hits,
+       |        CAST(len(list_filter(tk, x -> list_contains(${inList(deMarkers)}, x))) AS BIGINT) AS de_hits,
+       |        CAST(len(list_filter(tk, x -> list_contains(${inList(frMarkers)}, x))) AS BIGINT) AS fr_hits
+       |      FROM tkv JOIN documents t USING (doc_id)),
+       |flags AS (SELECT doc_id, source, text,
+       |    CASE WHEN n_tokens >= 10 AND (n_tokens - n_distinct) * 10000 // n_tokens <= 3000
+       |         THEN 1 ELSE 0 END AS q_ok,
+       |    CASE WHEN NOT list_contains(${inList(detectableLangs)}, lang)
+       |           OR ${detectedLangSql("en_hits", "de_hits", "fr_hits")} = lang
+       |         THEN 1 ELSE 0 END AS l_ok
+       |  FROM q)""".stripMargin
+  }
+
   /** Overlapping token windows + per-chunk content hash over `tkv`
     * (`chh(doc_id, n_tokens, start_tok, chunk_hash)`) — ONE
     * definition of the chunk geometry shared by the #73/#73b oracles
@@ -606,23 +629,26 @@ object SparkEntry {
         |  CAST(sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_curation" -> {
-      import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
+    "q_curation" ->
       s"""WITH $tkCte,
-         |q AS (SELECT t.doc_id, t.text, t.lang,
-         |        CAST(len(tk) AS BIGINT) AS n_tokens,
-         |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
-         |        CAST(len(list_filter(tk, x -> list_contains(${inList(enMarkers)}, x))) AS BIGINT) AS en_hits,
-         |        CAST(len(list_filter(tk, x -> list_contains(${inList(deMarkers)}, x))) AS BIGINT) AS de_hits,
-         |        CAST(len(list_filter(tk, x -> list_contains(${inList(frMarkers)}, x))) AS BIGINT) AS fr_hits
-         |      FROM tkv JOIN documents t USING (doc_id)),
-         |gated AS (SELECT doc_id, text FROM q
-         |  WHERE n_tokens >= 10 AND (n_tokens - n_distinct) * 10000 // n_tokens <= 3000
-         |    AND (NOT list_contains(${inList(graft.functions.TextFunctions.detectableLangs)}, lang)
-         |         OR ${detectedLangSql("en_hits", "de_hits", "fr_hits")} = lang))
-         |SELECT min(doc_id) AS doc_id FROM gated
-         |GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin
-    },
+         |$curationFlagsCtes
+         |SELECT min(doc_id) AS doc_id FROM flags
+         |WHERE q_ok = 1 AND l_ok = 1
+         |GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+    "q_funnel" ->
+      s"""WITH $tkCte,
+         |$curationFlagsCtes,
+         |keep AS (SELECT doc_id, source, md5(lower(trim(text))) AS h
+         |  FROM flags WHERE q_ok = 1 AND l_ok = 1),
+         |kp AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY h),
+         |ku AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+         |  FROM kp JOIN keep USING (doc_id) GROUP BY source)
+         |SELECT f.source, CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(q_ok) AS BIGINT) AS n_quality,
+         |  CAST(sum(q_ok * l_ok) AS BIGINT) AS n_gated,
+         |  CAST(coalesce(max(ku.n_unique), 0) AS BIGINT) AS n_unique
+         |FROM flags f LEFT JOIN ku USING (source)
+         |GROUP BY f.source ORDER BY f.source""".stripMargin,
     "q_text_pii" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

@@ -59,24 +59,59 @@ object CurationOps {
     * Plan: narrow maps for both gates (no shuffle), ONE shuffle for
     * the dedup groupBy — at 100 TB the gates run at scan speed and
     * only survivors pay the shuffle. */
-  def curate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("tk", tokens($"text"))
-      .withColumn("n_tokens", size($"tk").cast(LongType))
-      .withColumn("n_distinct", size(array_distinct($"tk")).cast(LongType))
-      .filter($"n_tokens" >= 10)
-      .filter(expr("(n_tokens - n_distinct) * 10000 div n_tokens") <= 3000)
-      .withColumn("detected", detectedLang(
-        markerHits($"tk", enMarkers), markerHits($"tk", deMarkers),
-        markerHits($"tk", frMarkers)))
-      .filter(!$"lang".isin(detectableLangs.map(l => l: Any): _*) ||
-        $"detected" === $"lang")
-    docs
+  def curate(spark: SparkSession, sfDir: String): DataFrame =
+    curationFlags(spark, sfDir)
+      .filter($"q_ok" === 1L && $"l_ok" === 1L)
       .select($"doc_id", md5(lower(trim($"text"))).as("text_hash"))
       .groupBy($"text_hash")
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
       .orderBy($"doc_id")
+
+  /** Per-doc gate flags — ONE definition of the quality and language
+    * gates shared by [[curate]] (#48e) and [[curationFunnel]] (#74),
+    * so the funnel's stage counts can never disagree with what the
+    * pipeline actually keeps. Flags instead of filters: the funnel
+    * needs the rejected rows too. Narrow maps only. */
+  private def curationFlags(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .withColumn("n_tokens", size($"tk").cast(LongType))
+      .withColumn("n_distinct", size(array_distinct($"tk")).cast(LongType))
+      .withColumn("q_ok",
+        when($"n_tokens" >= 10 &&
+          expr("(n_tokens - n_distinct) * 10000 div n_tokens") <= 3000, 1L)
+          .otherwise(0L))
+      .withColumn("detected", detectedLang(
+        markerHits($"tk", enMarkers), markerHits($"tk", deMarkers),
+        markerHits($"tk", frMarkers)))
+      .withColumn("l_ok",
+        when(!$"lang".isin(detectableLangs.map(l => l: Any): _*) ||
+          $"detected" === $"lang", 1L).otherwise(0L))
+      .select($"doc_id", $"source", $"text", $"q_ok", $"l_ok")
+
+  /** #74 Curation funnel: per source, how many docs survive each
+    * pipeline stage (raw → quality gate → +language gate → exact
+    * dedup, keeper attributed to ITS source) — the observability
+    * report that tells you WHERE a source's volume went before
+    * training ever sees the mix. Same gate flags as [[curate]]
+    * ([[curationFlags]]); the dedup stage is the same min-id-per-hash
+    * rule. Scale shape: narrow flag maps, one partial-agg'd shuffle
+    * per stage aggregate, one hash shuffle for the dedup keepers —
+    * the per-source result is |sources| rows. */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = curationFlags(spark, sfDir)
+    val keep = f.filter($"q_ok" === 1L && $"l_ok" === 1L)
+      .select($"doc_id", $"source", md5(lower(trim($"text"))).as("h"))
+    val uniq = keep.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      .join(keep.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_unique"))
+    f.groupBy($"source")
+      .agg(count(lit(1)).as("n_raw"), sum($"q_ok").as("n_quality"),
+        sum($"q_ok" * $"l_ok").as("n_gated"))
+      .join(uniq, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_unique"))
+      .orderBy($"source")
   }
 
   /** n-gram width for [[decontaminate]] — short enough that the test

@@ -79,4 +79,17 @@ class ProfileSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "benchmark window set must broadcast")
   }
+
+  test("curation funnel stages are monotone and reconcile with the curated output") {
+    val funnel = CurationOps.curationFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { case (src, raw, q, g, u) =>
+      assert(raw >= q && q >= g && g >= u && u >= 0,
+        s"$src: stages must shrink monotonically ($raw, $q, $g, $u)")
+    }
+    // the funnel's terminal stage IS the curated set — per-source
+    // unique counts must sum to exactly what curate keeps
+    assert(funnel.map(_._5).sum == CurationOps.curate(spark, sf).count())
+  }
 }
