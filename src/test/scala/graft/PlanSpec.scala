@@ -134,7 +134,9 @@ class PlanSpec extends SparkTestBase {
         "q_lang_mismatch", "q_rolling_fp", "q_fingerprint",
         "q_cms_heavy", "q_tfidf_topk", "q_token_drift",
         "q_decontaminate_substr", "q_embed_profile",
-        "q_kmeans", "q_pack_sequences", "q_dup_matrix", "q_cluster_best")) {
+        "q_kmeans", "q_pack_sequences", "q_dup_matrix", "q_cluster_best",
+        "q_chunks", "q_chunk_dedup", "q_funnel", "q_event_outliers",
+        "q_sample_balanced")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +
