@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.LongType
   * replaces, and the block-offset join must broadcast. */
 class PackingSpec extends SparkTestBase {
   // selective import: the package-level ColumnInterpolator supplies $
-  import spark.implicits.{newLongEncoder, newProductEncoder}
+  import spark.implicits.{localSeqToDatasetHolder, newLongEncoder,
+    newProductEncoder, newStringEncoder}
 
   private def naive = {
     val w = Window.orderBy($"doc_id".asc)
@@ -41,6 +42,26 @@ class PackingSpec extends SparkTestBase {
     // trainer expects them
     var cum = 0L
     rows.foreach { case (n, prev) => assert(prev == cum); cum += n }
+  }
+
+  test("token-less docs: chunking skips them, packing and funnel stay well-formed") {
+    val dir = tmpDir("graft-degen-doc-")
+    Seq((0L, "", "en", "srcA", 0L), (1L, "   ", "zz", "srcA", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // no tokens → no chunks at all
+    assert(CurationOps.chunkDocs(spark, dir).count() == 0L)
+    // packing: every doc still OCCUPIES one position (greatest(n,1)),
+    // cumulative stream stays at zero tokens
+    val packed = CurationOps.packSequences(spark, dir)
+      .select($"doc_id", $"n_tokens", $"cum_prev", $"n_packs")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packed == Seq((0L, 0L, 0L, 1L), (1L, 0L, 0L, 1L)))
+    // funnel: both docs counted raw, none pass the quality gate (the
+    // integer-div-by-zero guard must yield q_ok = 0, not an error)
+    val funnel = CurationOps.curationFunnel(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(funnel == Seq(("srcA", 2L, 0L, 0L, 0L)))
   }
 
   test("block offsets broadcast — the per-doc side never shuffles for the join") {

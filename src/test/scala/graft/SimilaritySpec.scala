@@ -130,6 +130,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("k-means and balanced sampling survive a corpus smaller than K") {
+    val dir = tmpDir("graft-degen-emb-")
+    Seq((0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.0f, 1.0f), "a"),
+        (2L, Array(-1.0f, 0.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // 3 vectors < KmeansK=8: seeds are just the 3 vectors, each its
+    // own singleton cluster after the update
+    val prof = SimilarityOps.kmeansProfile(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(prof.map(_._2).sum == 3)
+    assert(prof.forall(_._4 == 0L), "singleton clusters have zero distance")
+    // min cluster size 1 → hash % 1 == 0 < 1 keeps every vector
+    val bal = SimilarityOps.sampleBalanced(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(bal.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("balanced sample equals an independent recompute from the assignment table") {
     // independent model: read the materialized assignment, apply the
     // documented rule (keep iff hash60(vec_id) % n_members <
