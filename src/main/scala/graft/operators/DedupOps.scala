@@ -124,7 +124,7 @@ object DedupOps {
     (String, org.apache.spark.sql.types.StructType)]
 
   private val incrCandIndex = new graft.tools.Materialize.SupersedingCache[
-    (String, org.apache.spark.sql.types.StructType)]
+    (String, org.apache.spark.sql.types.StructType, Option[Array[Long]])]
 
   /** Max candidate-doc ids inlined as a scan IN filter by
     * [[dedupIncremental]]'s verify; beyond this the id list stops
@@ -246,9 +246,17 @@ object DedupOps {
     // below, which without materialization would execute the
     // candidate subtree twice per run.
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
-    val (candPath, candSchema) = incrCandIndex.getOrBuild(sfDir, fp) {
+    val (candPath, candSchema, pushedIds) = incrCandIndex.getOrBuild(sfDir, fp) {
       val c = incrCandFrame(spark, sfDir)
-      (graft.tools.Materialize.writeParquet(c, "incr-cand"), c.schema)
+      val path = graft.tools.Materialize.writeParquet(c, "incr-cand")
+      // the pushable id list is deterministic per fingerprint —
+      // collect it ONCE at build time (from the written artifact, so
+      // the candidate subtree still runs exactly once) instead of one
+      // driver job per steady-state call
+      val ids = spark.read.schema(c.schema).parquet(path)
+        .select($"doc_old").distinct().take(IncrIdPushLimit + 1)
+        .map(_.getLong(0))
+      (path, c.schema, if (ids.length <= IncrIdPushLimit) Some(ids.sorted) else None)
     }
     val cand = spark.read.schema(candSchema).parquet(candPath)
     // gram-hash ONLY the candidate old docs, never the whole corpus:
@@ -258,12 +266,12 @@ object DedupOps {
     // O(candidates), not 100 TB); a larger-than-expected candidate
     // set falls back to a broadcast semi join (full scan, still no
     // corpus shuffle and no corpus-wide gram hashing).
-    val candIds = cand.select($"doc_old".as("doc_id")).distinct()
-    val pushable = candIds.take(IncrIdPushLimit + 1)
-    val oldCandDocs =
-      if (pushable.length <= IncrIdPushLimit)
-        oldDocs.filter($"doc_id".isInCollection(pushable.map(_.getLong(0)).toSeq))
-      else oldDocs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val oldCandDocs = pushedIds match {
+      case Some(ids) => oldDocs.filter($"doc_id".isInCollection(ids.toSeq))
+      case None => oldDocs.join(
+        broadcast(cand.select($"doc_old".as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    }
     val gsOld = gramSetsOf(oldCandDocs, VerifyGram)
     verifyJaccard(cand, gramSetsOf(newDocs, VerifyGram),
       gsOld, "doc_new", "doc_old")
