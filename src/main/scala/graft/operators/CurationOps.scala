@@ -411,7 +411,15 @@ object CurationOps {
     * explode — no shuffle at any scale; chunk counts follow doc
     * length, never corpus size. Token-less docs produce no chunks. */
   def chunkDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    chunkFrame(Tables.documents(spark, sfDir))
+      .orderBy($"doc_id", $"chunk_idx")
+
+  /** The chunk projection over any (doc_id, text) frame — every stage
+    * narrow and stateless, so the SAME definition runs on a batch
+    * scan (above) and on a stream (StreamingSpec pins parity: no
+    * state, no watermark, append mode). */
+  def chunkFrame(docs: DataFrame): DataFrame =
+    docs
       .select($"doc_id", tokens($"text").as("tk"))
       .withColumn("n_tokens", size($"tk").cast(LongType))
       .filter($"n_tokens" >= 1)
@@ -425,7 +433,6 @@ object CurationOps {
         hash60(array_join(
           slice($"tk", ($"start_tok" + 1).cast("int"), lit(ChunkWidth)), " "))
           .as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_idx")
 
   /** #73b Chunk-level exact dedup stats: how many chunks repeat
     * verbatim across the corpus (boilerplate headers/footers show up

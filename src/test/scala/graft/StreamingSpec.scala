@@ -14,6 +14,27 @@ class StreamingSpec extends SparkTestBase {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("streaming chunking equals the batch chunker — stateless narrow pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CurationOps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val batch = CurationOps.chunkFrame(docs.toSeq.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = CurationOps.chunkFrame(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("chunks")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming 3-sigma outlier gate equals the batch operator row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CoreOps
