@@ -372,9 +372,15 @@ object CurationOps {
     * the one-partition global sort Spark warns about — never touches
     * the full data. PackingSpec proves this two-level path row-equal
     * to the naive single-window form. */
-  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packFrame(Tables.documents(spark, sfDir))
+
+  /** [[packSequences]] over any (doc_id, text) frame — exposed so the
+    * property spec can drive the two-level prefix sum with arbitrary
+    * synthetic corpora against an independent plain-Scala model. */
+  def packFrame(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lens = Tables.documents(spark, sfDir)
+    val lens = docs
       .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"),
         expr(s"doc_id div $PackBlock").as("block"))
     val wBlk = Window.orderBy($"block".asc)

@@ -64,6 +64,33 @@ class PackingSpec extends SparkTestBase {
     assert(funnel == Seq(("srcA", 2L, 0L, 0L, 0L)))
   }
 
+  test("two-level prefix sum matches a plain-Scala model on random corpora") {
+    // independent model: sequential fold over (doc_id asc) — no Spark,
+    // no windows — pins the distributed two-level scan (including
+    // sparse/duplicate-free ids crossing block boundaries) exactly
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 8) {
+      val nDocs = 1 + rnd.nextInt(400)
+      // sparse ids: stress blocks with uneven populations
+      val ids = Seq.fill(nDocs)(rnd.nextInt(1 << 14).toLong).distinct.sorted
+      val docs = ids.map(id => (id, Seq.fill(rnd.nextInt(40))("w").mkString(" ")))
+      val expected = {
+        var cum = 0L
+        docs.map { case (id, text) =>
+          val n = text.split(" ").count(_.nonEmpty).toLong
+          val first = cum / CurationOps.PackBudget
+          val last = (cum + math.max(n, 1L) - 1L) / CurationOps.PackBudget
+          val row = (id, n, cum, first, last, last - first + 1L)
+          cum += n
+          row
+        }
+      }
+      val got = CurationOps.packFrame(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"nDocs=$nDocs")
+    }
+  }
+
   test("block offsets broadcast — the per-doc side never shuffles for the join") {
     val plan = CurationOps.packSequences(spark, sf)
       .queryExecution.executedPlan.toString
