@@ -98,8 +98,9 @@ object Multimodal {
     * frame, so [[decodeAll]] plays the animation onto a canvas —
     * each stored frame drawn at its ImageDescriptor offset, the
     * `restoreToBackgroundColor` disposal honored by clearing the
-    * frame's rect (the rare `restoreToPrevious` is approximated as
-    * do-not-dispose) — and pools the canvas per frame. One reader
+    * frame's rect, and `restoreToPrevious` by snapshotting the rect
+    * before the draw and putting it back after pooling — and pools
+    * the canvas per frame. One reader
     * pass per clip: features for ALL frames come from a single
     * container parse, never O(frames) re-parses. Indices beyond the
     * clip LOOP (`frameIdx mod frameCount` — the sampler's stride
@@ -131,7 +132,12 @@ object Multimodal {
       * from one container parse. None when the bytes aren't a
       * decodable multi-frame (or single-frame) GIF. */
     def decodeAll(bytes: Array[Byte], n: Int): Option[Array[Array[Float]]] =
-      try {
+      // isGif gate: the decode domain must coincide with the outage-
+      // counter domain — javax.imageio would otherwise read e.g. PNG
+      // bytes carried under kind="video" as a one-frame "clip",
+      // silently widening the documented GIF-only contract
+      if (!isGif(bytes)) None
+      else try {
         val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
@@ -169,12 +175,27 @@ object Multimodal {
                       .asInstanceOf[org.w3c.dom.Element]
                     val x = intAttr(md, "ImageDescriptor", "imageLeftPosition")
                     val y = intAttr(md, "ImageDescriptor", "imageTopPosition")
+                    val disposal =
+                      strAttr(md, "GraphicControlExtension", "disposalMethod")
+                    // restoreToPrevious reverts the canvas to its
+                    // pre-frame state after display: snapshot the
+                    // frame's rect (clamped to the canvas — descriptor
+                    // offsets may overhang) before drawing over it
+                    val rw = math.min(frame.getWidth, w - x)
+                    val rh = math.min(frame.getHeight, h - y)
+                    val prev =
+                      if (disposal == "restoreToPrevious" && rw > 0 && rh > 0)
+                        Some(canvas.getRGB(x, y, rw, rh, null, 0, rw))
+                      else None
                     g.drawImage(frame, x, y, null)
                     out(i) = poolLuma(canvas, n)
-                    if (strAttr(md, "GraphicControlExtension", "disposalMethod")
-                        == "restoreToBackgroundColor") {
-                      g.setColor(java.awt.Color.BLACK)
-                      g.fillRect(x, y, frame.getWidth, frame.getHeight)
+                    disposal match {
+                      case "restoreToBackgroundColor" =>
+                        g.setColor(java.awt.Color.BLACK)
+                        g.fillRect(x, y, frame.getWidth, frame.getHeight)
+                      case "restoreToPrevious" =>
+                        prev.foreach(px => canvas.setRGB(x, y, rw, rh, px, 0, rw))
+                      case _ => ()
                     }
                     i += 1
                   }
@@ -381,11 +402,16 @@ object Multimodal {
       // sampleFrames emits an asset's frames consecutively, so a
       // one-asset memo turns the video path into ONE container parse
       // per clip (decodeAll) instead of one per sampled frame.
-      var gifId = Long.MinValue
+      // memo validity is its own flag: doc_id spans the full Long
+      // range, so no sentinel id value can mean "empty" without
+      // shadowing a real asset
+      var gifId = 0L
+      var gifSeen = false
       var gifFrames: Option[Array[Array[Float]]] = None
       def videoFrames(a: MediaAsset): Option[Array[Array[Float]]] = {
-        if (a.doc_id != gifId) {
+        if (!gifSeen || a.doc_id != gifId) {
           gifId = a.doc_id
+          gifSeen = true
           gifFrames = GifVideoCodec.decodeAll(a.bytes, featDim)
         }
         gifFrames

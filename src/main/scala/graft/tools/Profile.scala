@@ -51,17 +51,21 @@ object Profile {
     // first call below pays its build, the repeats are steady state).
     // Fragments reuse the operator's own unsorted subtrees so the
     // timings attribute the cost the operator actually pays.
-    val newDocs = docs.select($"doc_id", $"text").filter($"doc_id" % 10 === 0L)
+    // reuse the operator's own constants so the profiler times the
+    // same subtree the operator executes if either ever changes
+    val IncrMod = graft.operators.DedupOps.IncrMod
+    val VerifyGram = graft.operators.DedupOps.VerifyGram
+    val newDocs = docs.select($"doc_id", $"text").filter($"doc_id" % IncrMod === 0L)
     time("bands artifact (build)")(
       graft.operators.DedupOps.minhashBandsShared(spark, sfDir).count())
     time("bands artifact (scan)")(
       graft.operators.DedupOps.minhashBandsShared(spark, sfDir).count())
     time("drop bandExplode")(graft.operators.DedupOps.minhashBands(spark, sfDir)
-      .filter($"doc_id" % 10 === 0L).count())
+      .filter($"doc_id" % IncrMod === 0L).count())
     time("incr cand join")(
       graft.operators.DedupOps.incrCandFrame(spark, sfDir).count())
     time("drop gram sets")(newDocs.select($"doc_id",
-      sort_array(graft.functions.TextHash.gramHashes($"text", 2)).as("gs")).count())
+      sort_array(graft.functions.TextHash.gramHashes($"text", VerifyGram)).as("gs")).count())
     time("full q_dedup_incremental 1")(
       graft.SparkEntry.queries("q_dedup_incremental")(spark, sfDir).count())
     time("full q_dedup_incremental 2")(

@@ -280,6 +280,93 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(fs(1)(1) - 0.25f) < 1e-6f, fs(1).toSeq)
   }
 
+  test("GIF restoreToPrevious disposal reverts the frame's rect before the next frame") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    // frame 0: full 4×2 black screen; frame 1: 1×1 white delta at
+    // (3,1) marked restoreToPrevious; frame 2: 1×1 white delta at
+    // (0,0). A correct decoder restores (3,1) to black before
+    // compositing frame 2; the old do-not-dispose approximation
+    // would leave BOTH white pixels on frame 2's canvas.
+    val full = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    def dot(): BufferedImage = {
+      val i = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+      i.setRGB(0, 0, 0xffffff)
+      i
+    }
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val w = ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for ((img, x, y, disposal) <- Seq(
+        (full, 0, 0, "none"),
+        (dot(), 3, 1, "restoreToPrevious"),
+        (dot(), 0, 0, "none"))) {
+      val p = w.getDefaultWriteParam
+      val md = w.getDefaultImageMetadata(new ImageTypeSpecifier(img), p)
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[IIOMetadataNode]
+      val desc = tree.getElementsByTagName("ImageDescriptor")
+        .item(0).asInstanceOf[IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      val gceList = tree.getElementsByTagName("GraphicControlExtension")
+      val gce =
+        if (gceList.getLength > 0) gceList.item(0).asInstanceOf[IIOMetadataNode]
+        else {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          tree.appendChild(n)
+          n
+        }
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      md.setFromTree("javax_imageio_gif_image_1.0", tree)
+      w.writeToSequence(new IIOImage(img, null, md), p)
+    }
+    w.endWriteSequence(); ios.close()
+    val gif = baos.toByteArray
+
+    val fs = Multimodal.GifVideoCodec.decodeAll(gif, 2).get
+    assert(fs.length == 3)
+    // frame 0: all black
+    assert(fs(0).forall(v => math.abs(v) < 1e-6f), fs(0).toSeq)
+    // frame 1 displays WITH its delta: one white pixel in row 1
+    assert(math.abs(fs(1)(0)) < 1e-6f, fs(1).toSeq)
+    assert(math.abs(fs(1)(1) - 0.25f) < 1e-6f, fs(1).toSeq)
+    // frame 2: (3,1) restored to black, only (0,0) white — row 1 must
+    // be all black again (do-not-dispose would leave it at 0.25)
+    assert(math.abs(fs(2)(0) - 0.25f) < 1e-6f, fs(2).toSeq)
+    assert(math.abs(fs(2)(1)) < 1e-6f, fs(2).toSeq)
+  }
+
+  test("non-GIF bytes under kind=video stay on the stub domain, not a one-frame clip") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // PNG bytes are javax.imageio-readable, but the video codec's
+    // contract (and its outage-counter gate) is GIF-only — decodeAll
+    // must decline rather than decode a one-frame "clip"
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    assert(!Multimodal.GifVideoCodec.isGif(png))
+    assert(Multimodal.GifVideoCodec.decodeAll(png, 2).isEmpty)
+    // and the fallback counter must NOT tick: non-GIF video bytes are
+    // the stub's documented domain (compressed containers), not an outage
+    val ctr = Multimodal.codecFallbackCounter(spark)
+    Multimodal.pipelineFrom(
+      Seq(MediaAsset(14L, "video", png, 4, 2, 40)).toDS(),
+      stride = 1, featDim = 2, fallbacks = Some(ctr)).count()
+    assert(ctr.value == 0L)
+  }
+
   test("visual near-dup pairs close aHashes and excludes dissimilar images") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
