@@ -87,6 +87,7 @@ object SparkEntry {
     "q_token_drift" -> (CurationOps.tokenDrift _),
     "q_dedup_incremental" -> (DedupOps.dedupIncremental _),
     "q_kmeans" -> (SimilarityOps.kmeansProfile _),
+    "q_kmeans_rounds" -> (SimilarityOps.kmeansConverge _),
     "q_pack_sequences" -> (CurationOps.packSequences _),
     "q_dup_matrix" -> (DedupOps.dupSourceMatrix _),
     "q_cluster_best" -> (ClusterOps.clusterBest _),
@@ -183,34 +184,44 @@ object SparkEntry {
        |    FROM tkv WHERE len(tk) >= 1))""".stripMargin
   }
 
-  /** One deterministic Lloyd round over `n` (requires `$quantCte`):
-    * seeds = K lowest vec_ids, integer squared-L2 argmin with
-    * lowest-cluster ties, HALF_UP integer-mean centroid update, final
-    * assignment `a2(vec_id, c, dist)` — shared by the #67/#72 oracles
-    * so the cluster definition cannot drift. dist = n2v + n2c − 2·dot:
-    * every term BIGINT, so argmin and sums are integer-exact. */
-  private val kmeansCtes: String = {
+  /** Lloyd-iteration CTE chain over `n` (requires `$quantCte`):
+    * `cents_0` = seeds (K lowest vec_ids, numbered 0..K-1), then per
+    * round r: `asg_r` = integer squared-L2 argmin vs `cents_{r-1}`
+    * with lowest-cluster ties KEEPING dist, `cents_r` = HALF_UP
+    * integer-mean centroid update of `asg_r`. ONE generator feeds the
+    * #67/#72/#44c oracles (via [[kmeansCtes]]) and the #67b
+    * convergence oracle, so the cluster definition cannot drift
+    * between any of them. dist = n2v + n2c − 2·dot: every term
+    * BIGINT, so argmin and sums are integer-exact. */
+  private def lloydCtes(rounds: Int): String = {
     val K = graft.operators.SimilarityOps.KmeansK
-    s"""seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, q, n2
-       |  FROM (SELECT * FROM n ORDER BY vec_id ASC LIMIT $K)),
-       |a1 AS (SELECT vec_id, c, q FROM (
-       |    SELECT vec_id, c, q, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
-       |      SELECT v.vec_id, s.c, v.q,
-       |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
-       |      FROM n v CROSS JOIN seeds s))
-       |  WHERE rk = 1),
-       |cd AS (SELECT c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
-       |  FROM (SELECT c, unnest(range(len(q))) AS dim, unnest(q) AS qv FROM a1)
-       |  GROUP BY c, dim),
-       |c2 AS (SELECT c, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
-       |  FROM (SELECT c, list(cv ORDER BY dim ASC) AS q FROM cd GROUP BY c)),
-       |a2 AS (SELECT vec_id, c, dist FROM (
-       |    SELECT vec_id, c, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
-       |      SELECT v.vec_id, s.c,
-       |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
-       |      FROM n v CROSS JOIN c2 s))
-       |  WHERE rk = 1)""".stripMargin
+    val seed =
+      s"""cents_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, q, n2
+         |  FROM (SELECT * FROM n ORDER BY vec_id ASC LIMIT $K))""".stripMargin
+    val per = (1 to rounds).map { r =>
+      s"""asg_$r AS (SELECT vec_id, c, q, dist FROM (
+         |    SELECT vec_id, c, q, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk FROM (
+         |      SELECT v.vec_id, s.c, v.q,
+         |        v.n2 + s.n2 - 2*CAST(list_sum(list_transform(list_zip(v.q, s.q), p -> p[1]*p[2])) AS BIGINT) AS dist
+         |      FROM n v CROSS JOIN cents_${r - 1} s))
+         |  WHERE rk = 1),
+         |cd_$r AS (SELECT c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+         |  FROM (SELECT c, unnest(range(len(q))) AS dim, unnest(q) AS qv FROM asg_$r)
+         |  GROUP BY c, dim),
+         |cents_$r AS (SELECT c, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+         |  FROM (SELECT c, list(cv ORDER BY dim ASC) AS q FROM cd_$r GROUP BY c))""".stripMargin
+    }
+    (seed +: per).mkString(",\n")
   }
+
+  /** One deterministic Lloyd round + final assignment
+    * `a2(vec_id, c, dist)` (= round-2 argmin vs the updated centroids
+    * `cents_1`; cd_2/cents_2 are never referenced so DuckDB never
+    * evaluates them) — shared by the #67/#72 oracles, with `cents_1`
+    * doubling as the #44c IVF pivot table. */
+  private val kmeansCtes: String =
+    s"""${lloydCtes(2)},
+       |a2 AS (SELECT vec_id, c, dist FROM asg_2)""".stripMargin
   /** Random-hyperplane sign bucketing of the quantized embeddings —
     * `nb(vec_id, q, n2, bucket)`; shared by q_ann_lsh,
     * q_ann_multiprobe and q_dedup_embedding_lsh so the bucket
@@ -552,8 +563,8 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH $quantCte,
-         |piv AS (SELECT vec_id AS pid, q AS pq, n2 AS pn2 FROM n
-         |        WHERE vec_id >= 10 AND vec_id < ${10 + graft.operators.SimilarityOps.ivfCells}),
+         |${lloydCtes(1)},
+         |piv AS (SELECT c AS pid, q AS pq, n2 AS pn2 FROM cents_1),
          |asn AS (SELECT vec_id, q, n2, pid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid ASC) AS pr
          |  FROM (SELECT n.vec_id, n.q, n.n2, piv.pid,
@@ -870,6 +881,21 @@ object SparkEntry {
          |  CAST(sum(dist) AS BIGINT) AS sum_dist,
          |  CAST(round(CAST(sum(dist) AS DOUBLE)/count(*)) AS BIGINT) AS mean_dist
          |FROM a2 GROUP BY c ORDER BY cluster_id""".stripMargin,
+    "q_kmeans_rounds" -> {
+      val R = graft.operators.SimilarityOps.KmeansRounds
+      val rows = (1 to R).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT CAST(sum(dist) AS BIGINT) FROM asg_$r) AS sum_dist,
+           |  (SELECT CAST(coalesce(sum(cs), 0) AS BIGINT) FROM (
+           |     SELECT CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> abs(p[1]-p[2]))) AS BIGINT) AS cs
+           |     FROM cents_${r - 1} a JOIN cents_$r b USING (c))) AS shift""".stripMargin
+      }
+      s"""WITH $quantCte,
+         |${lloydCtes(R)}
+         |SELECT round, sum_dist, shift FROM (
+         |${rows.mkString("\nUNION ALL\n")})
+         |ORDER BY round""".stripMargin
+    },
     "q_sample_balanced" ->
       s"""WITH $quantCte,
          |$kmeansCtes,

@@ -98,30 +98,27 @@ object SimilarityOps {
         round(sum($"q").cast("double") / count(lit(1))).cast(LongType).as("mean_q"))
       .orderBy($"dim")
 
-  val ivfCells = 8
-
-  /** Materialized IVF index per corpus — (parquet path, pivot
-    * vectors): BOTH the cell assignment and the driver-collected
-    * pivots are built once and reused by every later query batch —
-    * the 100 TB amortization story in code, not just a comment. A
-    * production deployment writes the index next to the corpus; here
-    * it lands under the session temp root. The 8 pivots are ~4 KB, so
-    * they ride task closures directly (no broadcast to leak).
+  /** Materialized IVF cell table per corpus (parquet path): built
+    * once and reused by every later query batch — the 100 TB
+    * amortization story in code, not just a comment. A production
+    * deployment writes the index next to the corpus; here it lands
+    * under the session temp root.
     *
     * Keyed by dir PLUS a (name, size, mtime) fingerprint of the
     * embedding files, so regenerating the parquet under the same path
     * in one JVM rebuilds the index instead of serving stale cells. */
-  private val ivfIndex =
-    new graft.tools.Materialize.SupersedingCache[(String, Array[(Long, Array[Long], Long)])]
+  private val ivfIndex = new graft.tools.Materialize.SupersedingCache[String]
 
   /** IVF-style ANN top-3: each query probes its 2 nearest cells of
-    * the materialized index. Pivots are the `ivfCells` lowest corpus
-    * vectors — a deterministic stand-in for trained k-means
-    * centroids; the plan shape (probe → cell equi-join on the saved
-    * index → rank) is the production article, and the corpus-side
-    * cell assignment runs exactly once per corpus, not per query
-    * batch. Determinism: cell choice compares e6-rounded cosine with
-    * pivot-id tiebreak (SURVEY.md §4). */
+    * the materialized index. Pivots are the REAL trained k-means
+    * centroids ([[kmeansCentroidsShared]] — built once per corpus
+    * fingerprint, ~4 KB riding the task closure), so the index cells
+    * follow the corpus's actual density the way a production IVF
+    * does; the plan shape (probe → cell equi-join on the saved index
+    * → rank) is the production article, and the corpus-side cell
+    * assignment runs exactly once per corpus, not per query batch.
+    * Determinism: cell choice compares e6-rounded cosine with
+    * centroid-id tiebreak (SURVEY.md §4). */
   private def bestCells(pivots: Array[(Long, Array[Long], Long)])(
       q: Array[Long], n2: Long, k: Int): Seq[Long] =
     pivots.map { case (pid, pq, pn2) =>
@@ -150,51 +147,85 @@ object SimilarityOps {
     (bestC, bestD)
   }
 
-  /** One deterministic Lloyd round producing the final
-    * (cluster_id, vec_id, dist) assignment: seeds = the [[KmeansK]]
-    * lowest vec_ids → assign → centroid update → assign.
-    *
-    * Deterministic and oracle-exact end to end: distances are integer
-    * squared L2 on the e3-quantized vectors with lowest-cluster-id
-    * ties, and the centroid update is the HALF_UP integer mean per
-    * (cluster, dim) — one IEEE division per centroid cell, the same
-    * [[embedProfile]] mean contract (SURVEY.md §4). No rand(), no
-    * float accumulation across rows.
-    *
-    * Scale shape: each assignment is ONE narrow corpus scan with the
-    * k×dim centroid table riding the task closure (~4 KB — the IVF
-    * pivot story); the update is a posexplode + partial-agg'd shuffle
-    * to k·dim groups; only k·dim centroid cells ever cross the
-    * driver. Lloyd's per-iteration full scan is inherent to the
-    * algorithm — the knob at 100 TB is the iteration count (fixed at
-    * one update here), never per-row state. */
-  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The K seed vectors: lowest vec_ids, numbered 0..K-1. k vectors
+    * cross the driver (TakeOrdered — no full sort). */
+  private def kmeansSeeds(spark: SparkSession, sfDir: String): Array[(Long, Array[Long], Long)] = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
     import graft.functions.VectorFunctions.quantized
-    def emb = Tables.embeddings(spark, sfDir)
-    // k seed VECTORS cross the driver (TakeOrdered — no full sort)
-    val seeds = quantized(emb.orderBy($"vec_id".asc).limit(KmeansK))
+    quantized(Tables.embeddings(spark, sfDir).orderBy($"vec_id".asc).limit(KmeansK))
       .collect().sortBy(_._1).zipWithIndex
       .map { case ((_, q, n2), c) => (c.toLong, q, n2) }
-    def corpus = quantized(emb)
-    val assigned1 = corpus
-      .map { case (id, q, n2) => (nearestCluster(seeds)(q, n2)._1, id, q) }
-      .toDF("c", "vec_id", "q")
-    // HALF_UP mean per (cluster, dim); k·dim rows — bounded driver
-    // gather, same contract as the IVF pivots
-    val cellRows = assigned1
-      .select($"c", posexplode($"q").as(Seq("dim", "qv")))
+  }
+
+  /** One deterministic Lloyd update against `cents`: assign every
+    * vector to its nearest centroid (integer squared L2,
+    * lowest-cluster-id ties), then the HALF_UP integer mean per
+    * (cluster, dim) — computed INSIDE Spark SQL so the rounding is
+    * the exact `round()` the DuckDB oracle applies (SURVEY.md §4).
+    * Returns the updated centroids plus the total assignment distance
+    * vs the INPUT centroids (the convergence signal [[kmeansConverge]]
+    * reports).
+    *
+    * Scale shape: ONE narrow corpus scan with the k×dim centroid
+    * table riding the task closure (~4 KB), ONE partial-agg'd shuffle
+    * to k·dim groups (the per-cluster distance total rides the dim-0
+    * group — no second scan for it); only k·dim cells ever cross the
+    * driver. A cluster that loses all members simply drops out. */
+  private def lloydUpdate(spark: SparkSession, sfDir: String,
+      cents: Array[(Long, Array[Long], Long)]): (Array[(Long, Array[Long], Long)], Long) = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
+    import graft.functions.VectorFunctions.quantized
+    val rows = quantized(Tables.embeddings(spark, sfDir))
+      .map { case (_, q, n2) =>
+        val (c, d) = nearestCluster(cents)(q, n2)
+        (c, q, d)
+      }
+      .toDF("c", "q", "dist")
+      .select($"c", $"dist", posexplode($"q").as(Seq("dim", "qv")))
       .groupBy($"c", $"dim")
-      .agg(round(sum($"qv").cast("double") / count(lit(1))).cast(LongType).as("cv"))
+      .agg(round(sum($"qv").cast("double") / count(lit(1))).cast(LongType).as("cv"),
+        sum($"dist").as("sdist"))
       .collect()
-    val cents = cellRows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
-      .map { case (c, rows) =>
-        val q = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+    val next = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (c, rs) =>
+        val q = rs.sortBy(_.getInt(1)).map(_.getLong(2))
         var n2 = 0L; var i = 0
         while (i < q.length) { n2 += q(i) * q(i); i += 1 }
         (c, q, n2)
       }
-    corpus
+    val sumDist = rows.filter(_.getInt(1) == 0).map(_.getLong(3)).sum
+    (next, sumDist)
+  }
+
+  private val kmeansCents =
+    new graft.tools.Materialize.SupersedingCache[Array[(Long, Array[Long], Long)]]
+
+  /** The k×dim centroids after one Lloyd update, built ONCE per
+    * corpus fingerprint: ~4 KB that ride task closures, shared by the
+    * k-means assignment ([[kmeansAssignShared]]) AND [[annIvf]]'s
+    * cell seeding — the IVF pivots are the real trained centroids,
+    * the way a production pipeline connects its clustering to its
+    * index. */
+  private[graft] def kmeansCentroidsShared(spark: SparkSession,
+      sfDir: String): Array[(Long, Array[Long], Long)] = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    kmeansCents.getOrBuild(sfDir, fp) {
+      lloydUpdate(spark, sfDir, kmeansSeeds(spark, sfDir))._1
+    }
+  }
+
+  /** Final (cluster_id, vec_id, dist) assignment against the shared
+    * updated centroids — one narrow corpus scan. Deterministic and
+    * oracle-exact end to end (see [[lloydUpdate]]); Lloyd's
+    * per-iteration full scan is inherent to the algorithm — the knob
+    * at 100 TB is the iteration count ([[KmeansRounds]] for the
+    * convergence profile; the assignment ships after one update),
+    * never per-row state. */
+  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
+    import graft.functions.VectorFunctions.quantized
+    val cents = kmeansCentroidsShared(spark, sfDir)
+    quantized(Tables.embeddings(spark, sfDir))
       .map { case (id, q, n2) =>
         val (c, d) = nearestCluster(cents)(q, n2)
         (c, id, d)
@@ -236,6 +267,44 @@ object SimilarityOps {
         round(sum($"dist").cast("double") / count(lit(1))).cast(LongType).as("mean_dist"))
       .orderBy($"cluster_id")
 
+  /** Iteration cap for [[kmeansConverge]] — fixed, so the profile is
+    * deterministic and its oracle is a fixed CTE chain. */
+  val KmeansRounds = 3
+
+  /** #67b Multi-round Lloyd convergence profile: [[KmeansRounds]]
+    * deterministic updates from the same seeds as [[kmeansAssign]],
+    * reporting per round the total assignment distance vs that
+    * round's INPUT centroids (integer squared L2 — monotone
+    * non-increasing for exact Lloyd; HALF_UP centroid rounding can
+    * nudge it, which is exactly what this profile exists to show) and
+    * the centroid shift Σ|cv_r − cv_{r-1}| over cells whose cluster
+    * survived the round (a cluster emptied by an update contributes
+    * no shift — the oracle's inner join on c). The knob a pipeline
+    * reads to decide whether one update (the shipping default)
+    * suffices on its corpus.
+    *
+    * Scale: [[KmeansRounds]] × the [[lloydUpdate]] cost (one narrow
+    * scan + one k·dim-group shuffle per round); only k·dim cells and
+    * 3 stat rows ever cross the driver. */
+  def kmeansConverge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    var cents = kmeansSeeds(spark, sfDir)
+    val stats = (1 to KmeansRounds).map { r =>
+      val (next, sumDist) = lloydUpdate(spark, sfDir, cents)
+      val byId = next.map(c => c._1 -> c._2).toMap
+      val shift = cents.flatMap { case (c, q0, _) =>
+        byId.get(c).map { q1 =>
+          var s = 0L; var i = 0
+          while (i < q0.length) { s += math.abs(q0(i) - q1(i)); i += 1 }
+          s
+        }
+      }.sum
+      cents = next
+      (r.toLong, sumDist, shift)
+    }
+    stats.toDF("round", "sum_dist", "shift").orderBy($"round")
+  }
+
   /** #72 Cluster-balanced sampling: downsample every k-means cluster
     * to ≈ the smallest cluster's size — the topic-balancing knob a
     * curation pipeline turns when one embedding region (one content
@@ -268,16 +337,13 @@ object SimilarityOps {
     // filter — the probe path must extract 10 query vectors without
     // reading (or quantizing) the 100 TB corpus
     def emb = Tables.embeddings(spark, sfDir)
+    val pivots = kmeansCentroidsShared(spark, sfDir)
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
-    val (indexPath, pivots) = ivfIndex.getOrBuild(sfDir, fp) {
-      // 8 pivot VECTORS only — never the corpus — cross the driver,
-      // and only on this build-once path
-      val p = quantized(emb.filter($"vec_id" >= 10 && $"vec_id" < 10 + ivfCells))
-        .collect().sortBy(_._1)
+    val indexPath = ivfIndex.getOrBuild(sfDir, fp) {
       val cells = quantized(emb.filter($"vec_id" >= 10))
-        .map { case (id, q, n2) => (bestCells(p)(q, n2, 1).head, id, q, n2) }
+        .map { case (id, q, n2) => (bestCells(pivots)(q, n2, 1).head, id, q, n2) }
         .toDF("cell", "vec_id", "q", "n2")
-      (graft.tools.Materialize.writeParquet(cells, "ivf-index"), p)
+      graft.tools.Materialize.writeParquet(cells, "ivf-index")
     }
     val cells = spark.read.parquet(indexPath)
     val probes = quantized(emb.filter($"vec_id" < 10))

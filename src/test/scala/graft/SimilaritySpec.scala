@@ -130,6 +130,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("Lloyd convergence profile is deterministic and settles on a fixed corpus") {
+    val rows = SimilarityOps.kmeansConverge(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == (1L to SimilarityOps.KmeansRounds))
+    rows.foreach { case (_, sumDist, shift) =>
+      assert(sumDist >= 0 && shift >= 0)
+    }
+    assert(rows == SimilarityOps.kmeansConverge(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq)
+    // degenerate corpus: seeds ARE the vectors, so every round is a
+    // perfect singleton assignment — zero distance, zero shift
+    val dir = tmpDir("graft-converge-degen-")
+    Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val degen = SimilarityOps.kmeansConverge(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(degen.forall(r => r._2 == 0L && r._3 == 0L), degen.toSeq)
+  }
+
   test("k-means and balanced sampling survive a corpus smaller than K") {
     val dir = tmpDir("graft-degen-emb-")
     Seq((0L, Array(1.0f, 0.0f), "a"), (1L, Array(0.0f, 1.0f), "a"),
