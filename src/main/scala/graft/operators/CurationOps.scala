@@ -322,17 +322,23 @@ object CurationOps {
     * Plan: one (source, token) partial-agg'd count shuffle; the
     * per-source and per-token totals derive from it (vocab-sized
     * re-aggregations), the tiny per-source totals broadcast, and the
-    * top-k is a per-source window over the scored frame. */
+    * top-k is the bounded-heap [[BoundedTopK]] aggregator — O(k)
+    * state per source merged map-side, never a sort of a source's
+    * whole vocabulary in one window partition (the q_topn_agg
+    * pattern; vocab is bounded, but O(k) beats O(vocab)). */
   def tokenDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits.{newProductEncoder, newStringEncoder}
     val bySrc = Tables.documents(spark, sfDir)
       .select($"source", explode(tokens($"text")).as("token"))
       .groupBy($"source", $"token").agg(count(lit(1)).as("a"))
     val srcTot = bySrc.groupBy($"source").agg(sum($"a").as("na"))
     val tokTot = bySrc.groupBy($"token").agg(sum($"a").as("atot"))
     val grand = srcTot.agg(sum($"na").as("ntot"))
-    val w = Window.partitionBy($"source")
-      .orderBy($"drift_e3".desc, $"token".asc)
+    // (token, a, rate_e3, rest_rate_e3, drift_e3) per source, kept
+    // k-at-a-time: drift desc, token asc
+    val topk = new BoundedTopK[(String, Long, Long, Long, Long)](
+      DriftTopK,
+      (x, y) => x._5 > y._5 || (x._5 == y._5 && x._1 < y._1))
     bySrc.join(tokTot, "token")
       .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(grand))
@@ -342,9 +348,16 @@ object CurationOps {
         // rate 0, not a division error
         expr("(1000 * (atot - a)) div greatest(ntot - na, 1)").as("rest_rate_e3"))
       .withColumn("drift_e3", $"rate_e3" - $"rest_rate_e3")
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter($"rnk" <= DriftTopK)
-      .select($"source", $"rnk", $"token", $"a", $"rate_e3", $"rest_rate_e3", $"drift_e3")
+      .as[(String, String, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, token, a, rate, rest, drift) => (token, a, rate, rest, drift) }
+      .agg(topk.toColumn.name("top"))
+      .flatMap { case (source, top) =>
+        top.iterator.zipWithIndex.map { case ((token, a, rate, rest, drift), i) =>
+          (source, (i + 1).toLong, token, a, rate, rest, drift)
+        }
+      }
+      .toDF("source", "rnk", "token", "a", "rate_e3", "rest_rate_e3", "drift_e3")
       .orderBy($"source", $"rnk")
   }
 

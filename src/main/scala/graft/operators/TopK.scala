@@ -1,5 +1,8 @@
 package graft.operators
 
+import scala.reflect.ClassTag
+import scala.reflect.runtime.universe.TypeTag
+
 import graft.{ColumnInterpolator, Tables}
 import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -7,36 +10,35 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.col
 
 /** Bounded-heap top-K typed aggregator (custom `Aggregator` →
-  * `TypedColumn`, the SURVEY §3 preference-(b) extension point).
+  * `TypedColumn`, the SURVEY §3 preference-(b) extension point),
+  * generic in the row type: `better` is the strict total order
+  * (descending-value, ascending-id-tiebreak in every current use —
+  * deterministic, the q_topn_window oracle contract).
   *
   * The window-function top-N (`row_number` + filter,
   * JoinOps.topnWindow) sorts EVERY row of a key's partition; this
   * aggregator keeps only K rows per key per partition and merges
   * K-sized buffers, so the shuffle carries O(keys × K) rows instead
   * of O(rows) — the difference between sorting 100 TB and scanning
-  * it. Ordering: descending value, ascending id tiebreak
-  * (deterministic — same contract as the q_topn_window oracle).
+  * it.
   *
   * Buffer is a sorted array (K small): `reduce` is an O(K) insert,
   * `merge` a bounded merge of two sorted arrays.
   */
-class TopKAggregator(k: Int)
-    extends Aggregator[(String, Double, Long), Array[(Double, Long)], Array[(Double, Long)]] {
+class BoundedTopK[R: TypeTag: ClassTag](k: Int, better: (R, R) => Boolean)
+    extends Aggregator[R, Array[R], Array[R]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  override def zero: Array[R] = Array.empty[R]
 
-  override def zero: Array[(Double, Long)] = Array.empty
-
-  override def reduce(buf: Array[(Double, Long)], row: (String, Double, Long)): Array[(Double, Long)] = {
+  override def reduce(buf: Array[R], row: R): Array[R] = {
     // fast path: full buffer + row worse than the cutoff — the
     // overwhelming majority of rows at scale — allocates nothing
-    if (buf.length == k && !better((row._2, row._3), buf(k - 1))) buf
-    else merge(buf, Array((row._2, row._3)))
+    if (buf.length == k && !better(row, buf(k - 1))) buf
+    else merge(buf, Array(row))
   }
 
-  override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] = {
-    val out = new Array[(Double, Long)](math.min(a.length + b.length, k))
+  override def merge(a: Array[R], b: Array[R]): Array[R] = {
+    val out = new Array[R](math.min(a.length + b.length, k))
     var i = 0; var j = 0; var n = 0
     while (n < out.length) {
       out(n) =
@@ -47,13 +49,16 @@ class TopKAggregator(k: Int)
     out
   }
 
-  override def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] = buf
+  override def finish(buf: Array[R]): Array[R] = buf
 
-  override def bufferEncoder: Encoder[Array[(Double, Long)]] =
-    ExpressionEncoder[Array[(Double, Long)]]()
-  override def outputEncoder: Encoder[Array[(Double, Long)]] =
-    ExpressionEncoder[Array[(Double, Long)]]()
+  override def bufferEncoder: Encoder[Array[R]] = ExpressionEncoder[Array[R]]()
+  override def outputEncoder: Encoder[Array[R]] = ExpressionEncoder[Array[R]]()
 }
+
+/** The (value, id) instance used by [[TopK.topnAgg]] and the
+  * property spec: descending value, ascending id. */
+class TopKAggregator(k: Int) extends BoundedTopK[(Double, Long)](
+  k, (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
 
 object TopK {
 
@@ -67,6 +72,7 @@ object TopK {
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
       .as[(String, Double, Long)]
       .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
       .agg(new TopKAggregator(k).toColumn.name("top"))
       .flatMap { case (prio, top) =>
         top.iterator.zipWithIndex.map { case ((price, key), i) =>

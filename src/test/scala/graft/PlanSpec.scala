@@ -123,6 +123,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_token_drift keeps top-k in a bounded aggregator — no vocab-sized window sort") {
+    // the per-source top-k must be the BoundedTopK Aggregator (O(k)
+    // state, map-side merged), never a row_number window whose
+    // partition holds a source's entire vocabulary
+    val plan = fullPlanString("q_token_drift")
+    assert(!plan.contains("Window"),
+      s"q_token_drift must not plan a window operator:\n$plan")
+    assert(plan.contains("partial_boundedtopk") || plan.contains("ObjectHashAggregate"),
+      s"expected the typed bounded top-k aggregate:\n$plan")
+  }
+
   test("text/curation plans contain no interpreted higher-order functions") {
     // Spark HOFs (aggregate/transform/zip_with) evaluate the lambda
     // INTERPRETED (~16 µs/element — NOTES.md) and always print as

@@ -158,7 +158,7 @@ class PropertySpec extends AnyFunSuite {
       case (xs, k, nChunks) =>
         val agg = new TopKAggregator(k)
         val chunks = xs.grouped(math.max(1, xs.length / nChunks + 1)).toList
-        val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = chunks.map(_.map(r => (r._2, r._3)).foldLeft(agg.zero)(agg.reduce))
           .foldLeft(agg.zero)(agg.merge)
         val expect = xs.map(r => (r._2, r._3))
           .sortBy { case (v, id) => (-v, id) }.take(k)
