@@ -165,6 +165,24 @@ object DedupOps {
     spark.read.schema(schema).parquet(path)
   }
 
+  /** #66 drop-admission lifecycle for the corpus band artifact: once
+    * a drop has passed [[dedupIncremental]] and its rows were
+    * appended to the corpus table, the band artifact follows by
+    * APPENDING the drop's band rows (MBs of new part files) and
+    * re-keying the cache entry to `updatedFingerprint` — the corpus
+    * fingerprint measured AFTER the table append. The 100 TB corpus
+    * is never re-hashed for a daily drop; the next drop's candidate
+    * build scans only the appended artifact. False when no artifact
+    * is live for this dir — the next [[minhashBandsShared]] touch
+    * builds fresh (correct, just not incremental). */
+  private[graft] def admitDrop(spark: SparkSession, sfDir: String,
+      dropDocs: DataFrame, updatedFingerprint: String): Boolean =
+    bandsIndex.rekey(sfDir, updatedFingerprint) { case (path, schema) =>
+      bandExplode(dropDocs.select($"doc_id", $"text"))
+        .write.mode("append").parquet(path)
+      (path, schema)
+    }.isDefined
+
   /** [[minhashPairs]] materialized ONCE per corpus fingerprint and
     * served as a plain parquet scan — the candidate+verify subtree is
     * the dominant cost of BOTH the pair listing (#39) and cluster

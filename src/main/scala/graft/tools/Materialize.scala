@@ -123,5 +123,23 @@ object Materialize {
       if (prev != null && prev != key) entries.remove(prev)
       v
     }
+
+    /** Re-key `dir`'s live entry to a new fingerprint after an
+      * APPEND-style source update whose derived delta has already
+      * been folded into the stored artifact (e.g. a dedup drop's band
+      * rows appended to the band table) — the artifact follows the
+      * source without a from-scratch rebuild. `f` runs on the live
+      * value before the re-key (the append itself). None when `dir`
+      * has no live entry — the caller falls back to the ordinary
+      * build-on-next-touch path. */
+    def rekey(dir: String, newFingerprint: String)(f: V => V): Option[V] =
+      Option(current.get(dir)).flatMap(k => Option(entries.get(k))).map { v =>
+        val nv = f(v)
+        val key = s"$dir|$newFingerprint"
+        entries.put(key, nv)
+        val prev = current.put(dir, key)
+        if (prev != null && prev != key) entries.remove(prev)
+        nv
+      }
   }
 }

@@ -90,6 +90,81 @@ class DedupSpec extends SparkTestBase {
       s"expected the candidate-id IN filter pushed into the corpus scan:\n$planStr")
   }
 
+  test("admitted drops append to the band artifact — the next drop never re-hashes the corpus") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir("graft-admit-drop-")
+    Seq((1L, "alpha beta gamma delta"),
+        (2L, "epsilon zeta eta theta"),
+        (3L, "iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // corpus v1 artifact
+    val before = DedupOps.minhashBandsShared(spark, dir)
+    before.count()
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    val pathBefore = scanPaths(before).filter(_.contains("minhash-bands"))
+    assert(pathBefore.nonEmpty)
+
+    // a drop passes the incremental check and is admitted: rows
+    // appended to the corpus table, then the artifact follows
+    val drop = Seq((10L, "alpha beta gamma delta"), (11L, "nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    drop.write.mode("append").parquet(s"$dir/documents.parquet")
+    val newFp = graft.tools.Materialize.fingerprint(spark, s"$dir/documents.parquet")
+    assert(DedupOps.admitDrop(spark, dir, drop, newFp),
+      "a live artifact must re-key instead of falling back to a rebuild")
+
+    // listener pin (the PlanSpec steady-state pattern): serving the
+    // grown corpus's bands runs ZERO jobs — not even footer reads
+    // (explicit schema); a silent from-scratch rebuild would surface
+    // as write-job stages here
+    org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.add(s.stageInfo.name)
+    }
+    spark.sparkContext.addSparkListener(l)
+    val after =
+      try {
+        val a = DedupOps.minhashBandsShared(spark, dir)
+        a.queryExecution.executedPlan
+        org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
+        assert(stages.isEmpty,
+          s"post-admission band serving must run no jobs; saw: ${stages.toArray.mkString("; ")}")
+        a
+      } finally spark.sparkContext.removeSparkListener(l)
+
+    // the artifact kept its directory (appended, not rebuilt) ...
+    assert(scanPaths(after).filter(_.contains("minhash-bands")) == pathBefore,
+      "admission must append to the SAME artifact directory")
+    // ... its content equals a from-scratch rebuild of the grown corpus ...
+    val got = after.select(col("doc_id"), col("band"), col("band_hash"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val want = DedupOps.bandExplode(
+        spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("band"), col("band_hash"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+    // ... and the NEXT drop's candidate build reads ONLY the artifact:
+    // no file scan of the corpus text anywhere in the plan
+    val drop2 = Seq((20L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cand = DedupOps.bandExplode(drop2)
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_new")).as("n")
+      .join(after.select(col("band"), col("band_hash"), col("doc_id").as("doc_old")),
+        Seq("band", "band_hash"))
+      .select(col("doc_new"), col("doc_old")).distinct()
+    val candScans = scanPaths(cand)
+    assert(candScans.nonEmpty && candScans.forall(_.contains("minhash-bands")),
+      s"candidate build must scan only the band artifact, saw: $candScans")
+    // the admitted duplicate is found via the appended rows
+    assert(cand.as[(Long, Long)].collect().toSet.contains((20L, 10L)))
+  }
+
   test("SimHash: near-identical docs land within small Hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val out = DedupOps.simhash(spark, sf).as[(Long, Long)].collect().toMap
