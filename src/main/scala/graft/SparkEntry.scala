@@ -647,18 +647,29 @@ object SparkEntry {
          |WHERE q_ok = 1 AND l_ok = 1
          |GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
     "q_funnel" ->
-      s"""WITH $tkCte,
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
          |$curationFlagsCtes,
          |keep AS (SELECT doc_id, source, md5(lower(trim(text))) AS h
          |  FROM flags WHERE q_ok = 1 AND l_ok = 1),
          |kp AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY h),
+         |kpx AS (SELECT kp.doc_id, keep.source FROM kp JOIN keep USING (doc_id)),
          |ku AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
-         |  FROM kp JOIN keep USING (doc_id) GROUP BY source)
+         |  FROM kpx GROUP BY source),
+         |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |surv AS (SELECT coalesce(lab.cluster_id, k.doc_id) AS cl, min(k.doc_id) AS doc_id
+         |  FROM kpx k LEFT JOIN lab USING (doc_id) GROUP BY 1),
+         |nnd AS (SELECT k.source, CAST(count(*) AS BIGINT) AS n_neardup
+         |  FROM surv JOIN kpx k USING (doc_id) GROUP BY 1)
          |SELECT f.source, CAST(count(*) AS BIGINT) AS n_raw,
          |  CAST(sum(q_ok) AS BIGINT) AS n_quality,
          |  CAST(sum(q_ok * l_ok) AS BIGINT) AS n_gated,
-         |  CAST(coalesce(max(ku.n_unique), 0) AS BIGINT) AS n_unique
-         |FROM flags f LEFT JOIN ku USING (source)
+         |  CAST(coalesce(max(ku.n_unique), 0) AS BIGINT) AS n_unique,
+         |  CAST(coalesce(max(nnd.n_neardup), 0) AS BIGINT) AS n_neardup
+         |FROM flags f LEFT JOIN ku USING (source) LEFT JOIN nnd USING (source)
          |GROUP BY f.source ORDER BY f.source""".stripMargin,
     "q_text_pii" ->
       """SELECT doc_id,

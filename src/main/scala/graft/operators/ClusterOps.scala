@@ -170,7 +170,7 @@ object ClusterOps {
     * artifact — THE cluster definition [[dedupCluster]] (#50) and
     * [[clusterBest]] (#70) share, so their memberships cannot
     * diverge (only the keep policy differs). */
-  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     connectedComponents(
       DedupOps.minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b"),
       "doc_a", "doc_b")

@@ -92,25 +92,39 @@ object CurationOps {
 
   /** #74 Curation funnel: per source, how many docs survive each
     * pipeline stage (raw → quality gate → +language gate → exact
-    * dedup, keeper attributed to ITS source) — the observability
-    * report that tells you WHERE a source's volume went before
-    * training ever sees the mix. Same gate flags as [[curate]]
-    * ([[curationFlags]]); the dedup stage is the same min-id-per-hash
-    * rule. Scale shape: narrow flag maps, one partial-agg'd shuffle
-    * per stage aggregate, one hash shuffle for the dedup keepers —
-    * the per-source result is |sources| rows. */
+    * dedup → MinHash near-dup, keeper attributed to ITS source) — the
+    * observability report that tells you WHERE a source's volume went
+    * before training ever sees the mix. Same gate flags as [[curate]]
+    * ([[curationFlags]]); the exact-dedup stage is the same
+    * min-id-per-hash rule; the near-dup stage keeps, within each
+    * transitive MinHash cluster (labels over the SHARED pairs
+    * artifact — the same membership #50/#70 use; docs outside any
+    * pair are singletons), the min-id exact-dedup keeper, so every
+    * stage is a subset of the previous one per source. Scale shape:
+    * narrow flag maps, one partial-agg'd shuffle per stage aggregate,
+    * one hash shuffle for the dedup keepers; cluster labels cover
+    * only docs in near-dup pairs (the small LSH output), so AQE
+    * broadcasts the label side — the per-source result is |sources|
+    * rows. */
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val f = curationFlags(spark, sfDir)
     val keep = f.filter($"q_ok" === 1L && $"l_ok" === 1L)
       .select($"doc_id", $"source", md5(lower(trim($"text"))).as("h"))
-    val uniq = keep.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    val keepers = keep.groupBy($"h").agg(min($"doc_id").as("doc_id"))
       .join(keep.select($"doc_id", $"source"), "doc_id")
-      .groupBy($"source").agg(count(lit(1)).as("n_unique"))
+    val uniq = keepers.groupBy($"source").agg(count(lit(1)).as("n_unique"))
+    val nearDup = keepers
+      .join(ClusterOps.clusterLabels(spark, sfDir), Seq("doc_id"), "left_outer")
+      .withColumn("cl", coalesce($"cluster_id", $"doc_id"))
+      .groupBy($"cl").agg(min($"doc_id").as("doc_id"))
+      .join(keepers.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("n_neardup"))
     f.groupBy($"source")
       .agg(count(lit(1)).as("n_raw"), sum($"q_ok").as("n_quality"),
         sum($"q_ok" * $"l_ok").as("n_gated"))
       .join(uniq, Seq("source"), "left_outer")
-      .na.fill(0L, Seq("n_unique"))
+      .join(nearDup, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("n_unique", "n_neardup"))
       .orderBy($"source")
   }
 

@@ -82,14 +82,23 @@ class ProfileSpec extends SparkTestBase {
 
   test("curation funnel stages are monotone and reconcile with the curated output") {
     val funnel = CurationOps.curationFunnel(spark, sf)
-      .as[(String, Long, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(funnel.nonEmpty)
-    funnel.foreach { case (src, raw, q, g, u) =>
-      assert(raw >= q && q >= g && g >= u && u >= 0,
-        s"$src: stages must shrink monotonically ($raw, $q, $g, $u)")
+    funnel.foreach { case (src, raw, q, g, u, nd) =>
+      assert(raw >= q && q >= g && g >= u && u >= nd && nd >= 0,
+        s"$src: stages must shrink monotonically ($raw, $q, $g, $u, $nd)")
     }
-    // the funnel's terminal stage IS the curated set — per-source
-    // unique counts must sum to exactly what curate keeps
-    assert(funnel.map(_._5).sum == CurationOps.curate(spark, sf).count())
+    // the exact-dedup stage IS the curated set — per-source unique
+    // counts must sum to exactly what curate keeps
+    val curated = CurationOps.curate(spark, sf).as[Long].collect().toSeq
+    assert(funnel.map(_._5).sum == curated.size)
+    // the near-dup stage reconciles with an independent recompute:
+    // group the curated keepers by their #50 cluster label (docs in
+    // no pair are singletons), one survivor per cluster
+    val labels = graft.operators.ClusterOps.dedupCluster(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val survivors = curated.groupBy(d => labels.getOrElse(d, d)).size
+    assert(funnel.map(_._6).sum == survivors,
+      s"n_neardup total ${funnel.map(_._6).sum} != independent recompute $survivors")
   }
 }
