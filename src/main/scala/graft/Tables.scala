@@ -35,9 +35,12 @@ object Tables {
 
   /** Rebuild a µs TimestampType `ts` from a raw-nanos long `ts`
     * column (the data is µs-grain, so `div 1000` is exact). Shared by
-    * [[events]] and any streaming read of the same files. */
+    * [[events]] and any streaming read of the same files. A file that
+    * already carries a standard µs TIMESTAMP (e.g. the scaled-up
+    * tables graft.tools.GenScale writes) passes through unchanged. */
   def tsFromNanos(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType) df
+    else df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
