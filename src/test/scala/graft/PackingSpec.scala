@@ -60,8 +60,8 @@ class PackingSpec extends SparkTestBase {
     // funnel: both docs counted raw, none pass the quality gate (the
     // integer-div-by-zero guard must yield q_ok = 0, not an error)
     val funnel = CurationOps.curationFunnel(spark, dir)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(funnel == Seq(("srcA", 2L, 0L, 0L, 0L)))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(funnel == Seq(("srcA", 2L, 0L, 0L, 0L, 0L)))
   }
 
   test("two-level prefix sum matches a plain-Scala model on random corpora") {
