@@ -3,7 +3,11 @@
 parquet dumps, run each oracle SQL in DuckDB over the same sf dir,
 sort columns by name + rows by all columns, compare values exactly.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--only a,b | --skip a,b]
+
+--only / --skip restrict which oracle queries run — for splitting a
+long sweep across processes or excluding a pathologically slow oracle
+(the quadratic within-bucket candidate joins DuckDB pays at large SF).
 """
 import sys, json, glob, os
 import duckdb
@@ -11,7 +15,7 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None, skip=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -20,6 +24,10 @@ def main(sf_dir, out_dir):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    if skip:
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
     fails = 0
     for name, sql in sorted(oracle.items()):
         pq = f"{out_dir}/{name}"
@@ -66,12 +74,19 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: compare error {e}")
             fails += 1
-    missing = set(oracle) ^ set(
-        os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
-    if missing:
-        print(f"NOTE: oracle/output key mismatch: {missing}")
+    if not (only or skip):
+        missing = set(oracle) ^ set(
+            os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+        if missing:
+            print(f"NOTE: oracle/output key mismatch: {missing}")
     print(f"{'PASS' if fails == 0 else 'FAIL'}: {len(oracle) - fails}/{len(oracle)}")
     return fails
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    args = sys.argv[1:]
+    only = skip = None
+    if "--only" in args:
+        i = args.index("--only"); only = set(args[i + 1].split(",")); del args[i:i + 2]
+    if "--skip" in args:
+        i = args.index("--skip"); skip = set(args[i + 1].split(",")); del args[i:i + 2]
+    sys.exit(1 if main(args[0], args[1], only, skip) else 0)
