@@ -553,7 +553,7 @@ object SparkEntry {
       s"""WITH $quantCte,
          |$lshBucketCtes,
          |probes AS (SELECT vec_id, q, n2, xor(bucket, mk.m) AS qbucket
-         |  FROM nb CROSS JOIN (VALUES (0), (1), (2), (4), (8)) mk(m) WHERE vec_id < 10),
+         |  FROM nb CROSS JOIN (VALUES ${(0L +: (0 until graft.functions.VectorFunctions.nPlanes).map(1L << _)).map(m => s"($m)").mkString(", ")}) mk(m) WHERE vec_id < 10),
          |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
          |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
          |  FROM probes a JOIN nb b ON a.qbucket = b.bucket WHERE b.vec_id >= 10),

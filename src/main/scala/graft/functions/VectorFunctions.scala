@@ -83,10 +83,16 @@ object VectorFunctions {
 
   // ---- random-hyperplane LSH ----------------------------------------
 
-  /** Number of hyperplanes (bucket space = 2^nPlanes = 16: at the test
-    * corpus size ~30 vectors/bucket; at 100 TB you raise nPlanes so
-    * bucket size stays bounded — the join stays equi on `bucket`). */
-  val nPlanes = 4
+  /** Number of hyperplanes (bucket space = 2^nPlanes = 256). The
+    * sf1 (10×) bench measured the cost of leaving this at 4: bucket
+    * occupancy grows linearly with the corpus, so the bucketed joins
+    * went quadratic (q_dedup_embedding_lsh ×28 at ×10 data). The
+    * production rule is nPlanes ∝ log2(corpus) so occupancy stays
+    * bounded; the per-pair collision probability falls with each
+    * plane — multi-probe (ANN) or OR-construction over independent
+    * plane tables (dedup) are the standard recall levers, both
+    * equi-join-shaped. */
+  val nPlanes = 8
   val dim = 64
 
   private def md5hex(s: String): String =
