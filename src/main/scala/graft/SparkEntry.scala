@@ -506,13 +506,14 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH $tkCte, ${gramsCte(3)},
-         |gz AS (SELECT doc_id, gs, CAST(floor(log2(len(gs))) AS BIGINT) AS bucket FROM g3 WHERE len(gs) > 0),
-         |l AS (SELECT doc_id, gs, unnest([bucket-1, bucket, bucket+1]) AS bk FROM gz),
-         |cand AS (SELECT a.doc_id AS doc_a, a.gs AS gsa, b.doc_id AS doc_b, b.gs AS gsb
-         |  FROM l a JOIN gz b ON a.bk = b.bucket AND a.doc_id < b.doc_id),
+         |srt AS (SELECT doc_id, list_sort(gs) AS gs FROM g3 WHERE len(gs) > 0),
+         |pref AS (SELECT doc_id, unnest(gs[1:CAST(len(gs)//2 + 1 AS INTEGER)]) AS h FROM srt),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
          |ver AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(gsa, gsb)) AS BIGINT) AS n_common,
-         |  CAST(len(gsa) + len(gsb) - len(list_intersect(gsa, gsb)) AS BIGINT) AS n_union FROM cand)
+         |  CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_common,
+         |  CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) AS n_union
+         |  FROM cand JOIN g3 x ON x.doc_id = doc_a JOIN g3 y ON y.doc_id = doc_b)
          |SELECT doc_a, doc_b, n_common, n_union FROM ver
          |WHERE n_common * 2 >= n_union ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->

@@ -100,10 +100,6 @@ object DedupOps {
   private[graft] def intersectCount(a: Array[Long], b: Array[Long]): Int =
     graft.functions.TextHash.intersectCountJvm(a, b)
 
-  private val pairEnc = org.apache.spark.sql.Encoders.tuple(
-    org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
-    org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
-
   /** #39 MinHash-LSH near-dup pairs: candidates from band-bucket
     * collisions (equi self-join), verified by exact 2-gram Jaccard
     * >= 1/2 in integer math. The verify is two equi joins of the
@@ -333,83 +329,41 @@ object DedupOps {
     verifyJaccard(cand, gs, gs, "doc_a", "doc_b")
   }
 
-  /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) with
-    * LOG-scale size blocking: bucket = floor(log2(|gs|)), probe ±1,
-    * candidates meet via a COGROUP on the bucket (an equi shuffle,
-    * never a theta join), and each bucket's pairs are verified in a
-    * tight merge-walk loop. EXACT recall: J >= 1/2 forces
-    * |A|/2 <= |B| <= 2|A|, i.e. |log2|A| − log2|B|| <= 1, so the true
-    * pair's buckets differ by at most 1 and always collide (a
-    * fixed-width bucket cannot guarantee this once sizes exceed the
-    * width). At 100 TB the bucket key follows the doc-length
-    * distribution; a giant bucket is split by a secondary hash salt
-    * (NOTES.md) — no broadcast of the corpus either way. */
-  /** Sub-slots per log bucket: log buckets are few, so without this a
-    * mega-bucket serializes on one core. The PROBE side lands in the
-    * one slot its own id hashes to (×3 bucket replicas); the BUILD
-    * side replicates across all slots of its own bucket (×8) —
-    * identical pair set (a pair meets exactly once, in cell
-    * (bucket(b), a%slots)), `buckets × slots`-way parallelism, and
-    * 3|P|+8|B| ≈ 11× total shingle-array shuffle copies instead of
-    * the 24|P|+|B| ≈ 25× of probing every slot (VERDICT r1 #10 —
-    * ~2.3× less shuffle volume). This IS the giant-bucket salting
-    * from NOTES.md, applied unconditionally (a no-op cost when
-    * buckets are already small). */
-  val ngramSlots = 8
-
+  /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) via PREFIX
+    * FILTERING (the AllPairs/PPJoin candidate rule, Bayardo et al.
+    * 2007): with gram hashes globally ordered (the sets are stored
+    * sorted ascending), any pair with J >= 1/2 must share a gram
+    * among each side's floor(n/2)+1 SMALLEST. Proof: J >= 1/2 forces
+    * |A∩B| >= (|A|+|B|)/3 and sizes within 2x of each other, so
+    * |A∩B| >= max(|A|,|B|)/2; if the smallest common gram sat outside
+    * A's prefix, the > |A|/2 grams below it would all be A-only,
+    * forcing |A∩B| < |A|/2 — contradiction (symmetrically for B).
+    * PropertySpec drives the lemma over random sets.
+    *
+    * So candidates = an equi self-join on prefix gram hashes: shuffle
+    * keys are grams, group sizes are gram document frequencies. The
+    * previous length-bucket cogroup was measured QUADRATIC at scale
+    * (sf1 bench: x44 at x10 data — bucket occupancy grows with the
+    * corpus); prefix groups grow with gram df, which a replica-style
+    * corpus growth leaves flat. At 100 TB the knob is df-ORDERING the
+    * global gram order (rarest-first prefixes, the full AllPairs
+    * recipe — one extra df aggregate) so hot boilerplate grams leave
+    * every prefix; plain hash order suffices here. Verify = the
+    * shared exact-Jaccard bar ([[verifyJaccard]]). */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits.{newLongArrayEncoder, newProductEncoder, newLongEncoder}
-    def log2bucket(n: Int): Long = 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)
-    val gs = gramSets(spark, sfDir, 3).as[(Long, Array[Long])]
-    val probe = gs.flatMap { case (id, g) =>
-      val bk = log2bucket(g.length)
-      val s = (id % ngramSlots + ngramSlots) % ngramSlots
-      for (b <- bk - 1 to bk + 1) yield (b * ngramSlots + s, id, g)
-    }
-    val build = gs.flatMap { case (id, g) =>
-      val base = log2bucket(g.length) * ngramSlots
-      for (s <- 0 until ngramSlots) yield (base + s, id, g)
-    }
-    // Materialize the PROBE slice (≈ 3·bucket/slots docs per cell —
-    // the bounded side) and stream the build docs past it. The verify
-    // walk is threshold-bounded: J ≥ 1/2 ⇔ common ≥ ⌈(|A|+|B|)/3⌉,
-    // so a pair is skipped outright when even min(|A|,|B|) can't
-    // reach that, and the merge walk bails the moment the remaining
-    // elements can't — most pairs are dissimilar, so most walks stop
-    // ~1/3 early with the identical (exact) result set.
-    probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) { (_, ls, rs) =>
-      val left = ls.map(l => (l._2, l._3)).toArray
-      rs.flatMap { case (_, idb, gb) =>
-        left.iterator.filter(_._1 < idb).flatMap { case (ida, ga) =>
-          val need = (ga.length + gb.length + 2) / 3
-          val common =
-            if (math.min(ga.length, gb.length) < need) -1
-            else boundedIntersectCount(ga, gb, need)
-          val union = ga.length + gb.length - common
-          if (common >= 0 && common * 2 >= union)
-            Iterator.single((ida, idb, common.toLong, union.toLong))
-          else Iterator.empty
-        }
-      }
-    }(pairEnc).toDF("doc_a", "doc_b", "n_common", "n_union")
+    val gs = gramSets(spark, sfDir, 3)
+    val cand = gs
+      .select($"doc_id", explode(expr("slice(gs, 1, size(gs) div 2 + 1)")).as("h"))
+      .groupBy($"h").agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ids, a -> transform(ids, b -> struct(a AS doc_a, b AS doc_b)))),
+          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, gs, gs, "doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  /** Two-pointer intersection of sorted long arrays that returns -1
-    * as soon as the count provably cannot reach `need` — for pairs
-    * that DO reach it the walk always completes, so the returned
-    * count is exact (the early exit only ever fires on pairs the
-    * J ≥ 1/2 filter would discard anyway). */
-  private[graft] def boundedIntersectCount(a: Array[Long], b: Array[Long], need: Int): Int = {
-    var i = 0; var j = 0; var c = 0
-    val la = a.length; val lb = b.length
-    while (i < la && j < lb) {
-      if (c + math.min(la - i, lb - j) < need) return -1
-      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
-    }
-    c
   }
 
   /** SimHash geometry: hash60 supplies 60 entropy bits, so the

@@ -71,12 +71,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("log2 size blocking has exact recall for any J>=1/2-compatible size pair") {
-    def bucket(n: Int): Long = 63 - java.lang.Long.numberOfLeadingZeros(n.toLong)
-    forSamples(Gen.choose(1, 100000)) { a =>
-      // J >= 1/2 forces |B| in [ceil(|A|/2), 2|A|]
-      ((a + 1) / 2 to 2 * a).foreach { b =>
-        assert(math.abs(bucket(a) - bucket(b)) <= 1, s"a=$a b=$b")
+  test("prefix filtering has exact recall: any J>=1/2 pair shares a prefix gram") {
+    // the candidate rule behind dedupNgram: each set's floor(n/2)+1
+    // SMALLEST elements form its prefix; a J >= 1/2 pair must collide
+    // on at least one prefix element (the AllPairs lemma)
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 60L)).map(_.distinct.sorted)
+    forSamples(Gen.zip(setGen, setGen)) { case (a, b) =>
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.size + b.size - inter
+      if (inter * 2 >= union) {
+        val pa = a.take(a.size / 2 + 1).toSet
+        val pb = b.take(b.size / 2 + 1).toSet
+        assert(pa.intersect(pb).nonEmpty, s"a=$a b=$b")
       }
     }
   }
@@ -140,13 +146,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("boundedIntersectCount is exact at-or-above the threshold, -1 only below it") {
-    val arr = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted.toArray)
-    forSamples(Gen.zip(arr, arr, Gen.choose(0, 30))) { case (a, b, need) =>
-      val exact = a.toSet.intersect(b.toSet).size
-      val got = DedupOps.boundedIntersectCount(a, b, need)
-      if (exact >= need) assert(got == exact)      // never early-exits a real hit
-      else assert(got == exact || got == -1)       // may bail, never lies
+  test("prefix-filtered candidates equal brute-force J>=1/2 pairs on random corpora") {
+    // end-to-end model check of the dedupNgram candidate rule over
+    // random gram-set corpora: prefix-join candidates, after the
+    // exact-Jaccard verify, equal the all-pairs result exactly
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    forSamples(Gen.listOfN(12, setGen)) { sets =>
+      val docs = sets.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      def jOk(a: Seq[Long], b: Seq[Long]): Boolean = {
+        val inter = a.toSet.intersect(b.toSet).size
+        inter * 2 >= a.size + b.size - inter
+      }
+      val brute = (for {
+        (ia, ga) <- docs; (ib, gb) <- docs
+        if ia < ib && jOk(ga, gb)
+      } yield (ia, ib)).toSet
+      val viaPrefix = (for {
+        (ia, ga) <- docs; (ib, gb) <- docs
+        if ia < ib
+        if ga.take(ga.size / 2 + 1).toSet.intersect(gb.take(gb.size / 2 + 1).toSet).nonEmpty
+        if jOk(ga, gb)
+      } yield (ia, ib)).toSet
+      assert(viaPrefix == brute, s"sets=$sets")
     }
   }
 
