@@ -68,6 +68,8 @@ object SparkEntry {
     "q_text_pii" -> (TextOps.textPii _),
     "q_decontaminate" -> (CurationOps.decontaminate _),
     "q_sample_stratified" -> (CurationOps.stratifiedSample _),
+    "q_mixture_sample" -> (CurationOps.mixtureSample _),
+    "q_sample_uniform" -> (CurationOps.uniformSample _),
     "q_split_train_val" -> (CurationOps.splitTrainVal _),
     "q_source_stats" -> (CurationOps.sourceStats _),
     "q_curation" -> (CurationOps.curate _),
@@ -636,6 +638,42 @@ object SparkEntry {
          |       WHEN ${h60("source")} % 100 < 95 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mixture_sample" -> {
+      val weightCase = CurationOps.MixtureWeights
+        .map { case (s, w) => s"WHEN source = '$s' THEN $w" }
+        .mkString("CASE ", " ",
+          s" ELSE ${CurationOps.MixtureDefaultWeight} END")
+      s"""WITH base AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         |    ${h60("concat(CAST(doc_id AS VARCHAR), ':mix')")} % 10000 AS bucket
+         |  FROM documents),
+         |hist AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS b_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS b_tokens FROM base GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(b_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(b_tokens) AS BIGINT) AS avail_tokens,
+         |    CAST($weightCase AS BIGINT) AS weight FROM hist GROUP BY source),
+         |sw AS (SELECT CAST(sum(weight) AS BIGINT) AS sum_w FROM tot),
+         |tgt AS (SELECT source, weight, n_docs, avail_tokens,
+         |    (${CurationOps.MixtureBudget} * weight) // sum_w AS target_tokens
+         |  FROM tot CROSS JOIN sw),
+         |rates AS (SELECT *, least(10000, (target_tokens * 10000) // avail_tokens) AS rate_e4 FROM tgt),
+         |smp AS (SELECT h.source, CAST(sum(b_docs) AS BIGINT) AS sampled_docs,
+         |    CAST(sum(b_tokens) AS BIGINT) AS sampled_tokens
+         |  FROM hist h JOIN rates r ON h.source = r.source AND h.bucket < r.rate_e4
+         |  GROUP BY h.source)
+         |SELECT source, weight, n_docs, avail_tokens,
+         |  CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(rate_e4 AS BIGINT) AS rate_e4,
+         |  CAST(coalesce(sampled_docs, 0) AS BIGINT) AS sampled_docs,
+         |  CAST(coalesce(sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+         |FROM rates LEFT JOIN smp USING (source) ORDER BY source""".stripMargin
+    },
+    "q_sample_uniform" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rnk,
+         |  doc_id, h, source
+         |FROM (SELECT ${h60("concat(CAST(doc_id AS VARCHAR), ':u')")} AS h,
+         |    doc_id, source FROM documents)
+         |ORDER BY rnk LIMIT ${CurationOps.UniformK}""".stripMargin,
     "q_source_stats" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS total_tokens,

@@ -504,4 +504,95 @@ object CurationOps {
       .select($"doc_id", $"source", $"bucket")
       .orderBy($"doc_id")
   }
+
+  /** Relative mixture weights per source for [[mixtureSample]];
+    * unlisted sources get [[MixtureDefaultWeight]]. Shared with the
+    * oracle so the mix cannot drift. */
+  val MixtureWeights: Seq[(String, Long)] =
+    Seq("src0" -> 4L, "src1" -> 3L, "src2" -> 2L)
+  val MixtureDefaultWeight = 1L
+  /** Global token budget the mixture targets. An ABSOLUTE budget on
+    * purpose: as the crawl grows, per-source keep rates shrink —
+    * exactly how "train on B tokens" behaves against a growing
+    * corpus. */
+  val MixtureBudget = 20000L
+
+  /** #75 Token-budget mixture sampling: split a global token budget
+    * across sources by relative weight, convert each source's share
+    * into a deterministic per-ten-thousand keep rate against its
+    * available tokens (capped at keep-everything), and report the
+    * realized mix — the "data mixing" step that turns curated sources
+    * into a training recipe.
+    *
+    * Scale shape — ONE corpus scan, never two: the scan partial-aggs
+    * into a (source × 10 000 hash-bucket) histogram of doc/token
+    * counts, so both the rate computation AND the realized-sample
+    * counts are answered from the ≤ |sources|·10⁴-row histogram. The
+    * keep rule (bucket < rate_e4) is the same hash a narrow
+    * per-doc filter would use, so `sampled_*` is exactly what that
+    * filter would keep — the report and the sample cannot disagree.
+    * Everything after the first partial-agg'd shuffle operates on
+    * broadcast-sized frames. */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val weight = MixtureWeights.foldRight(lit(MixtureDefaultWeight)) {
+      case ((src, w), e) => when($"source" === src, lit(w)).otherwise(e)
+    }
+    val hist = Tables.documents(spark, sfDir)
+      .select($"source",
+        (hash60(concat($"doc_id".cast("string"), lit(":mix"))) % 10000L)
+          .as("bucket"),
+        size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("b_docs"), sum($"n_tokens").as("b_tokens"))
+    val tot = hist.groupBy($"source")
+      .agg(sum($"b_docs").as("n_docs"), sum($"b_tokens").as("avail_tokens"))
+      .withColumn("weight", weight)
+    val sumW = tot.agg(sum($"weight").as("sum_w"))
+    val rates = tot.crossJoin(broadcast(sumW))
+      .withColumn("target_tokens",
+        expr(s"($MixtureBudget * weight) div sum_w"))
+      .withColumn("rate_e4",
+        least(lit(10000L), expr("(target_tokens * 10000) div avail_tokens")))
+    val sampled = hist
+      .join(broadcast(rates.select($"source", $"rate_e4")), "source")
+      .filter($"bucket" < $"rate_e4")
+      .groupBy($"source")
+      .agg(sum($"b_docs").as("sampled_docs"),
+        sum($"b_tokens").as("sampled_tokens"))
+    rates.join(sampled, Seq("source"), "left_outer")
+      .select($"source", $"weight", $"n_docs", $"avail_tokens",
+        $"target_tokens", $"rate_e4",
+        coalesce($"sampled_docs", lit(0L)).as("sampled_docs"),
+        coalesce($"sampled_tokens", lit(0L)).as("sampled_tokens"))
+      .orderBy($"source")
+  }
+
+  /** Sample size for [[uniformSample]]. */
+  val UniformK = 100
+
+  /** #76 Exact-k uniform corpus sample: the K docs with the smallest
+    * deterministic 60-bit hash — a reproducible fixed-size
+    * "reservoir" (md5 order, never rand(): the same K docs come back
+    * on every run and engine, and adding documents only ever replaces
+    * the highest-hash picks). Physical shape: the [[BoundedTopK]]
+    * aggregator keeps O(K) state per partition and merges K-sized
+    * buffers, so the corpus is scanned once and NEVER globally sorted
+    * — the shuffle carries partitions × K rows where the oracle's
+    * ORDER BY ... LIMIT K would sort all of them (PlanSpec pins the
+    * no-global-Sort shape). */
+  def uniformSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
+    val agg = new BoundedTopK[(Long, Long, String)](UniformK,
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+    Tables.documents(spark, sfDir)
+      .select(hash60(concat($"doc_id".cast("string"), lit(":u"))).as("h"),
+        $"doc_id", $"source")
+      .as[(Long, Long, String)]
+      .select(agg.toColumn.name("top"))
+      .toDF("top")
+      .select(posexplode($"top").as(Seq("pos", "r")))
+      .select(($"pos" + 1).cast(LongType).as("rnk"),
+        $"r._2".as("doc_id"), $"r._1".as("h"), $"r._3".as("source"))
+      .orderBy($"rnk")
+  }
 }
