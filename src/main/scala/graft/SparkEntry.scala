@@ -67,6 +67,9 @@ object SparkEntry {
     "q_token_count" -> (TextOps.tokenCount _),
     "q_text_pii" -> (TextOps.textPii _),
     "q_decontaminate" -> (CurationOps.decontaminate _),
+    "q_decon_bloom" -> (CurationOps.decontaminateBloom _),
+    "q_quality_gate" -> (TextOps.qualityGate _),
+    "q_bm25_topk" -> (TextOps.bm25Topk _),
     "q_sample_stratified" -> (CurationOps.stratifiedSample _),
     "q_mixture_sample" -> (CurationOps.mixtureSample _),
     "q_sample_uniform" -> (CurationOps.uniformSample _),
@@ -621,6 +624,76 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
          |FROM hits JOIN bg USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decon_bloom" ->
+      s"""WITH $tkCte, ${gramsCte(CurationOps.BloomDecontGram)},
+         |bg AS (SELECT DISTINCT unnest(gs) AS h FROM g3 WHERE doc_id % ${CurationOps.BloomDecontMod} = 0),
+         |hits AS (SELECT doc_id, unnest(gs) AS h FROM g3 WHERE doc_id % ${CurationOps.BloomDecontMod} <> 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |FROM hits JOIN bg USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_quality_gate" -> {
+      import graft.functions.TextFunctions.enMarkers
+      import graft.operators.TextOps._
+      s"""WITH t AS (SELECT source, lang, text,
+         |    list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents),
+         |q AS (SELECT source, lang,
+         |    CAST(length(text) AS BIGINT) AS n_chars_m,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(tk, x -> list_contains(${inList(enMarkers)}, x))) AS BIGINT) AS stop_hits,
+         |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS tok_chars,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_sym
+         |  FROM t),
+         |f AS (SELECT source,
+         |    CASE WHEN n_tokens BETWEEN $GateLenMin AND $GateLenMax THEN 1 ELSE 0 END AS p_len,
+         |    CASE WHEN n_tokens = 0 THEN 0
+         |         WHEN (tok_chars * 100 // n_tokens) BETWEEN $GateAvgMinE2 AND $GateAvgMaxE2 THEN 1 ELSE 0 END AS p_avg,
+         |    CASE WHEN n_tokens = 0 THEN 0
+         |         WHEN ((n_tokens - n_distinct) * 10000 // n_tokens) <= $GateDupMaxE4 THEN 1 ELSE 0 END AS p_dup,
+         |    CASE WHEN n_chars_m = 0 THEN 0
+         |         WHEN (n_sym * 10000 // n_chars_m) <= $GateSymMaxE4 THEN 1 ELSE 0 END AS p_sym,
+         |    CASE WHEN lang <> 'en' OR stop_hits >= 1 THEN 1 ELSE 0 END AS p_stop
+         |  FROM q)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p_len * p_avg * p_dup * p_sym * p_stop) AS BIGINT) AS n_pass,
+         |  CAST(sum(1 - p_len) AS BIGINT) AS f_len,
+         |  CAST(sum(1 - p_avg) AS BIGINT) AS f_avg,
+         |  CAST(sum(1 - p_dup) AS BIGINT) AS f_dup,
+         |  CAST(sum(1 - p_sym) AS BIGINT) AS f_sym,
+         |  CAST(sum(1 - p_stop) AS BIGINT) AS f_stop
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_bm25_topk" -> {
+      import graft.operators.TextOps.{Bm25BE3, Bm25K1E3, Bm25Queries, Bm25TopK}
+      val qvals = Bm25Queries.flatMap { case (qid, qs) =>
+        qs.split(" ").toSeq.distinct.map(t => s"('$qid', '$t')")
+      }.mkString(", ")
+      s"""WITH qs(qid, term) AS (SELECT * FROM (VALUES $qvals)),
+         |$tkCte,
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tkv),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS total_tokens FROM tkv),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM tkv)
+         |  WHERE term IN (SELECT DISTINCT term FROM qs)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT qid, doc_id, CAST(sum(
+         |      ((1000 * n_docs) // df) *
+         |      ((tf * ${Bm25K1E3 + 1000L} * 1000) // (tf * 1000 +
+         |        ($Bm25K1E3 * (1000 - $Bm25BE3 +
+         |          ($Bm25BE3 * dl * 1000) // ((total_tokens * 1000) // n_docs))) // 1000))
+         |    ) AS BIGINT) AS score_e6
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |    JOIN qs USING (term) CROSS JOIN st
+         |  GROUP BY qid, doc_id)
+         |SELECT qid, rnk, doc_id, score_e6 FROM (
+         |  SELECT qid, doc_id, score_e6,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= $Bm25TopK ORDER BY qid, rnk""".stripMargin
+    },
     "q_sample_stratified" -> {
       val rateCase = CurationOps.SampleRates
         .map { case (s, r) => s"WHEN source = '$s' THEN $r" }

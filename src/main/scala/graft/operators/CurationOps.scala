@@ -167,6 +167,57 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** [[decontaminateBloom]] parameters: benchmark = doc_id %
+    * [[BloomDecontMod]] == 0, [[BloomDecontGram]]-gram overlap. The
+    * bloom sizing gives < 1% false positives at the gate scales —
+    * but FP rate only affects how much work the exact verify does,
+    * never the answer. */
+  val BloomDecontMod = 29L
+  val BloomDecontGram = 4
+  val BloomEstItems = 100000L
+  /** 2^20 bits = 128 KiB of filter — broadcastable at any benchmark
+    * size that would break a raw-set broadcast. */
+  val BloomNumBits = 1L << 20
+
+  /** #78b Bloom-prefiltered decontamination: same answer as
+    * [[decontaminate]] (docs sharing word n-grams with a held-out
+    * benchmark set, with the distinct-gram hit count), built for the
+    * regime where the benchmark gram set is too large to broadcast
+    * raw: only its BLOOM BITS (fixed 128 KiB) ship to every task, the
+    * corpus-side gram stream is pre-filtered by `might_contain` at
+    * scan speed, and the exact verify join then touches ONLY the
+    * bloom survivors — true hits plus a bounded false-positive
+    * sliver, which the join discards. Output is exact-verified, so
+    * the bloom is invisible in the result (the oracle is the plain
+    * overlap SQL) — it only bounds the join's input size.
+    *
+    * The one driver-side action is collecting the 128 KiB bloom bits
+    * to embed as a constant (Spark requires might_contain's filter
+    * side foldable) — same bounded-artifact discipline as the IVF
+    * pivots and k-means centroid closures. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val benchGrams = docs.filter($"doc_id" % BloomDecontMod === 0L)
+      .select(explode(
+        graft.functions.TextHash.gramHashes($"text", BloomDecontGram)).as("h"))
+      .distinct()
+    val bloomBits: Array[Byte] = benchGrams
+      .agg(graft.functions.BloomFunctions
+        .bloomAgg($"h", BloomEstItems, BloomNumBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    docs.filter($"doc_id" % BloomDecontMod =!= 0L)
+      .select($"doc_id", explode(
+        graft.functions.TextHash.gramHashes($"text", BloomDecontGram)).as("h"))
+      .filter(graft.functions.BloomFunctions.mightContain(bloomBits, $"h"))
+      // exact verify: survivors only — deliberately NOT a broadcast of
+      // the raw gram set (the regime this operator exists for); the
+      // shuffle carries O(survivors) + O(benchmark) rows
+      .join(benchGrams.hint("shuffle_hash"), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy($"doc_id")
+  }
+
   /** #54 Declared-vs-detected language audit: per (source, declared
     * lang), how many docs the n-gram heuristic disagrees with — the
     * metadata-trust report a pipeline runs before deciding whether
@@ -524,19 +575,18 @@ object CurationOps {
     * realized mix — the "data mixing" step that turns curated sources
     * into a training recipe.
     *
-    * Scale shape — ONE corpus scan, never two: the scan partial-aggs
-    * into a (source × 10 000 hash-bucket) histogram of doc/token
-    * counts, so both the rate computation AND the realized-sample
-    * counts are answered from the ≤ |sources|·10⁴-row histogram. The
-    * keep rule (bucket < rate_e4) is the same hash a narrow
-    * per-doc filter would use, so `sampled_*` is exactly what that
-    * filter would keep — the report and the sample cannot disagree.
-    * Everything after the first partial-agg'd shuffle operates on
-    * broadcast-sized frames. */
+    * Scale shape — ONE corpus scan, ONE partial-agg'd shuffle: the
+    * scan aggregates into a (source × 10 000 hash-bucket) histogram
+    * of doc/token counts, bounded at |sources|·10⁴ rows REGARDLESS of
+    * corpus size, which is collected and finished driver-side (the
+    * same bounded-artifact discipline as the k-means centroid cells
+    * and IVF pivots; a declarative multi-branch form was measured to
+    * re-scan the corpus 4× because column pruning makes the branches
+    * non-identical, defeating exchange reuse). The keep rule
+    * (bucket < rate_e4) is the same hash a narrow per-doc filter
+    * would use, so `sampled_*` is exactly what that filter would
+    * keep — the report and the sample cannot disagree. */
   def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val weight = MixtureWeights.foldRight(lit(MixtureDefaultWeight)) {
-      case ((src, w), e) => when($"source" === src, lit(w)).otherwise(e)
-    }
     val hist = Tables.documents(spark, sfDir)
       .select($"source",
         (hash60(concat($"doc_id".cast("string"), lit(":mix"))) % 10000L)
@@ -544,26 +594,25 @@ object CurationOps {
         size(tokens($"text")).cast(LongType).as("n_tokens"))
       .groupBy($"source", $"bucket")
       .agg(count(lit(1)).as("b_docs"), sum($"n_tokens").as("b_tokens"))
-    val tot = hist.groupBy($"source")
-      .agg(sum($"b_docs").as("n_docs"), sum($"b_tokens").as("avail_tokens"))
-      .withColumn("weight", weight)
-    val sumW = tot.agg(sum($"weight").as("sum_w"))
-    val rates = tot.crossJoin(broadcast(sumW))
-      .withColumn("target_tokens",
-        expr(s"($MixtureBudget * weight) div sum_w"))
-      .withColumn("rate_e4",
-        least(lit(10000L), expr("(target_tokens * 10000) div avail_tokens")))
-    val sampled = hist
-      .join(broadcast(rates.select($"source", $"rate_e4")), "source")
-      .filter($"bucket" < $"rate_e4")
-      .groupBy($"source")
-      .agg(sum($"b_docs").as("sampled_docs"),
-        sum($"b_tokens").as("sampled_tokens"))
-    rates.join(sampled, Seq("source"), "left_outer")
-      .select($"source", $"weight", $"n_docs", $"avail_tokens",
-        $"target_tokens", $"rate_e4",
-        coalesce($"sampled_docs", lit(0L)).as("sampled_docs"),
-        coalesce($"sampled_tokens", lit(0L)).as("sampled_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = MixtureWeights.toMap
+    val bySrc = hist.groupBy(_._1)
+    val sumW = bySrc.keysIterator
+      .map(s => w.getOrElse(s, MixtureDefaultWeight)).sum
+    val out = bySrc.toSeq.sortBy(_._1).map { case (s, rows) =>
+      val wt = w.getOrElse(s, MixtureDefaultWeight)
+      val nDocs = rows.iterator.map(_._3).sum
+      val avail = rows.iterator.map(_._4).sum
+      val target = MixtureBudget * wt / sumW
+      val rate = if (avail == 0L) 0L else math.min(10000L, target * 10000L / avail)
+      val kept = rows.filter(_._2 < rate)
+      (s, wt, nDocs, avail, target, rate,
+        kept.iterator.map(_._3).sum, kept.iterator.map(_._4).sum)
+    }
+    spark.createDataFrame(out).toDF("source", "weight", "n_docs",
+      "avail_tokens", "target_tokens", "rate_e4",
+      "sampled_docs", "sampled_tokens")
       .orderBy($"source")
   }
 

@@ -195,4 +195,139 @@ object TextOps {
         regexp_count($"text", lit("https?://[^ ]+")).cast(LongType).as("n_urls"),
         regexp_count($"text", lit("[0-9]{6,}")).cast(LongType).as("n_digit_runs"))
       .orderBy($"doc_id")
+
+  // ---- #77 multi-rule quality gate ----------------------------------
+
+  /** Gate thresholds (integer fixed-point, shared with the oracle).
+    * Loosely the classic heuristic-filter rule family: token-count
+    * range, mean-token-length range, duplicate-token ratio cap,
+    * symbol-to-char ratio cap, stopword presence for declared-English
+    * docs. */
+  val GateLenMin = 10L;     val GateLenMax = 2000L
+  val GateAvgMinE2 = 200L;  val GateAvgMaxE2 = 1200L
+  val GateDupMaxE4 = 6000L
+  val GateSymMaxE4 = 1000L
+
+  /** #77 Multi-rule quality gate with per-rule drop attribution: each
+    * doc is tested against five independent heuristic rules, and the
+    * report says — per source — how many docs pass ALL rules and how
+    * many fail EACH rule (a doc can fail several). This is the
+    * observability face of a heuristic filter: before any doc is
+    * dropped at 100 TB you want to know WHICH rule would do the
+    * dropping, per source, or one miscalibrated threshold silently
+    * deletes a corpus.
+    *
+    * Ratio rules are guarded CASE-first (n_tokens = 0 → fail) so no
+    * division-by-zero path exists in either engine. Plan: one narrow
+    * flag projection (codegen'd built-ins only) + one partial-agg'd
+    * shuffle on source — runs at scan speed. */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .select($"source", $"lang",
+        length($"text").cast(LongType).as("n_chars_m"),
+        size($"tk").cast(LongType).as("n_tokens"),
+        size(array_distinct($"tk")).cast(LongType).as("n_distinct"),
+        markerHits($"tk", enMarkers).as("stop_hits"),
+        length(concat_ws("", $"tk")).cast(LongType).as("tok_chars"),
+        regexp_count($"text", lit("[^A-Za-z0-9 ]")).cast(LongType).as("n_sym"))
+      .select($"source",
+        when($"n_tokens".between(GateLenMin, GateLenMax), 1L).otherwise(0L)
+          .as("p_len"),
+        when($"n_tokens" === 0L, 0L)
+          .when(expr("tok_chars * 100 div n_tokens")
+            .between(GateAvgMinE2, GateAvgMaxE2), 1L)
+          .otherwise(0L).as("p_avg"),
+        when($"n_tokens" === 0L, 0L)
+          .when(expr("(n_tokens - n_distinct) * 10000 div n_tokens")
+            <= GateDupMaxE4, 1L)
+          .otherwise(0L).as("p_dup"),
+        when($"n_chars_m" === 0L, 0L)
+          .when(expr("n_sym * 10000 div n_chars_m") <= GateSymMaxE4, 1L)
+          .otherwise(0L).as("p_sym"),
+        when($"lang" =!= "en" || $"stop_hits" >= 1L, 1L).otherwise(0L)
+          .as("p_stop"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"p_len" * $"p_avg" * $"p_dup" * $"p_sym" * $"p_stop").as("n_pass"),
+        sum(lit(1L) - $"p_len").as("f_len"),
+        sum(lit(1L) - $"p_avg").as("f_avg"),
+        sum(lit(1L) - $"p_dup").as("f_dup"),
+        sum(lit(1L) - $"p_sym").as("f_sym"),
+        sum(lit(1L) - $"p_stop").as("f_stop"))
+      .orderBy($"source")
+
+  // ---- #78 BM25 top-k retrieval -------------------------------------
+
+  /** BM25 constants, e3 fixed point: k1 = 1.2, b = 0.75. The idf is
+    * the same integer form tfidfTopk publishes (1000·N div df) so the
+    * two rankers share one document-frequency notion. */
+  val Bm25K1E3 = 1200L
+  val Bm25BE3 = 750L
+  val Bm25TopK = 10
+  /** Fixed retrieval query set (qid → space-separated terms). */
+  val Bm25Queries: Seq[(String, String)] = Seq(
+    "q0" -> "spark window join",
+    "q1" -> "hash table scan",
+    "q2" -> "stream batch data",
+    "q3" -> "filter sort merge")
+
+  /** #78 BM25 top-k retrieval: score every document against a fixed
+    * query set with length-normalized, saturation-damped term
+    * weighting (the classic k1/b form, e3/e6 fixed point so both
+    * engines agree bit-for-bit) and return the top K docs per query.
+    *
+    * Scale shape: the term explode is filtered to QUERY terms before
+    * any aggregation — only the query terms' posting lists (tf rows)
+    * ever reach a shuffle, never the corpus vocabulary. df and the
+    * query list are broadcast; the tf↔dl join shuffles only posting
+    * rows on doc_id. The per-query ranking is the bounded-heap
+    * [[BoundedTopK]] (O(K) state per partition), not a Window sort —
+    * the oracle's row_number is the same total order (score desc,
+    * doc_id asc). */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newStringEncoder}
+    val qterms = Bm25Queries.flatMap { case (qid, qs) =>
+      qs.split(" ").toSeq.distinct.map(t => (qid, t))
+    }
+    val queryTerms = qterms.map(_._2).distinct
+    val docs = Tables.documents(spark, sfDir)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens($"text"))).cast(LongType).as("total_tokens"))
+    val dl = docs.select($"doc_id", size(tokens($"text")).cast(LongType).as("dl"))
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term".isin(queryTerms.map(t => t: Any): _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val qdf = spark.createDataFrame(qterms).toDF("qid", "term")
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qdf), "term")
+      .withColumn("avgdl_e3", expr("(total_tokens * 1000) div n_docs"))
+      .withColumn("lennorm_e3",
+        expr(s"1000 - $Bm25BE3 + ($Bm25BE3 * dl * 1000) div avgdl_e3"))
+      .withColumn("sat_e3",
+        expr(s"(tf * ${Bm25K1E3 + 1000L} * 1000) div " +
+          s"(tf * 1000 + ($Bm25K1E3 * lennorm_e3) div 1000)"))
+      .select($"qid", $"doc_id",
+        (expr("(1000 * n_docs) div df") * $"sat_e3").as("c"))
+      .groupBy($"qid", $"doc_id").agg(sum($"c").as("score_e6"))
+    import spark.implicits.newLongEncoder
+    scored.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new BoundedTopK[(Long, Long)](Bm25TopK,
+        (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((score, doc), i) =>
+          (qid, (i + 1).toLong, doc, score)
+        }
+      }
+      .toDF("qid", "rnk", "doc_id", "score_e6")
+      .orderBy($"qid", $"rnk")
+  }
 }

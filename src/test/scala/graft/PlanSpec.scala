@@ -147,7 +147,8 @@ class PlanSpec extends SparkTestBase {
         "q_decontaminate_substr", "q_embed_profile",
         "q_kmeans", "q_pack_sequences", "q_dup_matrix", "q_cluster_best",
         "q_chunks", "q_chunk_dedup", "q_funnel", "q_event_outliers",
-        "q_sample_balanced")) {
+        "q_sample_balanced", "q_quality_gate", "q_bm25_topk",
+        "q_sample_uniform", "q_decon_bloom")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +
@@ -198,5 +199,46 @@ class PlanSpec extends SparkTestBase {
       assert(scanPaths.exists(_.contains("minhash-pairs")),
         s"q_dedup_minhash must read the shared materialized pairs artifact; scans: $scanPaths")
     } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def preorder(p: SparkPlan): Seq[SparkPlan] = {
+    val s = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    s +: s.children.flatMap(preorder)
+  }
+
+  test("q_sample_uniform keeps bounded buffers — the corpus is never sorted") {
+    val p = planOf("q_sample_uniform")
+    val plan = p.toString
+    assert(plan.contains("ObjectHashAggregate"), "typed bounded-heap agg expected")
+    assert(!plan.contains("Window"))
+    // below the PARTIAL aggregate (the deepest one — this plan is
+    // linear under the agg) only scan+project may appear: a Sort
+    // there would mean the K-row sample sorted the whole corpus
+    val aggs = preorder(p).filter(_.nodeName.contains("ObjectHashAggregate"))
+    assert(aggs.nonEmpty)
+    val below = preorder(aggs.last).drop(1)
+    assert(below.forall(_.nodeName != "Sort"),
+      s"no Sort below the partial agg; saw: ${below.map(_.nodeName).mkString(",")}")
+  }
+
+  test("q_bm25_topk ranks with the bounded aggregator, not a Window sort") {
+    val plan = fullPlanString("q_bm25_topk")
+    assert(!plan.contains("Window"), "per-query ranking must be the bounded heap")
+    assert(plan.contains("ObjectHashAggregate"))
+    // the term explode is filtered to the query vocabulary before any
+    // aggregation (IN/INSET over the literal term set) — only posting
+    // lists of query terms ever reach a shuffle
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      "query-term filter must precede the tf aggregation")
+  }
+
+  test("q_decon_bloom probes constant bloom bits and verifies without a raw-set broadcast") {
+    val plan = fullPlanString("q_decon_bloom")
+    assert(plan.contains("might_contain"), "bloom prefilter must be in the scan-side filter")
+    assert(plan.contains("ShuffledHashJoin"),
+      "exact verify joins survivors by shuffle — the regime where the raw set can't broadcast")
   }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{CurationOps, TextOps}
+import graft.functions.TextFunctions.{hash60, tokens}
+import org.apache.spark.sql.functions._
+
+/** Structural properties of the sampling / retrieval / bloom-decon
+  * family (#75-#78b) that the DuckDB hash gate can't express:
+  * report-vs-filter agreement, bounded-heap equivalence to a full
+  * sort, bloom-prefilter answer identity, and ranking shape. */
+class SamplingRetrievalSpec extends SparkTestBase {
+  // selective encoder imports: the full `spark.implicits._` would
+  // shadow-fight graft's ColumnInterpolator over `$"..."`
+  import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+
+  test("mixture sample report equals what the per-doc filter would keep") {
+    val rows = CurationOps.mixtureSample(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, w, nDocs, avail, target, rate, sDocs, sTok) =>
+      assert(w == CurationOps.MixtureWeights.toMap
+        .getOrElse(src, CurationOps.MixtureDefaultWeight))
+      assert(sDocs <= nDocs && sTok <= avail)
+      assert(rate >= 0L && rate <= 10000L)
+      if (rate == 10000L) assert(sDocs == nDocs && sTok == avail,
+        s"$src: uncapped rate must keep everything")
+      assert(target <= CurationOps.MixtureBudget)
+    }
+    // the report's sampled_docs is EXACTLY what the narrow per-doc
+    // keep filter (bucket < rate_e4) selects — report and sample
+    // cannot disagree
+    val rateMap = rows.map(r => r._1 -> r._6).toMap
+    val perDoc = Tables.documents(spark, sf)
+      .select($"source",
+        (hash60(concat($"doc_id".cast("string"), lit(":mix"))) % 10000L)
+          .as("bucket"))
+      .as[(String, Long)].collect()
+      .filter { case (src, b) => b < rateMap(src) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (src, _, _, _, _, _, sDocs, _) =>
+      assert(perDoc.getOrElse(src, 0L) == sDocs,
+        s"$src: filter keeps ${perDoc.getOrElse(src, 0L)}, report says $sDocs")
+    }
+  }
+
+  test("uniform sample equals the full-sort answer without sorting the corpus") {
+    val got = CurationOps.uniformSample(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val want = Tables.documents(spark, sf)
+      .select(hash60(concat($"doc_id".cast("string"), lit(":u"))).as("h"),
+        $"doc_id", $"source")
+      .orderBy($"h", $"doc_id")
+      .limit(CurationOps.UniformK)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == math.min(CurationOps.UniformK, want.length))
+    assert(got.map(_._1).toSeq == (1L to got.length), "ranks dense 1..k")
+    got.zip(want).foreach { case ((_, doc, h, src), (wh, wdoc, wsrc)) =>
+      assert(doc == wdoc && h == wh && src == wsrc)
+    }
+  }
+
+  test("quality gate counts satisfy the union bound per source") {
+    val rows = TextOps.qualityGate(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "every doc lands in exactly one source row")
+    rows.foreach { case (src, n, pass, fLen, fAvg, fDup, fSym, fStop) =>
+      val fails = Seq(fLen, fAvg, fDup, fSym, fStop)
+      assert(fails.forall(f => f >= 0L && f <= n))
+      // a doc fails ≥1 rule iff it doesn't pass all → union bound on
+      // the fail counts brackets n_pass from both sides
+      assert(pass >= n - fails.sum, s"$src: union lower bound")
+      assert(pass <= n - fails.max, s"$src: single-rule upper bound")
+    }
+  }
+
+  test("bloom-prefiltered decontamination answers exactly like the raw-set join") {
+    val got = CurationOps.decontaminateBloom(spark, sf)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter($"doc_id" % CurationOps.BloomDecontMod === 0L)
+      .select(explode(graft.functions.TextHash
+        .gramHashes($"text", CurationOps.BloomDecontGram)).as("h"))
+      .distinct()
+    val want = docs.filter($"doc_id" % CurationOps.BloomDecontMod =!= 0L)
+      .select($"doc_id", explode(graft.functions.TextHash
+        .gramHashes($"text", CurationOps.BloomDecontGram)).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want, "bloom is a prefilter, never a semantics change")
+  }
+
+  test("bm25 ranking is dense, non-increasing, and only over term-bearing docs") {
+    val rows = TextOps.bm25Topk(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val qids = TextOps.Bm25Queries.map(_._1).toSet
+    assert(rows.map(_._1).toSet.subsetOf(qids))
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= TextOps.Bm25TopK)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length), s"$qid ranks")
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$qid scores must be non-increasing")
+      assert(scores.forall(_ > 0L), "a retrieved doc shares ≥1 query term")
+    }
+    // every retrieved doc really contains a term of its query
+    val terms = TextOps.Bm25Queries.toMap
+      .view.mapValues(_.split(" ").toSet).toMap
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", tokens($"text").as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach { case (qid, _, doc, _) =>
+      assert(texts(doc).intersect(terms(qid)).nonEmpty,
+        s"$qid returned doc $doc with no query term")
+    }
+  }
+}
