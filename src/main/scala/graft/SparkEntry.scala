@@ -62,6 +62,7 @@ object SparkEntry {
     "q_ann_lsh" -> (SimilarityOps.annLsh _),
     "q_ann_multiprobe" -> (SimilarityOps.annMultiprobe _),
     "q_ann_ivf" -> (SimilarityOps.annIvf _),
+    "q_ann_recall" -> (SimilarityOps.annRecall _),
     "q_text_langid" -> (TextOps.textLangid _),
     "q_text_quality" -> (TextOps.textQuality _),
     "q_token_count" -> (TextOps.tokenCount _),
@@ -567,6 +568,41 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH $quantCte,
+         |$lshBucketCtes,
+         |sx AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM n a CROSS JOIN n b WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS rank FROM sx)
+         |  WHERE rank <= 3),
+         |sl AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM nb a JOIN nb b ON a.bucket = b.bucket WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |lr AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS rank FROM sl)
+         |  WHERE rank <= 3),
+         |probes AS (SELECT vec_id, q, n2, xor(bucket, mk.m) AS qbucket
+         |  FROM nb CROSS JOIN (VALUES ${(0L +: (0 until graft.functions.VectorFunctions.nPlanes).map(1L << _)).map(m => s"($m)").mkString(", ")}) mk(m) WHERE vec_id < 10),
+         |sm AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM probes a JOIN nb b ON a.qbucket = b.bucket WHERE b.vec_id >= 10),
+         |mr AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS rank FROM sm)
+         |  WHERE rank <= 3),
+         |rl AS (SELECT 'lsh' AS method, e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(count(l.vec_id) AS BIGINT) AS n_hit
+         |  FROM ex e LEFT JOIN lr l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+         |  GROUP BY e.query_id),
+         |rm AS (SELECT 'multiprobe' AS method, e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(count(m2.vec_id) AS BIGINT) AS n_hit
+         |  FROM ex e LEFT JOIN mr m2 ON e.query_id = m2.query_id AND e.vec_id = m2.vec_id
+         |  GROUP BY e.query_id)
+         |SELECT method, query_id, n_exact, n_hit,
+         |  (n_hit * 10000) // n_exact AS recall_e4
+         |FROM (SELECT * FROM rl UNION ALL SELECT * FROM rm)
+         |ORDER BY method, query_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH $quantCte,
          |${lloydCtes(1)},

@@ -353,4 +353,39 @@ object SimilarityOps {
       cells.as("b").join(broadcast(probes.as("a")), $"qcell" === $"cell"),
       k = 3)
   }
+
+  /** #79 ANN recall evaluation: per query, how much of the EXACT
+    * cosine top-3 each approximate family (single-bucket LSH,
+    * Hamming-1 multi-probe) recovers — the accept/reject report a
+    * pipeline runs before trusting an ANN path on a new corpus, and
+    * the quantitative form of the nPlanes ∝ log2(corpus) sizing rule.
+    * recall_e4 is integer (hits·10⁴ div k) so the report is
+    * oracle-exact.
+    *
+    * Scale shape: the exact side is the brute-force baseline on the
+    * SAME query batch the ANN paths serve (small — this is an
+    * evaluation harness, priced per query batch, not per corpus);
+    * the approximate sides are the production bucket equi-joins. The
+    * hit join keys on (query_id, vec_id) — k-sized frames both
+    * sides. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val queries = v.filter($"vec_id" < 10)
+      .withColumnRenamed("vec_id", "query_id")
+    val corpus = v.filter($"vec_id" >= 10)
+    val exact = ranked(corpus.as("b").join(broadcast(queries.as("a"))), k = 3)
+      .select($"query_id", $"vec_id")
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select($"query_id", $"vec_id", lit(1L).as("hit")),
+          Seq("query_id", "vec_id"), "left_outer")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .select(lit(method).as("method"), $"query_id", $"n_exact", $"n_hit",
+          expr("(n_hit * 10000) div n_exact").as("recall_e4"))
+    recallOf("lsh", annLsh(spark, sfDir))
+      .unionByName(recallOf("multiprobe", annMultiprobe(spark, sfDir)))
+      .orderBy($"method", $"query_id")
+  }
 }

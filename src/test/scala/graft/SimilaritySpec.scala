@@ -189,4 +189,24 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(kept == again)
   }
+
+  test("ann recall report: multi-probe dominates single-bucket LSH per query") {
+    val rows = SimilarityOps.annRecall(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, nExact, nHit, recall) =>
+      assert(nExact == 3L, "exact baseline is top-3")
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(recall == nHit * 10000L / nExact)
+    }
+    // multi-probe's candidate set is a superset of the query's own
+    // bucket (mask 0 is among the probes), so per-query recall can
+    // never be lower than single-bucket LSH
+    val byQuery = rows.groupBy(_._2)
+    byQuery.foreach { case (q, rs) =>
+      val m = rs.map(r => r._1 -> r._4).toMap
+      assert(m("multiprobe") >= m("lsh"),
+        s"query $q: multiprobe ${m("multiprobe")} < lsh ${m("lsh")}")
+    }
+  }
 }
