@@ -222,7 +222,15 @@ object TextOps {
     * flag projection (codegen'd built-ins only) + one partial-agg'd
     * shuffle on source — runs at scan speed. */
   def qualityGate(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    gateReport(gateFlags(Tables.documents(spark, sfDir)))
+
+  /** Per-doc pass/fail flags — the STATELESS narrow stage of
+    * [[qualityGate]], shared verbatim by the batch report and the
+    * streaming per-drop form (StreamingSpec pins row parity), so the
+    * two can never disagree on a boundary doc. Input needs
+    * (source, lang, text). */
+  def gateFlags(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", tokens($"text"))
       .select($"source", $"lang",
         length($"text").cast(LongType).as("n_chars_m"),
@@ -247,6 +255,12 @@ object TextOps {
           .otherwise(0L).as("p_sym"),
         when($"lang" =!= "en" || $"stop_hits" >= 1L, 1L).otherwise(0L)
           .as("p_stop"))
+
+  /** The aggregation stage of [[qualityGate]] over [[gateFlags]]
+    * output — complete-mode-safe (plain keyed agg) so a streaming
+    * per-drop report reuses it unchanged. */
+  def gateReport(flags: DataFrame): DataFrame =
+    flags
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"p_len" * $"p_avg" * $"p_dup" * $"p_sym" * $"p_stop").as("n_pass"),

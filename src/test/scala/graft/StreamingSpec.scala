@@ -35,6 +35,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quality gate equals the batch report across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val batch = TextOps.qualityGate(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect()
+    val in = MemoryStream[(Long, String, String, String)]
+    // the SAME stateless flag projection + keyed agg as the batch
+    // report, in complete mode — the per-drop gate dashboard
+    val q = TextOps.gateReport(TextOps.gateFlags(
+        in.toDF().toDF("doc_id", "source", "lang", "text")))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("qgate")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"gate drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming 3-sigma outlier gate equals the batch operator row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CoreOps
