@@ -102,6 +102,14 @@ object SparkEntry {
     "q_chunks" -> (CurationOps.chunkDocs _),
     "q_chunk_dedup" -> (CurationOps.chunkDedup _),
     "q_funnel" -> (CurationOps.curationFunnel _),
+    "q_sample_weighted" -> (CurationOps.weightedSample _),
+    "q_lm_quality" -> (TextOps.lmQuality _),
+    "q_embed_cov" -> (SimilarityOps.embedCovariance _),
+    "q_minhash_calib" -> (DedupOps.minhashCalibration _),
+    "q_sample_group" -> (CurationOps.groupSample _),
+    "q_dedup_normalized" -> (DedupOps.dedupNormalized _),
+    "q_vocab_growth" -> (TextOps.vocabGrowth _),
+    "q_retention" -> (CoreOps.retentionDaily _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -765,7 +773,8 @@ object SparkEntry {
          |tgt AS (SELECT source, weight, n_docs, avail_tokens,
          |    (${CurationOps.MixtureBudget} * weight) // sum_w AS target_tokens
          |  FROM tot CROSS JOIN sw),
-         |rates AS (SELECT *, least(10000, (target_tokens * 10000) // avail_tokens) AS rate_e4 FROM tgt),
+         |rates AS (SELECT *, CASE WHEN avail_tokens = 0 THEN 0
+         |    ELSE least(10000, (target_tokens * 10000) // avail_tokens) END AS rate_e4 FROM tgt),
          |smp AS (SELECT h.source, CAST(sum(b_docs) AS BIGINT) AS sampled_docs,
          |    CAST(sum(b_tokens) AS BIGINT) AS sampled_tokens
          |  FROM hist h JOIN rates r ON h.source = r.source AND h.bucket < r.rate_e4
@@ -1138,5 +1147,96 @@ object SparkEntry {
          |  min(doc_id) AS first_doc
          |FROM chh GROUP BY chunk_hash HAVING count(*) > 1
          |ORDER BY chunk_hash""".stripMargin,
+    "q_sample_weighted" ->
+      s"""WITH $tkCte
+         |SELECT CAST(row_number() OVER (ORDER BY prio, doc_id) AS BIGINT) AS rnk,
+         |  doc_id, prio, w
+         |FROM (SELECT doc_id, ${h60("concat(CAST(doc_id AS VARCHAR), ':w')")} // w AS prio, w
+         |  FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) + 1 AS w FROM tkv))
+         |ORDER BY rnk LIMIT ${CurationOps.WeightedK}""".stripMargin,
+    "q_lm_quality" ->
+      s"""WITH $tkCte,
+         |bg AS (SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i+1 AS INTEGER)] AS w2
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+         |        FROM tkv WHERE len(tk) >= 2)),
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(tk) AS w1 FROM tkv) GROUP BY w1),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(r) // count(*) AS BIGINT) AS lm_score_e6
+         |FROM (SELECT doc_id, c2 * 1000000 // c1 AS r
+         |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1))
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_embed_cov" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |a AS (SELECT q, unnest(range(len(q))) AS i, unnest(q) AS qi FROM v),
+        |b AS (SELECT i, qi, unnest(range(len(q))) AS j, unnest(q) AS qj FROM a),
+        |prods AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(qi*qj) AS BIGINT) AS sxy
+        |  FROM b WHERE j >= i GROUP BY 1, 2),
+        |d AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(sum(qv) AS BIGINT) AS s
+        |  FROM (SELECT unnest(range(len(q))) AS dim, unnest(q) AS qv FROM v) GROUP BY 1)
+        |SELECT p.i, p.j, p.n, CAST(p.n * p.sxy - dx.s * dy.s AS BIGINT) AS cov_num
+        |FROM prods p JOIN d dx ON dx.dim = p.i JOIN d dy ON dy.dim = p.j
+        |ORDER BY i, j""".stripMargin,
+    "q_minhash_calib" -> {
+      import graft.operators.DedupOps.numHashes
+      val nMatch = (0 until numHashes)
+        .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |nm AS (SELECT doc_a, doc_b, CAST($nMatch AS BIGINT) AS n_match
+         |  FROM cand JOIN m x ON x.doc_id = doc_a JOIN m y ON y.doc_id = doc_b)
+         |SELECT v.doc_a, v.doc_b,
+         |  CAST(n_match * 10000 // $numHashes AS BIGINT) AS est_e4,
+         |  CAST(n_common * 10000 // n_union AS BIGINT) AS exact_e4,
+         |  CAST(n_match * 10000 // $numHashes - n_common * 10000 // n_union AS BIGINT) AS err_e4
+         |FROM ver v JOIN nm USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_sample_group" ->
+      s"""SELECT source, rnk, doc_id, h FROM (
+         |  SELECT source, doc_id, h,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk
+         |  FROM (SELECT source, doc_id,
+         |      ${h60("concat(CAST(doc_id AS VARCHAR), ':g')")} AS h FROM documents))
+         |WHERE rnk <= ${CurationOps.GroupK} ORDER BY source, rnk""".stripMargin,
+    "q_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  min(doc_id) AS keep_id, count(*) AS cnt,
+        |  CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_raw_variants
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH $tkCte,
+         |u AS (SELECT d.source, unnest(t.tk) AS term
+         |  FROM tkv t JOIN documents d USING (doc_id)),
+         |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_e6,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hapax_ratio_e6
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM ud GROUP BY day),
+        |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id) GROUP BY day),
+        |rt AS (SELECT a.day AS day, CAST(count(*) AS BIGINT) AS n_retained
+        |  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day = b.day + 1 GROUP BY 1),
+        |pv AS (SELECT day + 1 AS day, n_active AS prev_active FROM act)
+        |SELECT act.day, act.n_active,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(CASE WHEN prev_active IS NULL OR prev_active = 0 THEN 0
+        |    ELSE coalesce(n_retained, 0) * 10000 // prev_active END AS BIGINT) AS retention_e4
+        |FROM act LEFT JOIN nw USING (day) LEFT JOIN rt USING (day)
+        |LEFT JOIN pv USING (day)
+        |ORDER BY day""".stripMargin,
   )
 }

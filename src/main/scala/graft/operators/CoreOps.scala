@@ -240,4 +240,42 @@ object CoreOps {
       .select($"event_type", $"event_id", $"user_id", $"ts_us", $"value_e2")
       .orderBy($"event_type", $"event_id")
   }
+
+  /** #87 Day-over-day retention cohorts over the event stream: per
+    * UTC day, active users, first-seen users, users retained from the
+    * previous day, and the e4 retention rate vs yesterday's actives —
+    * the engagement report every event pipeline ships. Integer end to
+    * end (epoch-µs div 86 400 000 000 day bucketing, e4 ratio with a
+    * CASE-guarded divisor per the §4 contract).
+    *
+    * Physical shape at scale: ONE row-granularity shuffle — the
+    * (user_id, day) distinct (partial-agg'd, output ≤ users × days ≪
+    * events). Everything downstream works on that reduced frame: the
+    * retention self-join is an equi-join on uniform (user_id, day)
+    * keys, first-seen is a per-user min, and the day-level frames are
+    * |days| rows that AQE broadcasts into the final assembly. */
+  def retentionDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val act = ud.groupBy($"day").agg(count(lit(1)).as("n_active"))
+    val newu = ud.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_new"))
+    val ret = ud.as("a")
+      .join(ud.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.day" === $"b.day" + 1)
+      .groupBy($"a.day".as("day")).agg(count(lit(1)).as("n_retained"))
+    act
+      .join(newu, Seq("day"), "left")
+      .join(ret, Seq("day"), "left")
+      .join(act.select(($"day" + 1).as("day"), $"n_active".as("prev_active")),
+        Seq("day"), "left")
+      .select($"day", $"n_active",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        when($"prev_active".isNull || $"prev_active" === 0L, lit(0L))
+          .otherwise(expr("coalesce(n_retained, 0) * 10000 div prev_active"))
+          .as("retention_e4"))
+      .orderBy($"day")
+  }
 }

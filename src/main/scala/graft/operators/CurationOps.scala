@@ -197,10 +197,14 @@ object CurationOps {
     * pivots and k-means centroid closures. */
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // persisted: the distinct-agg (the expensive benchmark-side work)
+    // feeds BOTH the bloom-bits build and the exact verify join —
+    // without the cache it would run twice per invocation
     val benchGrams = docs.filter($"doc_id" % BloomDecontMod === 0L)
       .select(explode(
         graft.functions.TextHash.gramHashes($"text", BloomDecontGram)).as("h"))
       .distinct()
+      .persist()
     val bloomBits: Array[Byte] = benchGrams
       .agg(graft.functions.BloomFunctions
         .bloomAgg($"h", BloomEstItems, BloomNumBits).as("bf"))
@@ -643,5 +647,69 @@ object CurationOps {
       .select(($"pos" + 1).cast(LongType).as("rnk"),
         $"r._2".as("doc_id"), $"r._1".as("h"), $"r._3".as("source"))
       .orderBy($"rnk")
+  }
+
+  /** Sample size for [[weightedSample]]. */
+  val WeightedK = 100
+
+  /** #80 Token-weighted exact-k sample (sequential Poisson /
+    * priority sampling, Ohlsson 1998): each doc gets priority
+    * u div w where u is its deterministic 60-bit hash (uniform on
+    * [0, 2^60)) and w = n_tokens + 1; the K smallest priorities win,
+    * so inclusion probability is ≈ proportional to token count — the
+    * standard size-biased corpus sample (long docs carry more of the
+    * token budget, so a token-cost-aware audit samples them more).
+    * Deterministic: md5-derived u, never rand(), integer division —
+    * the same K docs on every run and engine. Physical shape is
+    * [[uniformSample]]'s: one narrow scan into a [[BoundedTopK]]
+    * aggregate, O(K) state per partition, no global sort. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder}
+    val agg = new BoundedTopK[(Long, Long, Long)](WeightedK,
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+    Tables.documents(spark, sfDir)
+      .select(hash60(concat($"doc_id".cast("string"), lit(":w"))).as("u"),
+        $"doc_id", (size(tokens($"text")).cast(LongType) + 1L).as("w"))
+      .select(expr("u div w").as("prio"), $"doc_id", $"w")
+      .as[(Long, Long, Long)]
+      .select(agg.toColumn.name("top"))
+      .toDF("top")
+      .select(posexplode($"top").as(Seq("pos", "r")))
+      .select(($"pos" + 1).cast(LongType).as("rnk"),
+        $"r._2".as("doc_id"), $"r._1".as("prio"), $"r._3".as("w"))
+      .orderBy($"rnk")
+  }
+
+  /** Per-group sample size for [[groupSample]]. */
+  val GroupK = 20
+
+  /** #84 Per-source exact-k sample: the K smallest-hash docs WITHIN
+    * each source — the stratified audit sample ("show me 20 random
+    * docs from every source") with #76's determinism contract
+    * (md5 order, never rand()). Physical shape: one
+    * [[BoundedTopK]]-aggregated shuffle keyed by source — partial
+    * buffers keep O(K) rows per (partition × source) so the shuffle
+    * carries sources × partitions × K rows, where the oracle's
+    * per-source row_number window would sort every row of each
+    * source's partition. Adding a source never perturbs another
+    * source's picks (hash order is per-doc, keyed independently). */
+  def groupSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
+    val agg = new BoundedTopK[(Long, Long)](GroupK,
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+    Tables.documents(spark, sfDir)
+      .select($"source",
+        hash60(concat($"doc_id".cast("string"), lit(":g"))).as("h"), $"doc_id")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((h, doc), i) =>
+          (src, (i + 1).toLong, doc, h)
+        }
+      }
+      .toDF("source", "rnk", "doc_id", "h")
+      .orderBy($"source", $"rnk")
   }
 }

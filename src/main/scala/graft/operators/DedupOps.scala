@@ -37,6 +37,28 @@ object DedupOps {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("cnt"))
       .orderBy($"text_hash")
 
+  /** #85 Normalization-canonical dedup (the C4/CCNet "fuzzy-exact"
+    * tier between #37 and MinHash): docs agreeing after lowercase +
+    * strip-non-alphanumeric + collapse-whitespace are one class —
+    * catches punctuation/casing/spacing variants that exact dedup
+    * misses at a fraction of near-dup cost. `n_raw_variants` counts
+    * how many #37 exact classes each normalized class absorbs (> 1 ⇔
+    * normalization did work). Same physical shape as #37: narrow
+    * codegen'd normalization, ONE partial-agg'd shuffle on the
+    * uniform md5 key; the char-class regexes behave identically in
+    * Java and RE2, part of the §4 determinism contract. */
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        md5(trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
+          .as("norm_hash"),
+        md5(lower(trim($"text"))).as("raw_hash"))
+      .groupBy($"norm_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("cnt"),
+        countDistinct($"raw_hash").as("n_raw_variants"))
+      .orderBy($"norm_hash")
+
   val numHashes = 16
   val numBands = 8 // 8 bands x 2 rows: P(candidate | J=0.5) ≈ 0.9
   private val ab = minhashAB(numHashes)
@@ -296,7 +318,11 @@ object DedupOps {
     * definition of the union math and threshold for every MinHash
     * consumer ([[minhashPairs]], [[dedupIncremental]]), the same
     * no-desync discipline as [[bandExplode]]. */
-  private def verifyJaccard(cand: DataFrame, gsA: DataFrame, gsB: DataFrame,
+  /** Exact intersection/union gram counts per candidate pair — the
+    * unfiltered verify subtree shared by [[verifyJaccard]] (which
+    * applies the J ≥ 1/2 bar) and [[minhashCalibration]] (which needs
+    * the TRUE Jaccard of every candidate, kept or not). */
+  private def jaccardCounts(cand: DataFrame, gsA: DataFrame, gsB: DataFrame,
       aCol: String, bCol: String): DataFrame =
     cand
       .join(gsA.select($"doc_id".as(aCol), $"gs".as("gs_a")), aCol)
@@ -305,17 +331,23 @@ object DedupOps {
         graft.functions.TextHash.sortedIntersectCount($"gs_a", $"gs_b").as("n_common"),
         (size($"gs_a") + size($"gs_b")).cast(LongType).as("sz"))
       .select(col(aCol), col(bCol), $"n_common", ($"sz" - $"n_common").as("n_union"))
+
+  private def verifyJaccard(cand: DataFrame, gsA: DataFrame, gsB: DataFrame,
+      aCol: String, bCol: String): DataFrame =
+    jaccardCounts(cand, gsA, gsB, aCol, bCol)
       .filter($"n_common" * 2 >= $"n_union")
 
-  /** [[dedupMinhash]] without the presentation sort — the edge-list
-    * subtree behind [[minhashPairsShared]]. */
-  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Band-collision candidate pairs (doc_a < doc_b, distinct) — the
+    * LSH output shared by [[minhashPairs]] and
+    * [[minhashCalibration]], so "candidate" means the same thing to
+    * the dedup pipeline and to the estimator audit of it. */
+  private def minhashCands(spark: SparkSession, sfDir: String): DataFrame =
     // ONE pass over the signatures: group each band bucket, expand its
     // doc list to ordered pairs. Equivalent to the band self-join but
     // the narrow signature computation runs once instead of twice and
     // the join shuffle becomes a single groupBy (bucket sizes are
     // bounded — uniform 62-bit band keys).
-    val cand = minhashBandsShared(spark, sfDir)
+    minhashBandsShared(spark, sfDir)
       .groupBy($"band", $"band_hash")
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
@@ -325,8 +357,45 @@ object DedupOps {
           |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
+
+  /** [[dedupMinhash]] without the presentation sort — the edge-list
+    * subtree behind [[minhashPairsShared]]. */
+  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val gs = gramSets(spark, sfDir, VerifyGram)
-    verifyJaccard(cand, gs, gs, "doc_a", "doc_b")
+    verifyJaccard(minhashCands(spark, sfDir), gs, gs, "doc_a", "doc_b")
+  }
+
+  /** #83 MinHash estimator calibration: for every LSH candidate pair,
+    * the signature-estimated Jaccard (matching positions over
+    * [[numHashes]], e4) next to the TRUE 2-gram Jaccard and their
+    * signed error — the audit that tells you whether the banding
+    * threshold is set where the estimator thinks it is before you
+    * trust it at 100 TB (estimator bias visible here at sf0.1 is the
+    * same bias at any scale; candidates are the sublinear LSH
+    * output, so the audit costs one signature join + one gram join
+    * over pairs, never a corpus re-scan). The per-position match sum
+    * is [[numHashes]] codegen'd comparisons — no interpreted
+    * higher-order function. */
+  def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.documents(spark, sfDir)
+      .withColumn("sig",
+        graft.functions.TextHash.minhashSig($"text", VerifyGram, numHashes))
+      .filter(element_at($"sig", 1) =!= Long.MaxValue)
+      .select($"doc_id", $"sig")
+    val nMatch = (0 until numHashes).map { i =>
+      when(element_at($"sig_a", i + 1) === element_at($"sig_b", i + 1), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val gs = gramSets(spark, sfDir, VerifyGram)
+    jaccardCounts(minhashCands(spark, sfDir), gs, gs, "doc_a", "doc_b")
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .withColumn("n_match", nMatch)
+      .select($"doc_a", $"doc_b",
+        expr(s"n_match * 10000 div $numHashes").as("est_e4"),
+        expr("n_common * 10000 div n_union").as("exact_e4"))
+      .withColumn("err_e4", $"est_e4" - $"exact_e4")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) via PREFIX

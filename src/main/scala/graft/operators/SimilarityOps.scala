@@ -48,26 +48,24 @@ object SimilarityOps {
     ranked(corpus.as("b").join(broadcast(queries.as("a"))), k = 5)
   }
 
-  /** #44 LSH-bucketed ANN top-3: corpus bucketed by hyperplane signs,
-    * probe = the query's own bucket (equi-join on bucket). */
-  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vecs(spark, sfDir).withColumn("bucket", lshBucket($"q"))
+  private def bucketedVecs(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).withColumn("bucket", lshBucket($"q"))
+
+  /** Single-bucket probe join over a bucketed frame — shared by
+    * [[annLsh]] and [[annRecall]] so the probe rule is defined once. */
+  private def lshRanked(v: DataFrame, k: Int): DataFrame = {
     val queries = v.filter($"vec_id" < 10)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("bucket", "qbucket")
     val corpus = v.filter($"vec_id" >= 10)
     ranked(
       corpus.as("b").join(broadcast(queries.as("a")), $"qbucket" === $"bucket"),
-      k = 3)
+      k)
   }
 
-  /** Multi-probe LSH ANN top-3: each query probes its own bucket plus
-    * the nPlanes Hamming-1 neighbors (flip one hyperplane sign) — the
-    * standard recall lever that costs probes, not a bigger index. The
-    * corpus is bucketed ONCE (reusable across query batches); probes
-    * explode only the tiny query side. Still an equi-join. */
-  def annMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vecs(spark, sfDir).withColumn("bucket", lshBucket($"q"))
+  /** Hamming-1 multi-probe join over a bucketed frame — shared by
+    * [[annMultiprobe]] and [[annRecall]]. */
+  private def multiprobeRanked(v: DataFrame, k: Int): DataFrame = {
     val masks = lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))
     val queries = v.filter($"vec_id" < 10)
       .withColumnRenamed("vec_id", "query_id")
@@ -76,8 +74,21 @@ object SimilarityOps {
     val corpus = v.filter($"vec_id" >= 10)
     ranked(
       corpus.as("b").join(broadcast(queries.as("a")), $"qbucket" === $"bucket"),
-      k = 3)
+      k)
   }
+
+  /** #44 LSH-bucketed ANN top-3: corpus bucketed by hyperplane signs,
+    * probe = the query's own bucket (equi-join on bucket). */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame =
+    lshRanked(bucketedVecs(spark, sfDir), k = 3)
+
+  /** Multi-probe LSH ANN top-3: each query probes its own bucket plus
+    * the nPlanes Hamming-1 neighbors (flip one hyperplane sign) — the
+    * standard recall lever that costs probes, not a bigger index. The
+    * corpus is bucketed ONCE (reusable across query batches); probes
+    * explode only the tiny query side. Still an equi-join. */
+  def annMultiprobe(spark: SparkSession, sfDir: String): DataFrame =
+    multiprobeRanked(bucketedVecs(spark, sfDir), k = 3)
 
   /** #62 Embedding-space corpus profile: per-dimension integer stats
     * of the e3-quantized embeddings (count, sum, min, max, HALF_UP
@@ -369,10 +380,14 @@ object SimilarityOps {
     * hit join keys on (query_id, vec_id) — k-sized frames both
     * sides. */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vecs(spark, sfDir)
-    val queries = v.filter($"vec_id" < 10)
+    // ONE quantize+bucket computation cached and shared by all three
+    // paths (exact, single-bucket, multi-probe) — the report would
+    // otherwise recompute it per path; the cache is the quantized
+    // index itself, exactly what an ANN serving tier keeps resident
+    val v = bucketedVecs(spark, sfDir).persist()
+    val queries = v.drop("bucket").filter($"vec_id" < 10)
       .withColumnRenamed("vec_id", "query_id")
-    val corpus = v.filter($"vec_id" >= 10)
+    val corpus = v.drop("bucket").filter($"vec_id" >= 10)
     val exact = ranked(corpus.as("b").join(broadcast(queries.as("a"))), k = 3)
       .select($"query_id", $"vec_id")
     def recallOf(method: String, approx: DataFrame): DataFrame =
@@ -384,8 +399,42 @@ object SimilarityOps {
           sum(coalesce($"hit", lit(0L))).as("n_hit"))
         .select(lit(method).as("method"), $"query_id", $"n_exact", $"n_hit",
           expr("(n_hit * 10000) div n_exact").as("recall_e4"))
-    recallOf("lsh", annLsh(spark, sfDir))
-      .unionByName(recallOf("multiprobe", annMultiprobe(spark, sfDir)))
+    recallOf("lsh", lshRanked(v, k = 3))
+      .unionByName(recallOf("multiprobe", multiprobeRanked(v, k = 3)))
       .orderBy($"method", $"query_id")
+  }
+
+  /** #82 Embedding covariance profile: for every dim pair i ≤ j the
+    * exact integer covariance numerator n·Σxy − Σx·Σy of the
+    * e3-quantized embeddings — the correlated-dimension /
+    * collapsed-subspace health check run before trusting cosine
+    * distances or training a projection. Integer-exact end to end
+    * (max |q| ≤ ~2·10^3, n ≤ 10^7 keeps every term < 2^62 —
+    * overflow headroom documented rather than hoped).
+    *
+    * Physical shape: d²/2 product rows per vector from two chained
+    * generators (narrow, codegen'd), partial-agg'd map-side to
+    * d(d+1)/2 ≈ 2080 groups, then two broadcast joins against the
+    * d-row dim-sum table. Output is O(d²) regardless of corpus
+    * size; the corpus is scanned twice (products + dim sums), never
+    * shuffled at row granularity. */
+  def embedCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantize($"embedding").as("q"))
+    val prods = v
+      .select($"q", posexplode($"q").as(Seq("i", "qi")))
+      .select($"i", $"qi", posexplode($"q").as(Seq("j", "qj")))
+      .filter($"j" >= $"i")
+      .groupBy($"i".cast(LongType).as("i"), $"j".cast(LongType).as("j"))
+      .agg(count(lit(1)).as("n"), sum($"qi" * $"qj").as("sxy"))
+    val dimSums = v
+      .select(posexplode($"q").as(Seq("dim", "qv")))
+      .groupBy($"dim".cast(LongType).as("dim"))
+      .agg(sum($"qv").as("s"))
+    prods
+      .join(broadcast(dimSums.select($"dim".as("i"), $"s".as("sx"))), Seq("i"))
+      .join(broadcast(dimSums.select($"dim".as("j"), $"s".as("sy"))), Seq("j"))
+      .select($"i", $"j", $"n", ($"n" * $"sxy" - $"sx" * $"sy").as("cov_num"))
+      .orderBy($"i", $"j")
   }
 }

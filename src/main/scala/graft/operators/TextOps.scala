@@ -31,20 +31,26 @@ object TextOps {
       .withColumn("detected", detectedLang($"en_hits", $"de_hits", $"fr_hits"))
       .orderBy($"doc_id")
 
+  /** Shared per-doc integer metric projection (tk + counts) behind
+    * [[textQuality]] and [[gateFlags]] — ONE definition so a
+    * tokenization or metric tweak can never drift the score report
+    * and the gate. tok_chars is total token chars WITHOUT an
+    * interpreted higher-order function (`aggregate` runs ~16 µs/lambda
+    * — NOTES.md): concat_ws + length is codegen'd and
+    * value-identical. */
+  private def qualityMetrics(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", tokens($"text"))
+      .withColumn("n_chars_m", length($"text").cast(LongType))
+      .withColumn("n_tokens", size($"tk").cast(LongType))
+      .withColumn("n_distinct", size(array_distinct($"tk")).cast(LongType))
+      .withColumn("stop_hits", markerHits($"tk", enMarkers))
+      .withColumn("tok_chars", length(concat_ws("", $"tk")).cast(LongType))
+
   /** #46 Quality metrics: char len, token counts, duplicate-token and
     * stopword ratios (e4 fixed-point), mean token length (e2). */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .withColumn("tk", tokens($"text"))
-      .select($"doc_id",
-        length($"text").cast(LongType).as("n_chars_m"),
-        size($"tk").cast(LongType).as("n_tokens"),
-        size(array_distinct($"tk")).cast(LongType).as("n_distinct"),
-        markerHits($"tk", enMarkers).as("stop_hits"),
-        // total token chars WITHOUT an interpreted higher-order
-        // function (`aggregate` runs ~16 µs/lambda — NOTES.md):
-        // concat_ws + length is codegen'd and value-identical
-        length(concat_ws("", $"tk")).cast(LongType).as("tok_chars"))
+    qualityMetrics(Tables.documents(spark, sfDir))
       .filter($"n_tokens" > 0)
       .select($"doc_id", $"n_chars_m", $"n_tokens", $"n_distinct",
         expr("(n_tokens - n_distinct) * 10000 div n_tokens").as("dup_ratio_e4"),
@@ -230,15 +236,9 @@ object TextOps {
     * two can never disagree on a boundary doc. Input needs
     * (source, lang, text). */
   def gateFlags(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("tk", tokens($"text"))
-      .select($"source", $"lang",
-        length($"text").cast(LongType).as("n_chars_m"),
-        size($"tk").cast(LongType).as("n_tokens"),
-        size(array_distinct($"tk")).cast(LongType).as("n_distinct"),
-        markerHits($"tk", enMarkers).as("stop_hits"),
-        length(concat_ws("", $"tk")).cast(LongType).as("tok_chars"),
-        regexp_count($"text", lit("[^A-Za-z0-9 ]")).cast(LongType).as("n_sym"))
+    qualityMetrics(docs)
+      .withColumn("n_sym",
+        regexp_count($"text", lit("[^A-Za-z0-9 ]")).cast(LongType))
       .select($"source",
         when($"n_tokens".between(GateLenMin, GateLenMax), 1L).otherwise(0L)
           .as("p_len"),
@@ -306,9 +306,13 @@ object TextOps {
     }
     val queryTerms = qterms.map(_._2).distinct
     val docs = Tables.documents(spark, sfDir)
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(tokens($"text"))).cast(LongType).as("total_tokens"))
+    // dl and tf are separate narrow scan-speed projections on
+    // purpose: persisting a tokenized 100 TB corpus to save a scan
+    // costs more than the scan; stats derives from dl so the corpus
+    // length notion is defined once
     val dl = docs.select($"doc_id", size(tokens($"text")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum($"dl").as("total_tokens"))
     val tf = docs
       .select($"doc_id", explode(tokens($"text")).as("term"))
       .filter($"term".isin(queryTerms.map(t => t: Any): _*))
@@ -344,4 +348,65 @@ object TextOps {
       .toDF("qid", "rnk", "doc_id", "score_e6")
       .orderBy($"qid", $"rnk")
   }
+
+  /** #81 Statistical bigram-LM fluency score — the CCNet-style
+    * "does this doc look like the corpus?" quality signal, made
+    * deterministic: per bigram occurrence the conditional-frequency
+    * ratio c(w1 w2) * 1e6 div c(w1) (corpus counts; c(w1) is the full
+    * unigram count — the standard denominator approximation, defined
+    * identically in the oracle), per doc the integer mean over its
+    * bigram positions. Fluent/templated text scores high; shuffled
+    * or out-of-domain text scores near the 1/vocab floor. No logs or
+    * doubles — ranking by mean ratio orders docs the same way a mean
+    * log-prob would for the comparisons a gate makes, and stays
+    * hash-exact cross-engine.
+    *
+    * Physical shape at 100 TB: the count tables are vocab-bounded
+    * (≪ corpus) partial-agg shuffles; per-position scoring is two
+    * equi-joins on uniform term keys (AQE broadcasts them when small)
+    * and one final doc_id agg. Nothing driver-side, nothing
+    * quadratic. */
+  def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select($"doc_id", tokens($"text").as("tk"))
+    val bg = toks
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", explode(sequence(lit(1), size($"tk") - 1)).as("i"),
+        $"tk")
+      .select($"doc_id", element_at($"tk", $"i").as("w1"),
+        element_at($"tk", $"i" + 1).as("w2"))
+    val uni = toks.select(explode($"tk").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val big = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    bg.join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select($"doc_id", expr("c2 * 1000000 div c1").as("r"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(r) div count(1)").as("lm_score_e6"))
+      .orderBy($"doc_id")
+  }
+
+  /** #86 Vocabulary growth profile: per source, total token
+    * occurrences, distinct terms, hapax legomena (terms seen exactly
+    * once) and the derived type-token / hapax ratios (e6 fixed
+    * point) — the Heaps-law health check that flags template-heavy
+    * sources (tiny TTR) and OCR-noise sources (hapax spike) before
+    * they skew a tokenizer or mixture. Physical shape: two chained
+    * partial-agg shuffles — (source × term) first (vocab-bounded,
+    * ≪ corpus), then |sources| rows; the corpus is scanned once and
+    * never shuffled at row granularity. Rows exist only for sources
+    * with ≥ 1 token, so both divisors are ≥ 1 by construction. */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"source", $"n_tokens", $"n_terms", $"n_hapax",
+        expr("n_terms * 1000000 div n_tokens").as("ttr_e6"),
+        expr("n_hapax * 1000000 div n_terms").as("hapax_ratio_e6"))
+      .orderBy($"source")
 }

@@ -214,4 +214,43 @@ class DedupSpec extends SparkTestBase {
     assert(m.forall { case (a, b, _) => a <= b })
     assert(m.map(_._3).sum == nPairs)
   }
+
+  test("minhash calibration covers the LSH candidates and agrees with the kept pairs") {
+    val cal = DedupOps.minhashCalibration(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(cal.nonEmpty)
+    cal.foreach { case (a, b, est, exact, err) =>
+      assert(a < b, "canonical ordering")
+      assert(est >= 0L && est <= 10000L, s"est_e4 $est out of range")
+      assert(exact >= 0L && exact <= 10000L, s"exact_e4 $exact out of range")
+      assert(err == est - exact, "err column must be the signed difference")
+    }
+    // exact_e4 >= 5000 is EXACTLY the J >= 1/2 verify bar (integer
+    // floor preserves the inequality both ways), so the calibration
+    // rows at/above the bar must be precisely the kept pair listing
+    val kept = DedupOps.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val calKept = cal.filter(_._4 >= 5000L).map(c => (c._1, c._2)).toSet
+    assert(calKept == kept,
+      s"calibration kept ${calKept.size} pairs, dedup kept ${kept.size}")
+  }
+
+  test("normalized dedup refines exact dedup and accounts for every doc") {
+    val norm = DedupOps.dedupNormalized(spark, sf)
+      .as[(String, Long, Long, Long)].collect() // norm_hash, keep_id, cnt, n_raw_variants
+    val exact = DedupOps.dedupExact(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // both partitions cover the corpus exactly
+    assert(norm.map(_._3).sum == nDocs)
+    assert(exact.map(_._3).sum == nDocs)
+    // normalization only MERGES exact classes (norm is a function of
+    // the trimmed-lower text), so: fewer-or-equal classes, and the
+    // per-class raw-variant counts partition the exact classes
+    assert(norm.length <= exact.length)
+    assert(norm.map(_._4).sum == exact.length,
+      "every exact class must land in exactly one normalized class")
+    assert(norm.forall(r => r._4 >= 1L && r._4 <= r._3),
+      "1 <= n_raw_variants <= cnt")
+  }
 }

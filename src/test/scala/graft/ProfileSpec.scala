@@ -101,4 +101,73 @@ class ProfileSpec extends SparkTestBase {
     assert(funnel.map(_._6).sum == survivors,
       s"n_neardup total ${funnel.map(_._6).sum} != independent recompute $survivors")
   }
+
+  test("bigram-LM fluency equals a plain-Scala model") {
+    import spark.implicits.newProductEncoder
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(' ').toSeq.filter(_.nonEmpty)
+    }
+    val uni = toks.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = toks.flatMap { case (_, tk) => tk.zip(tk.drop(1)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = toks.filter(_._2.length >= 2).map { case (id, tk) =>
+      val rs = tk.zip(tk.drop(1)).map(p => big(p) * 1000000L / uni(p._1))
+      (id, rs.length.toLong, rs.sum / rs.length)
+    }.sortBy(_._1).toSeq
+    val got = TextOps.lmQuality(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, "operator diverges from the reference model")
+    // sanity of the signal itself: scores live strictly inside the
+    // fixed-point range (a bigram ratio can never exceed 1e6)
+    assert(got.forall { case (_, n, s) => n >= 1L && s >= 0L && s <= 1000000L })
+  }
+
+  test("vocabulary growth profile equals a plain-Scala model") {
+    import spark.implicits.newProductEncoder
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val want = docs.groupBy(_._1).view.mapValues { rows =>
+      val counts = rows.flatMap(_._2.split(' ').filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.length.toLong)
+      val nTok = counts.values.sum
+      val nTerms = counts.size.toLong
+      val nHapax = counts.count(_._2 == 1L).toLong
+      (nTok, nTerms, nHapax, nTerms * 1000000L / nTok, nHapax * 1000000L / nTerms)
+    }.toMap
+    val got = TextOps.vocabGrowth(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (src, nTok, nTerms, nHapax, ttr, hr) =>
+      assert((nTok, nTerms, nHapax, ttr, hr) == want(src), s"$src diverges")
+      assert(nHapax <= nTerms && nTerms <= nTok)
+    }
+  }
+
+  test("retention cohorts: conservation and bounds") {
+    val rows = graft.operators.CoreOps.retentionDaily(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1) // day, n_active, n_new, n_retained, retention_e4
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    // every user is new exactly once: Σ n_new = distinct users
+    assert(rows.map(_._3).sum == ud.map(_._1).distinct.length)
+    // the first day has no history: everyone is new, nobody retained
+    val first = rows.head
+    assert(first._3 == first._2 && first._4 == 0L)
+    val actByDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, act, nw, ret, e4) =>
+      assert(nw <= act && ret <= act)
+      val prev = actByDay.getOrElse(day - 1, 0L)
+      assert(ret <= prev, s"day $day: retained $ret > prev actives $prev")
+      assert(e4 == (if (prev == 0L) 0L else ret * 10000L / prev))
+      // retained + new <= active (a user is never both), and a day
+      // with a predecessor accounts every active as new|retained|lapsed-return
+      assert(nw + ret <= act)
+    }
+  }
 }

@@ -209,4 +209,24 @@ class SimilaritySpec extends SparkTestBase {
         s"query $q: multiprobe ${m("multiprobe")} < lsh ${m("lsh")}")
     }
   }
+
+  test("embedding covariance: full upper triangle, PSD diagonal, Cauchy-Schwarz") {
+    val rows = SimilarityOps.embedCovariance(spark, sf)
+      .as[(Long, Long, Long, Long)].collect() // i, j, n, cov_num
+    val diag = rows.filter(r => r._1 == r._2)
+    val d = diag.length
+    assert(d > 0 && rows.length == d * (d + 1) / 2,
+      s"expected full upper triangle of $d dims, got ${rows.length} rows")
+    assert(rows.forall { case (i, j, n, _) => i <= j && n == rows.head._3 },
+      "every pair sees the same vector count")
+    // variance numerators n·Σx² − (Σx)² are non-negative exactly
+    assert(diag.forall(_._4 >= 0L))
+    // Cauchy–Schwarz in numerator form: cov(i,j)² ≤ var(i)·var(j) —
+    // holds EXACTLY for the integer numerators (BigInt: the squares
+    // overflow Long)
+    val varOf = diag.map(r => r._1 -> BigInt(r._4)).toMap
+    assert(rows.forall { case (i, j, _, c) =>
+      BigInt(c) * BigInt(c) <= varOf(i) * varOf(j)
+    }, "a covariance numerator violates Cauchy-Schwarz")
+  }
 }
