@@ -110,6 +110,7 @@ object SparkEntry {
     "q_dedup_normalized" -> (DedupOps.dedupNormalized _),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
     "q_retention" -> (CoreOps.retentionDaily _),
+    "q_pca_top" -> (SimilarityOps.pcaTop _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -163,6 +164,22 @@ object SparkEntry {
   private val quantCte =
     """n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
       |      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings))""".stripMargin
+  /** Integer covariance numerators for every dim pair i ≤ j
+    * (`cv(i, j, n, cov_num)`) over the e3-quantized embeddings —
+    * ONE definition shared by the #82 profile and the #88 PCA
+    * oracle so the matrix under the eigensolve is exactly the
+    * matrix the profile reports. */
+  private val covCtes =
+    """vq AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings),
+      |ca AS (SELECT q, unnest(range(len(q))) AS i, unnest(q) AS qi FROM vq),
+      |cb AS (SELECT i, qi, unnest(range(len(q))) AS j, unnest(q) AS qj FROM ca),
+      |cprods AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(qi*qj) AS BIGINT) AS sxy
+      |  FROM cb WHERE j >= i GROUP BY 1, 2),
+      |cdim AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(sum(qv) AS BIGINT) AS s
+      |  FROM (SELECT unnest(range(len(q))) AS dim, unnest(q) AS qv FROM vq) GROUP BY 1),
+      |cv AS MATERIALIZED (SELECT p.i, p.j, p.n, CAST(p.n * p.sxy - dx.s * dy.s AS BIGINT) AS cov_num
+      |  FROM cprods p JOIN cdim dx ON dx.dim = p.i JOIN cdim dy ON dy.dim = p.j)""".stripMargin
   /** Per-doc curation gate flags over `tkv`
     * (`flags(doc_id, source, text, q_ok, l_ok)`) — ONE SQL definition
     * of the quality and language gates shared by the #48e/#74
@@ -1168,19 +1185,36 @@ object SparkEntry {
          |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1))
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_embed_cov" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |a AS (SELECT q, unnest(range(len(q))) AS i, unnest(q) AS qi FROM v),
-        |b AS (SELECT i, qi, unnest(range(len(q))) AS j, unnest(q) AS qj FROM a),
-        |prods AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(qi*qj) AS BIGINT) AS sxy
-        |  FROM b WHERE j >= i GROUP BY 1, 2),
-        |d AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(sum(qv) AS BIGINT) AS s
-        |  FROM (SELECT unnest(range(len(q))) AS dim, unnest(q) AS qv FROM v) GROUP BY 1)
-        |SELECT p.i, p.j, p.n, CAST(p.n * p.sxy - dx.s * dy.s AS BIGINT) AS cov_num
-        |FROM prods p JOIN d dx ON dx.dim = p.i JOIN d dy ON dy.dim = p.j
-        |ORDER BY i, j""".stripMargin,
+      s"""WITH $covCtes
+         |SELECT i, j, n, cov_num FROM cv ORDER BY i, j""".stripMargin,
+    "q_pca_top" -> {
+      val iters = graft.operators.SimilarityOps.PcaIters
+      val steps = (1 to iters).map { r =>
+        s"""w_$r AS MATERIALIZED (SELECT m.i AS dim, sum(m.c * v.v) AS w
+           |  FROM cmh m JOIN v_${r - 1} v ON m.j = v.dim GROUP BY 1),
+           |mx_$r AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w_$r),
+           |sg_$r AS MATERIALIZED (SELECT CASE WHEN w < 0 THEN -1 ELSE 1 END AS s
+           |  FROM w_$r, mx_$r WHERE abs(w) = mx ORDER BY dim LIMIT 1),
+           |v_$r AS MATERIALIZED (SELECT dim,
+           |    CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+           |      WHEN w * s < 0 THEN -((-(w * s)) * 1000000 // mx)
+           |      ELSE (w * s) * 1000000 // mx END AS v
+           |  FROM w_$r, mx_$r, sg_$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $covCtes,
+         |cm AS (SELECT i, j,
+         |    CASE WHEN cov_num < 0 THEN -((-cov_num) // n) ELSE cov_num // n END AS c
+         |  FROM cv
+         |  UNION ALL
+         |  SELECT j AS i, i AS j,
+         |    CASE WHEN cov_num < 0 THEN -((-cov_num) // n) ELSE cov_num // n END AS c
+         |  FROM cv WHERE i < j),
+         |cmh AS MATERIALIZED (SELECT i, j, CAST(c AS HUGEINT) AS c FROM cm),
+         |v_0 AS MATERIALIZED (SELECT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM cv WHERE i = j),
+         |$steps
+         |SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS loading_e6
+         |FROM v_$iters ORDER BY dim""".stripMargin
+    },
     "q_minhash_calib" -> {
       import graft.operators.DedupOps.numHashes
       val nMatch = (0 until numHashes)

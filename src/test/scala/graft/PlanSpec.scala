@@ -241,4 +241,49 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("ShuffledHashJoin"),
       "exact verify joins survivors by shuffle — the regime where the raw set can't broadcast")
   }
+
+  test("weighted and per-source samples keep bounded buffers — no Sort below the partial agg") {
+    for (q <- Seq("q_sample_weighted", "q_sample_group")) {
+      val p = planOf(q)
+      val plan = p.toString
+      assert(plan.contains("ObjectHashAggregate"), s"$q: typed bounded-heap agg expected")
+      assert(!plan.contains("Window"), s"$q: no window sort")
+      val aggs = preorder(p).filter(_.nodeName.contains("ObjectHashAggregate"))
+      assert(aggs.nonEmpty)
+      val below = preorder(aggs.last).drop(1)
+      assert(below.forall(_.nodeName != "Sort"),
+        s"$q: no Sort below the partial agg; saw: ${below.map(_.nodeName).mkString(",")}")
+    }
+  }
+
+  test("q_lm_quality scores with joins and aggregates only — no window, no cartesian") {
+    val plan = fullPlanString("q_lm_quality")
+    assert(!plan.contains("Window"), "per-doc mean must be an aggregate, not a window")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "count tables must partial-aggregate map-side")
+  }
+
+  test("q_vocab_growth reduces through two vocab-bounded aggregations") {
+    val plan = fullPlanString("q_vocab_growth")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "map-side combine on the (source, term) agg")
+    assert(!plan.contains("Window"))
+    // (source, term) agg + source agg + output sort — nothing else
+    // may shuffle the exploded token stream
+    assert(countShuffles(planOf("q_vocab_growth")) <= 3)
+  }
+
+  test("q_retention shuffles rows once — everything else works on the (user, day) frame") {
+    val p = planOf("q_retention")
+    val plan = p.toString
+    // events parquet must be pruned to the two columns the report uses
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(l => !l.contains("props") && !l.contains("event_type")),
+      s"events scan must prune to (user_id, ts): $readSchemas")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "the (user, day) distinct must partial-aggregate before its shuffle")
+  }
 }

@@ -229,4 +229,40 @@ class SimilaritySpec extends SparkTestBase {
       BigInt(c) * BigInt(c) <= varOf(i) * varOf(j)
     }, "a covariance numerator violates Cauchy-Schwarz")
   }
+
+  test("pca top component: normalized, sign-stabilized, aligned with the true eigenvector") {
+    val v = SimilarityOps.pcaTop(spark, sf)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(v.length > 0)
+    // max-abs normalization pins the pivot to exactly ±1e6, and the
+    // sign convention makes it +1e6
+    assert(v.map(math.abs).max == 1000000L)
+    assert(v(v.indexWhere(x => math.abs(x) == 1000000L)) == 1000000L,
+      "lowest max-magnitude dim must be positive")
+    // the integer orbit after PcaIters steps must align with the TRUE
+    // dominant eigenvector; a double-precision power iteration run to
+    // convergence (3x the steps) is the reference. 0.98 leaves room
+    // for the near-isotropic spectrum of the synthetic embeddings
+    // (measured 0.9999 at this sf).
+    val cov = SimilarityOps.embedCovariance(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val d = v.length
+    val n = cov.head._3
+    val C = Array.ofDim[Double](d, d)
+    cov.foreach { case (i, j, _, cn) =>
+      val c = (BigInt(cn) / BigInt(n)).toDouble
+      C(i.toInt)(j.toInt) = c; C(j.toInt)(i.toInt) = c
+    }
+    var ref = Array.fill(d)(1.0)
+    for (_ <- 1 to 3 * SimilarityOps.PcaIters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => C(i)(j) * ref(j)).sum)
+      val mx = w.map(math.abs).max
+      ref = w.map(_ / mx)
+    }
+    val dot = v.zip(ref).map { case (a, b) => a.toDouble * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(v.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(ref.map(x => x * x).sum))
+    assert(cos >= 0.98, s"integer iteration diverged from the eigenvector: cos $cos")
+  }
 }
