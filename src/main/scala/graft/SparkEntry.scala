@@ -111,6 +111,7 @@ object SparkEntry {
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
     "q_retention" -> (CoreOps.retentionDaily _),
     "q_pca_top" -> (SimilarityOps.pcaTop _),
+    "q_effective_tokens" -> (CurationOps.effectiveTokens _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1215,6 +1216,22 @@ object SparkEntry {
          |SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS loading_e6
          |FROM v_$iters ORDER BY dim""".stripMargin
     },
+    "q_effective_tokens" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |cz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz FROM lab GROUP BY 1),
+         |tok AS (SELECT t.doc_id, d.source, CAST(len(tk) AS BIGINT) AS n_tokens
+         |  FROM tkv t JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN coalesce(csz, 1) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(n_tokens // coalesce(csz, 1)) AS BIGINT) AS effective_tokens
+         |FROM tok LEFT JOIN lab USING (doc_id) LEFT JOIN cz USING (cluster_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_minhash_calib" -> {
       import graft.operators.DedupOps.numHashes
       val nMatch = (0 until numHashes)

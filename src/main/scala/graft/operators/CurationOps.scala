@@ -633,21 +633,38 @@ object CurationOps {
     * — the shuffle carries partitions × K rows where the oracle's
     * ORDER BY ... LIMIT K would sort all of them (PlanSpec pins the
     * no-global-Sort shape). */
-  def uniformSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
+  /** The deterministic sample key of [[uniformSample]] over any
+    * (doc_id, source) frame — batch or streaming. */
+  def uniformKeyed(docs: DataFrame): DataFrame =
+    docs.select(hash60(concat($"doc_id".cast("string"), lit(":u"))).as("h"),
+      $"doc_id", $"source")
+
+  /** The bounded-heap reservoir stage of [[uniformSample]] — a GLOBAL
+    * [[BoundedTopK]] aggregate, shared verbatim by the streaming form
+    * (complete mode): the K-smallest merge is a commutative,
+    * idempotent-on-duplicates monoid, so micro-batch boundaries and
+    * arrival order can never change the reservoir — the same K docs
+    * fall out of an unbounded stream as out of the batch scan. */
+  def reservoirAgg(keyed: DataFrame): DataFrame = {
+    import keyed.sparkSession.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
     val agg = new BoundedTopK[(Long, Long, String)](UniformK,
       (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
-    Tables.documents(spark, sfDir)
-      .select(hash60(concat($"doc_id".cast("string"), lit(":u"))).as("h"),
-        $"doc_id", $"source")
-      .as[(Long, Long, String)]
+    keyed.as[(Long, Long, String)]
       .select(agg.toColumn.name("top"))
       .toDF("top")
+  }
+
+  /** Rank-explode presentation shared by the batch sample and the
+    * streaming spec's final-reservoir readout. */
+  def reservoirRows(top: DataFrame): DataFrame =
+    top
       .select(posexplode($"top").as(Seq("pos", "r")))
       .select(($"pos" + 1).cast(LongType).as("rnk"),
         $"r._2".as("doc_id"), $"r._1".as("h"), $"r._3".as("source"))
       .orderBy($"rnk")
-  }
+
+  def uniformSample(spark: SparkSession, sfDir: String): DataFrame =
+    reservoirRows(reservoirAgg(uniformKeyed(Tables.documents(spark, sfDir))))
 
   /** Sample size for [[weightedSample]]. */
   val WeightedK = 100
@@ -711,5 +728,34 @@ object CurationOps {
       }
       .toDF("source", "rnk", "doc_id", "h")
       .orderBy($"source", $"rnk")
+  }
+
+  /** #89 Effective dataset size: per source, raw vs dedup-weighted
+    * token counts — every doc contributes n_tokens div |its near-dup
+    * cluster| (the #50 transitive MinHash clusters; docs in no pair
+    * weigh 1/1) — the "how much UNIQUE data is really here" number a
+    * token budget should be priced against, plus how many docs sit
+    * in near-dup clusters at all. Integer division keeps it §4
+    * hash-exact; the weighting is the standard 1/cluster-size
+    * de-duplication discount.
+    *
+    * Scale shape: cluster labels cover only pair-involved docs (the
+    * sublinear LSH output, read from the materialized pairs
+    * artifact), so both joins broadcast under AQE; the corpus is
+    * scanned once narrow and shuffles only into the |sources| agg. */
+  def effectiveTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = ClusterOps.clusterLabels(spark, sfDir)
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("csz"))
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("csz", coalesce($"csz", lit(1L)))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"csz" > 1L, 1L).otherwise(0L)).as("n_clustered"),
+        sum($"n_tokens").as("raw_tokens"),
+        sum(expr("n_tokens div csz")).as("effective_tokens"))
+      .orderBy($"source")
   }
 }

@@ -142,4 +142,44 @@ class ClusterSpec extends SparkTestBase {
         .foreach(r => assert(r.getLong(0) == cid))
     }
   }
+
+  test("effective dataset size reconciles with an independent cluster recompute") {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
+    import graft.functions.TextFunctions.tokens
+    val rows = graft.operators.CurationOps.effectiveTokens(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nClustered, raw, eff) =>
+      assert(nClustered <= nDocs, src)
+      assert(eff <= raw, s"$src: effective must never exceed raw")
+      assert(eff >= 0L && raw >= 0L)
+    }
+    // independent recompute: cluster sizes from dedupCluster, token
+    // lengths from a fresh narrow scan — per-source sums must agree
+    val csz = ClusterOps.dedupCluster(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val label = ClusterOps.dedupCluster(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)].collect()
+    val want = docs.groupBy(_._2).view.mapValues { ds =>
+      val eff = ds.map { case (id, _, t) =>
+        t / label.get(id).map(csz).getOrElse(1L)
+      }.sum
+      (ds.length.toLong, ds.count(d => label.contains(d._1)).toLong,
+        ds.map(_._3).sum, eff)
+    }.toMap
+    rows.foreach { case (src, nDocs, nClustered, raw, eff) =>
+      assert((nDocs, nClustered, raw, eff) == want(src), s"$src diverges")
+    }
+    // clusters weight the discount: every clustered doc divides by
+    // its true cluster size, so sources with no clustered docs are
+    // identity
+    rows.filter(_._3 == 0L).foreach { case (src, _, _, raw, eff) =>
+      assert(raw == eff, s"$src: untouched source must keep raw == effective")
+    }
+  }
 }

@@ -35,6 +35,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming reservoir equals the batch exact-k sample across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CurationOps
+    val batch = CurationOps.uniformSample(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    // the SAME key projection + global bounded-heap agg as the batch
+    // sample, in complete mode — a reservoir over an unbounded stream
+    val q = CurationOps.reservoirAgg(CurationOps.uniformKeyed(
+        in.toDF().toDF("doc_id", "source")))
+      .writeStream.format("memory").queryName("reservoir")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = CurationOps.reservoirRows(spark.table("reservoir"))
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(streamed == batch,
+        s"reservoir drift: stream=${streamed.take(3)} batch=${batch.take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming quality gate equals the batch report across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextOps
