@@ -112,6 +112,7 @@ object SparkEntry {
     "q_retention" -> (CoreOps.retentionDaily _),
     "q_pca_top" -> (SimilarityOps.pcaTop _),
     "q_effective_tokens" -> (CurationOps.effectiveTokens _),
+    "q_pca_var" -> (SimilarityOps.pcaVar _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -181,6 +182,39 @@ object SparkEntry {
       |  FROM (SELECT unnest(range(len(q))) AS dim, unnest(q) AS qv FROM vq) GROUP BY 1),
       |cv AS MATERIALIZED (SELECT p.i, p.j, p.n, CAST(p.n * p.sxy - dx.s * dy.s AS BIGINT) AS cov_num
       |  FROM cprods p JOIN cdim dx ON dx.dim = p.i JOIN cdim dy ON dy.dim = p.j)""".stripMargin
+  /** Final iterate index of the shared #88 power-iteration chain. */
+  private val pcaLast: Int = graft.operators.SimilarityOps.PcaIters
+  /** The #88 solve as SQL: scaled ±matrix (`cmh`) + the
+    * [[pcaLast]]-step orbit (`v_0` … `v_$pcaLast`) over `$covCtes` —
+    * ONE generator behind the `q_pca_top`/`q_pca_var` oracles,
+    * mirroring SimilarityOps.pcaSolve. Every iteration CTE is AS
+    * MATERIALIZED: DuckDB inlines plain CTEs, which re-evaluates the
+    * covariance subtree exponentially across the chain. */
+  private def pcaCtes: String = {
+    val steps = (1 to pcaLast).map { r =>
+      s"""w_$r AS MATERIALIZED (SELECT m.i AS dim, sum(m.c * v.v) AS w
+         |  FROM cmh m JOIN v_${r - 1} v ON m.j = v.dim GROUP BY 1),
+         |mx_$r AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w_$r),
+         |sg_$r AS MATERIALIZED (SELECT CASE WHEN w < 0 THEN -1 ELSE 1 END AS s
+         |  FROM w_$r, mx_$r WHERE abs(w) = mx ORDER BY dim LIMIT 1),
+         |v_$r AS MATERIALIZED (SELECT dim,
+         |    CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
+         |      WHEN w * s < 0 THEN -((-(w * s)) * 1000000 // mx)
+         |      ELSE (w * s) * 1000000 // mx END AS v
+         |  FROM w_$r, mx_$r, sg_$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$covCtes,
+       |cm AS (SELECT i, j,
+       |    CASE WHEN cov_num < 0 THEN -((-cov_num) // n) ELSE cov_num // n END AS c
+       |  FROM cv
+       |  UNION ALL
+       |  SELECT j AS i, i AS j,
+       |    CASE WHEN cov_num < 0 THEN -((-cov_num) // n) ELSE cov_num // n END AS c
+       |  FROM cv WHERE i < j),
+       |cmh AS MATERIALIZED (SELECT i, j, CAST(c AS HUGEINT) AS c FROM cm),
+       |v_0 AS MATERIALIZED (SELECT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM cv WHERE i = j),
+       |$steps""".stripMargin
+  }
   /** Per-doc curation gate flags over `tkv`
     * (`flags(doc_id, source, text, q_ok, l_ok)`) — ONE SQL definition
     * of the quality and language gates shared by the #48e/#74
@@ -1188,34 +1222,22 @@ object SparkEntry {
     "q_embed_cov" ->
       s"""WITH $covCtes
          |SELECT i, j, n, cov_num FROM cv ORDER BY i, j""".stripMargin,
-    "q_pca_top" -> {
-      val iters = graft.operators.SimilarityOps.PcaIters
-      val steps = (1 to iters).map { r =>
-        s"""w_$r AS MATERIALIZED (SELECT m.i AS dim, sum(m.c * v.v) AS w
-           |  FROM cmh m JOIN v_${r - 1} v ON m.j = v.dim GROUP BY 1),
-           |mx_$r AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w_$r),
-           |sg_$r AS MATERIALIZED (SELECT CASE WHEN w < 0 THEN -1 ELSE 1 END AS s
-           |  FROM w_$r, mx_$r WHERE abs(w) = mx ORDER BY dim LIMIT 1),
-           |v_$r AS MATERIALIZED (SELECT dim,
-           |    CASE WHEN mx = 0 THEN CAST(0 AS HUGEINT)
-           |      WHEN w * s < 0 THEN -((-(w * s)) * 1000000 // mx)
-           |      ELSE (w * s) * 1000000 // mx END AS v
-           |  FROM w_$r, mx_$r, sg_$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $covCtes,
-         |cm AS (SELECT i, j,
-         |    CASE WHEN cov_num < 0 THEN -((-cov_num) // n) ELSE cov_num // n END AS c
-         |  FROM cv
-         |  UNION ALL
-         |  SELECT j AS i, i AS j,
-         |    CASE WHEN cov_num < 0 THEN -((-cov_num) // n) ELSE cov_num // n END AS c
-         |  FROM cv WHERE i < j),
-         |cmh AS MATERIALIZED (SELECT i, j, CAST(c AS HUGEINT) AS c FROM cm),
-         |v_0 AS MATERIALIZED (SELECT i AS dim, CAST(1000000 AS HUGEINT) AS v FROM cv WHERE i = j),
-         |$steps
+    "q_pca_top" ->
+      s"""WITH $pcaCtes
          |SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS loading_e6
-         |FROM v_$iters ORDER BY dim""".stripMargin
-    },
+         |FROM v_$pcaLast ORDER BY dim""".stripMargin,
+    "q_pca_var" ->
+      s"""WITH $pcaCtes,
+         |ray AS MATERIALIZED (SELECT sum(m.c * va.v * vb.v) AS ray
+         |  FROM cmh m JOIN v_$pcaLast va ON m.i = va.dim JOIN v_$pcaLast vb ON m.j = vb.dim),
+         |tr2 AS MATERIALIZED (SELECT sum(c) AS tr FROM cmh WHERE i = j),
+         |vv AS MATERIALIZED (SELECT sum(v * v) AS vv FROM v_$pcaLast),
+         |dn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS d FROM v_$pcaLast)
+         |SELECT d, CAST(tr AS BIGINT) AS trace,
+         |  CAST(CASE WHEN tr * vv = 0 THEN 0
+         |    WHEN ray < 0 THEN -((-ray) * 1000000 // (tr * vv))
+         |    ELSE ray * 1000000 // (tr * vv) END AS BIGINT) AS share_e6
+         |FROM ray, tr2, vv, dn""".stripMargin,
     "q_effective_tokens" ->
       s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,

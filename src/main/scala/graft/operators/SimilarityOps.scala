@@ -468,6 +468,22 @@ object SimilarityOps {
     * independent by construction. */
   def pcaTop(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.newProductEncoder
+    val (_, v) = pcaSolve(spark, sfDir)
+    spark
+      .createDataset(v.zipWithIndex.toSeq.map { case (l, i) =>
+        (i.toLong, l.toLong)
+      })(newProductEncoder)
+      .toDF("dim", "loading_e6")
+      .orderBy($"dim")
+  }
+
+  /** The shared #88 solve: scaled integer covariance matrix +
+    * the [[PcaIters]]-step iterate — ONE definition behind
+    * [[pcaTop]] and [[pcaVar]] so the direction and its variance
+    * share can never come from different orbits. */
+  private def pcaSolve(spark: SparkSession, sfDir: String)
+      : (Array[Array[BigInt]], Array[BigInt]) = {
+    import spark.implicits.newProductEncoder
     val cov = embedCovariance(spark, sfDir)
       .select($"i", $"j", $"n", $"cov_num")
       .as[(Long, Long, Long, Long)](newProductEncoder).collect()
@@ -494,11 +510,33 @@ object SimilarityOps {
         }
       }
     }
+    (C, v)
+  }
+
+  /** #88b Explained-variance share of the #88 principal component:
+    * the Rayleigh quotient vᵀCv against trace(C)·vᵀv, as an e6 share
+    * — the single-number "how collapsed is the embedding space"
+    * health check (an isotropic d-dim corpus sits near 1e6/d; a
+    * collapsed one approaches 1e6). Same integer orbit as
+    * [[pcaTop]] (shared [[pcaSolve]]); all products run in BigInt ≡
+    * HUGEINT (vᵀCv reaches ~10²⁵, far past Long), the share is a
+    * sign-preserving truncated division, and the one-row output is
+    * corpus-size independent like the #82 artifact it derives
+    * from. */
+  def pcaVar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.newProductEncoder
+    val (cm, v) = pcaSolve(spark, sfDir)
+    val d = v.length
+    val ray = (for (i <- 0 until d; j <- 0 until d) yield cm(i)(j) * v(i) * v(j)).sum
+    val tr = (0 until d).map(i => cm(i)(i)).sum
+    val vv = v.map(x => x * x).sum
+    val den = tr * vv
+    val share =
+      if (den == 0) BigInt(0)
+      else if (ray < 0) -((-ray) * 1000000 / den)
+      else ray * 1000000 / den
     spark
-      .createDataset(v.zipWithIndex.toSeq.map { case (l, i) =>
-        (i.toLong, l.toLong)
-      })(newProductEncoder)
-      .toDF("dim", "loading_e6")
-      .orderBy($"dim")
+      .createDataset(Seq((d.toLong, tr.toLong, share.toLong)))(newProductEncoder)
+      .toDF("d", "trace", "share_e6")
   }
 }

@@ -265,4 +265,18 @@ class SimilaritySpec extends SparkTestBase {
         math.sqrt(ref.map(x => x * x).sum))
     assert(cos >= 0.98, s"integer iteration diverged from the eigenvector: cos $cos")
   }
+
+  test("pca explained-variance share sits between the isotropic floor and 1") {
+    val rows = SimilarityOps.pcaVar(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 1)
+    val (d, trace, share) = rows.head
+    assert(d > 0 && trace > 0)
+    assert(share > 0L && share <= 1000000L, s"share_e6 $share out of (0, 1e6]")
+    // the dominant direction explains at least the per-dim average
+    // (true for the eigenvector; the iterate is within cos 0.98 of it
+    // — pinned above — so the Rayleigh share clears the floor too)
+    assert(share * d >= 1000000L,
+      s"share_e6 $share below the isotropic floor 1e6/$d")
+  }
 }
