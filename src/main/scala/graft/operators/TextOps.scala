@@ -362,9 +362,15 @@ object TextOps {
     * hash-exact cross-engine.
     *
     * Physical shape at 100 TB: the count tables are vocab-bounded
-    * (≪ corpus) partial-agg shuffles; per-position scoring is two
-    * equi-joins on uniform term keys (AQE broadcasts them when small)
-    * and one final doc_id agg. Nothing driver-side, nothing
+    * (≪ corpus) partial-agg shuffles. Scoring first collapses
+    * repeated bigrams WITHIN each doc to (doc, bigram, k) — a
+    * partial-agg'd shuffle that typically shrinks the join input
+    * several-fold, and value-identical because r depends only on the
+    * bigram (Σ_occurrences r = Σ k·r, n = Σ k). The ratio joins are
+    * equi-joins on term keys; natural-language bigrams are heavily
+    * skewed ("of the" is in every doc), which is exactly the shape
+    * AQE's skew-join split handles — the count side is one row per
+    * key, trivially replicable. Nothing driver-side, nothing
     * quadratic. */
   def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -377,13 +383,14 @@ object TextOps {
         element_at($"tk", $"i" + 1).as("w2"))
     val uni = toks.select(explode($"tk").as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val big = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-    bg.join(big, Seq("w1", "w2"))
+    val docBg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
+    val big = docBg.groupBy($"w1", $"w2").agg(sum($"k").as("c2"))
+    docBg.join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
-      .select($"doc_id", expr("c2 * 1000000 div c1").as("r"))
+      .select($"doc_id", $"k", expr("c2 * 1000000 div c1").as("r"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(r) div count(1)").as("lm_score_e6"))
+      .agg(sum($"k").as("n_bigrams"),
+        expr("sum(k * r) div sum(k)").as("lm_score_e6"))
       .orderBy($"doc_id")
   }
 
