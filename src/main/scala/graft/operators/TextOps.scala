@@ -373,18 +373,9 @@ object TextOps {
     * key, trivially replicable. Nothing driver-side, nothing
     * quadratic. */
   def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val toks = docs.select($"doc_id", tokens($"text").as("tk"))
-    val bg = toks
-      .filter(size($"tk") >= 2)
-      .select($"doc_id", explode(sequence(lit(1), size($"tk") - 1)).as("i"),
-        $"tk")
-      .select($"doc_id", element_at($"tk", $"i").as("w1"),
-        element_at($"tk", $"i" + 1).as("w2"))
-    val uni = toks.select(explode($"tk").as("w1"))
-      .groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val docBg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
-    val big = docBg.groupBy($"w1", $"w2").agg(sum($"k").as("c2"))
+    val (uni, big) = lmCounts(spark, sfDir)
+    val docBg = lmBigrams(Tables.documents(spark, sfDir))
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
     docBg.join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .select($"doc_id", $"k", expr("c2 * 1000000 div c1").as("r"))
@@ -392,6 +383,31 @@ object TextOps {
       .agg(sum($"k").as("n_bigrams"),
         expr("sum(k * r) div sum(k)").as("lm_score_e6"))
       .orderBy($"doc_id")
+  }
+
+  /** Per-occurrence interior bigrams of a (doc_id, text) frame —
+    * ONE tokenization/boundary definition shared by the batch scorer
+    * and the streaming per-drop gate (StreamingJobs.lmGate), the
+    * same no-desync discipline as gateFlags. Works on batch and
+    * streaming frames alike (pure narrow). */
+  private[graft] def lmBigrams(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", tokens($"text").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select($"doc_id", explode(sequence(lit(1), size($"tk") - 1)).as("i"),
+        $"tk")
+      .select($"doc_id", element_at($"tk", $"i").as("w1"),
+        element_at($"tk", $"i" + 1).as("w2"))
+
+  /** The corpus count tables of [[lmQuality]] (unigram c1, bigram
+    * c2) — the "model" a per-drop streaming gate scores against,
+    * recomputed batch-side per corpus snapshot. */
+  def lmCounts(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, sfDir)
+    val uni = docs.select(explode(tokens($"text")).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val big = lmBigrams(docs)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    (uni, big)
   }
 
   /** #86 Vocabulary growth profile: per source, total token

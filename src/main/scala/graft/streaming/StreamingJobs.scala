@@ -186,6 +186,25 @@ object StreamingJobs {
       .filter(graft.operators.CoreOps.sigma3Outlier)
       .select($"event_type", $"event_id", $"user_id", $"ts_us", $"value_e2")
 
+  /** Streaming bigram-LM fluency gate: score each arriving doc
+    * against the BATCH corpus count tables (TextOps.lmCounts —
+    * refreshed per drop; the stream never aggregates global counts,
+    * the same stats-broadcast shape as [[streamingOutliers]]).
+    * Narrow bigram explode (shared TextOps.lmBigrams definition) +
+    * two stream–static joins + ONE streaming agg keyed by doc_id
+    * (update mode emits each doc once — its bigrams arrive in one
+    * micro-batch). Per-occurrence scoring here is value-identical to
+    * the batch scorer's per-(doc, bigram, k) form, because the ratio
+    * depends only on the bigram. */
+  def lmGate(stream: DataFrame, uni: DataFrame, big: DataFrame): DataFrame =
+    graft.operators.TextOps.lmBigrams(stream)
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select($"doc_id", expr("c2 * 1000000 div c1").as("r"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(r) div count(1)").as("lm_score_e6"))
+
   /** Stream–stream interval join: each order pairs with payment
     * events for the same user within [0, `interval`] after the order
     * (the Flink connect/CoProcessFunction enrichment pattern,

@@ -60,6 +60,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LM gate scores each doc exactly as the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val batch = TextOps.lmQuality(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val (uni, big) = TextOps.lmCounts(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.lmGate(in.toDF().toDF("doc_id", "text"), uni, big)
+      .writeStream.format("memory").queryName("lmgate")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("lmgate")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"LM drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming quality gate equals the batch report across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextOps
