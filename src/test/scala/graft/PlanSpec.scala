@@ -274,6 +274,15 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(planOf("q_vocab_growth")) <= 3)
   }
 
+  test("q_embed_cov partial-aggregates the product stream and broadcasts dim sums") {
+    val plan = fullPlanString("q_embed_cov")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the d²/2-per-vector product stream must combine map-side")
+    assert(plan.contains("BroadcastHashJoin"), "d-row dim-sum tables must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "the O(d²) frame must not shuffle to meet d rows")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_retention shuffles rows once — everything else works on the (user, day) frame") {
     val p = planOf("q_retention")
     val plan = p.toString
