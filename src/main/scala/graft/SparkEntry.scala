@@ -113,6 +113,11 @@ object SparkEntry {
     "q_pca_top" -> (SimilarityOps.pcaTop _),
     "q_effective_tokens" -> (CurationOps.effectiveTokens _),
     "q_pca_var" -> (SimilarityOps.pcaVar _),
+    "q_cluster_purity" -> (SimilarityOps.clusterPurity _),
+    "q_decon_embedding" -> (CurationOps.deconEmbedding _),
+    "q_token_diversity" -> (TextOps.tokenDiversity _),
+    "q_length_gate" -> (CurationOps.lengthGate _),
+    "q_hist_quantiles" -> (CurationOps.histQuantiles _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1311,5 +1316,83 @@ object SparkEntry {
         |FROM act LEFT JOIN nw USING (day) LEFT JOIN rt USING (day)
         |LEFT JOIN pv USING (day)
         |ORDER BY day""".stripMargin,
+    "q_cluster_purity" ->
+      s"""WITH $quantCte,
+         |$kmeansCtes,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cl AS (SELECT a2.c AS cluster_id, lab.label, CAST(count(*) AS BIGINT) AS n
+         |  FROM a2 JOIN lab ON a2.vec_id = lab.vec_id GROUP BY 1, 2),
+         |rk AS (SELECT cluster_id, label, n,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, label ASC) AS rk,
+         |    CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members FROM cl)
+         |SELECT cluster_id, n_members, label AS major_label, n AS n_major,
+         |  n * 10000 // n_members AS purity_e4
+         |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "q_decon_embedding" ->
+      s"""WITH $quantCte,
+         |hit AS (SELECT vec_id, bench_id, cos_e6,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, bench_id ASC) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_hits
+         |  FROM (SELECT b.vec_id, a.vec_id AS bench_id,
+         |      ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |    FROM n a JOIN n b
+         |      ON a.vec_id % ${CurationOps.EmbDecontMod} = 0
+         |     AND b.vec_id % ${CurationOps.EmbDecontMod} <> 0)
+         |  WHERE cos_e6 >= ${CurationOps.EmbDecontCos})
+         |SELECT vec_id, bench_id AS best_bench, cos_e6 AS max_cos_e6, n_hits
+         |FROM hit WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "q_token_diversity" ->
+      s"""WITH $tkCte,
+         |cnt AS (SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkv) GROUP BY 1, 2),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c*c) AS BIGINT) AS sum_sq_counts FROM cnt GROUP BY 1)
+         |SELECT doc_id, n_tokens, sum_sq_counts,
+         |  (n_tokens * n_tokens - sum_sq_counts) * 1000000 // (n_tokens * n_tokens) AS simpson_e6
+         |FROM d WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+    "q_length_gate" ->
+      s"""WITH $tkCte,
+         |lens AS (SELECT d.source, t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens
+         |  FROM tkv t JOIN documents d USING (doc_id)),
+         |rk AS (SELECT source, n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_tokens ASC, doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n FROM lens),
+         |bounds AS (SELECT source,
+         |    max(CASE WHEN rk = (n - 1) * ${CurationOps.LengthGateLoPct} // 100 + 1 THEN n_tokens END) AS lo_tokens,
+         |    max(CASE WHEN rk = (n - 1) * ${CurationOps.LengthGateHiPct} // 100 + 1 THEN n_tokens END) AS hi_tokens
+         |  FROM rk GROUP BY 1)
+         |SELECT l.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  max(lo_tokens) AS lo_tokens, max(hi_tokens) AS hi_tokens,
+         |  CAST(sum(CASE WHEN n_tokens < lo_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  CAST(sum(CASE WHEN n_tokens > hi_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |  CAST(count(*) - sum(CASE WHEN n_tokens < lo_tokens THEN 1 ELSE 0 END)
+         |     - sum(CASE WHEN n_tokens > hi_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM lens l JOIN bounds b USING (source) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hist_quantiles" ->
+      s"""WITH lens AS (SELECT source, doc_id,
+         |    CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |h AS (SELECT source, n_tokens // ${CurationOps.HistBucketW} AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM lens GROUP BY 1, 2),
+         |cm AS (SELECT source, b, c,
+         |    CAST(sum(c) OVER (PARTITION BY source ORDER BY b ASC) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM h),
+         |est AS (SELECT source,
+         |    min(CASE WHEN cum >= floor((n-1) * 0.5) + 1 THEN (b+1)*${CurationOps.HistBucketW} - 1 END) AS p50_est,
+         |    min(CASE WHEN cum >= floor((n-1) * 0.9) + 1 THEN (b+1)*${CurationOps.HistBucketW} - 1 END) AS p90_est,
+         |    min(CASE WHEN cum >= floor((n-1) * 0.99) + 1 THEN (b+1)*${CurationOps.HistBucketW} - 1 END) AS p99_est
+         |  FROM cm GROUP BY 1),
+         |r AS (SELECT source, n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM lens),
+         |ex AS (SELECT source, max(n) AS n_docs,
+         |    max(CASE WHEN rk = floor((n-1) * 0.5) + 1 THEN n_tokens END) AS p50_tokens,
+         |    max(CASE WHEN rk = floor((n-1) * 0.9) + 1 THEN n_tokens END) AS p90_tokens,
+         |    max(CASE WHEN rk = floor((n-1) * 0.99) + 1 THEN n_tokens END) AS p99_tokens
+         |  FROM r GROUP BY source)
+         |SELECT ex.source, n_docs, p50_tokens, p50_est, p90_tokens, p90_est,
+         |  p99_tokens, p99_est
+         |FROM ex JOIN est USING (source) ORDER BY source""".stripMargin,
   )
 }

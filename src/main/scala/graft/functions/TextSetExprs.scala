@@ -33,6 +33,13 @@ object TextSetExprs {
   def maxTokenCount(tk: Column): Column =
     ColumnBridge.column(MaxTokenCountExpr(ColumnBridge.expression(tk)))
 
+  /** Σ count² over the distinct elements of `tk` (array<string>) —
+    * the Simpson-diversity kernel: P(two sampled tokens equal) =
+    * Σc²/n². 0 for an empty array. One hash-map pass per document,
+    * same narrow codegen'd shape as [[maxTokenCount]]. */
+  def sumSqTokenCounts(tk: Column): Column =
+    ColumnBridge.column(SumSqTokenCountsExpr(ColumnBridge.expression(tk)))
+
   // codegen kernels (static forwarders; called from generated Java and
   // the interpreted eval paths)
   def countInSetData(a: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
@@ -61,6 +68,21 @@ object TextSetExprs {
       i += 1
     }
     best.toLong
+  }
+
+  def sumSqTokenCountsData(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) counts.merge(a.getUTF8String(i), 1, (x, y) => x + y)
+      i += 1
+    }
+    var ssq = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; ssq += c * c }
+    ssq
   }
 }
 
@@ -97,4 +119,17 @@ case class MaxTokenCountExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): MaxTokenCountExpr =
     copy(child = c)
   override def prettyName: String = "max_token_count"
+}
+
+case class SumSqTokenCountsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    TextSetExprs.sumSqTokenCountsData(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSetExprs.sumSqTokenCountsData($c);")
+  override protected def withNewChildInternal(c: Expression): SumSqTokenCountsExpr =
+    copy(child = c)
+  override def prettyName: String = "sum_sq_token_counts"
 }

@@ -167,6 +167,114 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** [[deconEmbedding]] parameters: benchmark = vec_id %
+    * [[EmbDecontMod]] == 0; contamination bar = cosine ≥
+    * [[EmbDecontCos]] (e6) — the same bar as the embedding near-dup
+    * family (#42), because "semantically identical to an eval item"
+    * and "semantic near-duplicate" are the same judgment. */
+  val EmbDecontMod = 31L
+  val EmbDecontCos = 400000L
+
+  /** #91 Embedding-space decontamination: flag corpus vectors whose
+    * cosine to ANY held-out benchmark vector reaches the near-dup
+    * bar — the semantic complement of the n-gram checks (#51/#78b),
+    * which miss paraphrased eval answers that token grams never
+    * catch. Per contaminated vector: its best-matching benchmark
+    * item (max cos, bench-id tiebreak) and how many benchmark items
+    * it hits. Here the "benchmark" is vec_id % [[EmbDecontMod]] == 0;
+    * in production it is the eval set's own (small) embedding table.
+    *
+    * Scale shape: the benchmark side is tiny (eval sets are MBs
+    * against a 100 TB corpus) → BROADCAST against one narrow corpus
+    * scan; only τ-survivors reach the per-vector ranking, whose
+    * partitions are bounded by the benchmark size — the corpus is
+    * never shuffled. */
+  /** e3-quantized (vec_id, q, n2) projection of an embedding frame —
+    * ONE definition shared by the batch decon, its benchmark side,
+    * and the streaming per-drop gate, so the quantization cannot
+    * drift between them. */
+  private[graft] def quantVecs(df: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{quantize, norm2}
+    df.select($"vec_id", quantize($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+  }
+
+  /** The held-out benchmark embedding table (bench_id, bq, bn2) —
+    * shared by [[deconEmbedding]] and the streaming gate. */
+  private[graft] def embBench(spark: SparkSession, sfDir: String): DataFrame =
+    quantVecs(Tables.embeddings(spark, sfDir))
+      .filter($"vec_id" % EmbDecontMod === 0L)
+      .select($"vec_id".as("bench_id"), $"q".as("bq"), $"n2".as("bn2"))
+
+  /** Candidate (vec_id, bench_id, cos_e6) hits at the contamination
+    * bar: incoming vectors × the BROADCAST benchmark — the stateless
+    * scoring stage shared verbatim by the batch and streaming forms. */
+  private[graft] def deconHits(vecs: DataFrame, bench: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineE6, dotL}
+    vecs.join(broadcast(bench))
+      .select($"vec_id", $"bench_id",
+        cosineE6(dotL($"q", $"bq"), $"n2", $"bn2").as("cos_e6"))
+      .filter($"cos_e6" >= EmbDecontCos)
+  }
+
+  def deconEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = quantVecs(Tables.embeddings(spark, sfDir))
+      .filter($"vec_id" % EmbDecontMod =!= 0L)
+    val hits = deconHits(corpus, embBench(spark, sfDir))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_e6".desc, $"bench_id".asc)
+    hits
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy($"vec_id")))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"bench_id".as("best_bench"),
+        $"cos_e6".as("max_cos_e6"), $"n_hits")
+      .orderBy($"vec_id")
+  }
+
+  /** Winsorization percentiles for [[lengthGate]] (per mille-free
+    * integer rank picks, see the gate's scaladoc). */
+  val LengthGateLoPct = 5L
+  val LengthGateHiPct = 95L
+
+  /** #93 Winsorized length gate: per-source p5/p95 token-count
+    * bounds by exact rank position (the #59 selection rule — value
+    * at sorted position (n−1)·pct div 100, doc-id tiebreak) and the
+    * per-source count of docs outside them — the "cut the truncated
+    * fragments and the concatenation blobs" gate tuned PER SOURCE,
+    * because a global length bar mis-cuts sources whose natural
+    * lengths differ (code vs chat vs web).
+    *
+    * Scale shape: one per-source sort shuffle for the rank pick
+    * (same as #59 — no global sort), the source-count bounds frame
+    * is tiny → broadcast back against a second narrow scan, flags
+    * partial-aggregate. Integer rank arithmetic end to end (no
+    * double percentile interpolation — engine-exact). */
+  def lengthGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+        size(tokens($"text")).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy($"source").orderBy($"n_tokens".asc, $"doc_id".asc)
+    val bounds = lens
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(
+        max(when($"rk" === expr(s"(n - 1) * $LengthGateLoPct div 100 + 1"), $"n_tokens"))
+          .as("lo_tokens"),
+        max(when($"rk" === expr(s"(n - 1) * $LengthGateHiPct div 100 + 1"), $"n_tokens"))
+          .as("hi_tokens"))
+    lens.join(broadcast(bounds), "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        max($"lo_tokens").as("lo_tokens"), max($"hi_tokens").as("hi_tokens"),
+        sum(when($"n_tokens" < $"lo_tokens", 1L).otherwise(0L)).as("n_below"),
+        sum(when($"n_tokens" > $"hi_tokens", 1L).otherwise(0L)).as("n_above"))
+      .withColumn("n_kept", $"n_docs" - $"n_below" - $"n_above")
+      .orderBy($"source")
+  }
+
   /** [[decontaminateBloom]] parameters: benchmark = doc_id %
     * [[BloomDecontMod]] == 0, [[BloomDecontGram]]-gram overlap. The
     * bloom sizing gives < 1% false positives at the gate scales —
@@ -296,6 +404,49 @@ object CurationOps {
         pick(0.5).as("p50_tokens"),
         pick(0.9).as("p90_tokens"),
         pick(0.99).as("p99_tokens"))
+      .orderBy($"source")
+  }
+
+  /** Bucket width (tokens) for [[histQuantiles]]'s fixed-grid
+    * histogram — estimate error is < this by construction. */
+  val HistBucketW = 8L
+
+  /** #94 Histogram-sketch quantiles: the MERGEABLE estimation path
+    * for the #59 length profile — per source a fixed-grid histogram
+    * of token counts (bucket = n_tokens div [[HistBucketW]]), with
+    * each percentile estimated as the upper bound of the bucket the
+    * exact rank pick lands in. At 100 TB the #59 per-source sort is
+    * the expensive form; the histogram is one partial-agg'd
+    * (source, bucket) shuffle whose state is O(maxlen/W) counters
+    * per source — commutative, mergeable across days, and the
+    * estimate is within W−1 tokens of exact BY CONSTRUCTION (the
+    * rank-picked value lies inside its own bucket). Exact values
+    * emitted alongside to gate estimator quality — the same
+    * estimated-vs-exact audit pattern as KMV (#58) and CMS (#60).
+    * The cumulative window runs per source over its BUCKETS (a
+    * handful of rows), never over docs. */
+  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, sfDir)
+      .select($"source", size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .groupBy($"source", expr(s"n_tokens div $HistBucketW").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum($"c").over(Window.partitionBy($"source").orderBy($"b".asc)))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"source")))
+    // same rank position as #59 (floor((n-1)·q)+1); the estimate is
+    // the containing bucket's upper value (b+1)·W − 1
+    def est(q: Double, name: String) =
+      min(when($"cum" >= expr(s"floor((n - 1) * $q) + 1"),
+        ($"b" + 1L) * HistBucketW - 1L)).as(name)
+    val ests = cum.groupBy($"source")
+      .agg(est(0.5, "p50_est"), est(0.9, "p90_est"), est(0.99, "p99_est"))
+    sourceQuantiles(spark, sfDir)
+      .join(broadcast(ests), "source")
+      .select($"source", $"n_docs",
+        $"p50_tokens", $"p50_est", $"p90_tokens", $"p90_est",
+        $"p99_tokens", $"p99_est")
       .orderBy($"source")
   }
 

@@ -278,6 +278,39 @@ object SimilarityOps {
         round(sum($"dist").cast("double") / count(lit(1))).cast(LongType).as("mean_dist"))
       .orderBy($"cluster_id")
 
+  /** #90 Cluster–label purity: score the #67 k-means clustering
+    * against the corpus's ground-truth `label` column — per cluster
+    * the member count, majority label (count desc, label tiebreak)
+    * and purity_e4 = n_major·10⁴ div n_members. The clustering-
+    * quality audit a pipeline runs when labels exist for a slice of
+    * the corpus (human ratings, source taxonomies): low purity means
+    * the embedding space does not separate the taxonomy and
+    * cluster-balanced sampling (#72) will not balance it.
+    *
+    * Scale shape: one equi-join of the materialized assignment
+    * artifact against the label column (in production both sit
+    * co-partitioned next to the corpus — this is the shuffle-free
+    * case; here one row-granularity hash join), partial-agg'd down
+    * to k·|labels| rows; the majority pick's window runs on that
+    * tiny frame, never on corpus rows. */
+  def clusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val asg = kmeansAssignShared(spark, sfDir).select($"vec_id", $"cluster_id")
+    val labels = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".cast(LongType).as("label"))
+    val byLabel = asg.join(labels, "vec_id")
+      .groupBy($"cluster_id", $"label")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"n".desc, $"label".asc)
+    byLabel
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", sum($"n").over(Window.partitionBy($"cluster_id")))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"n_members", $"label".as("major_label"),
+        $"n".as("n_major"),
+        expr("n * 10000 div n_members").as("purity_e4"))
+      .orderBy($"cluster_id")
+  }
+
   /** Iteration cap for [[kmeansConverge]] — fixed, so the profile is
     * deterministic and its oracle is a fixed CTE chain. */
   val KmeansRounds = 3

@@ -131,6 +131,34 @@ object TextOps {
           .as("dup_bigram_ratio_e4"))
       .orderBy($"doc_id")
 
+  /** Simpson-diversity flag bar for the [[tokenDiversity]] profile's
+    * consumers: docs below ~0.9 on this corpus are template/spam
+    * shaped. Shared with specs so the bar cannot drift. */
+  val DiversityLowE6 = 900000L
+
+  /** #92 Token-diversity profile (Simpson index): per document the
+    * probability two uniformly sampled tokens DIFFER, as an exact
+    * integer ratio simpson_e6 = (n² − Σc²)·10⁶ div n² over the
+    * per-doc token counts — the repetition detector's complement
+    * (low diversity ⇒ template/boilerplate text even when no single
+    * token dominates, the case [[textRepetition]]'s top-token ratio
+    * misses). Σc² is one hash-map pass per document
+    * ([[graft.functions.TextSetExprs.sumSqTokenCounts]], native
+    * codegen'd — never an explode + (doc, token) shuffle), so the
+    * 100 TB plan stays scan → project → sort, same as #53. n ≤ doc
+    * length keeps n²·10⁶ far from BIGINT range. */
+  def tokenDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .select($"doc_id",
+        size($"tk").cast(LongType).as("n_tokens"),
+        graft.functions.TextSetExprs.sumSqTokenCounts($"tk").as("sum_sq_counts"))
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_tokens", $"sum_sq_counts",
+        expr("(n_tokens * n_tokens - sum_sq_counts) * 1000000 div (n_tokens * n_tokens)")
+          .as("simpson_e6"))
+      .orderBy($"doc_id")
+
   /** #55 Corpus vocabulary profile: top-20 bigrams by DOCUMENT
     * frequency (each doc contributes its distinct grams once), count
     * desc with gram-text tiebreak. Scale: distinct-gram generation is

@@ -205,6 +205,26 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(r) div count(1)").as("lm_score_e6"))
 
+  /** Streaming decontamination gate (SURVEY.md §2.7 #91b): score each
+    * drop's embedding vectors against the BROADCAST benchmark table
+    * before admitting them — the "is today's crawl contaminated with
+    * eval data" check run at ingest instead of over the whole corpus.
+    * Same stateless scoring stage as the batch operator
+    * (`CurationOps.deconHits` — one shared definition), then one
+    * update-mode agg keyed by vec_id; each vector arrives in exactly
+    * one micro-batch, so each contaminated vector emits exactly once
+    * (the [[lmGate]] contract). The majority pick is a max over
+    * (cos, −bench) structs — an associative merge, so the agg state
+    * per key is O(1). StreamingSpec pins stream ≡ batch per vector. */
+  def deconGate(stream: DataFrame, bench: DataFrame): DataFrame =
+    graft.operators.CurationOps.deconHits(
+        graft.operators.CurationOps.quantVecs(stream), bench)
+      .groupBy($"vec_id")
+      .agg(max(struct($"cos_e6", (-$"bench_id").as("nb"))).as("best"),
+        count(lit(1)).as("n_hits"))
+      .select($"vec_id", (-$"best.nb").as("best_bench"),
+        $"best.cos_e6".as("max_cos_e6"), $"n_hits")
+
   /** Stream–stream interval join: each order pairs with payment
     * events for the same user within [0, `interval`] after the order
     * (the Flink connect/CoProcessFunction enrichment pattern,

@@ -62,10 +62,15 @@ class CodegenSpec extends SparkTestBase {
         TextHash.gramHashes(col("text"), 3), 1000000007L).as("sum_mod"),
       graft.functions.TextSetExprs.countInSet(
         graft.functions.TextFunctions.tokens(col("text")),
-        graft.functions.TextFunctions.enMarkers).as("marker_hits"))
+        graft.functions.TextFunctions.enMarkers).as("marker_hits"),
+      graft.functions.TextSetExprs.maxTokenCount(
+        graft.functions.TextFunctions.tokens(col("text"))).as("top_tok"),
+      graft.functions.TextSetExprs.sumSqTokenCounts(
+        graft.functions.TextFunctions.tokens(col("text"))).as("ssq_tok"))
     val tt = t.select(
       col("id"), col("grams"), col("sh"), col("sig"), col("rolling"),
       col("gram_strs"), col("sum_mod"), col("marker_hits"),
+      col("top_tok"), col("ssq_tok"),
       TextHash.sortedIntersectCount(
         sort_array(col("grams")), sort_array(col("grams"))).as("self_common"))
     tt.crossJoin(e)

@@ -283,6 +283,26 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_token_diversity is a narrow scan — no explode, no (doc, token) aggregate") {
+    val plan = fullPlanString("q_token_diversity")
+    assert(!plan.contains("Generate"),
+      "Σc² must come from the native per-doc kernel, not explode + count")
+    assert(!plan.contains("HashAggregate"), "no token-granularity shuffle")
+  }
+
+  test("q_decon_embedding broadcasts the benchmark side against one corpus scan") {
+    val plan = fullPlanString("q_decon_embedding")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "the benchmark vectors must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q_length_gate broadcasts the per-source bounds frame back onto the scan") {
+    val plan = fullPlanString("q_length_gate")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("q_retention shuffles rows once — everything else works on the (user, day) frame") {
     val p = planOf("q_retention")
     val plan = p.toString

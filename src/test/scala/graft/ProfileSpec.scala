@@ -146,6 +146,69 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("token diversity equals a plain-Scala model") {
+    import spark.implicits.newProductEncoder
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, t) =>
+      val tk = t.split(' ').filter(_.nonEmpty)
+      val n = tk.length.toLong
+      if (n == 0L) None
+      else {
+        val ssq = tk.groupBy(identity).values
+          .map(g => g.length.toLong * g.length).sum
+        Some((id, n, ssq, (n * n - ssq) * 1000000L / (n * n)))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextOps.tokenDiversity(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, "operator diverges from the reference model")
+    // Σc² is bracketed by all-distinct (= n) and all-same (= n²), so
+    // the Simpson share lives strictly inside [0, 1e6)
+    assert(got.forall { case (_, n, ssq, s) =>
+      ssq >= n && ssq <= n * n && s >= 0L && s < 1000000L
+    })
+  }
+
+  test("length gate equals a plain-Scala model and conserves its flags") {
+    import spark.implicits.newProductEncoder
+    val lens = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").as[(String, Long, String)].collect()
+      .map { case (s, id, t) => (s, id, t.split(' ').count(_.nonEmpty).toLong) }
+    val want = lens.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length.toLong
+      val lo = sorted(((n - 1) * CurationOps.LengthGateLoPct / 100L).toInt)
+      val hi = sorted(((n - 1) * CurationOps.LengthGateHiPct / 100L).toInt)
+      val below = sorted.count(_ < lo).toLong
+      val above = sorted.count(_ > hi).toLong
+      (n, lo, hi, below, above, n - below - above)
+    }.toMap
+    val got = CurationOps.lengthGate(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (s, n, lo, hi, nb, na, nk) =>
+      assert((n, lo, hi, nb, na, nk) == want(s), s"$s diverges")
+      assert(lo <= hi && nb + na + nk == n)
+    }
+  }
+
+  test("histogram quantile estimates bracket the exact rank picks within one bucket") {
+    val rows = CurationOps.histQuantiles(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val w = CurationOps.HistBucketW
+    rows.foreach { case (s, n, p50, e50, p90, e90, p99, e99) =>
+      assert(n > 0L)
+      // the rank-picked value lies inside its own bucket, so the
+      // bucket-upper estimate is ≥ exact and < one bucket above
+      Seq((p50, e50), (p90, e90), (p99, e99)).foreach { case (ex, est) =>
+        assert(est >= ex && est - ex < w, s"$s: est $est vs exact $ex")
+      }
+      assert(p50 <= p90 && p90 <= p99 && e50 <= e90 && e90 <= e99)
+    }
+  }
+
   test("retention cohorts: conservation and bounds") {
     val rows = graft.operators.CoreOps.retentionDaily(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -230,6 +230,44 @@ class SimilaritySpec extends SparkTestBase {
     }, "a covariance numerator violates Cauchy-Schwarz")
   }
 
+  test("cluster purity partitions the corpus and reconciles with the k-means profile") {
+    val purity = SimilarityOps.clusterPurity(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val prof = SimilarityOps.kmeansProfile(spark, sf)
+      .select("cluster_id", "n_members").as[(Long, Long)].collect().toMap
+    val total = Tables.embeddings(spark, sf).count()
+    assert(purity.map(_._2).sum == total, "cluster members must partition the corpus")
+    assert(purity.map(_._1).toSet == prof.keySet,
+      "purity must cover exactly the profile's clusters")
+    purity.foreach { case (c, n, _, nMaj, pe4) =>
+      assert(n == prof(c), s"cluster $c size diverges from the profile")
+      assert(nMaj >= 1L && nMaj <= n)
+      assert(pe4 == nMaj * 10000L / n && pe4 >= 1L && pe4 <= 10000L)
+    }
+  }
+
+  test("embedding decontamination equals a plain-JVM model over the quantized vectors") {
+    import graft.functions.VectorFunctions.{quantizeJvm, cosineE6Jvm}
+    import graft.operators.CurationOps
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> quantizeJvm(r.getSeq[Float](1).toArray))
+    val n2 = emb.map { case (id, q) => id -> q.map(x => x * x).sum }.toMap
+    val bench = emb.filter(_._1 % CurationOps.EmbDecontMod == 0L)
+    val want = emb.filter(_._1 % CurationOps.EmbDecontMod != 0L).flatMap { case (cid, cq) =>
+      val hits = bench
+        .map { case (bid, bq) => (bid, cosineE6Jvm(cq, bq, n2(cid), n2(bid))) }
+        .filter(_._2 >= CurationOps.EmbDecontCos)
+      if (hits.isEmpty) None
+      else {
+        val (bid, cos) = hits.minBy { case (b, c) => (-c, b) }
+        Some((cid, bid, cos, hits.length.toLong))
+      }
+    }.sortBy(_._1).toSeq
+    val got = CurationOps.deconEmbedding(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, "operator diverges from the JVM model")
+  }
+
   test("pca top component: normalized, sign-stabilized, aligned with the true eigenvector") {
     val v = SimilarityOps.pcaTop(spark, sf)
       .as[(Long, Long)].collect().sortBy(_._1).map(_._2)

@@ -84,6 +84,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decon gate flags each drop vector exactly as the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CurationOps
+    val batch = CurationOps.deconEmbedding(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val corpus = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % CurationOps.EmbDecontMod =!= 0L)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val bench = CurationOps.embBench(spark, sf)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.deconGate(
+        in.toDF().toDF("vec_id", "embedding"), bench)
+      .writeStream.format("memory").queryName("decongate")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = corpus.splitAt(corpus.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("decongate")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"decon drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming quality gate equals the batch report across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextOps
