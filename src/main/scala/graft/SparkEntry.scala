@@ -118,6 +118,7 @@ object SparkEntry {
     "q_token_diversity" -> (TextOps.tokenDiversity _),
     "q_length_gate" -> (CurationOps.lengthGate _),
     "q_hist_quantiles" -> (CurationOps.histQuantiles _),
+    "q_quality_percentile" -> (CurationOps.qualityPercentile _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -304,6 +305,19 @@ object SparkEntry {
        |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesSqlValues})
        |  GROUP BY 1),
        |nb AS (SELECT n.vec_id, q, n2, bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id)""".stripMargin
+  /** Bigram-LM count tables + per-occurrence ratio rows
+    * `lmr(doc_id, r)` (r = c(w1w2)·10⁶ div c(w1)) — the ONE corpus
+    * LM definition shared by the #81 fluency oracle and the #95
+    * quality-percentile oracle. Requires `$tkCte` upstream. */
+  private val lmCtes =
+    """bg AS (SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i+1 AS INTEGER)] AS w2
+      |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
+      |        FROM tkv WHERE len(tk) >= 2)),
+      |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |  FROM (SELECT unnest(tk) AS w1 FROM tkv) GROUP BY w1),
+      |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+      |lmr AS (SELECT doc_id, c2 * 1000000 // c1 AS r
+      |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1))""".stripMargin
   private def cosE6(qa: String, qb: String, n2a: String, n2b: String): String =
     s"CAST(round(CAST(list_sum(list_transform(list_zip($qa,$qb), p -> p[1]*p[2])) AS DOUBLE) / sqrt(CAST($n2a*$n2b AS DOUBLE)) * 1000000) AS BIGINT)"
   private def inList(words: Seq[String]): String =
@@ -1213,17 +1227,10 @@ object SparkEntry {
          |ORDER BY rnk LIMIT ${CurationOps.WeightedK}""".stripMargin,
     "q_lm_quality" ->
       s"""WITH $tkCte,
-         |bg AS (SELECT doc_id, tk[CAST(i AS INTEGER)] AS w1, tk[CAST(i+1 AS INTEGER)] AS w2
-         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i
-         |        FROM tkv WHERE len(tk) >= 2)),
-         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-         |  FROM (SELECT unnest(tk) AS w1 FROM tkv) GROUP BY w1),
-         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2)
+         |$lmCtes
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(r) // count(*) AS BIGINT) AS lm_score_e6
-         |FROM (SELECT doc_id, c2 * 1000000 // c1 AS r
-         |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1))
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM lmr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_embed_cov" ->
       s"""WITH $covCtes
          |SELECT i, j, n, cov_num FROM cv ORDER BY i, j""".stripMargin,
@@ -1394,5 +1401,33 @@ object SparkEntry {
          |SELECT ex.source, n_docs, p50_tokens, p50_est, p90_tokens, p90_est,
          |  p99_tokens, p99_est
          |FROM ex JOIN est USING (source) ORDER BY source""".stripMargin,
+    "q_quality_percentile" -> {
+      val W = CurationOps.PctBucketW
+      def pctCtes(src: String, tag: String): String =
+        s"""${tag}h AS (SELECT s // $W AS b, CAST(count(*) AS BIGINT) AS c FROM $src GROUP BY 1),
+           |${tag}c AS (SELECT b, CAST(sum(c) OVER (ORDER BY b ASC) - c AS BIGINT) AS below,
+           |    CAST(sum(c) OVER () AS BIGINT) AS n FROM ${tag}h),
+           |${tag}p AS (SELECT m.doc_id, below * 10000 // n AS pct
+           |  FROM $src m JOIN ${tag}c h ON m.s // $W = h.b)""".stripMargin
+      s"""WITH $tkCte,
+         |$lmCtes,
+         |lmq AS (SELECT doc_id, CAST(sum(r) // count(*) AS BIGINT) AS s
+         |  FROM lmr GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkv) GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(c*c) AS BIGINT) AS ssq, CAST(max(c) AS BIGINT) AS mx
+         |  FROM cnt GROUP BY 1),
+         |dvq AS (SELECT doc_id, (n*n - ssq) * 1000000 // (n*n) AS s FROM st WHERE n > 0),
+         |rpq AS (SELECT doc_id, (10000 - mx * 10000 // n) * 100 AS s FROM st WHERE n > 0),
+         |${pctCtes("lmq", "l")},
+         |${pctCtes("dvq", "d")},
+         |${pctCtes("rpq", "r")}
+         |SELECT lp.doc_id, lp.pct AS lm_pct_e4, dp.pct AS div_pct_e4,
+         |  rp.pct AS rep_pct_e4,
+         |  (lp.pct + dp.pct + rp.pct) // 3 AS composite_e4
+         |FROM lp JOIN dp USING (doc_id) JOIN rp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

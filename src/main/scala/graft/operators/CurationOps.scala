@@ -450,6 +450,62 @@ object CurationOps {
       .orderBy($"source")
   }
 
+  /** Percentile-histogram bucket width over e6 scores for
+    * [[qualityPercentile]] — 100 buckets span [0, 1e6]. */
+  val PctBucketW = 10000L
+
+  /** Percentile rank (e4) of each row's `scoreCol` within its own
+    * metric population, via a bucketed cumulative histogram:
+    * pct = (#docs in strictly lower buckets)·10⁴ div n. The bucket
+    * granularity IS the design — the histogram is ~100 rows
+    * regardless of corpus size, so it broadcasts, and the rank map
+    * is a narrow join (never a corpus-wide sort/row_number). The
+    * cumulative windows run over the bucket frame only. */
+  private def pctOf(metric: DataFrame, scoreCol: String, pctName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = metric.withColumn("b", expr(s"$scoreCol div $PctBucketW"))
+    val cum = b.groupBy($"b").agg(count(lit(1)).as("c"))
+      .withColumn("below", sum($"c").over(Window.orderBy($"b".asc)) - $"c")
+      .withColumn("n", sum($"c").over(Window.partitionBy()))
+    b.join(broadcast(cum.select($"b", $"below", $"n")), "b")
+      .withColumn(pctName, expr("below * 10000 div n"))
+      .select($"doc_id", col(pctName))
+  }
+
+  /** #95 Composite quality-percentile score: the three heterogeneous
+    * per-doc quality signals — bigram-LM fluency (#81), Simpson
+    * diversity (#92), and inverted top-token repetition (#53) — each
+    * calibrated to a percentile rank within its own population, then
+    * averaged. Raw quality scores live on incomparable scales (an LM
+    * ratio of 0.3 and a diversity of 0.95 say nothing about relative
+    * rank), so a pipeline that sorts or thresholds on a combination
+    * MUST rank-normalize first; bucket-histogram percentiles make
+    * that a broadcast join instead of three corpus-wide sorts.
+    * Domain: docs with ≥ 2 tokens (the LM metric's domain).
+    *
+    * Scale shape: each metric subtree is the existing operator (in
+    * production all three are stored per-doc artifacts co-keyed by
+    * doc_id); per metric ONE ~100-row histogram broadcasts back, the
+    * rank map is narrow, and the final assembly is doc-keyed
+    * equi-joins. Cumulative windows touch bucket rows only. */
+  def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val lmP = pctOf(
+      TextOps.lmQuality(spark, sfDir).select($"doc_id", $"lm_score_e6"),
+      "lm_score_e6", "lm_pct_e4")
+    val dvP = pctOf(
+      TextOps.tokenDiversity(spark, sfDir).select($"doc_id", $"simpson_e6"),
+      "simpson_e6", "div_pct_e4")
+    val rpP = pctOf(
+      TextOps.textRepetition(spark, sfDir)
+        .select($"doc_id",
+          ((lit(10000L) - $"top_tok_ratio_e4") * 100L).as("antirep_e6")),
+      "antirep_e6", "rep_pct_e4")
+    lmP.join(dvP, "doc_id").join(rpP, "doc_id")
+      .withColumn("composite_e4",
+        expr("(lm_pct_e4 + div_pct_e4 + rep_pct_e4) div 3"))
+      .orderBy($"doc_id")
+  }
+
   /** Count-Min sketch geometry for [[cmsHeavy]]: [[CmsRows]] hash rows
     * × [[CmsWidth]] cells — 1024 counters total, shared with the
     * oracle so the cell math cannot drift. */

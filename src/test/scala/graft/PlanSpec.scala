@@ -303,6 +303,15 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("q_quality_percentile ranks via broadcast histograms, never a corpus row_number") {
+    val plan = fullPlanString("q_quality_percentile")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ~100-row bucket histograms must broadcast back onto the metric frames")
+    assert(!plan.contains("row_number"),
+      "percentiles must come from bucket counts, not a corpus-wide rank")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_retention shuffles rows once — everything else works on the (user, day) frame") {
     val p = planOf("q_retention")
     val plan = p.toString

@@ -209,6 +209,37 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("quality percentiles equal the histogram-rank model over the raw metric frames") {
+    import spark.implicits.newProductEncoder
+    val w = CurationOps.PctBucketW
+    // expected pct per doc, derived from each operator's own output
+    // (the metric operators carry their own ≡-model proofs)
+    def pcts(rows: Seq[(Long, Long)]): Map[Long, Long] = {
+      val byBucket = rows.groupBy(_._2 / w).view.mapValues(_.size.toLong).toMap
+      val n = rows.size.toLong
+      rows.map { case (id, s) =>
+        val below = byBucket.filter(_._1 < s / w).values.sum
+        id -> below * 10000L / n
+      }.toMap
+    }
+    val lm = pcts(TextOps.lmQuality(spark, sf)
+      .select("doc_id", "lm_score_e6").as[(Long, Long)].collect().toSeq)
+    val dv = pcts(TextOps.tokenDiversity(spark, sf)
+      .select("doc_id", "simpson_e6").as[(Long, Long)].collect().toSeq)
+    val rp = pcts(TextOps.textRepetition(spark, sf)
+      .select("doc_id", "top_tok_ratio_e4").as[(Long, Long)].collect().toSeq
+      .map { case (id, r) => (id, (10000L - r) * 100L) })
+    val got = CurationOps.qualityPercentile(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet == lm.keySet, "domain = the LM metric's docs")
+    got.foreach { case (id, l, d, r, c) =>
+      assert((l, d, r) == (lm(id), dv(id), rp(id)), s"doc $id pct diverges")
+      assert(c == (l + d + r) / 3L)
+      assert(l >= 0L && l < 10000L && d < 10000L && r < 10000L)
+    }
+  }
+
   test("retention cohorts: conservation and bounds") {
     val rows = graft.operators.CoreOps.retentionDaily(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
