@@ -119,6 +119,7 @@ object SparkEntry {
     "q_length_gate" -> (CurationOps.lengthGate _),
     "q_hist_quantiles" -> (CurationOps.histQuantiles _),
     "q_quality_percentile" -> (CurationOps.qualityPercentile _),
+    "q_cluster_quality" -> (ClusterOps.clusterQuality _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -318,6 +319,35 @@ object SparkEntry {
       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
       |lmr AS (SELECT doc_id, c2 * 1000000 // c1 AS r
       |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1))""".stripMargin
+  /** The #95 quality-percentile chain ending in
+    * `comp(doc_id, lm_pct_e4, div_pct_e4, rep_pct_e4, composite_e4)`
+    * — ONE composite-quality definition shared by the #95 oracle and
+    * the #96 quality-retention oracle. Requires `$tkCte` and
+    * `$lmCtes` upstream. */
+  private val qualityCtes: String = {
+    val W = graft.operators.CurationOps.PctBucketW
+    def pctCtes(src: String, tag: String): String =
+      s"""${tag}h AS (SELECT s // $W AS b, CAST(count(*) AS BIGINT) AS c FROM $src GROUP BY 1),
+         |${tag}c AS (SELECT b, CAST(sum(c) OVER (ORDER BY b ASC) - c AS BIGINT) AS below,
+         |    CAST(sum(c) OVER () AS BIGINT) AS n FROM ${tag}h),
+         |${tag}p AS (SELECT m.doc_id, below * 10000 // n AS pct
+         |  FROM $src m JOIN ${tag}c h ON m.s // $W = h.b)""".stripMargin
+    s"""lmq AS (SELECT doc_id, CAST(sum(r) // count(*) AS BIGINT) AS s
+       |  FROM lmr GROUP BY doc_id),
+       |qcnt AS (SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkv) GROUP BY 1, 2),
+       |qst AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(c*c) AS BIGINT) AS ssq, CAST(max(c) AS BIGINT) AS mx
+       |  FROM qcnt GROUP BY 1),
+       |dvq AS (SELECT doc_id, (n*n - ssq) * 1000000 // (n*n) AS s FROM qst WHERE n > 0),
+       |rpq AS (SELECT doc_id, (10000 - mx * 10000 // n) * 100 AS s FROM qst WHERE n > 0),
+       |${pctCtes("lmq", "l")},
+       |${pctCtes("dvq", "d")},
+       |${pctCtes("rpq", "r")},
+       |comp AS (SELECT lp.doc_id, lp.pct AS lm_pct_e4, dp.pct AS div_pct_e4,
+       |    rp.pct AS rep_pct_e4, (lp.pct + dp.pct + rp.pct) // 3 AS composite_e4
+       |  FROM lp JOIN dp USING (doc_id) JOIN rp USING (doc_id))""".stripMargin
+  }
   private def cosE6(qa: String, qb: String, n2a: String, n2b: String): String =
     s"CAST(round(CAST(list_sum(list_transform(list_zip($qa,$qb), p -> p[1]*p[2])) AS DOUBLE) / sqrt(CAST($n2a*$n2b AS DOUBLE)) * 1000000) AS BIGINT)"
   private def inList(words: Seq[String]): String =
@@ -1401,33 +1431,28 @@ object SparkEntry {
          |SELECT ex.source, n_docs, p50_tokens, p50_est, p90_tokens, p90_est,
          |  p99_tokens, p99_est
          |FROM ex JOIN est USING (source) ORDER BY source""".stripMargin,
-    "q_quality_percentile" -> {
-      val W = CurationOps.PctBucketW
-      def pctCtes(src: String, tag: String): String =
-        s"""${tag}h AS (SELECT s // $W AS b, CAST(count(*) AS BIGINT) AS c FROM $src GROUP BY 1),
-           |${tag}c AS (SELECT b, CAST(sum(c) OVER (ORDER BY b ASC) - c AS BIGINT) AS below,
-           |    CAST(sum(c) OVER () AS BIGINT) AS n FROM ${tag}h),
-           |${tag}p AS (SELECT m.doc_id, below * 10000 // n AS pct
-           |  FROM $src m JOIN ${tag}c h ON m.s // $W = h.b)""".stripMargin
+    "q_quality_percentile" ->
       s"""WITH $tkCte,
          |$lmCtes,
-         |lmq AS (SELECT doc_id, CAST(sum(r) // count(*) AS BIGINT) AS s
-         |  FROM lmr GROUP BY doc_id),
-         |cnt AS (SELECT doc_id, tok, count(*) AS c
-         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM tkv) GROUP BY 1, 2),
-         |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-         |    CAST(sum(c*c) AS BIGINT) AS ssq, CAST(max(c) AS BIGINT) AS mx
-         |  FROM cnt GROUP BY 1),
-         |dvq AS (SELECT doc_id, (n*n - ssq) * 1000000 // (n*n) AS s FROM st WHERE n > 0),
-         |rpq AS (SELECT doc_id, (10000 - mx * 10000 // n) * 100 AS s FROM st WHERE n > 0),
-         |${pctCtes("lmq", "l")},
-         |${pctCtes("dvq", "d")},
-         |${pctCtes("rpq", "r")}
-         |SELECT lp.doc_id, lp.pct AS lm_pct_e4, dp.pct AS div_pct_e4,
-         |  rp.pct AS rep_pct_e4,
-         |  (lp.pct + dp.pct + rp.pct) // 3 AS composite_e4
-         |FROM lp JOIN dp USING (doc_id) JOIN rp USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |$qualityCtes
+         |SELECT doc_id, lm_pct_e4, div_pct_e4, rep_pct_e4, composite_e4
+         |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_cluster_quality" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |$lmCtes,
+         |$qualityCtes,
+         |j AS (SELECT lab.doc_id, lab.cluster_id,
+         |    CAST(coalesce(comp.composite_e4, -1) AS BIGINT) AS composite_e4,
+         |    row_number() OVER (PARTITION BY lab.cluster_id
+         |      ORDER BY coalesce(comp.composite_e4, -1) DESC, lab.doc_id ASC) AS rk
+         |  FROM lab LEFT JOIN comp USING (doc_id))
+         |SELECT doc_id, cluster_id, composite_e4,
+         |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

@@ -211,4 +211,32 @@ object ClusterOps {
       .select($"doc_id", $"cluster_id", $"n_tokens", $"keep")
       .orderBy($"doc_id")
   }
+
+  /** #96 Quality-arbitrated cluster retention: keep the HIGHEST
+    * composite-quality doc per near-dup cluster (#95's percentile
+    * score, doc-id tiebreak) — the third retention policy next to
+    * min-id (#50) and longest (#70), and the one production
+    * pipelines actually run: when near-duplicates differ, keep the
+    * best-written variant, not the first-crawled or the longest.
+    * Docs outside the quality domain (< 2 tokens) rank last via a
+    * −1 sentinel, so cluster membership stays exactly #50's.
+    *
+    * Scale shape: the label table is the sublinear pairs-artifact
+    * output and the quality table is a per-doc artifact in
+    * production — the join is doc-keyed; the keep window partitions
+    * by cluster (pair-bounded, never corpus-wide). */
+  def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterLabels(spark, sfDir)
+    val quality = graft.operators.CurationOps.qualityPercentile(spark, sfDir)
+      .select($"doc_id", $"composite_e4")
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"composite_e4".desc, $"doc_id".asc)
+    labels.join(quality, Seq("doc_id"), "left")
+      .withColumn("composite_e4", coalesce($"composite_e4", lit(-1L)))
+      .withColumn("keep",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select($"doc_id", $"cluster_id", $"composite_e4", $"keep")
+      .orderBy($"doc_id")
+  }
 }

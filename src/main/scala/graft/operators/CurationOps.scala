@@ -425,12 +425,21 @@ object CurationOps {
     * estimated-vs-exact audit pattern as KMV (#58) and CMS (#60).
     * The cumulative window runs per source over its BUCKETS (a
     * handful of rows), never over docs. */
-  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Tables.documents(spark, sfDir)
-      .select($"source", size(tokens($"text")).cast(LongType).as("n_tokens"))
+  /** The (source, bucket, count) histogram cells — the operator's
+    * ONE aggregation, shared with the streaming form (where the cell
+    * grid is the complete-mode state, bounded by construction — the
+    * same reason streamingCms ships a sketch). */
+  private[graft] def histCells(docs: DataFrame): DataFrame =
+    docs.select($"source", size(tokens($"text")).cast(LongType).as("n_tokens"))
       .groupBy($"source", expr(s"n_tokens div $HistBucketW").as("b"))
       .agg(count(lit(1)).as("c"))
+
+  /** Percentile estimates from a (source, b, c) cell frame — shared
+    * by the batch operator and the post-stream readout so the
+    * estimation rule cannot drift. Windows run per source over its
+    * BUCKETS (a handful of rows), never over docs. */
+  private[graft] def histEstimates(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = hist
       .withColumn("cum",
         sum($"c").over(Window.partitionBy($"source").orderBy($"b".asc)))
@@ -440,8 +449,12 @@ object CurationOps {
     def est(q: Double, name: String) =
       min(when($"cum" >= expr(s"floor((n - 1) * $q) + 1"),
         ($"b" + 1L) * HistBucketW - 1L)).as(name)
-    val ests = cum.groupBy($"source")
+    cum.groupBy($"source")
       .agg(est(0.5, "p50_est"), est(0.9, "p90_est"), est(0.99, "p99_est"))
+  }
+
+  def histQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ests = histEstimates(histCells(Tables.documents(spark, sfDir)))
     sourceQuantiles(spark, sfDir)
       .join(broadcast(ests), "source")
       .select($"source", $"n_docs",

@@ -216,6 +216,18 @@ object StreamingJobs {
     * (the [[lmGate]] contract). The majority pick is a max over
     * (cos, −bench) structs — an associative merge, so the agg state
     * per key is O(1). StreamingSpec pins stream ≡ batch per vector. */
+  /** Streaming length histogram (SURVEY.md §2.7 #94b): the #94
+    * fixed-grid cells maintained over an unbounded document stream in
+    * complete mode — the cell grid IS the aggregation state, bounded
+    * at O(sources × maxlen/W) regardless of stream length, and cell
+    * counts are commutative sums, so the micro-batch cells equal the
+    * batch histogram exactly (the mergeability that motivates
+    * shipping a histogram instead of the #59 sort). Quantile readout
+    * is `CurationOps.histEstimates` over the cell table — the SAME
+    * estimation rule as batch (StreamingSpec pins both layers). */
+  def streamingHist(docs: DataFrame): DataFrame =
+    graft.operators.CurationOps.histCells(docs)
+
   def deconGate(stream: DataFrame, bench: DataFrame): DataFrame =
     graft.operators.CurationOps.deconHits(
         graft.operators.CurationOps.quantVecs(stream), bench)

@@ -130,6 +130,30 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("clusterQuality keeps exactly the best-scored doc per cluster, same clusters as dedupCluster") {
+    val best = ClusterOps.clusterQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(best.nonEmpty)
+    // identical transitive membership — only the keep policy differs
+    val minPolicy = ClusterOps.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(best.map(t => (t._1, t._2)).toMap == minPolicy)
+    // scores agree with the #95 operator (or the −1 out-of-domain sentinel)
+    val comp = graft.operators.CurationOps.qualityPercentile(spark, sf)
+      .select("doc_id", "composite_e4").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    best.foreach { case (id, _, s, _) =>
+      assert(s == comp.getOrElse(id, -1L), s"doc $id score diverges from #95")
+    }
+    best.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._4 == 1L)
+      assert(kept.length == 1, s"cluster $cid must keep exactly one doc")
+      // the keep is the (composite desc, doc_id asc) maximum
+      val want = members.minBy(t => (-t._3, t._1))
+      assert(kept.head == want.copy(_4 = 1L))
+    }
+  }
+
   test("dedupCluster keeps exactly one doc per cluster") {
     val df = ClusterOps.dedupCluster(spark, sf)
     val rows = df.collect()

@@ -84,6 +84,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming length histogram cells and quantile readout equal the batch forms") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CurationOps
+    val docsDf = Tables.documents(spark, sf).select("source", "text")
+    val batchCells = CurationOps.histCells(docsDf)
+      .as[(String, Long, Long)].collect().toSet
+    val docs = docsDf.as[(String, String)].collect()
+    val in = MemoryStream[(String, String)]
+    val q = StreamingJobs.streamingHist(in.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("lenhist")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamCells = spark.table("lenhist")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamCells == batchCells,
+        "cell grids must be identical — counts are commutative sums")
+      // the SAME readout rule over the streamed cells reproduces the
+      // batch estimates
+      val batchEsts = CurationOps.histEstimates(CurationOps.histCells(docsDf))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val streamEsts = CurationOps.histEstimates(spark.table("lenhist"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamEsts == batchEsts)
+    } finally q.stop()
+  }
+
   test("streaming decon gate flags each drop vector exactly as the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CurationOps
