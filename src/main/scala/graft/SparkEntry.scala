@@ -108,6 +108,8 @@ object SparkEntry {
     "q_minhash_calib" -> (DedupOps.minhashCalibration _),
     "q_sample_group" -> (CurationOps.groupSample _),
     "q_dedup_normalized" -> (DedupOps.dedupNormalized _),
+    "q_dedup_prefix" -> (DedupOps.dedupPrefix _),
+    "q_contamination" -> (CurationOps.contaminationReport _),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
     "q_retention" -> (CoreOps.retentionDaily _),
     "q_pca_top" -> (SimilarityOps.pcaTop _),
@@ -1326,6 +1328,26 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS cnt,
         |  CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_raw_variants
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+    "q_dedup_prefix" ->
+      s"""WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS raw_hash,
+         |    list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents)
+         |SELECT md5(array_to_string(list_slice(tk, 1, ${graft.operators.DedupOps.PrefixTok}), ' ')) AS prefix_hash,
+         |  min(doc_id) AS keep_id, count(*) AS cnt,
+         |  CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+         |FROM t WHERE len(tk) >= ${graft.operators.DedupOps.PrefixTok}
+         |GROUP BY 1 ORDER BY prefix_hash""".stripMargin,
+    "q_contamination" ->
+      s"""WITH $tkCte, ${gramsCte(CurationOps.DecontGram)},
+         |b AS (SELECT doc_id AS bench_id, gs FROM g3 WHERE doc_id % ${CurationOps.DecontMod} = 0),
+         |bg AS (SELECT bench_id, unnest(gs) AS h FROM b),
+         |cg AS (SELECT doc_id, unnest(gs) AS h FROM g3 WHERE doc_id % ${CurationOps.DecontMod} <> 0),
+         |agg AS (SELECT bench_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_grams_hit
+         |  FROM bg JOIN cg USING (h) GROUP BY bench_id)
+         |SELECT bench_id, CAST(len(gs) AS BIGINT) AS n_grams,
+         |  coalesce(n_docs_hit, 0) AS n_docs_hit,
+         |  coalesce(n_grams_hit, 0) AS n_grams_hit
+         |FROM b LEFT JOIN agg USING (bench_id) ORDER BY bench_id""".stripMargin,
     "q_vocab_growth" ->
       s"""WITH $tkCte,
          |u AS (SELECT d.source, unnest(t.tk) AS term

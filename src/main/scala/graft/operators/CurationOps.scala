@@ -167,6 +167,49 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** #98 Benchmark contamination coverage — the REVERSE direction of
+    * #51: instead of "which training docs are contaminated", report
+    * per BENCHMARK item how compromised it is — how many corpus docs
+    * share any of its token [[DecontGram]]-grams (`n_docs_hit`) and
+    * how many of its own distinct grams appear anywhere in the corpus
+    * (`n_grams_hit` of `n_grams`). This is the report an eval owner
+    * reads to decide which items to retire; #51 is the one a data
+    * owner reads to decide which docs to drop. Benchmark items with
+    * zero overlap are kept (left join) — "clean" is the answer that
+    * matters most.
+    *
+    * Scale shape: the benchmark gram frame is tiny (eval sets are MBs
+    * against a 100 TB corpus) → BROADCAST it against the corpus's
+    * exploded grams, exactly #51's join. Only contaminated (bench,
+    * corpus-gram) rows reach the per-bench-item distinct counts, and
+    * those aggregation partitions are bounded by the benchmark size,
+    * so the corpus is never shuffled. */
+  def contaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val benchDocs = docs.filter($"doc_id" % DecontMod === 0L)
+      .select($"doc_id".as("bench_id"),
+        graft.functions.TextHash.gramHashes($"text", DecontGram).as("gs"))
+    // gramHashes is per-doc DISTINCT, so size(gs) is the distinct
+    // gram count and the exploded frame has no per-doc repeats
+    val benchGrams = benchDocs
+      .select($"bench_id", explode($"gs").as("h"))
+    val hits = docs.filter($"doc_id" % DecontMod =!= 0L)
+      .select($"doc_id", explode(
+        graft.functions.TextHash.gramHashes($"text", DecontGram)).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy($"bench_id")
+      .agg(countDistinct($"doc_id").as("n_docs_hit"),
+        countDistinct($"h").as("n_grams_hit"))
+    // the assembly join is benchmark-sized on BOTH sides — broadcast
+    // it so the report never plans a sort-merge exchange pair
+    benchDocs.select($"bench_id", size($"gs").cast("long").as("n_grams"))
+      .join(broadcast(hits), Seq("bench_id"), "left")
+      .select($"bench_id", $"n_grams",
+        coalesce($"n_docs_hit", lit(0L)).as("n_docs_hit"),
+        coalesce($"n_grams_hit", lit(0L)).as("n_grams_hit"))
+      .orderBy($"bench_id")
+  }
+
   /** [[deconEmbedding]] parameters: benchmark = vec_id %
     * [[EmbDecontMod]] == 0; contamination bar = cosine ≥
     * [[EmbDecontCos]] (e6) — the same bar as the embedding near-dup

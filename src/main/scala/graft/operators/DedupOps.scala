@@ -59,6 +59,39 @@ object DedupOps {
         countDistinct($"raw_hash").as("n_raw_variants"))
       .orderBy($"norm_hash")
 
+  /** Token length of the prefix key used by [[dedupPrefix]]; docs
+    * shorter than this stay out of prefix classes (their whole text
+    * is already covered by #37/#85). */
+  val PrefixTok = 12
+
+  /** #97 Prefix-class dedup: docs agreeing on their first
+    * [[PrefixTok]] whitespace tokens form one class — the cheap tier
+    * that catches crawl re-fetches whose TAILS diverged (truncation,
+    * appended boilerplate, pagination) and which therefore slip past
+    * both exact (#37) and normalized (#85) whole-text hashing.
+    * `n_raw_variants` counts the #37 exact classes each prefix class
+    * absorbs (> 1 ⇔ the prefix tier did work beyond exact dedup).
+    *
+    * Scale shape: identical to #37 — a narrow codegen'd projection
+    * (built-in `slice`/`array_join`/`md5`, no UDF) into ONE
+    * partial-agg'd shuffle on the uniform md5 key. At 100 TB the
+    * partial agg collapses each partition's duplicate prefixes before
+    * the exchange, and the key is a hash so no skew handling is
+    * needed. */
+  def dedupPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens($"text")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", md5(lower(trim($"text"))).as("raw_hash"),
+        tk.as("tk"))
+      .filter(size($"tk") >= PrefixTok)
+      .select($"doc_id", $"raw_hash",
+        md5(array_join(slice($"tk", 1, PrefixTok), " ")).as("prefix_hash"))
+      .groupBy($"prefix_hash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("cnt"),
+        countDistinct($"raw_hash").as("n_raw_variants"))
+      .orderBy($"prefix_hash")
+  }
+
   val numHashes = 16
   val numBands = 8 // 8 bands x 2 rows: P(candidate | J=0.5) ≈ 0.9
   private val ab = minhashAB(numHashes)

@@ -44,6 +44,48 @@ class DedupSpec extends SparkTestBase {
     assert(graft.operators.CurationOps.decontaminateSubstr(spark, dir).count() == 0L)
   }
 
+  test("prefix dedup partitions the long-doc corpus and is refined by exact classes") {
+    import graft.operators.DedupOps.PrefixTok
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val long = docs.filter { case (_, t) =>
+      TextHash.tokensJvm(t).length >= PrefixTok }
+    val res = DedupOps.dedupPrefix(spark, sf)
+      .select("prefix_hash", "keep_id", "cnt", "n_raw_variants")
+      .as[(String, Long, Long, Long)].collect()
+    // the classes partition exactly the ≥PrefixTok-token subset
+    assert(res.map(_._3).sum == long.length)
+    // exact-equal docs share a prefix, so exact classes refine prefix
+    // classes: the per-class variant counts must sum to the number of
+    // distinct exact hashes among long docs (no class double-counts)
+    assert(res.map(_._4).sum ==
+      long.map { case (_, t) => t.toLowerCase.trim }.distinct.length)
+    assert(res.forall { case (_, _, cnt, v) => cnt >= v && v >= 1 })
+    // ≡ plain-Scala model: group by the first PrefixTok tokens
+    val model = long.groupBy { case (_, t) =>
+      TextHash.tokensJvm(t).take(PrefixTok).mkString(" ") }
+    assert(res.length == model.size)
+    assert(res.map(_._2).toSet == model.values.map(_.map(_._1).min).toSet)
+  }
+
+  test("contamination report equals a plain-JVM reverse-decontamination model") {
+    import graft.operators.CurationOps
+    import CurationOps.{DecontGram, DecontMod}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val corpusGrams = docs.filter(_._1 % DecontMod != 0)
+      .map { case (id, t) => (id, TextHash.gramHashesJvm(t, DecontGram).toSet) }
+    val model = docs.filter(_._1 % DecontMod == 0).map { case (bid, t) =>
+      val gs = TextHash.gramHashesJvm(t, DecontGram).toSet
+      (bid, gs.size.toLong,
+        corpusGrams.count { case (_, cg) => gs.exists(cg.contains) }.toLong,
+        gs.count(g => corpusGrams.exists(_._2.contains(g))).toLong)
+    }.sortBy(_._1).toSeq
+    val got = CurationOps.contaminationReport(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == model)
+  }
+
   test("incremental dedup equals the full pair listing restricted to one-new-one-old") {
     import graft.operators.DedupOps.IncrMod
     val full = DedupOps.dedupMinhash(spark, sf)

@@ -297,6 +297,21 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("q_contamination broadcasts the benchmark grams; the corpus never sort-merge-joins") {
+    val plan = fullPlanString("q_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the benchmark gram frame must broadcast against the corpus gram stream")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q_dedup_prefix is one partial-agg'd shuffle on the prefix hash") {
+    val plan = fullPlanString("q_dedup_prefix")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"prefix classes must map-side combine before the exchange:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      "the prefix projection must stay codegen'd (built-in slice/array_join)")
+  }
+
   test("q_length_gate broadcasts the per-source bounds frame back onto the scan") {
     val plan = fullPlanString("q_length_gate")
     assert(plan.contains("BroadcastHashJoin"))
