@@ -110,6 +110,8 @@ object SparkEntry {
     "q_dedup_normalized" -> (DedupOps.dedupNormalized _),
     "q_dedup_prefix" -> (DedupOps.dedupPrefix _),
     "q_contamination" -> (CurationOps.contaminationReport _),
+    "q_pmi_topk" -> (TextOps.pmiTopk _),
+    "q_meta_audit" -> (CurationOps.metaAudit _),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
     "q_retention" -> (CoreOps.retentionDaily _),
     "q_pca_top" -> (SimilarityOps.pcaTop _),
@@ -1348,6 +1350,21 @@ object SparkEntry {
          |  coalesce(n_docs_hit, 0) AS n_docs_hit,
          |  coalesce(n_grams_hit, 0) AS n_grams_hit
          |FROM b LEFT JOIN agg USING (bench_id) ORDER BY bench_id""".stripMargin,
+    "q_pmi_topk" ->
+      s"""WITH $tkCte, $lmCtes,
+         |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n_tot FROM big),
+         |p AS (SELECT b.w1, b.w2, b.c2 AS c12, u1.c1 AS c1, u2.c1 AS c2u, n_tot
+         |  FROM big b JOIN uni u1 ON b.w1 = u1.w1 JOIN uni u2 ON b.w2 = u2.w1
+         |  CROSS JOIN tot WHERE b.c2 >= ${TextOps.PmiMinCount})
+         |SELECT w1, w2, c12,
+         |  CAST((CAST(c12 AS HUGEINT) * n_tot * 1000000)
+         |    // (CAST(c1 AS HUGEINT) * c2u) AS BIGINT) AS lift_e6
+         |FROM p ORDER BY lift_e6 DESC, w1, w2 LIMIT ${TextOps.PmiTopK}""".stripMargin,
+    "q_meta_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_abs_diff
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_vocab_growth" ->
       s"""WITH $tkCte,
          |u AS (SELECT d.source, unnest(t.tk) AS term

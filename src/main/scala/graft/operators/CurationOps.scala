@@ -210,6 +210,25 @@ object CurationOps {
       .orderBy($"bench_id")
   }
 
+  /** #100 Metadata-integrity audit: per source, how many docs carry a
+    * stored `n_chars` that disagrees with the text's actual length,
+    * and the worst disagreement — the drift check a pipeline runs
+    * whenever metadata was produced by a DIFFERENT system than the
+    * payload (crawler vs extractor); stale counts silently corrupt
+    * every length-based gate downstream (#93, #75's token budget).
+    *
+    * Scale shape: one narrow codegen'd comparison per row into one
+    * |sources|-row partial-agg'd shuffle — the audit costs one scan
+    * regardless of corpus size. */
+  def metaAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"source", $"n_chars", length($"text").cast("long").as("len_m"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_chars" =!= $"len_m", 1L).otherwise(0L)).as("n_mismatch"),
+        max(abs($"n_chars" - $"len_m")).as("max_abs_diff"))
+      .orderBy($"source")
+
   /** [[deconEmbedding]] parameters: benchmark = vec_id %
     * [[EmbDecontMod]] == 0; contamination bar = cosine ≥
     * [[EmbDecontCos]] (e6) — the same bar as the embedding near-dup

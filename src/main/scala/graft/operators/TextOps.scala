@@ -438,6 +438,43 @@ object TextOps {
     (uni, big)
   }
 
+  /** [[pmiTopk]] parameters: report the [[PmiTopK]] strongest
+    * collocations among bigrams seen at least [[PmiMinCount]] times
+    * (the floor kills hapax noise, where one co-occurrence of two
+    * rare words maxes the statistic). */
+  val PmiTopK = 30
+  val PmiMinCount = 5L
+
+  /** #99 Collocation profile: the corpus's strongest bigram
+    * associations by pointwise-mutual-information LIFT —
+    * p(w1w2)/(p(w1)·p(w2)) = c12·N/(c1·c2) in e6 fixed point
+    * (lift = exp(PMI); same ranking, no floating log — SURVEY.md §4).
+    * Flags templated/boilerplate phrases and multi-word entities the
+    * unigram profiles (#55/#61) can't see. Shares [[lmCounts]] — one
+    * corpus-LM count definition across #81/#95/#99.
+    *
+    * Scale shape: counts are one vocab-bounded partial-agg shuffle
+    * each (the corpus is scanned narrow, never shuffled at row
+    * granularity); the lift arithmetic runs on the counts frame
+    * (vocab²-bounded, min-count-floored) with unigram equi-joins and
+    * a 1-row broadcast total; c12·N·10⁶ can pass 2^63 at corpus
+    * scale, so the numerator/denominator are exact DECIMAL(38,0) ≡
+    * DuckDB HUGEINT. Top-k is TakeOrdered on the tiny scored frame. */
+  def pmiTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val (uni, big) = lmCounts(spark, sfDir)
+    val tot = big.agg(sum($"c2").as("n_tot"))
+    big.filter($"c2" >= PmiMinCount)
+      .withColumnRenamed("c2", "c12")
+      .join(uni, Seq("w1"))
+      .join(uni.select($"w1".as("w2"), $"c1".as("c2u")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"c12",
+        expr("cast((cast(c12 as decimal(38,0)) * n_tot * 1000000) div " +
+          "(cast(c1 as decimal(38,0)) * c2u) as bigint)").as("lift_e6"))
+      .orderBy(desc("lift_e6"), $"w1", $"w2")
+      .limit(PmiTopK)
+  }
+
   /** #86 Vocabulary growth profile: per source, total token
     * occurrences, distinct terms, hapax legomena (terms seen exactly
     * once) and the derived type-token / hapax ratios (e6 fixed

@@ -148,7 +148,8 @@ class PlanSpec extends SparkTestBase {
         "q_kmeans", "q_pack_sequences", "q_dup_matrix", "q_cluster_best",
         "q_chunks", "q_chunk_dedup", "q_funnel", "q_event_outliers",
         "q_sample_balanced", "q_quality_gate", "q_bm25_topk",
-        "q_sample_uniform", "q_decon_bloom")) {
+        "q_sample_uniform", "q_decon_bloom", "q_dedup_prefix",
+        "q_pmi_topk", "q_meta_audit")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +

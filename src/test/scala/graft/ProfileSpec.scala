@@ -125,6 +125,48 @@ class ProfileSpec extends SparkTestBase {
     assert(got.forall { case (_, n, s) => n >= 1L && s >= 0L && s <= 1000000L })
   }
 
+  test("PMI collocation lift equals a plain-BigInt model") {
+    import spark.implicits.newProductEncoder
+    import TextOps.{PmiMinCount, PmiTopK}
+    val toks = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(' ').toSeq.filter(_.nonEmpty) }
+    val uni = toks.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = toks.filter(_._2.length >= 2)
+      .flatMap { case (_, tk) => tk.zip(tk.drop(1)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTot = big.values.sum
+    val want = big.toSeq.collect { case ((w1, w2), c12) if c12 >= PmiMinCount =>
+      val lift = (BigInt(c12) * nTot * 1000000L /
+        (BigInt(uni(w1)) * uni(w2))).toLong
+      (w1, w2, c12, lift)
+    }.sortBy { case (w1, w2, _, l) => (-l, w1, w2) }.take(PmiTopK)
+    val got = TextOps.pmiTopk(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == want, "operator diverges from the reference model")
+    // lift is symmetric in scale: a perfectly-predictive pair attains
+    // n_tot·1e6/max(c1,c2) ≥ lift; no score can be negative
+    assert(got.forall(_._4 >= 0L))
+  }
+
+  test("metadata audit equals a plain-Scala model and bounds its counts") {
+    import spark.implicits.newProductEncoder
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars", "text").as[(String, Long, String)].collect()
+    val want = docs.groupBy(_._1).view.mapValues { rows =>
+      val diffs = rows.map { case (_, nc, t) => math.abs(nc - t.length.toLong) }
+      (rows.length.toLong, diffs.count(_ != 0L).toLong, diffs.max)
+    }.toMap
+    val got = graft.operators.CurationOps.metaAudit(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (src, n, m, d) =>
+      assert((n, m, d) == want(src), s"$src diverges")
+      assert(m <= n && (m > 0L || d == 0L))
+    }
+  }
+
   test("vocabulary growth profile equals a plain-Scala model") {
     import spark.implicits.newProductEncoder
     val docs = Tables.documents(spark, sf)
