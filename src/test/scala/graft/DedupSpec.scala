@@ -44,6 +44,24 @@ class DedupSpec extends SparkTestBase {
     assert(graft.operators.CurationOps.decontaminateSubstr(spark, dir).count() == 0L)
   }
 
+  test("combination blocking equals single-block pigeonhole blocking") {
+    import graft.operators.DedupOps.{SimhashBits, SimhashBlockBits, SimhashBlocks}
+    // both schemes have EXACT recall at Hamming ≤ 3, so they must
+    // produce the identical pair set — this cross-checks the combo
+    // key packing independently of the DuckDB oracle
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextHash.simhash(col("text"), SimhashBits).as("simhash"))
+      .filter(col("simhash") =!= -1L)
+    val combo = DedupOps.dedupSimhash(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val single = DedupOps.blockedHammingPairs(
+      sigs, "simhash", SimhashBlocks, SimhashBlockBits, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(combo == single,
+      s"extra=${combo.diff(single)} missing=${single.diff(combo)}")
+  }
+
   test("prefix dedup partitions the long-doc corpus and is refined by exact classes") {
     import graft.operators.DedupOps.PrefixTok
     val docs = spark.read.parquet(s"$sf/documents.parquet")
