@@ -112,6 +112,7 @@ object SparkEntry {
     "q_contamination" -> (CurationOps.contaminationReport _),
     "q_pmi_topk" -> (TextOps.pmiTopk _),
     "q_meta_audit" -> (CurationOps.metaAudit _),
+    "q_decon_closure" -> (CurationOps.decontaminateClosure _),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
     "q_retention" -> (CoreOps.retentionDaily _),
     "q_pca_top" -> (SimilarityOps.pcaTop _),
@@ -136,9 +137,9 @@ object SparkEntry {
     "tkv AS (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS tk FROM documents)"
   /** Distinct word-n-gram shingles, 60-bit-hashed (mirrors
     * DedupOps.gramSets: distinct on the strings, then md5-hash each). */
-  private def gramsCte(n: Int): String = {
+  private def gramsCte(n: Int, alias: String = "g3"): String = {
     val g = (0 until n).map(o => s"tk[i${if (o > 0) s"+$o" else ""}]").mkString(" || ' ' || ")
-    s"g3 AS (SELECT doc_id, list_transform(list_distinct(list_transform(generate_series(1, len(tk)-${n - 1}), i -> $g)), g -> ${h60("g")}) AS gs FROM tkv)"
+    s"$alias AS (SELECT doc_id, list_transform(list_distinct(list_transform(generate_series(1, len(tk)-${n - 1}), i -> $g)), g -> ${h60("g")}) AS gs FROM tkv)"
   }
   /** MinHash signature CTEs (mirror DedupOps.minhashBands): 16
     * universal-hash permutations of the shingle hash, min per doc,
@@ -1350,6 +1351,26 @@ object SparkEntry {
          |  coalesce(n_docs_hit, 0) AS n_docs_hit,
          |  coalesce(n_grams_hit, 0) AS n_grams_hit
          |FROM b LEFT JOIN agg USING (bench_id) ORDER BY bench_id""".stripMargin,
+    "q_decon_closure" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |${gramsCte(CurationOps.DecontGram, "g3x")},
+         |bgx AS (SELECT DISTINCT unnest(gs) AS h FROM g3x WHERE doc_id % ${CurationOps.DecontMod} = 0),
+         |hitsx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM (SELECT doc_id, unnest(gs) AS h FROM g3x WHERE doc_id % ${CurationOps.DecontMod} <> 0) cg
+         |  JOIN bgx USING (h) GROUP BY doc_id),
+         |labels AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |dirty AS (SELECT DISTINCT cluster_id FROM labels JOIN hitsx USING (doc_id)),
+         |closure AS (SELECT l.doc_id, l.cluster_id FROM labels l JOIN dirty USING (cluster_id))
+         |SELECT c.doc_id, c.cluster_id, coalesce(h.n_hit, 0) AS n_hit
+         |FROM closure c LEFT JOIN hitsx h ON c.doc_id = h.doc_id
+         |UNION ALL
+         |SELECT h.doc_id, CAST(-1 AS BIGINT) AS cluster_id, h.n_hit
+         |FROM hitsx h ANTI JOIN labels l ON h.doc_id = l.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q_pmi_topk" ->
       s"""WITH $tkCte, $lmCtes,
          |tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n_tot FROM big),

@@ -210,6 +210,37 @@ object CurationOps {
       .orderBy($"bench_id")
   }
 
+  /** #101 Contamination closure: the DROP SET a production pipeline
+    * actually applies — every directly contaminated doc (#51) PLUS
+    * every near-dup cluster mate of one (#50). Dropping only the
+    * direct hits leaves paraphrase-grade copies of eval answers in
+    * the corpus (they are near-dups of a known-contaminated doc, so
+    * they carry the same leakage); the closure extends the flag over
+    * the MinHash cluster graph. `cluster_id` is −1 for direct hits
+    * outside any cluster; `n_hit` is 0 for docs flagged only
+    * transitively.
+    *
+    * Scale shape: pure composition of two sublinear artifacts — the
+    * broadcast-gated decon hits (#51) and the pair-artifact cluster
+    * labels (#50); the dirty-cluster id frame is broadcast back onto
+    * the (pair-bounded) label frame. The corpus is never re-scanned
+    * here beyond the two shared subtrees. */
+  def decontaminateClosure(spark: SparkSession, sfDir: String): DataFrame = {
+    val hits = decontaminate(spark, sfDir).select($"doc_id", $"n_hit")
+    val labels = ClusterOps.dedupCluster(spark, sfDir)
+      .select($"doc_id", $"cluster_id")
+    val dirty = labels.join(hits, Seq("doc_id"))
+      .select($"cluster_id").distinct()
+    val closure = labels.join(broadcast(dirty), Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id")
+    closure.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"cluster_id",
+        coalesce($"n_hit", lit(0L)).as("n_hit"))
+      .unionByName(hits.join(labels, Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit(-1L).as("cluster_id"), $"n_hit"))
+      .orderBy($"doc_id")
+  }
+
   /** #100 Metadata-integrity audit: per source, how many docs carry a
     * stored `n_chars` that disagrees with the text's actual length,
     * and the worst disagreement — the drift check a pipeline runs

@@ -206,4 +206,28 @@ class ClusterSpec extends SparkTestBase {
       assert(raw == eff, s"$src: untouched source must keep raw == effective")
     }
   }
+
+  test("contamination closure = direct hits plus dirty-cluster members, labels from #50") {
+    import spark.implicits.{newLongEncoder, newProductEncoder}
+    import graft.operators.CurationOps
+    val hits = CurationOps.decontaminate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val labels = ClusterOps.dedupCluster(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val dirtyClusters = labels.filter(p => hits(p._1)).map(_._2).toSet
+    val wantDocs = hits ++
+      labels.filter(p => dirtyClusters(p._2)).map(_._1)
+    val got = CurationOps.decontaminateClosure(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == wantDocs,
+      "closure must be exactly direct hits union dirty-cluster members")
+    assert(got.map(_._1).distinct.length == got.length, "one row per doc")
+    // a positive n_hit marks exactly the direct hits; cluster ids are
+    // #50's labels, with the -1 sentinel exactly on unclustered docs
+    val labelMap = labels.toMap
+    got.foreach { case (d, c, n) =>
+      assert((n > 0L) == hits(d), s"doc $d: n_hit=$n vs direct=${hits(d)}")
+      assert(c == labelMap.getOrElse(d, -1L), s"doc $d: label $c drifts")
+    }
+  }
 }
