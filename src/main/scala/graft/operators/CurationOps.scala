@@ -152,20 +152,32 @@ object CurationOps {
     * distinct benchmark grams they hit. */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val benchGrams = docs.filter($"doc_id" % DecontMod === 0L)
+    gramHits(docs.filter($"doc_id" % DecontMod =!= 0L), benchGramSet(docs))
+      .orderBy($"doc_id")
+  }
+
+  /** The distinct benchmark gram set of [[decontaminate]] — shared by
+    * the batch operator and the streaming per-drop gate
+    * (StreamingJobs.tokenDeconGate) so the gram definition cannot
+    * drift between them. */
+  private[graft] def benchGramSet(docs: DataFrame): DataFrame =
+    docs.filter($"doc_id" % DecontMod === 0L)
       .select(explode(
         graft.functions.TextHash.gramHashes($"text", DecontGram)).as("h"))
       .distinct()
-    docs.filter($"doc_id" % DecontMod =!= 0L)
-      // gramHashes is per-doc DISTINCT, so count(*) after the join is
-      // the distinct contaminated-gram count
-      .select($"doc_id", explode(
+
+  /** Per-doc contaminated-gram counts against a broadcast benchmark
+    * gram set — the ONE scoring definition behind #51 and #51b. Works
+    * on batch and streaming frames alike (narrow explode + broadcast
+    * join + one keyed agg). gramHashes is per-doc DISTINCT, so
+    * count(*) after the join is the distinct contaminated-gram
+    * count. */
+  private[graft] def gramHits(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(
         graft.functions.TextHash.gramHashes($"text", DecontGram)).as("h"))
       .join(broadcast(benchGrams), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hit"))
-      .orderBy($"doc_id")
-  }
 
   /** #98 Benchmark contamination coverage — the REVERSE direction of
     * #51: instead of "which training docs are contaminated", report

@@ -228,6 +228,18 @@ object StreamingJobs {
   def streamingHist(docs: DataFrame): DataFrame =
     graft.operators.CurationOps.histCells(docs)
 
+  /** Streaming token-gram decontamination gate (SURVEY.md §2.7
+    * #51b): flag each arriving doc that shares a token gram with the
+    * BROADCAST benchmark gram set — #51 run at ingest instead of
+    * over the whole corpus, the textual sibling of [[deconGate]].
+    * The scoring subtree is `CurationOps.gramHits` — the ONE
+    * definition shared with the batch operator — and the update-mode
+    * agg keyed by doc_id emits each contaminated doc exactly once
+    * (its grams arrive in one micro-batch; the [[lmGate]]
+    * contract). */
+  def tokenDeconGate(stream: DataFrame, benchGrams: DataFrame): DataFrame =
+    graft.operators.CurationOps.gramHits(stream, benchGrams)
+
   def deconGate(stream: DataFrame, bench: DataFrame): DataFrame =
     graft.operators.CurationOps.deconHits(
         graft.operators.CurationOps.quantVecs(stream), bench)

@@ -140,6 +140,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming token-gram decon gate flags each drop doc exactly as the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CurationOps
+    val batch = CurationOps.decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val allDocs = Tables.documents(spark, sf)
+    val corpus = allDocs
+      .filter(col("doc_id") % CurationOps.DecontMod =!= 0L)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bench = CurationOps.benchGramSet(allDocs)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.tokenDeconGate(
+        in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("tokdecon")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = corpus.splitAt(corpus.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("tokdecon")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"decon drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming quality gate equals the batch report across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextOps
