@@ -113,6 +113,7 @@ object SparkEntry {
     "q_pmi_topk" -> (TextOps.pmiTopk _),
     "q_meta_audit" -> (CurationOps.metaAudit _),
     "q_decon_closure" -> (CurationOps.decontaminateClosure _),
+    "q_pack_stats" -> (CurationOps.packStats _),
     "q_vocab_growth" -> (TextOps.vocabGrowth _),
     "q_retention" -> (CoreOps.retentionDaily _),
     "q_pca_top" -> (SimilarityOps.pcaTop _),
@@ -1193,6 +1194,28 @@ object SparkEntry {
          |  CAST((cum_prev + greatest(n_tokens, 1) - 1) // $PackBudget AS BIGINT) AS last_pack,
          |  CAST((cum_prev + greatest(n_tokens, 1) - 1) // $PackBudget - cum_prev // $PackBudget + 1 AS BIGINT) AS n_packs
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q_pack_stats" -> {
+      import graft.operators.CurationOps.PackBudget
+      s"""WITH $tkCte,
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+         |  FROM lens),
+         |p AS (SELECT doc_id, n_tokens, cum_prev,
+         |    CAST(cum_prev // $PackBudget AS BIGINT) AS first_pack,
+         |    CAST((cum_prev + greatest(n_tokens, 1) - 1) // $PackBudget AS BIGINT) AS last_pack,
+         |    CAST((cum_prev + greatest(n_tokens, 1) - 1) // $PackBudget - cum_prev // $PackBudget + 1 AS BIGINT) AS n_packs
+         |  FROM c),
+         |e AS (SELECT n_tokens, cum_prev, n_packs,
+         |    unnest(generate_series(first_pack, last_pack)) AS pack_id FROM p)
+         |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_packs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+         |  CAST(sum(greatest(0, least(cum_prev + n_tokens, (pack_id + 1) * $PackBudget)
+         |    - greatest(cum_prev, pack_id * $PackBudget))) AS BIGINT) AS fill_tokens,
+         |  CAST($PackBudget - sum(greatest(0, least(cum_prev + n_tokens, (pack_id + 1) * $PackBudget)
+         |    - greatest(cum_prev, pack_id * $PackBudget))) AS BIGINT) AS waste_tokens
+         |FROM e GROUP BY pack_id ORDER BY pack_id""".stripMargin
     },
     "q_dup_matrix" ->
       s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},

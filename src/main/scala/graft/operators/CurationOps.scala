@@ -782,6 +782,33 @@ object CurationOps {
   def packSequences(spark: SparkSession, sfDir: String): DataFrame =
     packFrame(Tables.documents(spark, sfDir))
 
+  /** #68b Packing utilization report: per training sequence (pack),
+    * how many docs touch it, how many of those straddle a pack
+    * boundary (the attention-mask cross-contamination risk a trainer
+    * monitors), and the exact token fill vs [[PackBudget]] — only the
+    * final pack may show waste, and Σ fill_tokens reconciles with the
+    * corpus token count (PackingSpec). Each doc contributes its
+    * clipped overlap [cum_prev, cum_prev+n_tokens) ∩ [p·B, (p+1)·B).
+    *
+    * Scale shape: the #68 placement frame exploded by the packs each
+    * doc touches (≤ n_packs rows/doc, bounded by doc length) into ONE
+    * partial-agg'd shuffle on the uniform pack_id. */
+  def packStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = lit(PackBudget)
+    packSequences(spark, sfDir)
+      .select($"n_tokens", $"cum_prev", $"n_packs",
+        explode(sequence($"first_pack", $"last_pack")).as("pack_id"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_packs" > 1L, 1L).otherwise(0L)).as("n_spanning"),
+        sum(greatest(lit(0L),
+          least($"cum_prev" + $"n_tokens", ($"pack_id" + 1) * b) -
+            greatest($"cum_prev", $"pack_id" * b))).as("fill_tokens"))
+      .select($"pack_id", $"n_docs", $"n_spanning", $"fill_tokens",
+        (b - $"fill_tokens").as("waste_tokens"))
+      .orderBy($"pack_id")
+  }
+
   /** [[packSequences]] over any (doc_id, text) frame — exposed so the
     * property spec can drive the two-level prefix sum with arbitrary
     * synthetic corpora against an independent plain-Scala model. */

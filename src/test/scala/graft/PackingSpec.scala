@@ -97,4 +97,27 @@ class PackingSpec extends SparkTestBase {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
       s"expected a broadcast join on the block-offset frame:\n$plan")
   }
+
+  test("pack stats reconcile: exact fill, full packs except the last, spanning bounds") {
+    import spark.implicits.{newLongEncoder, newProductEncoder}
+    import graft.operators.CurationOps
+    val stats = CurationOps.packStats(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // pack ids are dense 0..P-1
+    assert(stats.map(_._1).toSeq == (0L until stats.length.toLong))
+    // every pack except possibly the last is filled to the exact
+    // budget; waste is the complement everywhere
+    stats.dropRight(1).foreach { case (p, _, _, fill, waste) =>
+      assert(fill == CurationOps.PackBudget && waste == 0L, s"pack $p not full")
+    }
+    stats.foreach { case (_, nd, ns, fill, waste) =>
+      assert(ns <= nd && fill + waste == CurationOps.PackBudget)
+    }
+    // Σ fill_tokens = the corpus token count (nothing lost or
+    // double-counted by the per-pack clipping)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long")).as[Long].collect().sum
+    assert(stats.map(_._4).sum == totalTokens)
+  }
 }
