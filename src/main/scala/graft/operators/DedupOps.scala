@@ -468,12 +468,14 @@ object DedupOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash geometry: hash60 supplies 60 entropy bits, so the
-    * signature is 60 bits split into 4 blocks × 15 bits → 32,768
-    * buckets per block. Pigeonhole recall is exact for Hamming ≤ 3
-    * with ANY 4-way split; the 15-bit keys keep expected candidates
-    * ~4·N²/2^15 — the 100 TB fix for the 256-bucket blow-up flagged
-    * in VERDICT r1 #3. */
+  /** SimHash geometry: hash60 supplies 60 entropy bits. The 4 × 15
+    * single-block split (exact pigeonhole recall for Hamming ≤ 3 with
+    * ANY 4-way split) remains for [[blockedHammingPairs]]' other
+    * consumer (visual near-dup, where the df cap applies) and as the
+    * independent scheme DedupSpec cross-checks [[dedupSimhash]]
+    * against; the TEXT pair path itself uses the C(6,3) combination
+    * keys below, whose buckets stay O(1) where single-block buckets
+    * grow n/2^15. */
   val SimhashBits = 60
   val SimhashBlocks = 4
   val SimhashBlockBits: Int = SimhashBits / SimhashBlocks

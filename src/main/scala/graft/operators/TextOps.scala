@@ -401,7 +401,7 @@ object TextOps {
     * key, trivially replicable. Nothing driver-side, nothing
     * quadratic. */
   def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val (uni, big) = lmCounts(spark, sfDir)
+    val (uni, big) = lmCountsShared(spark, sfDir)
     val docBg = lmBigrams(Tables.documents(spark, sfDir))
       .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
     docBg.join(big, Seq("w1", "w2"))
@@ -438,6 +438,39 @@ object TextOps {
     (uni, big)
   }
 
+  private val lmCache =
+    new graft.tools.Materialize.SupersedingCache[(String, String)]
+  private val uniSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w1",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("c1", LongType)))
+  private val bigSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w1",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("w2",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("c2", LongType)))
+
+  /** [[lmCounts]] as a build-once artifact keyed by the corpus
+    * fingerprint — four operators price the corpus LM (#81 fluency,
+    * #95 composite quality, #96 cluster retention via #95, #99
+    * collocations), so the two vocab-bounded count tables are
+    * materialized once and every consumer scans parquet (the
+    * amortize-to-first-consumer design of the MinHash pair artifact;
+    * NOTES.md "Bench attribution"). Explicit read schemas serve the
+    * empty-corpus case, where an empty frame writes no part files. */
+  def lmCountsShared(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val fp = graft.tools.Materialize.fingerprint(
+      spark, s"$sfDir/documents.parquet")
+    val (uniPath, bigPath) = lmCache.getOrBuild(sfDir, fp) {
+      val (uni, big) = lmCounts(spark, sfDir)
+      (graft.tools.Materialize.writeParquet(uni, "lm-uni-"),
+        graft.tools.Materialize.writeParquet(big, "lm-big-"))
+    }
+    (spark.read.schema(uniSchema).parquet(uniPath),
+      spark.read.schema(bigSchema).parquet(bigPath))
+  }
+
   /** [[pmiTopk]] parameters: report the [[PmiTopK]] strongest
     * collocations among bigrams seen at least [[PmiMinCount]] times
     * (the floor kills hapax noise, where one co-occurrence of two
@@ -461,7 +494,7 @@ object TextOps {
     * scale, so the numerator/denominator are exact DECIMAL(38,0) ≡
     * DuckDB HUGEINT. Top-k is TakeOrdered on the tiny scored frame. */
   def pmiTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val (uni, big) = lmCounts(spark, sfDir)
+    val (uni, big) = lmCountsShared(spark, sfDir)
     val tot = big.agg(sum($"c2").as("n_tot"))
     big.filter($"c2" >= PmiMinCount)
       .withColumnRenamed("c2", "c12")
