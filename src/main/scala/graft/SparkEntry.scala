@@ -1355,12 +1355,13 @@ object SparkEntry {
         |  CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_raw_variants
         |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
     "q_dedup_prefix" ->
-      s"""WITH t AS (SELECT doc_id, md5(lower(trim(text))) AS raw_hash,
-         |    list_filter(string_split(text,' '), x -> x <> '') AS tk FROM documents)
-         |SELECT md5(array_to_string(list_slice(tk, 1, ${graft.operators.DedupOps.PrefixTok}), ' ')) AS prefix_hash,
+      s"""WITH $tkCte,
+         |t AS (SELECT doc_id, md5(lower(trim(text))) AS raw_hash,
+         |    list_transform(tk, x -> lower(x)) AS ltk FROM tkv)
+         |SELECT md5(array_to_string(list_slice(ltk, 1, ${graft.operators.DedupOps.PrefixTok}), ' ')) AS prefix_hash,
          |  min(doc_id) AS keep_id, count(*) AS cnt,
          |  CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
-         |FROM t WHERE len(tk) >= ${graft.operators.DedupOps.PrefixTok}
+         |FROM t WHERE len(ltk) >= ${graft.operators.DedupOps.PrefixTok}
          |GROUP BY 1 ORDER BY prefix_hash""".stripMargin,
     "q_contamination" ->
       s"""WITH $tkCte, ${gramsCte(CurationOps.DecontGram)},
@@ -1468,7 +1469,8 @@ object SparkEntry {
          |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
          |    CAST(sum(c*c) AS BIGINT) AS sum_sq_counts FROM cnt GROUP BY 1)
          |SELECT doc_id, n_tokens, sum_sq_counts,
-         |  (n_tokens * n_tokens - sum_sq_counts) * 1000000 // (n_tokens * n_tokens) AS simpson_e6
+         |  CAST((CAST(n_tokens AS HUGEINT) * n_tokens - sum_sq_counts) * 1000000
+         |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS simpson_e6
          |FROM d WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
     "q_length_gate" ->
       s"""WITH $tkCte,

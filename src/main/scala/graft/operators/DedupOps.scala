@@ -70,7 +70,11 @@ object DedupOps {
     * appended boilerplate, pagination) and which therefore slip past
     * both exact (#37) and normalized (#85) whole-text hashing.
     * `n_raw_variants` counts the #37 exact classes each prefix class
-    * absorbs (> 1 ⇔ the prefix tier did work beyond exact dedup).
+    * absorbs (> 1 ⇔ the prefix tier did work beyond exact dedup). The
+    * prefix is built from LOWERCASED tokens so its key domain folds
+    * case exactly like #37's `md5(lower(trim(text)))` — otherwise a
+    * case-variant exact class would straddle two prefix classes and
+    * the coarser tier would miss duplicates the finer tier catches.
     *
     * Scale shape: identical to #37 — a narrow codegen'd projection
     * (built-in `slice`/`array_join`/`md5`, no UDF) into ONE
@@ -79,7 +83,7 @@ object DedupOps {
     * the exchange, and the key is a hash so no skew handling is
     * needed. */
   def dedupPrefix(spark: SparkSession, sfDir: String): DataFrame = {
-    val tk = graft.functions.TextFunctions.tokens($"text")
+    val tk = graft.functions.TextFunctions.tokens(lower($"text"))
     Tables.documents(spark, sfDir)
       .select($"doc_id", md5(lower(trim($"text"))).as("raw_hash"),
         tk.as("tk"))

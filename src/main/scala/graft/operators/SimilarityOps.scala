@@ -520,6 +520,10 @@ object SimilarityOps {
     val cov = embedCovariance(spark, sfDir)
       .select($"i", $"j", $"n", $"cov_num")
       .as[(Long, Long, Long, Long)](newProductEncoder).collect()
+    // empty embeddings table → zero-dim problem: d = 0 flows through
+    // to an empty loading vector (pcaTop: empty frame; pcaVar: the
+    // zero row) instead of crashing on cov.head
+    if (cov.isEmpty) return (Array.empty, Array.empty)
     val d = cov.count(r => r._1 == r._2)
     val n = BigInt(cov.head._3)
     // truncated-toward-zero scaled matrix (BigInt / truncates)

@@ -145,8 +145,12 @@ object TextOps {
     * misses). Σc² is one hash-map pass per document
     * ([[graft.functions.TextSetExprs.sumSqTokenCounts]], native
     * codegen'd — never an explode + (doc, token) shuffle), so the
-    * 100 TB plan stays scan → project → sort, same as #53. n ≤ doc
-    * length keeps n²·10⁶ far from BIGINT range. */
+    * 100 TB plan stays scan → project → sort, same as #53. The
+    * n²·10⁶ product passes 2⁶³ at n ≈ 3.03M tokens (a ~15 MB
+    * concatenation blob — exactly the doc class this profile is
+    * meant to flag), so the intermediate runs in DECIMAL(38,0)
+    * ≡ DuckDB HUGEINT (the #99 pattern); the ratio itself is
+    * < 10⁶ and lands back in BIGINT. */
   def tokenDiversity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("tk", tokens($"text"))
@@ -155,7 +159,8 @@ object TextOps {
         graft.functions.TextSetExprs.sumSqTokenCounts($"tk").as("sum_sq_counts"))
       .filter($"n_tokens" > 0)
       .select($"doc_id", $"n_tokens", $"sum_sq_counts",
-        expr("(n_tokens * n_tokens - sum_sq_counts) * 1000000 div (n_tokens * n_tokens)")
+        expr("cast(((cast(n_tokens as decimal(38,0)) * n_tokens - sum_sq_counts) * 1000000) " +
+          "div (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)")
           .as("simpson_e6"))
       .orderBy($"doc_id")
 

@@ -205,17 +205,6 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(r) div count(1)").as("lm_score_e6"))
 
-  /** Streaming decontamination gate (SURVEY.md §2.7 #91b): score each
-    * drop's embedding vectors against the BROADCAST benchmark table
-    * before admitting them — the "is today's crawl contaminated with
-    * eval data" check run at ingest instead of over the whole corpus.
-    * Same stateless scoring stage as the batch operator
-    * (`CurationOps.deconHits` — one shared definition), then one
-    * update-mode agg keyed by vec_id; each vector arrives in exactly
-    * one micro-batch, so each contaminated vector emits exactly once
-    * (the [[lmGate]] contract). The majority pick is a max over
-    * (cos, −bench) structs — an associative merge, so the agg state
-    * per key is O(1). StreamingSpec pins stream ≡ batch per vector. */
   /** Streaming length histogram (SURVEY.md §2.7 #94b): the #94
     * fixed-grid cells maintained over an unbounded document stream in
     * complete mode — the cell grid IS the aggregation state, bounded
@@ -240,6 +229,17 @@ object StreamingJobs {
   def tokenDeconGate(stream: DataFrame, benchGrams: DataFrame): DataFrame =
     graft.operators.CurationOps.gramHits(stream, benchGrams)
 
+  /** Streaming decontamination gate (SURVEY.md §2.7 #91b): score each
+    * drop's embedding vectors against the BROADCAST benchmark table
+    * before admitting them — the "is today's crawl contaminated with
+    * eval data" check run at ingest instead of over the whole corpus.
+    * Same stateless scoring stage as the batch operator
+    * (`CurationOps.deconHits` — one shared definition), then one
+    * update-mode agg keyed by vec_id; each vector arrives in exactly
+    * one micro-batch, so each contaminated vector emits exactly once
+    * (the [[lmGate]] contract). The majority pick is a max over
+    * (cos, −bench) structs — an associative merge, so the agg state
+    * per key is O(1). StreamingSpec pins stream ≡ batch per vector. */
   def deconGate(stream: DataFrame, bench: DataFrame): DataFrame =
     graft.operators.CurationOps.deconHits(
         graft.operators.CurationOps.quantVecs(stream), bench)

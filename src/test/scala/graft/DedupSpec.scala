@@ -79,11 +79,30 @@ class DedupSpec extends SparkTestBase {
     assert(res.map(_._4).sum ==
       long.map { case (_, t) => t.toLowerCase.trim }.distinct.length)
     assert(res.forall { case (_, _, cnt, v) => cnt >= v && v >= 1 })
-    // ≡ plain-Scala model: group by the first PrefixTok tokens
+    // ≡ plain-Scala model: group by the first PrefixTok LOWERCASED
+    // tokens (the prefix key folds case, matching #37's raw_hash)
     val model = long.groupBy { case (_, t) =>
-      TextHash.tokensJvm(t).take(PrefixTok).mkString(" ") }
+      TextHash.tokensJvm(t.toLowerCase).take(PrefixTok).mkString(" ") }
     assert(res.length == model.size)
     assert(res.map(_._2).toSet == model.values.map(_.map(_._1).min).toSet)
+  }
+
+  test("prefix classes fold case: a case-variant exact class never straddles") {
+    import graft.operators.DedupOps.PrefixTok
+    // two case variants of one text (same #37 class after lower+trim)
+    // plus a genuinely different doc: the variants MUST land in one
+    // prefix class, so exact classes refine prefix classes
+    val words = (1 to PrefixTok + 2).map(i => s"w$i").mkString(" ")
+    val dir = tmpDir("graft-prefix-case-")
+    Seq((1L, words, "en", "srcA", 9L),
+        (2L, words.toUpperCase, "en", "srcA", 9L),
+        (3L, (1 to PrefixTok + 2).map(i => s"x$i").mkString(" "), "en", "srcB", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = DedupOps.dedupPrefix(spark, dir)
+      .select("keep_id", "cnt", "n_raw_variants")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(res.toSeq == Seq((1L, 2L, 1L), (3L, 1L, 1L)))
   }
 
   test("contamination report equals a plain-JVM reverse-decontamination model") {

@@ -212,6 +212,25 @@ class ProfileSpec extends SparkTestBase {
     })
   }
 
+  test("token diversity survives a multi-million-token doc (no Long overflow)") {
+    import spark.implicits.newProductEncoder
+    // 3.2M tokens over 20 distinct words: (n² − Σc²)·10⁶ ≈ 9.7e18
+    // exceeds Long.MaxValue — the DECIMAL(38,0) intermediate must
+    // carry it (simpson = (1 − 1/20)·1e6 = 950000 exactly)
+    val n = 3200000
+    val sb = new StringBuilder(n * 4)
+    var i = 0
+    while (i < n) { sb.append('w').append(i % 20).append(' '); i += 1 }
+    val dir = tmpDir("graft-diversity-huge-")
+    Seq((1L, sb.toString, "en", "srcA", n.toLong * 4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.tokenDiversity(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ssq = 20L * 160000L * 160000L
+    assert(got == Seq((1L, n.toLong, ssq, 950000L)))
+  }
+
   test("length gate equals a plain-Scala model and conserves its flags") {
     import spark.implicits.newProductEncoder
     val lens = Tables.documents(spark, sf)

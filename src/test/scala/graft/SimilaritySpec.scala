@@ -317,4 +317,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(share * d >= 1000000L,
       s"share_e6 $share below the isotropic floor 1e6/$d")
   }
+
+  test("pca tolerates an empty embeddings table (no crash, empty/zero output)") {
+    val dir = tmpDir("graft-pca-empty-")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(SimilarityOps.pcaTop(spark, dir).count() == 0L)
+    val rows = SimilarityOps.pcaVar(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((0L, 0L, 0L)))
+  }
 }
