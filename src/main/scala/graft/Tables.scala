@@ -33,14 +33,22 @@ object Tables {
     tsFromNanos(table(s, d, "events"))
   }
 
-  /** Rebuild a µs TimestampType `ts` from a raw-nanos long `ts`
-    * column (the data is µs-grain, so `div 1000` is exact). Shared by
-    * [[events]] and any streaming read of the same files. A file that
-    * already carries a standard µs TIMESTAMP (e.g. the scaled-up
-    * tables graft.tools.GenScale writes) passes through unchanged. */
+  /** Normalize the `ts` column to a µs TimestampType, whatever the
+    * parquet writer produced. Three shapes appear across testdata
+    * generations: a standard µs TIMESTAMP (pass through), a µs
+    * TIMESTAMP_NTZ (isAdjustedToUTC=false — the session timezone is
+    * pinned to UTC, so the cast relabels the same instant), and a
+    * TIMESTAMP(NANOS) read as raw nanos long (the data is µs-grain,
+    * so `div 1000` is exact). Shared by [[events]] and any streaming
+    * read of the same files. */
   def tsFromNanos(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType) df
-    else df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
