@@ -126,6 +126,8 @@ object SparkEntry {
     "q_hist_quantiles" -> (CurationOps.histQuantiles _),
     "q_quality_percentile" -> (CurationOps.qualityPercentile _),
     "q_cluster_quality" -> (ClusterOps.clusterQuality _),
+    "q_cluster_hist" -> (ClusterOps.clusterHist _),
+    "q_event_funnel" -> (CoreOps.eventFunnel _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1539,5 +1541,38 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, composite_e4,
          |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
+    "q_cluster_hist" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |lbl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lbl GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_event_funnel" -> {
+      val steps = graft.operators.CoreOps.FunnelSteps
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM ev
+         |  WHERE event_type = '${steps(0)}' GROUP BY 1),
+         |s2 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s1 USING (user_id)
+         |  WHERE event_type = '${steps(1)}' AND us > s1.t GROUP BY 1),
+         |s3 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s2 USING (user_id)
+         |  WHERE event_type = '${steps(2)}' AND us > s2.t GROUP BY 1),
+         |st AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS step,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
+         |  UNION ALL SELECT 1, '${steps(0)}', CAST(count(*) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 2, '${steps(1)}', CAST(count(*) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, '${steps(2)}', CAST(count(*) AS BIGINT) FROM s3)
+         |SELECT stage, step, n_users,
+         |  CAST(CASE WHEN stage = 0 THEN 10000
+         |    WHEN lag(n_users) OVER (ORDER BY stage) = 0 THEN 0
+         |    ELSE n_users * 10000 // lag(n_users) OVER (ORDER BY stage)
+         |  END AS BIGINT) AS conv_e4
+         |FROM st ORDER BY stage""".stripMargin
+    },
   )
 }

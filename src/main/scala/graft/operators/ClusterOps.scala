@@ -225,6 +225,30 @@ object ClusterOps {
     * output and the quality table is a per-doc artifact in
     * production — the join is doc-keyed; the keep window partitions
     * by cluster (pair-bounded, never corpus-wide). */
+  /** #102 Duplicate-cluster size histogram: for each near-dup
+    * cluster size s ≥ 2, how many clusters, how many docs they hold,
+    * and how many of those are redundant ((s−1) per cluster — the
+    * rows any retention policy #50/#70/#96 drops). The shape of this
+    * histogram is the first thing a dedup owner reads: a heavy tail
+    * (few giant clusters) means template/mirror explosion and a
+    * candidate-cap risk; a flat head (all size 2) means near-misses.
+    * Same [[clusterLabels]] subtree as every cluster consumer, so the
+    * histogram can never disagree with the memberships it summarizes.
+    *
+    * Scale shape: labels are the sublinear pairs-artifact output; two
+    * partial-agg'd shuffles on tiny frames (cluster ids, then sizes —
+    * output rows bounded by the largest cluster size, not the
+    * corpus). */
+  def clusterHist(spark: SparkSession, sfDir: String): DataFrame =
+    clusterLabels(spark, sfDir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_size", $"n_clusters",
+        ($"cluster_size" * $"n_clusters").as("n_docs"),
+        (($"cluster_size" - 1L) * $"n_clusters").as("n_redundant"))
+      .orderBy($"cluster_size")
+
   def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = clusterLabels(spark, sfDir)

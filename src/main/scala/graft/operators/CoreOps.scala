@@ -278,4 +278,61 @@ object CoreOps {
           .as("retention_e4"))
       .orderBy($"day")
   }
+
+  /** Funnel stage sequence — ONE definition shared by the operator,
+    * its spec, and (via the constant) the oracle, so the step order
+    * cannot drift between them. */
+  private[graft] val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** #103 Ordered conversion funnel: users who performed
+    * view → click → purchase IN TIME ORDER (each step strictly after
+    * the user's EARLIEST qualifying time for the previous step), with
+    * per-stage counts and e4 step-conversion rates vs the previous
+    * stage — the product-analytics query every event warehouse runs,
+    * and one a bare groupBy cannot express (min-per-step ignores
+    * ordering; this is a sequential pattern).
+    *
+    * Earliest-entry semantics: stage k's time for a user is
+    * min(ts of step-k events after their stage-(k−1) time). Greedy
+    * earliest entry is optimal here — any valid ordered chain implies
+    * the greedy one exists — so the operator needs no per-user event
+    * sorting, just k chained (filter → user-keyed min) passes.
+    *
+    * Scale shape: events pruned to (user_id, event_type, ts) at the
+    * scan; each stage is one type-filtered partial-agg'd user-keyed
+    * shuffle joined to the previous stage's per-user frame (all
+    * user-keyed — one exchange family, AQE free to broadcast the
+    * shrinking stage frames); the counts are |stages| rows. The event
+    * stream itself is scanned once per stage and never re-shuffled at
+    * row granularity. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    // chain: per-user earliest time of each step, constrained after
+    // the previous step's earliest time
+    val stageFrames = FunnelSteps.foldLeft(List.empty[DataFrame]) { (acc, step) =>
+      val stepEv = ev.filter($"event_type" === step)
+      val entered = acc.headOption match {
+        case None       => stepEv
+        case Some(prev) => stepEv.join(prev.select($"user_id", $"t".as("t_prev")), "user_id")
+          .filter($"us" > $"t_prev")
+      }
+      entered.groupBy($"user_id").agg(min($"us").as("t")) :: acc
+    }.reverse
+    def cnt(df: DataFrame, stage: Long, step: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), lit(step).as("step"), $"n_users")
+    val all = cnt(ev.select($"user_id").distinct(), 0L, "all")
+    val stages = stageFrames.zipWithIndex.foldLeft(all) { case (u, (df, i)) =>
+      u.union(cnt(df, i + 1L, FunnelSteps(i)))
+    }
+    stages.as("a")
+      .join(stages.select(($"stage" + 1L).as("stage"), $"n_users".as("prev")),
+        Seq("stage"), "left")
+      .select($"stage", $"step", $"n_users",
+        when($"stage" === 0L, lit(10000L))
+          .when($"prev".isNull || $"prev" === 0L, lit(0L))
+          .otherwise(expr("n_users * 10000 div prev")).as("conv_e4"))
+      .orderBy($"stage")
+  }
 }

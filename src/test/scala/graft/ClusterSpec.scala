@@ -207,6 +207,31 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("cluster-size histogram reconciles exactly with dedupCluster memberships") {
+    val hist = ClusterOps.clusterHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hist.nonEmpty)
+    // every clustered doc is in a pair, so no size-1 bars can exist
+    assert(hist.forall(_._1 >= 2L), "histogram must start at size 2")
+    // strictly one bar per size, sorted
+    assert(hist.map(_._1).toSeq == hist.map(_._1).sorted.toSeq.distinct)
+    // row arithmetic: n_docs = size·clusters, n_redundant = (size−1)·clusters
+    hist.foreach { case (sz, nc, nd, nr) =>
+      assert(nd == sz * nc && nr == (sz - 1) * nc, s"bar $sz arithmetic")
+    }
+    // reconciliation against the membership table it summarizes
+    val labels = ClusterOps.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantBars = labels.groupBy(_._2).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => sz -> cs.size.toLong }
+    assert(hist.map(t => t._1 -> t._2).toMap == wantBars,
+      "bars must equal the size distribution of dedupCluster's clusters")
+    assert(hist.map(_._3).sum == labels.length.toLong,
+      "sum n_docs = clustered docs")
+    assert(hist.map(_._4).sum == labels.count(_._3 == 0L).toLong,
+      "sum n_redundant = docs any retention policy drops (keep=0)")
+  }
+
   test("contamination closure = direct hits plus dirty-cluster members, labels from #50") {
     import spark.implicits.{newLongEncoder, newProductEncoder}
     import graft.operators.CurationOps

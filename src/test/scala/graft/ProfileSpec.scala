@@ -22,6 +22,41 @@ class ProfileSpec extends SparkTestBase {
     assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("event funnel equals a per-user sequential-scan model and shrinks monotonically") {
+    import graft.operators.CoreOps
+    val got = CoreOps.eventFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).toSeq == "all" +: CoreOps.FunnelSteps)
+    // plain-Scala model: per user, greedy earliest chain through the steps
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val wantCounts = Seq(byUser.size.toLong) ++
+      CoreOps.FunnelSteps.indices.map { k =>
+        byUser.values.count { evs =>
+          // fold the user's events through the step chain greedily
+          CoreOps.FunnelSteps.take(k + 1).foldLeft(Option(Long.MinValue)) {
+            case (Some(after), step) =>
+              val ts = evs.filter(e => e._2 == step && e._3 > after).map(_._3)
+              if (ts.isEmpty) None else Some(ts.min)
+            case (None, _) => None
+          }.isDefined
+        }.toLong
+      }
+    assert(got.map(_._3).toSeq == wantCounts, "stage counts must equal the model")
+    // funnel stages only ever shrink, and conversions reflect that
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)), "monotone stages")
+    got.sliding(2).foreach {
+      case Array(prev, cur) =>
+        val want = if (prev._3 == 0L) 0L else cur._3 * 10000L / prev._3
+        assert(cur._4 == want, s"stage ${cur._1} conv_e4")
+      case _ =>
+    }
+    assert(got.head._4 == 10000L)
+  }
+
   test("TF-IDF ranks are dense 1..k and scores non-increasing per doc") {
     val rows = TextOps.tfidfTopk(spark, sf)
       .as[(Long, Long, String, Long, Long, Long)].collect()
