@@ -128,6 +128,8 @@ object SparkEntry {
     "q_cluster_quality" -> (ClusterOps.clusterQuality _),
     "q_cluster_hist" -> (ClusterOps.clusterHist _),
     "q_event_funnel" -> (CoreOps.eventFunnel _),
+    "q_novelty" -> (CurationOps.noveltyCurve _),
+    "q_boilerplate" -> (CurationOps.boilerplateRatio _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1574,5 +1576,39 @@ object SparkEntry {
          |  END AS BIGINT) AS conv_e4
          |FROM st ORDER BY stage""".stripMargin
     },
+    "q_novelty" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.CurationOps.ProfGram)},
+         |dg AS (SELECT doc_id, unnest(gs) AS h FROM g3),
+         |fst AS (SELECT h, min(doc_id) AS first_doc FROM dg GROUP BY 1),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         |  FROM dg JOIN fst USING (h) GROUP BY 1),
+         |bnds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |ad AS (SELECT least(${graft.operators.CurationOps.NoveltyBuckets - 1},
+         |    (d.doc_id - lo) * ${graft.operators.CurationOps.NoveltyBuckets} // (hi - lo + 1)) AS bucket,
+         |  coalesce(pd.n_grams, 0) AS n_grams, coalesce(pd.n_seen, 0) AS n_seen
+         |  FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN bnds)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams, CAST(sum(n_seen) AS BIGINT) AS n_seen,
+         |  CAST(CASE WHEN sum(n_grams) = 0 THEN 0
+         |    ELSE sum(n_seen) * 10000 // sum(n_grams) END AS BIGINT) AS seen_e4
+         |FROM ad GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.CurationOps.ProfGram)},
+         |dg AS (SELECT doc_id, unnest(gs) AS h FROM g3),
+         |dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY 1),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= ${graft.operators.CurationOps.BoilerDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |  FROM dg JOIN dfq USING (h) GROUP BY 1),
+         |ad AS (SELECT d.source, coalesce(pd.n_grams, 0) AS n_grams,
+         |    coalesce(pd.n_common, 0) AS n_common
+         |  FROM documents d LEFT JOIN pd USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_common) AS BIGINT) AS n_common,
+         |  CAST(CASE WHEN sum(n_grams) = 0 THEN 0
+         |    ELSE sum(n_common) * 10000 // sum(n_grams) END AS BIGINT) AS boiler_e4,
+         |  CAST(sum(CASE WHEN n_grams > 0 AND n_common * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM ad GROUP BY source ORDER BY source""".stripMargin,
   )
 }

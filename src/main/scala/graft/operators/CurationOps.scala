@@ -1110,4 +1110,105 @@ object CurationOps {
         sum(expr("n_tokens div csz")).as("effective_tokens"))
       .orderBy($"source")
   }
+
+  /** Shingle width and bucket count of the novelty/boilerplate gram
+    * profile — one definition for the operators, their specs, and
+    * the oracles. */
+  private[graft] val ProfGram = 3
+  private[graft] val NoveltyBuckets = 20L
+  /** A gram is "common" (boilerplate-grade) once it appears in at
+    * least this many distinct docs. */
+  private[graft] val BoilerDf = 5L
+
+  /** Per-doc distinct [[ProfGram]]-gram hashes, exploded — the ONE
+    * gram stream [[noveltyCurve]] and [[boilerplateRatio]] both
+    * aggregate, so their gram universe cannot drift. */
+  private def docGrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        explode(graft.functions.TextHash.gramHashes($"text", ProfGram)).as("h"))
+
+  /** Gram-level stats over [[docGrams]]: first-appearance doc and
+    * document frequency per distinct gram, in ONE partial-agg'd
+    * gram-keyed shuffle (min and count ride the same exchange). */
+  private def gramStats(spark: SparkSession, sfDir: String): DataFrame =
+    docGrams(spark, sfDir).groupBy($"h")
+      .agg(min($"doc_id").as("first_doc"), count(lit(1)).as("df"))
+
+  /** #104 Corpus novelty curve: walking the corpus in ingestion order
+    * (doc_id), what share of each slice's distinct 3-gram shingles
+    * was already seen in earlier docs? The first-occurrence form of
+    * dedup pressure — a curve bending toward 10000 says the tail of
+    * the crawl is re-crawling the head and the next ingest's marginal
+    * value is collapsing (the "data is running out" audit run before
+    * buying another crawl batch). Docs are sliced into
+    * [[NoveltyBuckets]] equal doc_id RANGES (never an ntile/global
+    * sort), a gram counts as seen when its corpus-wide first
+    * appearance precedes the doc.
+    *
+    * Scale shape: one gram-keyed partial-agg shuffle ([[gramStats]]),
+    * one gram-keyed join back (same key — the exchange is reusable),
+    * one doc-keyed agg, then a bounded bucket agg; the doc_id bounds
+    * are a broadcast 1-row frame. No global sort at any scale. */
+  def noveltyCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = docGrams(spark, sfDir)
+      .join(gramStats(spark, sfDir).select($"h", $"first_doc"), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_seen"))
+    val docs = Tables.documents(spark, sfDir).select($"doc_id")
+    val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(lit(NoveltyBuckets - 1L),
+          expr(s"(doc_id - lo) * $NoveltyBuckets div (hi - lo + 1)")).as("bucket"),
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_seen", lit(0L)).as("n_seen"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_grams").as("n_grams"), sum($"n_seen").as("n_seen"))
+      .withColumn("seen_e4",
+        when($"n_grams" === 0L, 0L)
+          .otherwise(expr("n_seen * 10000 div n_grams")))
+      .orderBy($"bucket")
+  }
+
+  /** #105 Boilerplate ratio per source: the share of each doc's
+    * distinct 3-gram shingles that are corpus-COMMON (document
+    * frequency ≥ [[BoilerDf]]) — the C4-style inter-document
+    * boilerplate signal (navigation chrome, legal footers, template
+    * scaffolding) that intra-doc repetition (#53) and top-token
+    * ratios (#92) cannot see, because boilerplate is only visible
+    * ACROSS documents. Reports per source the doc count, gram
+    * totals, common-gram totals, the e4 pooled ratio, and how many
+    * docs are majority-boilerplate (the drop candidates).
+    *
+    * Scale shape: same [[gramStats]] shuffle + same-key join as #104
+    * (one shared definition), then a doc-keyed agg and a |sources|
+    * partial agg; no corpus-wide sort, no broadcast of anything
+    * corpus-sized. */
+  def boilerplateRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = docGrams(spark, sfDir)
+      .join(gramStats(spark, sfDir).select($"h", $"df"), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" >= BoilerDf, 1L).otherwise(0L)).as("n_common"))
+    Tables.documents(spark, sfDir).select($"doc_id", $"source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"source",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_common", lit(0L)).as("n_common"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_grams").as("n_grams"), sum($"n_common").as("n_common"),
+        sum(when($"n_grams" > 0L && $"n_common" * 2L >= $"n_grams", 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .withColumn("boiler_e4",
+        when($"n_grams" === 0L, 0L)
+          .otherwise(expr("n_common * 10000 div n_grams")))
+      .select($"source", $"n_docs", $"n_grams", $"n_common", $"boiler_e4",
+        $"n_flagged")
+      .orderBy($"source")
+  }
 }

@@ -328,6 +328,32 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_novelty / q_boilerplate: gram stats join without a cartesian, docs pruned at the scan") {
+    for (q <- Seq("q_novelty", "q_boilerplate")) {
+      val plan = fullPlanString(q)
+      assert(!plan.contains("CartesianProduct"), s"$q must never go all-pairs")
+      // the 1-row bounds frame (novelty) joins as a broadcast nested
+      // loop over one row, never a shuffled product; the gram join is
+      // an equi-join on h
+      assert(plan.contains("partial_min") || plan.contains("partial_count"),
+        s"$q gram stats must partial-aggregate before the gram shuffle")
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("lang")),
+        s"$q documents scan must prune unused metadata columns: $readSchemas")
+    }
+  }
+
+  test("q_event_funnel: events pruned to three columns, stage joins are equi-joins") {
+    val plan = fullPlanString("q_event_funnel")
+    assert(!plan.contains("CartesianProduct"))
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(l => !l.contains("props") && !l.contains("value")),
+      s"events scan must prune to (user_id, event_type, ts): $readSchemas")
+    assert(plan.contains("partial_min"),
+      "per-user stage times must partial-aggregate before their shuffle")
+  }
+
   test("q_retention shuffles rows once — everything else works on the (user, day) frame") {
     val p = planOf("q_retention")
     val plan = p.toString

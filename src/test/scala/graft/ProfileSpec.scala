@@ -57,6 +57,61 @@ class ProfileSpec extends SparkTestBase {
     assert(got.head._4 == 10000L)
   }
 
+  test("novelty curve equals a plain-Scala first-occurrence model") {
+    import graft.functions.TextHash
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val grams = docs.map { case (id, t) =>
+      id -> TextHash.gramHashesJvm(t, CurationOps.ProfGram) }.toMap
+    val firstDoc = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).min }
+    val (lo, hi) = (docs.map(_._1).min, docs.map(_._1).max)
+    val k = CurationOps.NoveltyBuckets
+    val model = docs.groupBy { case (id, _) =>
+      math.min(k - 1, (id - lo) * k / (hi - lo + 1))
+    }.map { case (b, ds) =>
+      val ng = ds.map(d => grams(d._1).length.toLong).sum
+      val ns = ds.map(d => grams(d._1).count(h => firstDoc(h) < d._1).toLong).sum
+      b -> (ds.length.toLong, ng, ns, if (ng == 0) 0L else ns * 10000L / ng)
+    }
+    val got = CurationOps.noveltyCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toMap == model, "bucket rows must equal the model")
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq, "sorted buckets")
+    assert(got.head._1 == model.keys.min)
+  }
+
+  test("boilerplate ratio equals a plain-Scala document-frequency model") {
+    import graft.functions.TextHash
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val grams = docs.map { case (id, _, t) =>
+      id -> TextHash.gramHashesJvm(t, CurationOps.ProfGram) }.toMap
+    val df = grams.values.flatten.groupBy(identity)
+      .map { case (h, xs) => h -> xs.size.toLong }
+    val model = docs.groupBy(_._2).map { case (src, ds) =>
+      val perDoc = ds.map { case (id, _, _) =>
+        val gs = grams(id)
+        (gs.length.toLong, gs.count(h => df(h) >= CurationOps.BoilerDf).toLong)
+      }
+      val ng = perDoc.map(_._1).sum
+      val nc = perDoc.map(_._2).sum
+      src -> (ds.length.toLong, ng, nc,
+        if (ng == 0) 0L else nc * 10000L / ng,
+        perDoc.count(p => p._1 > 0 && p._2 * 2 >= p._1).toLong)
+    }
+    // columns: source, n_docs, n_grams, n_common, boiler_e4, n_flagged
+    val got = CurationOps.boilerplateRatio(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toMap == model, "per-source rows must equal the model")
+    // ratios are well-formed shares
+    got.foreach { case (src, (_, ng, nc, e4, _)) =>
+      assert(nc <= ng && e4 >= 0L && e4 <= 10000L, s"$src share bounds")
+    }
+  }
+
   test("TF-IDF ranks are dense 1..k and scores non-increasing per doc") {
     val rows = TextOps.tfidfTopk(spark, sf)
       .as[(Long, Long, String, Long, Long, Long)].collect()
