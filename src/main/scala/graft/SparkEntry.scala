@@ -130,6 +130,7 @@ object SparkEntry {
     "q_event_funnel" -> (CoreOps.eventFunnel _),
     "q_novelty" -> (CurationOps.noveltyCurve _),
     "q_boilerplate" -> (CurationOps.boilerplateRatio _),
+    "q_source_sim" -> (DedupOps.sourceSimilarity _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1610,5 +1611,23 @@ object SparkEntry {
          |    ELSE sum(n_common) * 10000 // sum(n_grams) END AS BIGINT) AS boiler_e4,
          |  CAST(sum(CASE WHEN n_grams > 0 AND n_common * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
          |FROM ad GROUP BY source ORDER BY source""".stripMargin,
+    "q_source_sim" -> {
+      import graft.functions.TextFunctions.{minhashAB, permuteSql}
+      import graft.operators.DedupOps.{numHashes, VerifyGram}
+      val ab = minhashAB(numHashes)
+      val mins = (0 until numHashes).map(i =>
+        s"min(${permuteSql("h", ab(i)._1, ab(i)._2)}) AS m${i + 1}").mkString(",\n    ")
+      val matches = (1 to numHashes).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $tkCte, ${gramsCte(VerifyGram)},
+         |g AS (SELECT doc_id, unnest(gs) AS h FROM g3),
+         |gsrc AS (SELECT d.source, g.h FROM g JOIN documents d USING (doc_id)),
+         |ms AS (SELECT source, $mins FROM gsrc GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  CAST(($matches) * 10000 // $numHashes AS BIGINT) AS jaccard_e4
+         |FROM ms a JOIN ms b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin
+    },
   )
 }

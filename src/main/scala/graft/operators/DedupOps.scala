@@ -284,6 +284,39 @@ object DedupOps {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** #106 Source-level MinHash similarity matrix: the estimated
+    * gram-set Jaccard between every source PAIR, from one 16-slot
+    * signature per source. The content-overlap audit at source
+    * granularity — "these two crawls are 40% the same corpus" —
+    * where #69 counts realized near-dup DOC pairs, this estimates
+    * whole-corpus set overlap even when individual docs never cross
+    * the near-dup bar.
+    *
+    * The scale story is the sketch algebra: a source's signature is
+    * the element-wise MIN of its docs' signatures (min over a union
+    * is the min of mins), so the per-doc signature stage is the SAME
+    * narrow codegen'd map as #38, the merge is one |sources|-group
+    * partial agg (16 longs of state per group), and the pairwise
+    * matrix is a broadcast self-join of a |sources|-row frame —
+    * bounded by design, nothing corpus-sized ever pairs. */
+  def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Tables.documents(spark, sfDir)
+      .select($"source",
+        graft.functions.TextHash.minhashSig($"text", VerifyGram, numHashes).as("sig"))
+      .filter(element_at($"sig", 1) =!= Long.MaxValue) // docs with ≥1 gram
+    val mins = (1 to numHashes).map(i => min(element_at($"sig", i)).as(s"m$i"))
+    val srcSigs = sigs.groupBy($"source").agg(mins.head, mins.tail: _*)
+    val nMatch = (1 to numHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    srcSigs.as("a")
+      .join(broadcast(srcSigs.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        nMatch.as("n_match"))
+      .withColumn("jaccard_e4", expr(s"n_match * 10000 div $numHashes"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** Modulus selecting the stand-in "daily drop" for
     * [[dedupIncremental]]: docs with doc_id % IncrMod == 0 play the
     * NEW side (in production the drop is its own table). Shared with

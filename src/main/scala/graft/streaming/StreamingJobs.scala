@@ -373,6 +373,54 @@ object StreamingJobs {
       }
   }
 
+  /** Per-user buffered funnel events for [[funnelGate]] — the
+    * CEP-style partial-match buffer: only funnel-STEP events are held
+    * (step index + epoch-µs), everything else is filtered before the
+    * shuffle. */
+  case class FunnelBuf(events: Seq[(Int, Long)])
+
+  /** Streaming form of CoreOps.eventFunnel (#103b): per user, the
+    * furthest view → click → purchase stage reachable from the events
+    * seen SO FAR, re-evaluated on every arrival — the live funnel
+    * dashboard. Exactly the batch operator's greedy earliest-entry
+    * chain over the buffered multiset, so late/out-of-order arrivals
+    * are handled exactly: a late 'view' that lowers t1 re-opens
+    * earlier clicks, which buffered state can honor and a
+    * running-min could not. Update-mode rows are MONOTONE per user
+    * (growing the event set can only extend the chain), so the last
+    * row per user is the answer at any point.
+    *
+    * State is O(user's funnel events) — the same partial-match bound
+    * as Flink CEP's NFA buffer; a production deployment bounds the
+    * horizon with the #29f event-time-TTL pattern. Input contract:
+    * (user_id, event_type, us) — epoch-µs like the batch operator. */
+  def funnelGate(events: DataFrame): Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder}
+    val steps = graft.operators.CoreOps.FunnelSteps
+    val typed = events.select($"user_id", $"event_type", $"us")
+      .filter($"event_type".isin(steps: _*)).as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelBuf]) =>
+          val evs = state.getOption.map(_.events).getOrElse(Nil) ++
+            batch.map(e => (steps.indexOf(e._2), e._3))
+          state.update(FunnelBuf(evs))
+          var after = Long.MinValue
+          var stage = 0L
+          var open = true
+          steps.indices.foreach { k =>
+            if (open) {
+              val ts = evs.collect { case (s, us) if s == k && us > after => us }
+              if (ts.isEmpty) open = false
+              else { after = ts.min; stage = k + 1L }
+            }
+          }
+          (user, stage)
+      }
+  }
+
   /** Double-11 dashboard, per-province half (reference
     * orderTest/OrderAnalysy.scala:465 GroupDataFuc): per-day
     * per-province totals over an order stream, update mode, fed to an

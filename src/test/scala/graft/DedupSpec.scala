@@ -244,6 +244,34 @@ class DedupSpec extends SparkTestBase {
     assert(cand.as[(Long, Long)].collect().toSet.contains((20L, 10L)))
   }
 
+  test("source similarity equals a plain-JVM union-sketch model (min of mins = min of union)") {
+    val ab = TextFunctions.minhashAB(DedupOps.numHashes).toArray
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    // model: signature straight from each source's gram UNION — the
+    // operator instead min-merges per-doc signatures; equality IS the
+    // mergeability claim under test
+    val model = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val grams = ds.flatMap(d => TextHash.gramHashesJvm(d._2, DedupOps.VerifyGram)).toSet
+      if (grams.isEmpty) None
+      else Some(src -> ab.map { case (a, b) =>
+        grams.map(h => (a * (h % TextFunctions.MinhashP) + b) % TextFunctions.MinhashP).min
+      })
+    }
+    val wantPairs = (for {
+      (sa, siga) <- model; (sb, sigb) <- model if sa < sb
+    } yield {
+      val m = siga.zip(sigb).count(p => p._1 == p._2).toLong
+      (sa, sb) -> (m, m * 10000L / DedupOps.numHashes)
+    }).toMap
+    val got = DedupOps.sourceSimilarity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    assert(got.toMap == wantPairs, "matrix must equal the union-sketch model")
+    assert(got.length == wantPairs.size && got.forall { case ((a, b), (m, _)) =>
+      a < b && m >= 0L && m <= DedupOps.numHashes.toLong
+    }, "upper-triangular, bounded matches")
+  }
+
   test("SimHash: near-identical docs land within small Hamming distance") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val out = DedupOps.simhash(spark, sf).as[(Long, Long)].collect().toMap

@@ -225,6 +225,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel gate reaches the batch funnel's stage counts under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CoreOps
+    // batch side: the oracle-gated funnel's per-stage user counts
+    val batch = CoreOps.eventFunnel(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    // ADVERSARIAL arrival order: reverse time order, split across two
+    // micro-batches — every chain is assembled from late arrivals,
+    // which a running-min implementation would get wrong
+    val shuffled = rows.sortBy(-_._3)
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingJobs.funnelGate(
+        in.toDF().toDF("user_id", "event_type", "us"))
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      // stage is monotone per user, so the final answer is the max
+      val finalStage = spark.table("funnel").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      val streamedCounts = (1L to 3L).map(k =>
+        k -> finalStage.values.count(_ >= k).toLong).toMap
+      val batchCounts = (1L to 3L).map(k => k -> batch(k)).toMap
+      assert(streamedCounts == batchCounts,
+        s"funnel drift: streamed=$streamedCounts batch=$batchCounts")
+    } finally q.stop()
+  }
+
   test("streaming CMS sketch equals the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
