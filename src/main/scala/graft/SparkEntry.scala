@@ -131,6 +131,8 @@ object SparkEntry {
     "q_novelty" -> (CurationOps.noveltyCurve _),
     "q_boilerplate" -> (CurationOps.boilerplateRatio _),
     "q_source_sim" -> (DedupOps.sourceSimilarity _),
+    "q_session_stats" -> (WindowOps.sessionStats _),
+    "q_embed_outliers" -> (SimilarityOps.embedOutliers _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1629,5 +1631,49 @@ object SparkEntry {
          |FROM ms a JOIN ms b ON a.source < b.source
          |ORDER BY src_a, src_b""".stripMargin
     },
+    "q_session_stats" ->
+      """WITH sess AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS cnt,
+        |    min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |  FROM (
+        |    SELECT user_id, ts_us,
+        |      CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |    FROM (
+        |      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) IS NULL
+        |               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM events))
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  CAST(max(cnt) AS BIGINT) AS max_events,
+        |  CAST(sum(session_end_us - session_start_us) AS BIGINT) AS total_dur_us,
+        |  CAST(max(session_end_us - session_start_us) AS BIGINT) AS max_dur_us,
+        |  CAST(sum(session_end_us - session_start_us) // count(*) AS BIGINT) AS mean_dur_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_embed_outliers" ->
+      // same determinism contract as q_event_outliers, on the e-3
+      // coarsened quantized squared-norm
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) // 1000 AS nrm
+        |  FROM (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |    FROM embeddings)),
+        |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(nrm) AS BIGINT) AS s1,
+        |    CAST(sum(nrm * nrm) AS BIGINT) AS s2
+        |  FROM v GROUP BY label)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(nrm) AS BIGINT) AS min_nrm, CAST(max(nrm) AS BIGINT) AS max_nrm,
+        |  CAST(sum(nrm) // count(*) AS BIGINT) AS mean_nrm,
+        |  CAST(sum(CASE WHEN dev * dev > 9.0 * spread THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM (
+        |  SELECT v.*,
+        |    CAST(n AS DOUBLE) * CAST(nrm AS DOUBLE) - CAST(s1 AS DOUBLE) AS dev,
+        |    CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS spread
+        |  FROM v JOIN st USING (label))
+        |GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -232,11 +232,22 @@ object SimilarityOps {
     * at 100 TB is the iteration count ([[KmeansRounds]] for the
     * convergence profile; the assignment ships after one update),
     * never per-row state. */
-  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
+  private def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame =
+    assignFrame(Tables.embeddings(spark, sfDir),
+      kmeansCentroidsShared(spark, sfDir))
+
+  /** The assignment stage itself — ONE definition shared by the
+    * batch operator above and the streaming gate
+    * ([[graft.streaming.StreamingJobs.assignGate]]): a stateless
+    * narrow map with the ~4 KB centroid table in the task closure, so
+    * the two runtimes route a vector to the same cluster by
+    * construction. */
+  private[graft] def assignFrame(embeddings: DataFrame,
+      cents: Array[(Long, Array[Long], Long)]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits.newProductEncoder
     import graft.functions.VectorFunctions.quantized
-    val cents = kmeansCentroidsShared(spark, sfDir)
-    quantized(Tables.embeddings(spark, sfDir))
+    quantized(embeddings)
       .map { case (id, q, n2) =>
         val (c, d) = nearestCluster(cents)(q, n2)
         (c, id, d)
@@ -575,5 +586,48 @@ object SimilarityOps {
     spark
       .createDataset(Seq((d.toLong, tr.toLong, share.toLong)))(newProductEncoder)
       .toDF("d", "trace", "share_e6")
+  }
+
+  /** #108 Embedding-norm health report: per label, the quantized
+    * squared-norm profile (count/min/max/mean) and how many vectors
+    * sit more than 3σ from the label's mean — the broken-encoder
+    * audit an embedding pipeline runs before trusting ANN/cosine
+    * math (zero vectors, un-normalized batches, and exploded
+    * activations all flag here; cosine silently "works" on all of
+    * them, and a healthy report reads "0 outliers, mean ≈ norm²").
+    * Exactly the #71 determinism contract on
+    * nrm = n2 div 1000: integer per-label moments (n, Σv, Σv²), the
+    * 3σ test as (n·v − S1)² > 9·(n·S2 − S1²) branched per row in IEEE
+    * doubles from identical integer inputs. The e-3 coarsening keeps
+    * Σv² in BIGINT to ~1e9 vectors at 64 dims (coarsen further for
+    * more).
+    *
+    * Scale shape: one narrow scan computes the norms, one
+    * partial-agg'd shuffle reduces to |labels| rows, the tiny stats
+    * frame broadcasts back, the flag is a narrow map — the corpus is
+    * never shuffled. */
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".cast(LongType).as("label"),
+        norm2(quantize($"embedding")).as("n2"))
+      .select($"vec_id", $"label", expr("n2 div 1000").as("nrm"))
+    val stats = v.groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"nrm").as("s1"),
+        sum($"nrm" * $"nrm").as("s2"))
+    val dev = $"n".cast("double") * $"nrm".cast("double") - $"s1".cast("double")
+    val spread = $"n".cast("double") * $"s2".cast("double") -
+      $"s1".cast("double") * $"s1".cast("double")
+    // report form, not row listing: a HEALTHY corpus (unit-normalized
+    // encoder) has zero outliers, and "0 outliers, mean 999" is the
+    // evidence a pipeline wants recorded per label
+    v.join(broadcast(stats), "label")
+      .select($"label", $"nrm", $"n", $"s1",
+        when(dev * dev > lit(9.0) * spread, 1L).otherwise(0L).as("is_out"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("min(nrm)").as("min_nrm"), expr("max(nrm)").as("max_nrm"),
+        expr("sum(nrm) div count(1)").as("mean_nrm"),
+        sum($"is_out").as("n_outliers"))
+      .orderBy($"label")
   }
 }

@@ -67,7 +67,11 @@ object WindowOps {
   /** Session windows with a 30-minute inactivity gap (Flink session
     * windows; the gap-and-cumsum formulation is the batch analog of
     * keyed session state). */
-  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-(user, session) frame behind [[sessionWindow]] and
+    * [[sessionStats]] — ONE gap-detection definition (30-min
+    * inactivity, lag + cumulative-sum ids over per-user windows) so
+    * the two reports cannot disagree on session boundaries. */
+  private[operators] def sessionFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val byKey = eventOrder
     val gapUs = 30L * 60 * 1000000
     Tables.events(spark, sfDir)
@@ -82,6 +86,32 @@ object WindowOps {
         min($"ts_us").as("session_start_us"),
         max($"ts_us").as("session_end_us"),
         Det.sumFixed($"value", 6).as("sum_value_e6"))
-      .orderBy($"user_id", $"session_id")
   }
+
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    sessionFrame(spark, sfDir).orderBy($"user_id", $"session_id")
+
+  /** #107 Per-user session profile: session count, event totals,
+    * largest session, total/mean/max session duration — the
+    * engagement-depth report layered on the [[sessionFrame]]
+    * sessionization (same gap rule, so the stats can never disagree
+    * with the session listing). Durations are integer µs; mean is
+    * §4-exact integer division.
+    *
+    * Scale shape: sessionization is the per-user window (one
+    * user-keyed sort shuffle — per-partition sorts of per-user runs,
+    * never a global sort), then a user-keyed partial agg on the
+    * already-user-partitioned session frame (exchange reuse, zero
+    * extra shuffles). */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame =
+    sessionFrame(spark, sfDir)
+      .withColumn("dur_us", $"session_end_us" - $"session_start_us")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"cnt").as("n_events"),
+        max($"cnt").as("max_events"),
+        sum($"dur_us").as("total_dur_us"),
+        max($"dur_us").as("max_dur_us"))
+      .withColumn("mean_dur_us", expr("total_dur_us div n_sessions"))
+      .orderBy($"user_id")
 }

@@ -373,6 +373,18 @@ object StreamingJobs {
       }
   }
 
+  /** #67c Streaming cluster-assignment gate: each arriving embedding
+    * routed to its nearest TRAINED centroid — the topic-routing step
+    * of a continuous ingest pipeline (new docs land in their cluster
+    * shard; the model retrains in batch, like the #71 moments). The
+    * SAME assignment stage as the batch operator
+    * (SimilarityOps.assignFrame — one shared definition), stateless
+    * with the ~4 KB centroid table in the closure, so stream and
+    * batch route identically by construction. */
+  def assignGate(stream: DataFrame,
+      cents: Array[(Long, Array[Long], Long)]): DataFrame =
+    graft.operators.SimilarityOps.assignFrame(stream, cents)
+
   /** Per-user buffered funnel events for [[funnelGate]] — the
     * CEP-style partial-match buffer: only funnel-STEP events are held
     * (step index + epoch-µs), everything else is filtered before the

@@ -57,6 +57,28 @@ class ProfileSpec extends SparkTestBase {
     assert(got.head._4 == 10000L)
   }
 
+  test("session stats reconcile exactly with the session-window listing") {
+    import graft.operators.WindowOps
+    val sessions = WindowOps.sessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sessions.nonEmpty)
+    val model = sessions.groupBy(_._1).map { case (u, ss) =>
+      val durs = ss.map(s => s._5 - s._4)
+      u -> (ss.length.toLong, ss.map(_._3).sum, ss.map(_._3).max,
+        durs.sum, durs.max, durs.sum / ss.length)
+    }
+    val got = WindowOps.sessionStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toMap == model,
+      "per-user stats must equal the aggregate of the session listing")
+    // session ids are dense per user, so n_sessions = max session_id
+    val maxId = sessions.groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).max }
+    val gotMap = got.toMap
+    assert(gotMap.keys.forall(u => gotMap(u)._1 == maxId(u)),
+      "session count must equal the densely-numbered last session id")
+  }
+
   test("novelty curve equals a plain-Scala first-occurrence model") {
     import graft.functions.TextHash
     val docs = Tables.documents(spark, sf)

@@ -268,6 +268,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want, "operator diverges from the JVM model")
   }
 
+  test("embedding-norm health report equals a plain-JVM moments model") {
+    import graft.functions.VectorFunctions
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+    val nrm = rows.map { case (id, lbl, emb) =>
+      val q = VectorFunctions.quantizeJvm(emb)
+      (id, lbl, q.map(x => x * x).sum / 1000L)
+    }
+    val want = nrm.groupBy(_._2).map { case (lbl, vs) =>
+      val n = vs.length.toLong
+      val s1 = vs.map(_._3).sum
+      val s2 = vs.map(v => v._3 * v._3).sum
+      val outs = vs.count { case (_, _, v) =>
+        val dev = n.toDouble * v.toDouble - s1.toDouble
+        dev * dev > 9.0 * (n.toDouble * s2.toDouble - s1.toDouble * s1.toDouble)
+      }.toLong
+      lbl -> (n, vs.map(_._3).min, vs.map(_._3).max, s1 / n, outs)
+    }
+    val got = SimilarityOps.embedOutliers(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toMap == want, "per-label report must equal the model")
+    // the report always covers the full corpus, outliers or not
+    assert(got.map(_._2._1).sum == rows.length.toLong)
+  }
+
   test("pca top component: normalized, sign-stabilized, aligned with the true eigenvector") {
     val v = SimilarityOps.pcaTop(spark, sf)
       .as[(Long, Long)].collect().sortBy(_._1).map(_._2)

@@ -225,6 +225,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming cluster-assignment gate routes each vector exactly like the batch table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SimilarityOps
+    val batch = SimilarityOps.kmeansAssignShared(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val cents = SimilarityOps.kmeansCentroidsShared(spark, sf)
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.assignGate(
+        in.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("assign")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("assign").as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"assignment drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming funnel gate reaches the batch funnel's stage counts under out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CoreOps
