@@ -133,6 +133,8 @@ object SparkEntry {
     "q_source_sim" -> (DedupOps.sourceSimilarity _),
     "q_session_stats" -> (WindowOps.sessionStats _),
     "q_embed_outliers" -> (SimilarityOps.embedOutliers _),
+    "q_revenue_filter" -> (CoreOps.revenueFilter _),
+    "q_shard_assign" -> (CurationOps.shardAssign _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1675,5 +1677,27 @@ object SparkEntry {
         |    CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS spread
         |  FROM v JOIN st USING (label))
         |GROUP BY label ORDER BY label""".stripMargin,
+    "q_revenue_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount * 10000.0, 0) AS BIGINT)), 0) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24.0""".stripMargin,
+    "q_shard_assign" -> {
+      val n = graft.operators.CurationOps.NumShards
+      s"""WITH $tkCte,
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv),
+         |pre AS (SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+         |  FROM lens),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM lens),
+         |a AS (SELECT least($n - 1, cum_prev * $n // greatest(total, 1)) AS shard,
+         |  n_tokens, total FROM pre CROSS JOIN tot)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST((sum(n_tokens) - max(total) // $n) * 10000 // greatest(max(total) // $n, 1) AS BIGINT) AS dev_e4
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+    },
   )
 }

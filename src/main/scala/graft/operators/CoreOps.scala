@@ -33,6 +33,25 @@ object CoreOps {
         count(lit(1)).as("cnt"))
       .orderBy($"l_returnflag", $"l_linestatus")
 
+  /** #33c (SURVEY §2.6) TPC-H Q6-style filtered revenue scan: the
+    * what-if discount-revenue question — one-year shipdate slice,
+    * discount band, small quantities — whose entire answer is a
+    * predicate-pushdown test. All three predicates reach the parquet
+    * scan (PlanSpec pins PushedFilters), the projection prunes to
+    * three columns, and the aggregate is a single partial-agg'd
+    * 1-group reduction: at 100 TB this runs at scan speed on exactly
+    * the row groups the shipdate min/max stats admit. Revenue is the
+    * §4 fixed-point contract: price·discount rounded per row at e4,
+    * summed exact. */
+  def revenueFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount".between(0.04, 0.06) && $"l_quantity" < 24.0)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(Det.sumFixed($"l_extendedprice" * $"l_discount", 4), lit(0L))
+          .as("revenue_e4"))
+
   /** Batch word count (reference WordCount.scala:22 flatMap→groupBy→sum). */
   def wordCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -838,6 +838,41 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Output shard count for [[shardAssign]]. */
+  val NumShards = 16L
+
+  /** #109 Token-balanced output sharding: cut the corpus (doc_id
+    * order) into [[NumShards]] contiguous shards of ≈ equal TOKEN
+    * mass — the writer layout step before training (N readers each
+    * get one shard; doc-count sharding skews badly when lengths do) —
+    * and report each shard's doc/token load and signed e4 deviation
+    * from the ideal total/N. Shard of a doc = cum_prev·N div total:
+    * pure arithmetic on the SAME two-level prefix-sum frame as #68
+    * (one placement definition for packs and shards), with the total
+    * a broadcast 1-row aggregate. Balance is within one document of
+    * ideal by construction — the report proves it.
+    *
+    * Scale shape: #68's bounded-window prefix sum + one |shards|-row
+    * partial agg; nothing global beyond the tiny block-offset frame
+    * #68 already broadcasts. */
+  def shardAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val frame = packSequences(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"cum_prev")
+    val tot = frame.agg(sum($"n_tokens").as("total"))
+    frame.crossJoin(broadcast(tot))
+      .withColumn("shard",
+        least(lit(NumShards - 1L),
+          expr(s"cum_prev * $NumShards div greatest(total, 1)")))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        max($"total").as("total"))
+      .withColumn("dev_e4",
+        expr(s"(n_tokens - total div $NumShards) * 10000 div " +
+          s"greatest(total div $NumShards, 1)"))
+      .select($"shard", $"n_docs", $"n_tokens", $"dev_e4")
+      .orderBy($"shard")
+  }
+
   /** Token window width / stride for [[chunkDocs]] — 50% overlap,
     * the common embedding-pipeline default. */
   val ChunkWidth = 16

@@ -120,4 +120,33 @@ class PackingSpec extends SparkTestBase {
         .cast("long")).as[Long].collect().sum
     assert(stats.map(_._4).sum == totalTokens)
   }
+
+  test("shard assignment covers the corpus and balances to within two documents") {
+    import spark.implicits.{newLongEncoder, newProductEncoder}
+    val shards = CurationOps.shardAssign(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val lens = Tables.documents(spark, sf)
+      .select(size(tokens($"text")).cast(LongType)).as[Long].collect()
+    val total = lens.sum
+    val ideal = total / CurationOps.NumShards
+    // partition: every doc and every token lands in exactly one shard
+    assert(shards.map(_._2).sum == lens.length.toLong)
+    assert(shards.map(_._3).sum == total)
+    // shard ids live in [0, N) and are sorted/unique; every shard is
+    // present unless a single doc outweighs a whole ideal share
+    assert(shards.map(_._1).toSeq == shards.map(_._1).sorted.toSeq.distinct)
+    assert(shards.forall(s => s._1 >= 0L && s._1 < CurationOps.NumShards))
+    val maxDoc = lens.max
+    if (maxDoc < ideal)
+      assert(shards.length.toLong == CurationOps.NumShards,
+        "no doc spans an ideal share, so all shards must be populated")
+    // contiguous token-prefix cuts land within one doc of the ideal
+    // boundary, so each shard's mass is within two docs of ideal
+    shards.foreach { case (s, _, nt, dev) =>
+      assert(math.abs(nt - ideal) <= 2 * maxDoc + CurationOps.NumShards,
+        s"shard $s mass $nt vs ideal $ideal exceeds the two-doc bound")
+      val wantDev = (nt - ideal) * 10000L / math.max(ideal, 1L)
+      assert(dev == wantDev, s"shard $s dev_e4")
+    }
+  }
 }

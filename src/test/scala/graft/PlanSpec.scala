@@ -354,6 +354,18 @@ class PlanSpec extends SparkTestBase {
       "per-user stage times must partial-aggregate before their shuffle")
   }
 
+  test("q_revenue_filter pushes all three predicates to the scan and prunes columns") {
+    val plan = fullPlanString("q_revenue_filter")
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"shipdate/quantity must reach the parquet scan: $pushed")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("l_orderkey")),
+      s"scan must prune to the filter+agg columns: $readSchemas")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the 1-group aggregate must partial-aggregate")
+  }
+
   test("q_retention shuffles rows once — everything else works on the (user, day) frame") {
     val p = planOf("q_retention")
     val plan = p.toString
