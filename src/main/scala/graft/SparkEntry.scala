@@ -135,6 +135,7 @@ object SparkEntry {
     "q_embed_outliers" -> (SimilarityOps.embedOutliers _),
     "q_revenue_filter" -> (CoreOps.revenueFilter _),
     "q_shard_assign" -> (CurationOps.shardAssign _),
+    "q_cust_order_hist" -> (JoinOps.custOrderHist _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1699,5 +1700,11 @@ object SparkEntry {
          |  CAST((sum(n_tokens) - max(total) // $n) * 10000 // greatest(max(total) // $n, 1) AS BIGINT) AS dev_e4
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
     },
+    "q_cust_order_hist" ->
+      """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers FROM (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -50,6 +50,28 @@ object JoinOps {
       .orderBy($"p_brand")
   }
 
+  /** #33d (SURVEY §2.6) TPC-H Q13-style customer order-count
+    * distribution: how many customers placed 0, 1, 2, … orders — the
+    * engagement histogram, and the relational shape (outer join +
+    * double aggregation) a naive inner join gets WRONG by silently
+    * dropping the zero-order customers, who are usually the business
+    * question. Left join keeps them (count(o_orderkey) skips the
+    * null), then a second bounded histogram agg.
+    *
+    * Scale shape: one customer-keyed equi-join (uniform key; AQE
+    * broadcasts the smaller side), a partial-agg'd shuffle to
+    * |customers| rows riding the same key partitioning (exchange
+    * reuse), and a |distinct-counts|-row histogram agg. */
+  def custOrderHist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select($"c_custkey")
+      .join(Tables.orders(spark, sfDir).select($"o_custkey", $"o_orderkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_orders")
+
   /** Semi join: parts that ever shipped with quantity > 45. */
   def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_name")
