@@ -136,6 +136,7 @@ object SparkEntry {
     "q_revenue_filter" -> (CoreOps.revenueFilter _),
     "q_shard_assign" -> (CurationOps.shardAssign _),
     "q_cust_order_hist" -> (JoinOps.custOrderHist _),
+    "q_ann_margin" -> (SimilarityOps.annMargin _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1706,5 +1707,18 @@ object SparkEntry {
         |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         |  GROUP BY 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ann_margin" ->
+      s"""WITH $quantCte,
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM n a CROSS JOIN n b WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |r AS (SELECT query_id, vec_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT query_id,
+         |  CAST(max(CASE WHEN rank = 1 THEN vec_id END) AS BIGINT) AS top_vec,
+         |  CAST(max(CASE WHEN rank = 1 THEN cos_e6 END) AS BIGINT) AS cos1_e6,
+         |  CAST(max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS cos2_e6,
+         |  CAST(max(CASE WHEN rank = 1 THEN cos_e6 END) - max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS margin_e6
+         |FROM r WHERE rank <= 2 GROUP BY query_id ORDER BY query_id""".stripMargin,
   )
 }

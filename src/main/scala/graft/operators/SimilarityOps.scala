@@ -588,6 +588,24 @@ object SimilarityOps {
       .toDF("d", "trace", "share_e6")
   }
 
+  /** #110 ANN confidence margin: per query, the exact top-1 neighbor
+    * and the e6 cosine gap to the runner-up — the retrieval
+    * confidence signal (a thin margin means the "nearest" neighbor
+    * is interchangeable with the next one, so an approximate index's
+    * occasional rank swap is harmless there and dangerous where the
+    * margin is wide). Pure composition of the #43 exact ranking
+    * (same broadcast-queries × corpus-scan subtree), reduced to one
+    * row per query by a |queries|-bounded conditional agg. */
+  def annMargin(spark: SparkSession, sfDir: String): DataFrame =
+    annTopk(spark, sfDir)
+      .filter($"rank" <= 2L)
+      .groupBy($"query_id")
+      .agg(max(when($"rank" === 1L, $"vec_id")).as("top_vec"),
+        max(when($"rank" === 1L, $"cos_e6")).as("cos1_e6"),
+        max(when($"rank" === 2L, $"cos_e6")).as("cos2_e6"))
+      .withColumn("margin_e6", $"cos1_e6" - $"cos2_e6")
+      .orderBy($"query_id")
+
   /** #108 Embedding-norm health report: per label, the quantized
     * squared-norm profile (count/min/max/mean) and how many vectors
     * sit more than 3σ from the label's mean — the broken-encoder

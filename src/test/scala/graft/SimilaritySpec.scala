@@ -268,6 +268,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want, "operator diverges from the JVM model")
   }
 
+  test("ann margin agrees with the exact ranking and is non-negative") {
+    val top = SimilarityOps.annTopk(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val margins = SimilarityOps.annMargin(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(margins.nonEmpty)
+    val byQ = top.groupBy(_._1)
+    margins.foreach { case (q, topVec, c1, c2, m) =>
+      val rs = byQ(q).sortBy(_._2)
+      assert(topVec == rs.head._3, s"query $q top vec")
+      assert(c1 == rs.head._4 && c2 == rs(1)._4, s"query $q cosines")
+      assert(m == c1 - c2 && m >= 0L, s"query $q margin")
+    }
+    assert(margins.map(_._1).toSet == byQ.keySet)
+  }
+
   test("embedding-norm health report equals a plain-JVM moments model") {
     import graft.functions.VectorFunctions
     val rows = Tables.embeddings(spark, sf)
