@@ -137,6 +137,7 @@ object SparkEntry {
     "q_shard_assign" -> (CurationOps.shardAssign _),
     "q_cust_order_hist" -> (JoinOps.custOrderHist _),
     "q_ann_margin" -> (SimilarityOps.annMargin _),
+    "q_user_reconcile" -> (JoinOps.userReconcile _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1720,5 +1721,13 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS cos2_e6,
          |  CAST(max(CASE WHEN rank = 1 THEN cos_e6 END) - max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS margin_e6
          |FROM r WHERE rank <= 2 GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q_user_reconcile" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_events_only,
+        |  CAST(sum(CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_only
+        |FROM (SELECT DISTINCT user_id FROM events) e
+        |FULL OUTER JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON e.user_id = c.c_custkey""".stripMargin,
   )
 }

@@ -72,6 +72,26 @@ object JoinOps {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy($"n_orders")
 
+  /** #34b (SURVEY §2.6) Full-outer identity reconciliation: event
+    * users vs order customers — how many identities exist on both
+    * sides, and how many are orphaned on each (the cross-system
+    * consistency check run before any join-based enrichment is
+    * trusted; orphans are silent row loss in an inner join). The one
+    * outer-join shape the rest of the surface doesn't exercise.
+    *
+    * Scale shape: both sides reduce to distinct-key frames first
+    * (partial-agg'd, ≪ raw), the full-outer join is an equi-join on
+    * the uniform key, and the answer is a 1-row conditional agg. */
+  def userReconcile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select($"user_id").distinct()
+      .join(Tables.customer(spark, sfDir).select($"c_custkey").distinct(),
+        $"user_id" === $"c_custkey", "full_outer")
+      .agg(
+        sum(when($"user_id".isNotNull && $"c_custkey".isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_events_only"),
+        sum(when($"user_id".isNull, 1L).otherwise(0L)).as("n_customers_only"))
+
   /** Semi join: parts that ever shipped with quantity > 45. */
   def semiJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_name")
