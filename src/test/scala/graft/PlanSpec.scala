@@ -366,6 +366,36 @@ class PlanSpec extends SparkTestBase {
       "the 1-group aggregate must partial-aggregate")
   }
 
+  test("session-6 report queries never plan a shuffled cartesian product") {
+    // bounded-frame pairwise joins (source_sim's |sources|² matrix,
+    // ann_margin's broadcast queries) must stay broadcast-side;
+    // a ShuffleExchange-fed CartesianProduct would be the corpus
+    // pairing itself
+    for (q <- Seq("q_source_sim", "q_session_stats", "q_cluster_hist",
+        "q_cust_order_hist", "q_user_reconcile", "q_ann_margin",
+        "q_shard_assign", "q_event_funnel")) {
+      val plan = fullPlanString(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
+  test("q_source_sim merges signatures map-side and broadcasts the source matrix join") {
+    val plan = fullPlanString("q_source_sim")
+    assert(plan.contains("partial_min"),
+      "the per-source signature merge must partial-aggregate")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the |sources|-row pairwise join must broadcast, never shuffle")
+    assert(!plan.contains("SortMergeJoin"), "nothing in this plan may SMJ")
+  }
+
+  test("q_session_stats prunes the events scan and reuses the user partitioning") {
+    val plan = fullPlanString("q_session_stats")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("props")),
+      s"events scan must prune unused columns: $readSchemas")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_retention shuffles rows once — everything else works on the (user, day) frame") {
     val p = planOf("q_retention")
     val plan = p.toString
