@@ -303,6 +303,26 @@ object CoreOps {
     * cannot drift between them. */
   private[graft] val FunnelSteps = Seq("view", "click", "purchase")
 
+  /** Furthest funnel stage reachable from a buffered (stepIdx, µs)
+    * multiset, by the greedy earliest-entry chain — the ONE JVM
+    * definition [[graft.streaming.StreamingJobs.funnelGate]] executes
+    * and PropertySpec proves optimal (greedy earliest entry reaches
+    * stage k iff ANY strictly-increasing chain through steps 0..k−1
+    * exists). */
+  private[graft] def chainStage(evs: Seq[(Int, Long)], nSteps: Int): Long = {
+    var after = Long.MinValue
+    var stage = 0L
+    var open = true
+    (0 until nSteps).foreach { k =>
+      if (open) {
+        val ts = evs.collect { case (s, us) if s == k && us > after => us }
+        if (ts.isEmpty) open = false
+        else { after = ts.min; stage = k + 1L }
+      }
+    }
+    stage
+  }
+
   /** #103 Ordered conversion funnel: users who performed
     * view → click → purchase IN TIME ORDER (each step strictly after
     * the user's EARLIEST qualifying time for the previous step), with

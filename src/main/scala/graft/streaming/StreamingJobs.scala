@@ -419,17 +419,7 @@ object StreamingJobs {
           val evs = state.getOption.map(_.events).getOrElse(Nil) ++
             batch.map(e => (steps.indexOf(e._2), e._3))
           state.update(FunnelBuf(evs))
-          var after = Long.MinValue
-          var stage = 0L
-          var open = true
-          steps.indices.foreach { k =>
-            if (open) {
-              val ts = evs.collect { case (s, us) if s == k && us > after => us }
-              if (ts.isEmpty) open = false
-              else { after = ts.min; stage = k + 1L }
-            }
-          }
-          (user, stage)
+          (user, graft.operators.CoreOps.chainStage(evs, steps.length))
       }
   }
 

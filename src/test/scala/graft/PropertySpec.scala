@@ -187,4 +187,28 @@ class PropertySpec extends AnyFunSuite {
           s"xs=$xs k=$k chunks=$nChunks")
     }
   }
+
+  test("funnel greedy earliest-entry chain is optimal and arrival-order-invariant") {
+    import graft.operators.CoreOps
+    // brute force: stage k reachable iff ANY strictly-increasing
+    // chain t_0 < t_1 < ... < t_{k-1} exists through steps 0..k-1
+    def brute(evs: Seq[(Int, Long)], nSteps: Int): Long =
+      (nSteps to 0 by -1).find { k =>
+        def ok(i: Int, after: Long): Boolean =
+          i == k || evs.exists { case (s, us) =>
+            s == i && us > after && ok(i + 1, us)
+          }
+        ok(0, Long.MinValue)
+      }.getOrElse(0).toLong
+    val events: Gen[List[(Int, Long)]] = Gen.listOf(
+      Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L)))
+    forSamples(events, n = 500) { evs =>
+      val greedy = CoreOps.chainStage(evs, 3)
+      assert(greedy == brute(evs, 3), s"evs=$evs")
+      // shuffling arrival order cannot change the answer (the
+      // streaming gate buffers, so this IS its correctness)
+      assert(CoreOps.chainStage(evs.reverse, 3) == greedy, s"evs=$evs reversed")
+      assert(CoreOps.chainStage(evs.sortBy(_._2), 3) == greedy, s"evs=$evs sorted")
+    }
+  }
 }
