@@ -138,6 +138,7 @@ object SparkEntry {
     "q_cust_order_hist" -> (JoinOps.custOrderHist _),
     "q_ann_margin" -> (SimilarityOps.annMargin _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
+    "q_novelty_source" -> (CurationOps.noveltySource _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1729,5 +1730,20 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id FROM events) e
         |FULL OUTER JOIN (SELECT DISTINCT c_custkey FROM customer) c
         |  ON e.user_id = c.c_custkey""".stripMargin,
+    "q_novelty_source" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.CurationOps.ProfGram)},
+         |dg AS (SELECT doc_id, unnest(gs) AS h FROM g3),
+         |fst AS (SELECT h, min(doc_id) AS first_doc FROM dg GROUP BY 1),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         |  FROM dg JOIN fst USING (h) GROUP BY 1),
+         |ad AS (SELECT d.source, coalesce(pd.n_grams, 0) AS n_grams,
+         |    coalesce(pd.n_seen, 0) AS n_seen
+         |  FROM documents d LEFT JOIN pd USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams, CAST(sum(n_seen) AS BIGINT) AS n_seen,
+         |  CAST(CASE WHEN sum(n_grams) = 0 THEN 0
+         |    ELSE sum(n_seen) * 10000 // sum(n_grams) END AS BIGINT) AS seen_e4
+         |FROM ad GROUP BY source ORDER BY source""".stripMargin,
   )
 }

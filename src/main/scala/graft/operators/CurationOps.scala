@@ -1185,12 +1185,18 @@ object CurationOps {
     * one gram-keyed join back (same key — the exchange is reusable),
     * one doc-keyed agg, then a bounded bucket agg; the doc_id bounds
     * are a broadcast 1-row frame. No global sort at any scale. */
-  def noveltyCurve(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = docGrams(spark, sfDir)
+  /** Per-doc (n_grams, n_seen) novelty counts — the ONE stage behind
+    * [[noveltyCurve]] (the WHEN lens) and [[noveltySource]] (the
+    * WHICH-crawl lens), so the two reports count the same grams. */
+  private def noveltyPerDoc(spark: SparkSession, sfDir: String): DataFrame =
+    docGrams(spark, sfDir)
       .join(gramStats(spark, sfDir).select($"h", $"first_doc"), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_seen"))
+
+  def noveltyCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = noveltyPerDoc(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).select($"doc_id")
     val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
     docs.join(perDoc, Seq("doc_id"), "left")
@@ -1208,6 +1214,27 @@ object CurationOps {
           .otherwise(expr("n_seen * 10000 div n_grams")))
       .orderBy($"bucket")
   }
+
+  /** #104b Per-source novelty contribution: the #104 counts re-keyed
+    * by source — which crawl's shingles were already seen elsewhere
+    * (doc_id order stands in for ingestion order, so "seen" means an
+    * earlier-ingested doc anywhere in the corpus carried the gram
+    * first). The curve (#104) says WHEN redundancy set in; this says
+    * WHO ships it — the report that decides which feed to cut. Same
+    * [[noveltyPerDoc]] stage, one |sources| partial agg. */
+  def noveltySource(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select($"doc_id", $"source")
+      .join(noveltyPerDoc(spark, sfDir), Seq("doc_id"), "left")
+      .select($"source",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_seen", lit(0L)).as("n_seen"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_grams").as("n_grams"), sum($"n_seen").as("n_seen"))
+      .withColumn("seen_e4",
+        when($"n_grams" === 0L, 0L)
+          .otherwise(expr("n_seen * 10000 div n_grams")))
+      .orderBy($"source")
 
   /** #105 Boilerplate ratio per source: the share of each doc's
     * distinct 3-gram shingles that are corpus-COMMON (document

@@ -103,6 +103,23 @@ class ProfileSpec extends SparkTestBase {
     assert(got.head._1 == model.keys.min)
   }
 
+  test("per-source novelty reconciles exactly with the novelty curve's totals") {
+    // both reports aggregate the SAME noveltyPerDoc stage, so their
+    // corpus-wide gram and seen totals must agree to the digit
+    val curve = CurationOps.noveltyCurve(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySrc = CurationOps.noveltySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(bySrc.nonEmpty)
+    assert(bySrc.map(_._2).sum == curve.map(_._1).sum, "doc totals")
+    assert(bySrc.map(_._3).sum == curve.map(_._2).sum, "gram totals")
+    assert(bySrc.map(_._4).sum == curve.map(_._3).sum, "seen totals")
+    bySrc.foreach { case (src, _, ng, ns, e4) =>
+      assert(ns <= ng, s"$src seen bound")
+      assert(e4 == (if (ng == 0) 0L else ns * 10000L / ng), s"$src ratio")
+    }
+  }
+
   test("boilerplate ratio equals a plain-Scala document-frequency model") {
     import graft.functions.TextHash
     val docs = Tables.documents(spark, sf)
