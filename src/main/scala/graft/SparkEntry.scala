@@ -139,6 +139,7 @@ object SparkEntry {
     "q_ann_margin" -> (SimilarityOps.annMargin _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
+    "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1745,5 +1746,30 @@ object SparkEntry {
          |  CAST(CASE WHEN sum(n_grams) = 0 THEN 0
          |    ELSE sum(n_seen) * 10000 // sum(n_grams) END AS BIGINT) AS seen_e4
          |FROM ad GROUP BY source ORDER BY source""".stripMargin,
+    "q_cluster_policy" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv),
+         |$lmCtes,
+         |$qualityCtes,
+         |kmin AS (SELECT cluster_id, min(doc_id) AS k_min FROM lab GROUP BY 1),
+         |klong AS (SELECT cluster_id, doc_id AS k_long FROM (
+         |  SELECT lab.cluster_id, lab.doc_id, row_number() OVER (PARTITION BY lab.cluster_id
+         |    ORDER BY lens.n_tokens DESC, lab.doc_id ASC) AS rk
+         |  FROM lab JOIN lens USING (doc_id)) WHERE rk = 1),
+         |kqual AS (SELECT cluster_id, doc_id AS k_qual FROM (
+         |  SELECT lab.cluster_id, lab.doc_id, row_number() OVER (PARTITION BY lab.cluster_id
+         |    ORDER BY coalesce(comp.composite_e4, -1) DESC, lab.doc_id ASC) AS rk
+         |  FROM lab LEFT JOIN comp USING (doc_id)) WHERE rk = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN k_min = k_long THEN 1 ELSE 0 END) AS BIGINT) AS n_min_long,
+         |  CAST(sum(CASE WHEN k_min = k_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_min_qual,
+         |  CAST(sum(CASE WHEN k_long = k_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_long_qual,
+         |  CAST(sum(CASE WHEN k_min = k_long AND k_long = k_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous
+         |FROM kmin JOIN klong USING (cluster_id) JOIN kqual USING (cluster_id)""".stripMargin,
   )
 }

@@ -249,6 +249,30 @@ object ClusterOps {
         (($"cluster_size" - 1L) * $"n_clusters").as("n_redundant"))
       .orderBy($"cluster_size")
 
+  /** #111 Retention-policy agreement audit: across the three keep
+    * policies (#50 min-id, #70 longest, #96 best-quality), how often
+    * do they pick the SAME representative per cluster? High
+    * disagreement means the near-dup variants genuinely differ
+    * (truncation or quality spread) and the policy CHOICE is load-
+    * bearing; near-total agreement means any policy ships the same
+    * corpus and the cheapest one wins. Composes the three operators'
+    * keeper rows — all on the shared [[clusterLabels]] memberships,
+    * so cluster sets align by construction — into one 1-row
+    * conditional agg over the pair-bounded cluster frame. */
+  def clusterPolicyAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def keeps(df: DataFrame, as: String): DataFrame =
+      df.filter($"keep" === 1L).select($"cluster_id", $"doc_id".as(as))
+    keeps(dedupCluster(spark, sfDir), "k_min")
+      .join(keeps(clusterBest(spark, sfDir), "k_long"), "cluster_id")
+      .join(keeps(clusterQuality(spark, sfDir), "k_qual"), "cluster_id")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when($"k_min" === $"k_long", 1L).otherwise(0L)).as("n_min_long"),
+        sum(when($"k_min" === $"k_qual", 1L).otherwise(0L)).as("n_min_qual"),
+        sum(when($"k_long" === $"k_qual", 1L).otherwise(0L)).as("n_long_qual"),
+        sum(when($"k_min" === $"k_long" && $"k_long" === $"k_qual", 1L)
+          .otherwise(0L)).as("n_unanimous"))
+  }
+
   def clusterQuality(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = clusterLabels(spark, sfDir)

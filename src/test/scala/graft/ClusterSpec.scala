@@ -232,6 +232,28 @@ class ClusterSpec extends SparkTestBase {
       "sum n_redundant = docs any retention policy drops (keep=0)")
   }
 
+  test("policy audit counts equal a recompute from the three keeper sets") {
+    def keeps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().filter(_.getLong(df.columns.indexOf("keep")) == 1L)
+        .map(r => r.getLong(df.columns.indexOf("cluster_id")) ->
+          r.getLong(df.columns.indexOf("doc_id"))).toMap
+    val mn = keeps(ClusterOps.dedupCluster(spark, sf))
+    val lg = keeps(ClusterOps.clusterBest(spark, sf))
+    val ql = keeps(ClusterOps.clusterQuality(spark, sf))
+    assert(mn.keySet == lg.keySet && lg.keySet == ql.keySet,
+      "all three policies must keep over the same clusters")
+    val got = ClusterOps.clusterPolicyAudit(spark, sf).collect().head
+    val cs = mn.keySet.toSeq
+    assert(got.getLong(0) == cs.length.toLong)
+    assert(got.getLong(1) == cs.count(c => mn(c) == lg(c)).toLong, "min=long")
+    assert(got.getLong(2) == cs.count(c => mn(c) == ql(c)).toLong, "min=qual")
+    assert(got.getLong(3) == cs.count(c => lg(c) == ql(c)).toLong, "long=qual")
+    assert(got.getLong(4) ==
+      cs.count(c => mn(c) == lg(c) && lg(c) == ql(c)).toLong, "unanimous")
+    // unanimity is the intersection of the pairwise agreements
+    assert(got.getLong(4) <= Seq(got.getLong(1), got.getLong(2), got.getLong(3)).min)
+  }
+
   test("contamination closure = direct hits plus dirty-cluster members, labels from #50") {
     import spark.implicits.{newLongEncoder, newProductEncoder}
     import graft.operators.CurationOps
