@@ -140,6 +140,7 @@ object SparkEntry {
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
     "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
+    "q_funnel_window" -> (CoreOps.eventFunnelWindow _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1771,5 +1772,28 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN k_long = k_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_long_qual,
          |  CAST(sum(CASE WHEN k_min = k_long AND k_long = k_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous
          |FROM kmin JOIN klong USING (cluster_id) JOIN kqual USING (cluster_id)""".stripMargin,
+    "q_funnel_window" -> {
+      val steps = graft.operators.CoreOps.FunnelSteps
+      val gap = graft.operators.CoreOps.FunnelGapUs
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM ev
+         |  WHERE event_type = '${steps(0)}' GROUP BY 1),
+         |s2 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s1 USING (user_id)
+         |  WHERE event_type = '${steps(1)}' AND us > s1.t AND us <= s1.t + $gap GROUP BY 1),
+         |s3 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s2 USING (user_id)
+         |  WHERE event_type = '${steps(2)}' AND us > s2.t AND us <= s2.t + $gap GROUP BY 1),
+         |st AS (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS step,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev
+         |  UNION ALL SELECT 1, '${steps(0)}', CAST(count(*) AS BIGINT) FROM s1
+         |  UNION ALL SELECT 2, '${steps(1)}', CAST(count(*) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, '${steps(2)}', CAST(count(*) AS BIGINT) FROM s3)
+         |SELECT stage, step, n_users,
+         |  CAST(CASE WHEN stage = 0 THEN 10000
+         |    WHEN lag(n_users) OVER (ORDER BY stage) = 0 THEN 0
+         |    ELSE n_users * 10000 // lag(n_users) OVER (ORDER BY stage)
+         |  END AS BIGINT) AS conv_e4
+         |FROM st ORDER BY stage""".stripMargin
+    },
   )
 }

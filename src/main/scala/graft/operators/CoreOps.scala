@@ -308,20 +308,46 @@ object CoreOps {
     * definition [[graft.streaming.StreamingJobs.funnelGate]] executes
     * and PropertySpec proves optimal (greedy earliest entry reaches
     * stage k iff ANY strictly-increasing chain through steps 0..k−1
-    * exists). */
-  private[graft] def chainStage(evs: Seq[(Int, Long)], nSteps: Int): Long = {
+    * exists). With a finite `gapUs`, each step must land within
+    * gapUs of the previous step's entry — the "conversion window"
+    * semantic of product-analytics funnels. Greedy earliest is the
+    * DEFINITION there, not an optimization: first-touch-then-window
+    * is what the funnel means (a user who converted off a later
+    * view did not convert off their first interest). */
+  private[graft] def chainStage(evs: Seq[(Int, Long)], nSteps: Int,
+      gapUs: Long = Long.MaxValue): Long = {
     var after = Long.MinValue
     var stage = 0L
     var open = true
     (0 until nSteps).foreach { k =>
       if (open) {
-        val ts = evs.collect { case (s, us) if s == k && us > after => us }
+        // saturating upper bound: MinValue + MaxValue stays a bound
+        val hi = if (after == Long.MinValue || gapUs == Long.MaxValue)
+          Long.MaxValue else after + gapUs
+        val ts = evs.collect {
+          case (s, us) if s == k && us > after && us <= hi => us
+        }
         if (ts.isEmpty) open = false
         else { after = ts.min; stage = k + 1L }
       }
     }
     stage
   }
+
+  /** Conversion window of [[eventFunnelWindow]]: each step must
+    * follow within this many µs of the previous step's entry. */
+  private[graft] val FunnelGapUs = 6L * 3600 * 1000000
+
+  /** #103c Time-bounded conversion funnel: #103 with a
+    * [[FunnelGapUs]] conversion window per step — a click a week
+    * after the view is a new journey, not a conversion, so the
+    * unbounded funnel overstates conversion on long event streams.
+    * Same greedy earliest-entry chaining (the first-touch-then-window
+    * semantic product analytics defines), same k chained
+    * type-filtered user-keyed partial aggs; only the join predicate
+    * gains the upper bound. */
+  def eventFunnelWindow(spark: SparkSession, sfDir: String): DataFrame =
+    funnelReport(spark, sfDir, gapUs = Some(FunnelGapUs))
 
   /** #103 Ordered conversion funnel: users who performed
     * view → click → purchase IN TIME ORDER (each step strictly after
@@ -344,17 +370,25 @@ object CoreOps {
     * shrinking stage frames); the counts are |stages| rows. The event
     * stream itself is scanned once per stage and never re-shuffled at
     * row granularity. */
-  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelReport(spark, sfDir, gapUs = None)
+
+  /** The funnel assembly shared by #103 (no window) and #103c
+    * (conversion window): per-user earliest time of each step,
+    * constrained after — and, when `gapUs` is set, within gapUs of —
+    * the previous step's earliest time. */
+  private def funnelReport(spark: SparkSession, sfDir: String,
+      gapUs: Option[Long]): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-    // chain: per-user earliest time of each step, constrained after
-    // the previous step's earliest time
     val stageFrames = FunnelSteps.foldLeft(List.empty[DataFrame]) { (acc, step) =>
       val stepEv = ev.filter($"event_type" === step)
       val entered = acc.headOption match {
         case None       => stepEv
-        case Some(prev) => stepEv.join(prev.select($"user_id", $"t".as("t_prev")), "user_id")
-          .filter($"us" > $"t_prev")
+        case Some(prev) =>
+          val within = gapUs.fold(lit(true))(g => $"us" <= $"t_prev" + g)
+          stepEv.join(prev.select($"user_id", $"t".as("t_prev")), "user_id")
+            .filter($"us" > $"t_prev" && within)
       }
       entered.groupBy($"user_id").agg(min($"us").as("t")) :: acc
     }.reverse

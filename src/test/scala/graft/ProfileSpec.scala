@@ -151,6 +151,32 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("windowed funnel equals the gap-bounded chain model and is dominated by the unbounded funnel") {
+    import graft.operators.CoreOps
+    val wind = CoreOps.eventFunnelWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val free = CoreOps.eventFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wind.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // the conversion window can only disqualify chains
+    wind.foreach { case (k, _, n, _) => assert(n <= free(k), s"stage $k dominance") }
+    // ≡ the shared JVM chain with the same gap (an independent
+    // implementation of the same first-touch-then-window semantic)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val stepIdx = CoreOps.FunnelSteps.zipWithIndex.toMap
+    val byUser = ev.groupBy(_._1)
+    val wantCounts = Seq(byUser.size.toLong) ++ (1 to 3).map { k =>
+      byUser.values.count { evs =>
+        CoreOps.chainStage(
+          evs.collect { case (_, t, us) if stepIdx.contains(t) => (stepIdx(t), us) }.toSeq,
+          3, CoreOps.FunnelGapUs) >= k
+      }.toLong
+    }
+    assert(wind.map(_._3).toSeq == wantCounts, "windowed stage counts must equal the model")
+  }
+
   test("TF-IDF ranks are dense 1..k and scores non-increasing per doc") {
     val rows = TextOps.tfidfTopk(spark, sf)
       .as[(Long, Long, String, Long, Long, Long)].collect()

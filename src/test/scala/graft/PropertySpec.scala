@@ -209,6 +209,12 @@ class PropertySpec extends AnyFunSuite {
       // streaming gate buffers, so this IS its correctness)
       assert(CoreOps.chainStage(evs.reverse, 3) == greedy, s"evs=$evs reversed")
       assert(CoreOps.chainStage(evs.sortBy(_._2), 3) == greedy, s"evs=$evs sorted")
+      // conversion-window forms: gap=∞ is the unbounded chain, and
+      // widening the window never loses a stage
+      assert(CoreOps.chainStage(evs, 3, Long.MaxValue) == greedy, s"evs=$evs inf gap")
+      val g2 = CoreOps.chainStage(evs, 3, 2L)
+      val g5 = CoreOps.chainStage(evs, 3, 5L)
+      assert(g2 <= g5 && g5 <= greedy, s"evs=$evs gap monotonicity")
     }
   }
 }
