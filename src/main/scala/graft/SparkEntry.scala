@@ -141,6 +141,7 @@ object SparkEntry {
     "q_novelty_source" -> (CurationOps.noveltySource _),
     "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
     "q_funnel_window" -> (CoreOps.eventFunnelWindow _),
+    "q_funnel_latency" -> (CoreOps.funnelLatency _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1794,6 +1795,28 @@ object SparkEntry {
          |    ELSE n_users * 10000 // lag(n_users) OVER (ORDER BY stage)
          |  END AS BIGINT) AS conv_e4
          |FROM st ORDER BY stage""".stripMargin
+    },
+    "q_funnel_latency" -> {
+      val steps = graft.operators.CoreOps.FunnelSteps
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM ev
+         |  WHERE event_type = '${steps(0)}' GROUP BY 1),
+         |s2 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s1 USING (user_id)
+         |  WHERE event_type = '${steps(1)}' AND us > s1.t GROUP BY 1),
+         |s3 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s2 USING (user_id)
+         |  WHERE event_type = '${steps(2)}' AND us > s2.t GROUP BY 1),
+         |lat AS (
+         |  SELECT CAST(1 AS BIGINT) AS from_stage, '${steps(0)}' AS from_step,
+         |    '${steps(1)}' AS to_step, s2.t - s1.t AS lat_us
+         |  FROM s1 JOIN s2 USING (user_id)
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), '${steps(1)}', '${steps(2)}', s3.t - s2.t
+         |  FROM s2 JOIN s3 USING (user_id))
+         |SELECT from_stage, from_step, to_step,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(min(lat_us) AS BIGINT) AS min_us, CAST(max(lat_us) AS BIGINT) AS max_us,
+         |  CAST(sum(lat_us) // count(*) AS BIGINT) AS mean_us
+         |FROM lat GROUP BY 1, 2, 3 ORDER BY from_stage""".stripMargin
     },
   )
 }

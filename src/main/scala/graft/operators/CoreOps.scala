@@ -349,6 +349,37 @@ object CoreOps {
   def eventFunnelWindow(spark: SparkSession, sfDir: String): DataFrame =
     funnelReport(spark, sfDir, gapUs = Some(FunnelGapUs))
 
+  /** #103d Funnel conversion-latency report: for each adjacent step
+    * pair of the (unbounded) #103 funnel, how long converting users
+    * took — n / min / max / integer-mean µs of t_{k+1} − t_k. The
+    * where-do-users-stall report that picks the #103c conversion
+    * window from data instead of folklore. Same [[stageTimes]]
+    * chaining as the funnel counts (one definition), so a user's
+    * latency is measured between exactly the entries the funnel
+    * counted.
+    *
+    * Scale shape: the stage frames are per-user aggregates already;
+    * each adjacent pair joins on user_id (shrinking frames, AQE
+    * broadcasts), and the report is a |steps|-row partial agg. */
+  def funnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = stageTimes(eventTimes(spark, sfDir), None)
+    val pairs = st.sliding(2).zipWithIndex.map {
+      case (List(a, b), i) =>
+        a.select($"user_id", $"t".as("t_a"))
+          .join(b.select($"user_id", $"t".as("t_b")), "user_id")
+          .select(lit(i + 1L).as("from_stage"),
+            lit(FunnelSteps(i)).as("from_step"),
+            lit(FunnelSteps(i + 1)).as("to_step"),
+            ($"t_b" - $"t_a").as("lat_us"))
+      case (frames, i) => sys.error(s"stage pair $i arity ${frames.length}")
+    }.reduce(_ union _)
+    pairs.groupBy($"from_stage", $"from_step", $"to_step")
+      .agg(count(lit(1)).as("n_users"),
+        min($"lat_us").as("min_us"), max($"lat_us").as("max_us"),
+        expr("sum(lat_us) div count(1)").as("mean_us"))
+      .orderBy($"from_stage")
+  }
+
   /** #103 Ordered conversion funnel: users who performed
     * view → click → purchase IN TIME ORDER (each step strictly after
     * the user's EARLIEST qualifying time for the previous step), with
@@ -377,11 +408,12 @@ object CoreOps {
     * (conversion window): per-user earliest time of each step,
     * constrained after — and, when `gapUs` is set, within gapUs of —
     * the previous step's earliest time. */
-  private def funnelReport(spark: SparkSession, sfDir: String,
-      gapUs: Option[Long]): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-    val stageFrames = FunnelSteps.foldLeft(List.empty[DataFrame]) { (acc, step) =>
+  /** Per-user earliest entry time of each funnel step under the
+    * greedy chain — the frames behind [[funnelReport]] and
+    * [[funnelLatency]] (one chaining definition). List index k =
+    * stage k+1's (user_id, t). */
+  private def stageTimes(ev: DataFrame, gapUs: Option[Long]): List[DataFrame] =
+    FunnelSteps.foldLeft(List.empty[DataFrame]) { (acc, step) =>
       val stepEv = ev.filter($"event_type" === step)
       val entered = acc.headOption match {
         case None       => stepEv
@@ -392,6 +424,15 @@ object CoreOps {
       }
       entered.groupBy($"user_id").agg(min($"us").as("t")) :: acc
     }.reverse
+
+  private def eventTimes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+
+  private def funnelReport(spark: SparkSession, sfDir: String,
+      gapUs: Option[Long]): DataFrame = {
+    val ev = eventTimes(spark, sfDir)
+    val stageFrames = stageTimes(ev, gapUs)
     def cnt(df: DataFrame, stage: Long, step: String): DataFrame =
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(stage).as("stage"), lit(step).as("step"), $"n_users")

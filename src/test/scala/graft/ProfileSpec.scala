@@ -151,6 +151,24 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("funnel latency covers exactly the converting users with positive latencies") {
+    import graft.operators.CoreOps
+    val funnel = CoreOps.eventFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val lat = CoreOps.funnelLatency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(lat.map(_._1).toSeq == Seq(1L, 2L))
+    assert(lat.map(t => (t._2, t._3)).toSeq ==
+      CoreOps.FunnelSteps.sliding(2).map(p => (p(0), p(1))).toSeq)
+    // step-k latencies exist for exactly the users the funnel counted
+    // at stage k+1 (later stages refine earlier ones)
+    lat.foreach { case (k, _, _, n, mn, mx, mean) =>
+      assert(n == funnel(k + 1), s"pair $k user count")
+      assert(mn > 0L && mn <= mean && mean <= mx, s"pair $k latency bounds")
+    }
+  }
+
   test("windowed funnel equals the gap-bounded chain model and is dominated by the unbounded funnel") {
     import graft.operators.CoreOps
     val wind = CoreOps.eventFunnelWindow(spark, sf).collect()
