@@ -142,6 +142,10 @@ object SparkEntry {
     "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
     "q_funnel_window" -> (CoreOps.eventFunnelWindow _),
     "q_funnel_latency" -> (CoreOps.funnelLatency _),
+    "q_order_priority" -> (JoinOps.orderPriority _),
+    "q_promo_share" -> (JoinOps.promoShare _),
+    "q_local_supplier" -> (JoinOps.localSupplierVolume _),
+    "q_top_supplier" -> (JoinOps.topSupplier _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1818,5 +1822,51 @@ object SparkEntry {
          |  CAST(sum(lat_us) // count(*) AS BIGINT) AS mean_us
          |FROM lat GROUP BY 1, 2, 3 ORDER BY from_stage""".stripMargin
     },
+    "q_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_promo_share" ->
+      """WITH sl AS (SELECT
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT) AS rev_e4,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT
+        |  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END), 0) AS BIGINT) AS promo_rev_e4,
+        |  CAST(coalesce(sum(rev_e4), 0) AS BIGINT) AS total_rev_e4,
+        |  CAST(CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END), 0) AS HUGEINT)
+        |    * 1000000 // CAST(coalesce(sum(rev_e4), 0) AS HUGEINT) AS BIGINT) AS promo_share_e6
+        |FROM sl""".stripMargin,
+    "q_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue_e4 DESC, n_name ASC""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT l_suppkey AS s_suppkey, s_name, total_rev_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

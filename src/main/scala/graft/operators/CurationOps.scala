@@ -605,8 +605,15 @@ object CurationOps {
     * production all three are stored per-doc artifacts co-keyed by
     * doc_id); per metric ONE ~100-row histogram broadcasts back, the
     * rank map is narrow, and the final assembly is doc-keyed
-    * equi-joins. Cumulative windows touch bucket rows only. */
-  def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    * equi-joins. Cumulative windows touch bucket rows only.
+    *
+    * The per-doc composite frame is itself the pipeline artifact every
+    * retention policy prices against, so [[qualityPercentile]] serves
+    * it from a build-once parquet keyed by the corpus fingerprint
+    * (same amortize-to-first-consumer design as the MinHash pairs) —
+    * the three-metric subtree runs once per corpus, and the cluster
+    * retention/policy consumers (#96/#111) read a doc-keyed scan. */
+  private[graft] def qualityPercentileBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val lmP = pctOf(
       TextOps.lmQuality(spark, sfDir).select($"doc_id", $"lm_score_e6"),
       "lm_score_e6", "lm_pct_e4")
@@ -621,7 +628,22 @@ object CurationOps {
     lmP.join(dvP, "doc_id").join(rpP, "doc_id")
       .withColumn("composite_e4",
         expr("(lm_pct_e4 + div_pct_e4 + rep_pct_e4) div 3"))
-      .orderBy($"doc_id")
+  }
+
+  private val qualityPctCache =
+    new graft.tools.Materialize.SupersedingCache[(String, org.apache.spark.sql.types.StructType)]
+
+  /** #95 served from the build-once per-doc artifact (see
+    * [[qualityPercentileBuild]]); deterministic total order restored on
+    * read. Explicit schema rides the cache entry so an empty corpus
+    * (no part files) still reads. */
+  def qualityPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
+    val (path, schema) = qualityPctCache.getOrBuild(sfDir, fp) {
+      val q = qualityPercentileBuild(spark, sfDir)
+      (graft.tools.Materialize.writeParquet(q, "quality-pct"), q.schema)
+    }
+    spark.read.schema(schema).parquet(path).orderBy($"doc_id")
   }
 
   /** Count-Min sketch geometry for [[cmsHeavy]]: [[CmsRows]] hash rows

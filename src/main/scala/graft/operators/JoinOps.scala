@@ -260,4 +260,114 @@ object JoinOps {
       .orderBy($"revenue_e4".desc, $"o_orderkey".asc)
       .limit(20)
   }
+
+  /** #33e (SURVEY §2.6) TPC-H Q4-style order-priority fulfilment
+    * report: orders placed in 1996-Q1 with at least one line item
+    * shipped more than 60 days after the order date, counted per
+    * priority class — the SLA report that says whether urgent orders
+    * actually ship faster. The relational shape is the EXISTS
+    * subquery: a left-semi equi-join on the order key whose extra
+    * non-equi conjunct (shipdate vs orderdate + 60d) is evaluated
+    * inside the join, so each order is counted once no matter how
+    * many lines were late.
+    *
+    * Scale shape: the quarter slice pushes to the orders scan
+    * (row-group pruning on o_orderdate); both sides shuffle once on
+    * the uniform order key (at 100 TB the quarter slice still
+    * outgrows a broadcast; AQE takes the broadcast when it does
+    * fit); the priority agg is a 5-group partial agg. */
+  def orderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
+    o.join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** #33f (SURVEY §2.6) TPC-H Q14-style promo revenue share: of one
+    * month's lineitem revenue, what e6 share came from PROMO-type
+    * parts — the marketing-effect number. Conditional agg over the
+    * month slice with the part dim BROADCAST; the share division runs
+    * DECIMAL(38,0) (≡ DuckDB HUGEINT) because promo_e4 · 10⁶ overflows
+    * BIGINT once monthly revenue passes ~9·10¹² currency units —
+    * exactly the regime a 100 TB fact table is in. One scan, one
+    * 1-row agg, no shuffle beyond the partial-agg exchange. */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_type")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        coalesce(sum(when($"p_type" === "PROMO",
+          Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4))
+          .otherwise(0L)), lit(0L)).as("promo_rev_e4"),
+        coalesce(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4),
+          lit(0L)).as("total_rev_e4"))
+      .withColumn("promo_share_e6",
+        expr("""CAST((CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000)
+               |div CAST(total_rev_e4 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+  }
+
+  /** #33g (SURVEY §2.6) TPC-H Q5-style local-supplier volume: 1996
+    * revenue per ASIA nation counting only order lines whose supplier
+    * sits in the customer's own nation — the regional-economy report
+    * and the canonical star-join: one fact-fact shuffle (lineitem ⋈
+    * year-sliced orders on the uniform order key), every dimension
+    * (customer, supplier, nation⋈region) BROADCAST, the
+    * customer-nation = supplier-nation conjunct evaluated inside the
+    * broadcast joins so no second fact shuffle exists. Output is
+    * |nations-in-region| rows from a partial agg. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey", "left_semi")
+      .select($"n_nationkey", $"n_name")
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .as("revenue_e4"))
+      .orderBy($"revenue_e4".desc, $"n_name".asc)
+  }
+
+  /** #33h (SURVEY §2.6) TPC-H Q15-style top supplier: per-supplier
+    * revenue over 1996-Q1 and the supplier(s) achieving the maximum —
+    * the scalar-subquery shape (`WHERE rev = (SELECT max ...)`)
+    * realized as a 1-ROW max frame broadcast back onto the revenue
+    * frame (never a global sort or a window over all suppliers; ties
+    * all surface, exactly Q15's semantics). Supplier dim broadcast
+    * for the name. One fact partial-agg shuffle on the uniform
+    * supplier key; everything after is |suppliers|-bounded. */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .as("total_rev_e4"))
+    val mx = rev.agg(max($"total_rev_e4").as("max_rev_e4"))
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
+    rev.join(broadcast(mx), $"total_rev_e4" === $"max_rev_e4")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev_e4")
+      .orderBy($"s_suppkey")
+  }
 }

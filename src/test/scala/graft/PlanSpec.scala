@@ -319,13 +319,29 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
-  test("q_quality_percentile ranks via broadcast histograms, never a corpus row_number") {
-    val plan = fullPlanString("q_quality_percentile")
+  test("q_quality_percentile build ranks via broadcast histograms, never a corpus row_number") {
+    // pin the BUILD subtree: the served query reads the materialized
+    // per-doc artifact (next test), so the histogram-rank shape is
+    // asserted on the builder itself
+    val plan = graft.operators.CurationOps.qualityPercentileBuild(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "the ~100-row bucket histograms must broadcast back onto the metric frames")
     assert(!plan.contains("row_number"),
       "percentiles must come from bucket counts, not a corpus-wide rank")
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_quality_percentile steady state scans the shared per-doc artifact") {
+    SparkEntry.queries("q_quality_percentile")(spark, sf).queryExecution.executedPlan
+    val plan = SparkEntry.queries("q_quality_percentile")(spark, sf).queryExecution
+    plan.executedPlan
+    val scanPaths = plan.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanPaths.nonEmpty && scanPaths.forall(_.contains("quality-pct")),
+      s"q_quality_percentile must read only the materialized composite artifact; scans: $scanPaths")
   }
 
   test("q_novelty / q_boilerplate: gram stats join without a cartesian, docs pruned at the scan") {
