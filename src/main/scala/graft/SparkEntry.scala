@@ -146,6 +146,9 @@ object SparkEntry {
     "q_promo_share" -> (JoinOps.promoShare _),
     "q_local_supplier" -> (JoinOps.localSupplierVolume _),
     "q_top_supplier" -> (JoinOps.topSupplier _),
+    "q_source_cap" -> (CurationOps.sourceCap _),
+    "q_dedup_thresholds" -> (DedupOps.dedupThresholds _),
+    "q_event_gaps" -> (WindowOps.eventGaps _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1868,5 +1871,53 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_source_cap" ->
+      s"""WITH $tkCte,
+         |$lmCtes,
+         |$qualityCtes,
+         |base AS (SELECT d.source, d.doc_id,
+         |    CAST(coalesce(comp.composite_e4, -1) AS BIGINT) AS composite_e4
+         |  FROM documents d LEFT JOIN comp USING (doc_id))
+         |SELECT source, rnk, doc_id, composite_e4 FROM (
+         |  SELECT source, doc_id, composite_e4,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY composite_e4 DESC, doc_id ASC) AS BIGINT) AS rnk
+         |  FROM base)
+         |WHERE rnk <= ${graft.operators.CurationOps.SourceCapK}
+         |ORDER BY source, rnk""".stripMargin,
+    "q_dedup_thresholds" -> {
+      import graft.operators.DedupOps.{numHashes, CalibTaus}
+      val nMatch = (0 until numHashes)
+        .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |nm AS (SELECT doc_a, doc_b, CAST($nMatch AS BIGINT) AS n_match
+         |  FROM cand JOIN m x ON x.doc_id = doc_a JOIN m y ON y.doc_id = doc_b),
+         |cal AS (SELECT n_match * 10000 // $numHashes AS est_e4,
+         |    n_common * 10000 // n_union AS exact_e4
+         |  FROM ver v JOIN nm USING (doc_a, doc_b)),
+         |taus AS (SELECT CAST(unnest(list_value(${CalibTaus.mkString(", ")})) AS BIGINT) AS tau_e4)
+         |SELECT tau_e4,
+         |  CAST(coalesce(sum(CASE WHEN exact_e4 >= tau_e4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true,
+         |  CAST(coalesce(sum(CASE WHEN est_e4 >= tau_e4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_est,
+         |  CAST(coalesce(sum(CASE WHEN est_e4 >= tau_e4 AND exact_e4 < tau_e4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_est_only,
+         |  CAST(coalesce(sum(CASE WHEN est_e4 < tau_e4 AND exact_e4 >= tau_e4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_only
+         |FROM taus JOIN cal ON TRUE
+         |GROUP BY tau_e4 ORDER BY tau_e4""".stripMargin
+    },
+    "q_event_gaps" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |gaps AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us ASC, event_id ASC) AS gap_us
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
+        |FROM gaps WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1139,6 +1139,46 @@ object CurationOps {
       .orderBy($"source", $"rnk")
   }
 
+  /** Docs kept per source by [[sourceCap]]. */
+  val SourceCapK = 20
+
+  /** #112 Per-source quality cap: keep each source's [[SourceCapK]]
+    * BEST documents by the #95 composite quality percentile — the
+    * domain-cap a crawl pipeline applies so one mega-source cannot
+    * swamp the mixture with mediocre text (cf. the per-domain page
+    * caps in C4/RefinedWeb-style curation). Docs outside the quality
+    * domain (< 2 tokens) rank with the −1 sentinel, so a tiny source
+    * still fills its cap before any doc is dropped.
+    *
+    * Scale shape: the quality frame is the materialized #95 artifact
+    * (doc-keyed scan, built once per corpus); ranking is the SAME
+    * bounded-heap [[BoundedTopK]] as [[groupSample]] — O(K) state per
+    * source carried through a map-side-combined object agg, shuffle
+    * volume sources × partitions × K, never a per-source sort of the
+    * corpus. */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
+    val agg = new BoundedTopK[(Long, Long)](SourceCapK,
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+    val quality = qualityPercentile(spark, sfDir)
+      .select($"doc_id", $"composite_e4")
+    Tables.documents(spark, sfDir).select($"source", $"doc_id")
+      .join(quality, Seq("doc_id"), "left")
+      .select($"source",
+        (-coalesce($"composite_e4", lit(-1L))).as("negq"), $"doc_id")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((negq, doc), i) =>
+          (src, (i + 1).toLong, doc, -negq)
+        }
+      }
+      .toDF("source", "rnk", "doc_id", "composite_e4")
+      .orderBy($"source", $"rnk")
+  }
+
   /** #89 Effective dataset size: per source, raw vs dedup-weighted
     * token counts — every doc contributes n_tokens div |its near-dup
     * cluster| (the #50 transitive MinHash clusters; docs in no pair

@@ -468,6 +468,35 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Jaccard bars swept by [[dedupThresholds]] (e4). */
+  val CalibTaus: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
+
+  /** #83b Threshold-sweep calibration: for each candidate Jaccard bar
+    * τ, how many LSH candidate pairs the TRUE 2-gram Jaccard admits,
+    * how many the 16-slot signature ESTIMATE would admit, and the two
+    * disagreement counts (estimate-only = pairs a signature-gated
+    * pipeline would wrongly keep; true-only = pairs it would wrongly
+    * drop) — the table a dedup owner reads to PICK the bar before
+    * re-running a 100 TB dedup under it, where #83 reports per-pair
+    * errors this aggregates them into the decision.
+    *
+    * Scale shape: one scan of the [[minhashCalibration]] frame (the
+    * sublinear candidate set — never a corpus re-scan), each row
+    * exploded against the 5 constant bars, one 5-group partial agg. */
+  def dedupThresholds(spark: SparkSession, sfDir: String): DataFrame =
+    minhashCalibration(spark, sfDir)
+      .select($"est_e4", $"exact_e4",
+        explode(array(CalibTaus.map(lit): _*)).as("tau_e4"))
+      .groupBy($"tau_e4")
+      .agg(
+        sum(when($"exact_e4" >= $"tau_e4", 1L).otherwise(0L)).as("n_true"),
+        sum(when($"est_e4" >= $"tau_e4", 1L).otherwise(0L)).as("n_est"),
+        sum(when($"est_e4" >= $"tau_e4" && $"exact_e4" < $"tau_e4", 1L)
+          .otherwise(0L)).as("n_est_only"),
+        sum(when($"est_e4" < $"tau_e4" && $"exact_e4" >= $"tau_e4", 1L)
+          .otherwise(0L)).as("n_true_only"))
+      .orderBy($"tau_e4")
+
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) via PREFIX
     * FILTERING (the AllPairs/PPJoin candidate rule, Bayardo et al.
     * 2007): with gram hashes globally ordered (the sets are stored

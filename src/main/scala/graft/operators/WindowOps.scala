@@ -114,4 +114,31 @@ object WindowOps {
         max($"dur_us").as("max_dur_us"))
       .withColumn("mean_dur_us", expr("total_dur_us div n_sessions"))
       .orderBy($"user_id")
+
+  /** #113 Inter-event-time profile: per event type, the count /
+    * min / max / integer-mean µs gap between CONSECUTIVE events of
+    * the same user and type — the cadence report behind rate-limit,
+    * bot-detection, and session-gap tuning (the 30-min rule in
+    * [[sessionFrame]] is exactly the number this table justifies).
+    *
+    * Scale shape: one (user, type)-keyed window sort shuffle —
+    * partitions are per-user event runs, never a global sort — then
+    * a |types|-row partial agg; the lag and gap arithmetic are
+    * narrow. */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts_us".asc, $"event_id".asc)
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap_us").as("min_gap_us"),
+        max($"gap_us").as("max_gap_us"),
+        sum($"gap_us").as("total_gap_us"))
+      .withColumn("mean_gap_us", expr("total_gap_us div n_gaps"))
+      .drop("total_gap_us")
+      .orderBy($"event_type")
+  }
 }

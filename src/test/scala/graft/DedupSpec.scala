@@ -360,4 +360,26 @@ class DedupSpec extends SparkTestBase {
     assert(norm.forall(r => r._4 >= 1L && r._4 <= r._3),
       "1 <= n_raw_variants <= cnt")
   }
+
+  test("threshold sweep equals a recompute from the calibration rows and is monotone") {
+    val cal = DedupOps.minhashCalibration(spark, sf)
+      .select(col("est_e4"), col("exact_e4")).as[(Long, Long)].collect()
+    assert(cal.nonEmpty, "calibration frame must be non-empty at the gate SF")
+    val got = DedupOps.dedupThresholds(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == DedupOps.CalibTaus,
+      "one output row per swept bar, in bar order")
+    got.foreach { case (tau, nTrue, nEst, nEstOnly, nTrueOnly) =>
+      assert(nTrue == cal.count(_._2 >= tau), s"tau=$tau n_true")
+      assert(nEst == cal.count(_._1 >= tau), s"tau=$tau n_est")
+      assert(nEstOnly == cal.count(c => c._1 >= tau && c._2 < tau), s"tau=$tau n_est_only")
+      assert(nTrueOnly == cal.count(c => c._1 < tau && c._2 >= tau), s"tau=$tau n_true_only")
+    }
+    // raising the bar can only shrink the admitted sets
+    got.sliding(2).foreach {
+      case Array(lo, hi) => assert(hi._2 <= lo._2 && hi._3 <= lo._3,
+        s"admitted counts must be non-increasing in tau (${lo._1} -> ${hi._1})")
+      case _ =>
+    }
+  }
 }

@@ -427,4 +427,30 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       "the (user, day) distinct must partial-aggregate before its shuffle")
   }
+
+  test("TPC-H-style reports broadcast their dims and never go all-pairs") {
+    for (q <- Seq("q_local_supplier", "q_promo_share", "q_top_supplier")) {
+      val plan = fullPlanString(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q must broadcast its dimension/1-row side:\n$plan")
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+    val op = fullPlanString("q_order_priority")
+    assert(op.contains("LeftSemi"),
+      s"the late-ship EXISTS must plan as a semi join:\n$op")
+    assert(!op.contains("CartesianProduct"))
+    // the quarter slice must reach the orders scan
+    assert(op.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("o_orderdate")),
+      "order-date slice must push to the orders parquet scan")
+  }
+
+  test("q_event_gaps windows per (user, type) — never a single global sort partition") {
+    val plan = fullPlanString("q_event_gaps")
+    assert(!plan.contains("SinglePartition"),
+      s"gap lag must partition by (user_id, event_type):\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(l => !l.contains("props")),
+      s"events scan must prune unused columns: $readSchemas")
+  }
 }

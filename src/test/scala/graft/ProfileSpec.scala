@@ -498,4 +498,30 @@ class ProfileSpec extends SparkTestBase {
       assert(nw + ret <= act)
     }
   }
+
+  test("event gaps equal a per-(user,type) sequential-scan model") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")))
+      .as[(Long, String, Long, Long)].collect()
+    val model = ev.groupBy(e => (e._1, e._2)).toSeq
+      .flatMap { case ((_, typ), es) =>
+        es.sortBy(e => (e._4, e._3)).toSeq.sliding(2).collect {
+          case Seq(a, b) => (typ, b._4 - a._4)
+        }
+      }
+      .groupBy(_._1).view.mapValues { rows =>
+        val gs = rows.map(_._2)
+        (gs.size.toLong, gs.min, gs.max, gs.sum / gs.size)
+      }.toMap
+    val got = graft.operators.WindowOps.eventGaps(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
+    got.foreach { case (typ, n, mn, mx, mean) =>
+      val (wn, wmn, wmx, wmean) = model(typ)
+      assert((n, mn, mx, mean) == ((wn, wmn, wmx, wmean)), s"$typ diverges from model")
+      assert(mn >= 0L && mn <= mean && mean <= mx, s"$typ bounds must order")
+    }
+    assert(got.map(_._1).toSet == model.keySet, "every type with >=2 same-user events reports")
+  }
 }

@@ -177,4 +177,34 @@ class SamplingRetrievalSpec extends SparkTestBase {
       assert(gotSrc == want.toSeq, s"$src sample diverges from full sort")
     }
   }
+
+  test("source cap equals the full window answer and scores match the quality artifact") {
+    import org.apache.spark.sql.expressions.Window
+    val got = CurationOps.sourceCap(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val quality = CurationOps.qualityPercentile(spark, sf)
+      .select($"doc_id", $"composite_e4")
+    val w = Window.partitionBy($"source")
+      .orderBy($"composite_e4".desc, $"doc_id".asc)
+    val want = Tables.documents(spark, sf).select($"source", $"doc_id")
+      .join(quality, Seq("doc_id"), "left")
+      .withColumn("composite_e4", coalesce($"composite_e4", lit(-1L)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= CurationOps.SourceCapK)
+      .select($"source", $"rnk", $"doc_id", $"composite_e4")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == want.sortBy(r => (r._1, r._2)).toSeq,
+      "bounded-heap cap must equal the full per-source rank")
+    // per source: ranks dense from 1, scores non-increasing
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong),
+        s"$src ranks must be dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 <= a._4, s"$src scores must be non-increasing")
+        case _ =>
+      }
+    }
+  }
 }
