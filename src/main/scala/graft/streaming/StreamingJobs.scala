@@ -423,6 +423,47 @@ object StreamingJobs {
       }
   }
 
+  /** Per-(user, type) buffered timestamps for [[gapGate]]. The gap
+    * multiset of a time-sorted sequence depends only on the sorted
+    * timestamp MULTISET, so the buffer needs no event ids. */
+  case class GapBuf(ts: Seq[Long])
+
+  /** Streaming form of WindowOps.eventGaps (#113b): per (user, type)
+    * key, the count / min / max / integer-mean µs gap between the
+    * key's consecutive events seen SO FAR — the live cadence monitor
+    * (rate-limit and bot alarms fire on mean/min collapsing, without
+    * waiting for a batch profile). Recomputed per arrival from the
+    * buffered sorted timestamps, so late/out-of-order arrivals are
+    * EXACT: an event landing between two already-seen neighbors
+    * replaces their gap with two smaller ones — running last-ts state
+    * would have welded it to whatever happened to arrive last.
+    * Update-mode rows: the last row per key is the answer at any
+    * point; keys with one event report n_gaps = 0.
+    *
+    * State is O(key's events) — the same partial-match bound as
+    * [[funnelGate]]'s CEP buffer; a production deployment bounds the
+    * horizon with the #29f event-time-TTL pattern. Input contract:
+    * (user_id, event_type, us). */
+  def gapGate(events: DataFrame): Dataset[(Long, String, Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    val typed = events.select($"user_id", $"event_type", $"us")
+      .as[(Long, String, Long)]
+    typed.groupByKey(e => (e._1, e._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[(Long, String, Long)],
+         state: GroupState[GapBuf]) =>
+          val ts = state.getOption.map(_.ts).getOrElse(Nil) ++ batch.map(_._3)
+          state.update(GapBuf(ts))
+          val sorted = ts.sorted
+          val gaps = sorted.iterator.sliding(2).withPartial(false)
+            .map { case Seq(a, b) => b - a }.toSeq
+          if (gaps.isEmpty) (key._1, key._2, 0L, 0L, 0L, 0L)
+          else (key._1, key._2, gaps.size.toLong, gaps.min, gaps.max,
+            gaps.sum / gaps.size)
+      }
+  }
+
   /** Double-11 dashboard, per-province half (reference
     * orderTest/OrderAnalysy.scala:465 GroupDataFuc): per-day
     * per-province totals over an order stream, update mode, fed to an

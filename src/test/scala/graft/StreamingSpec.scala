@@ -284,6 +284,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming gap gate equals the batch gap profile under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    // per-key model: the gap multiset depends only on the sorted
+    // timestamp multiset
+    val model = rows.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val gaps = es.map(_._3).sorted.toSeq.sliding(2)
+        .collect { case Seq(a, b) => b - a }.toSeq
+      k -> (if (gaps.isEmpty) (0L, 0L, 0L, 0L)
+        else (gaps.size.toLong, gaps.min, gaps.max, gaps.sum / gaps.size))
+    }
+    // ADVERSARIAL arrival: reverse time order split across two
+    // micro-batches — every gap is assembled from late arrivals,
+    // which last-timestamp running state would weld wrongly
+    val shuffled = rows.sortBy(-_._3)
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingJobs.gapGate(
+        in.toDF().toDF("user_id", "event_type", "us"))
+      .toDF("user_id", "event_type", "n_gaps", "min_gap_us", "max_gap_us", "mean_gap_us")
+      .writeStream.format("memory").queryName("gaps")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      // update mode: the LAST row per key (largest n_gaps — the gap
+      // count only grows) is the final answer
+      val finalRows = spark.table("gaps")
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, xs) => k -> xs.maxBy(_._3) }
+      assert(finalRows.keySet == model.keySet)
+      finalRows.foreach { case (k, (_, _, n, mn, mx, mean)) =>
+        assert((n, mn, mx, mean) == model(k), s"key $k drifts from the batch model")
+      }
+      // and the per-type reduction reconciles with the oracle-gated
+      // batch profile (n / min / max; the batch mean divides the
+      // un-rounded global sum, which per-key means cannot rebuild)
+      val batchByType = graft.operators.WindowOps.eventGaps(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val streamByType = finalRows.toSeq.filter(_._2._3 > 0L)
+        .groupBy(_._1._2).map { case (typ, xs) =>
+          typ -> (xs.map(_._2._3).sum, xs.map(_._2._4).min, xs.map(_._2._5).max)
+        }
+      assert(streamByType == batchByType,
+        "per-type reduction must reconcile with the batch gap profile")
+    } finally q.stop()
+  }
+
   test("streaming CMS sketch equals the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
