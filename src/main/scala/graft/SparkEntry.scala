@@ -149,6 +149,8 @@ object SparkEntry {
     "q_source_cap" -> (CurationOps.sourceCap _),
     "q_dedup_thresholds" -> (DedupOps.dedupThresholds _),
     "q_event_gaps" -> (WindowOps.eventGaps _),
+    "q_oov_rate" -> (TextOps.oovRate _),
+    "q_quality_slope" -> (CurationOps.qualityLengthSlope _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1919,5 +1921,41 @@ object SparkEntry {
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM gaps WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH $tkCte,
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(tk) AS w1 FROM tkv) GROUP BY w1),
+         |vocab AS (SELECT w1 FROM uni ORDER BY c1 DESC, w1 ASC
+         |  LIMIT ${graft.operators.TextOps.OovVocabK}),
+         |tok AS (SELECT d.source, unnest(tkv.tk) AS token
+         |  FROM tkv JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(CASE WHEN token NOT IN (SELECT w1 FROM vocab)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oov,
+         |  CAST(CAST(coalesce(sum(CASE WHEN token NOT IN (SELECT w1 FROM vocab)
+         |      THEN 1 ELSE 0 END), 0) AS HUGEINT) * 1000000
+         |    // CAST(count(*) AS HUGEINT) AS BIGINT) AS oov_e6
+         |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quality_slope" ->
+      s"""WITH $tkCte,
+         |$lmCtes,
+         |$qualityCtes,
+         |base AS (SELECT d.source, CAST(len(tkv.tk) AS BIGINT) AS x,
+         |    comp.composite_e4 AS y
+         |  FROM tkv JOIN comp USING (doc_id) JOIN documents d USING (doc_id)),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(x) AS BIGINT) AS sum_tokens, CAST(sum(y) AS BIGINT) AS sum_q,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM base GROUP BY 1),
+         |fin AS (SELECT source, n_docs, sum_tokens, sum_q,
+         |    CAST(n_docs AS HUGEINT) * sxy - CAST(sum_tokens AS HUGEINT) * sum_q AS num,
+         |    CAST(n_docs AS HUGEINT) * sxx - CAST(sum_tokens AS HUGEINT) * sum_tokens AS den
+         |  FROM ag)
+         |SELECT source, n_docs, sum_tokens, sum_q,
+         |  CAST(CASE WHEN den = 0 THEN 0
+         |    WHEN num < 0 THEN -(((-num) * 1000000) // den)
+         |    ELSE (num * 1000000) // den END AS BIGINT) AS slope_e6
+         |FROM fin ORDER BY source""".stripMargin,
   )
 }

@@ -1179,6 +1179,50 @@ object CurationOps {
       .orderBy($"source", $"rnk")
   }
 
+  /** #115 Quality–length regression audit: per source, the exact
+    * integer least-squares slope (e6) of the #95 composite quality
+    * percentile against token count — the "is our quality score just
+    * measuring length?" calibration check run before gating on the
+    * composite (a steep slope means the three metrics reward length,
+    * and a length-capped source would be scored unfairly). Domain is
+    * the quality frame's (docs ≥ 2 tokens).
+    *
+    * slope_e6 = (n·Σxy − Σx·Σy)·10⁶ div (n·Σx² − (Σx)²), computed
+    * sign-split on DECIMAL(38,0) magnitudes so Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` agree on
+    * negative numerators (the #88 tdiv pattern); the cross/square
+    * sums aggregate in DECIMAL because Σx² overflows BIGINT once
+    * book-length docs meet 10⁹-doc corpora. Zero-variance sources
+    * (all docs one length) report slope 0.
+    *
+    * Scale shape: the quality frame is the materialized #95 artifact;
+    * one doc-keyed equi-join against the narrow token-count scan (the
+    * only row-granularity shuffle), then a |sources|-row partial
+    * agg. */
+  def qualityLengthSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = qualityPercentile(spark, sfDir).select($"doc_id", $"composite_e4")
+    val dec = "DECIMAL(38,0)"
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", size(tokens($"text")).cast(LongType).as("x"))
+      .join(q, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"x").as("sum_tokens"),
+        sum($"composite_e4").as("sum_q"),
+        sum(($"x" * $"composite_e4").cast(dec)).as("sxy"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"))
+      .withColumn("den",
+        expr(s"CAST(n_docs AS $dec) * sxx - CAST(sum_tokens AS $dec) * sum_tokens"))
+      .withColumn("num",
+        expr(s"CAST(n_docs AS $dec) * sxy - CAST(sum_tokens AS $dec) * sum_q"))
+      .withColumn("slope_e6", expr(
+        """CAST(CASE WHEN den = 0 THEN 0
+          |  WHEN num < 0 THEN -(((-num) * 1000000) div den)
+          |  ELSE (num * 1000000) div den END AS BIGINT)""".stripMargin))
+      .select($"source", $"n_docs", $"sum_tokens", $"sum_q", $"slope_e6")
+      .orderBy($"source")
+  }
+
   /** #89 Effective dataset size: per source, raw vs dedup-weighted
     * token counts — every doc contributes n_tokens div |its near-dup
     * cluster| (the #50 transitive MinHash clusters; docs in no pair

@@ -535,4 +535,37 @@ object TextOps {
         expr("n_terms * 1000000 div n_tokens").as("ttr_e6"),
         expr("n_hapax * 1000000 div n_terms").as("hapax_ratio_e6"))
       .orderBy($"source")
+
+  /** Reference-vocabulary size for [[oovRate]]. */
+  val OovVocabK = 1000
+
+  /** #114 Out-of-vocabulary rate: per source, the e6 share of token
+    * occurrences OUTSIDE the corpus's [[OovVocabK]] most frequent
+    * unigrams — the tokenizer-coverage / domain-shift audit (a source
+    * whose text is mostly rare tokens fragments into long BPE
+    * sequences and burns budget; a spike after an ingest flags a new
+    * domain or encoding rot). Vocabulary cut is deterministic:
+    * (count desc, token asc) over the materialized
+    * [[lmCountsShared]] unigram artifact.
+    *
+    * Scale shape: the vocab is a TakeOrdered over the vocab-bounded
+    * count table, BROADCAST (1000 rows) against one narrow token
+    * explode; per-source partial agg; the rate division runs
+    * DECIMAL(38,0) because n_oov·10⁶ overflows BIGINT at 100 TB
+    * token counts. No token-keyed shuffle anywhere. */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (uni, _) = lmCountsShared(spark, sfDir)
+    val vocab = uni.orderBy($"c1".desc, $"w1".asc).limit(OovVocabK)
+      .select($"w1".as("token"), lit(1L).as("in_vocab"))
+    Tables.documents(spark, sfDir)
+      .select($"source", explode(tokens($"text")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_e6",
+        expr("""CAST((CAST(n_oov AS DECIMAL(38,0)) * 1000000)
+               |div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .orderBy($"source")
+  }
 }

@@ -445,6 +445,22 @@ class PlanSpec extends SparkTestBase {
       "order-date slice must push to the orders parquet scan")
   }
 
+  test("q_oov_rate broadcasts the vocab; tokens never shuffle by token") {
+    // force the unigram artifact first so steady state is observed
+    SparkEntry.queries("q_oov_rate")(spark, sf).queryExecution.executedPlan
+    val plan = fullPlanString("q_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 1000-row vocab must broadcast against the token stream")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q_quality_slope joins doc-keyed frames and partial-aggregates per source") {
+    val plan = fullPlanString("q_quality_slope")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the per-source moment sums must map-side combine")
+  }
+
   test("q_event_gaps windows per (user, type) — never a single global sort partition") {
     val plan = fullPlanString("q_event_gaps")
     assert(!plan.contains("SinglePartition"),

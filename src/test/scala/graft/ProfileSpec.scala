@@ -524,4 +524,57 @@ class ProfileSpec extends SparkTestBase {
     }
     assert(got.map(_._1).toSet == model.keySet, "every type with >=2 same-user events reports")
   }
+
+  test("oov rate equals a plain-Scala model over the deterministic vocab cut") {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .as[(String, String)].collect()
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(TextOps.OovVocabK).map(_._1).toSet
+    val model = toks.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.length.toLong
+      val oov = rows.count(r => !vocab.contains(r._2)).toLong
+      (n, oov, oov * 1000000L / n)
+    }.toMap
+    val got = TextOps.oovRate(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, oov, rate) =>
+      assert((n, oov, rate) == model(src), s"$src diverges from model")
+      assert(oov <= n && rate >= 0L && rate <= 1000000L)
+    }
+    assert(got.map(_._1).toSet == model.keySet)
+  }
+
+  test("quality-length slope equals a plain-BigInt least-squares model") {
+    import graft.functions.TextFunctions.tokens
+    val per = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("x"))
+      .join(CurationOps.qualityPercentile(spark, sf)
+        .select(col("doc_id"), col("composite_e4")), Seq("doc_id"))
+      .select(col("source"), col("x"), col("composite_e4"))
+      .as[(String, Long, Long)].collect()
+    val model = per.groupBy(_._1).view.mapValues { rows =>
+      val n = BigInt(rows.length)
+      val sx = rows.map(r => BigInt(r._2)).sum
+      val sy = rows.map(r => BigInt(r._3)).sum
+      val sxy = rows.map(r => BigInt(r._2) * r._3).sum
+      val sxx = rows.map(r => BigInt(r._2) * r._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = if (den == 0) BigInt(0)
+        else if (num < 0) -((-num) * 1000000 / den)
+        else num * 1000000 / den
+      (n.toLong, sx.toLong, sy.toLong, slope.toLong)
+    }.toMap
+    val got = CurationOps.qualityLengthSlope(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, sx, sy, slope) =>
+      assert((n, sx, sy, slope) == model(src), s"$src diverges from model")
+    }
+    assert(got.map(_._1).toSet == model.keySet)
+  }
 }
