@@ -151,6 +151,8 @@ object SparkEntry {
     "q_event_gaps" -> (WindowOps.eventGaps _),
     "q_oov_rate" -> (TextOps.oovRate _),
     "q_quality_slope" -> (CurationOps.qualityLengthSlope _),
+    "q_quality_yield" -> (CurationOps.qualityYield _),
+    "q_ann_purity" -> (SimilarityOps.annLabelPurity _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1957,5 +1959,34 @@ object SparkEntry {
          |    WHEN num < 0 THEN -(((-num) * 1000000) // den)
          |    ELSE (num * 1000000) // den END AS BIGINT) AS slope_e6
          |FROM fin ORDER BY source""".stripMargin,
+    "q_quality_yield" ->
+      s"""WITH $tkCte,
+         |$lmCtes,
+         |$qualityCtes,
+         |base AS (SELECT comp.composite_e4, CAST(len(tkv.tk) AS BIGINT) AS n_tok
+         |  FROM comp JOIN tkv USING (doc_id)),
+         |b AS (SELECT least(composite_e4 // 1000, 9) AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM base GROUP BY 1)
+         |SELECT decile, n_docs, n_tokens,
+         |  CAST(sum(n_docs) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_docs,
+         |  CAST(sum(n_tokens) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_tokens
+         |FROM b ORDER BY decile""".stripMargin,
+    "q_ann_purity" ->
+      s"""WITH $quantCte,
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM n a CROSS JOIN n b WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |r AS (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS rank FROM s),
+         |t AS (SELECT query_id, vec_id FROM r WHERE rank <= 5),
+         |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+         |SELECT q.label AS q_label, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |  CAST(coalesce(sum(CASE WHEN q.label = n.label THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_same,
+         |  CAST(coalesce(sum(CASE WHEN q.label = n.label THEN 1 ELSE 0 END), 0)
+         |    * 10000 // count(*) AS BIGINT) AS purity_e4
+         |FROM t JOIN e q ON t.query_id = q.vec_id JOIN e n ON t.vec_id = n.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1223,6 +1223,33 @@ object CurationOps {
       .orderBy($"source")
   }
 
+  /** #116 Quality yield curve: per composite-quality decile, the doc
+    * and token counts plus the CUMULATIVE docs/tokens a pipeline
+    * keeps if it gates at that decile or better — the table that
+    * prices a quality bar ("p80 keeps 31% of tokens") before
+    * committing a 100 TB filter run. Decile = composite_e4 div 1000,
+    * the perfect-score edge folded into the top bucket.
+    *
+    * Scale shape: the quality frame is the materialized #95 artifact;
+    * one doc-keyed equi-join against the narrow token-count scan,
+    * a 10-group partial agg, and the cumulative window runs over the
+    * 10-row bucket frame only (same bounded-frame contract as the
+    * #95 histograms). */
+  def qualityYield(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityPercentile(spark, sfDir).select($"doc_id", $"composite_e4")
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tok"))
+    val w = Window.orderBy($"decile".desc)
+    q.join(toks, Seq("doc_id"))
+      .withColumn("decile", least(expr("composite_e4 div 1000"), lit(9L)))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("cum_docs", sum($"n_docs").over(w))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .orderBy($"decile")
+  }
+
   /** #89 Effective dataset size: per source, raw vs dedup-weighted
     * token counts — every doc contributes n_tokens div |its near-dup
     * cluster| (the #50 transitive MinHash clusters; docs in no pair

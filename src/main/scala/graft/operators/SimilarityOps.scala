@@ -606,6 +606,33 @@ object SimilarityOps {
       .withColumn("margin_e6", $"cos1_e6" - $"cos2_e6")
       .orderBy($"query_id")
 
+  /** #118 ANN label purity: per QUERY label, how many of the exact
+    * top-5 cosine neighbors carry the query's own label — the
+    * kNN-consistency check that says whether the embedding space
+    * respects the taxonomy at retrieval granularity (the #90 cluster
+    * purity asks it at partition granularity; a space can pass one
+    * and fail the other). purity_e4 = same-label neighbors / all
+    * neighbors for that query label.
+    *
+    * Scale shape: pure composition on the #43 ranking — the top-k
+    * frame is |queries|·k rows, so both label joins AQE-broadcast it
+    * against the narrow (vec_id, label) scan; output bounded by
+    * |labels|. */
+  def annLabelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label".cast(LongType).as("label"))
+    val queryLabels = labels.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"))
+    annTopk(spark, sfDir)
+      .join(broadcast(queryLabels), Seq("query_id"))
+      .join(labels.select($"vec_id", $"label".as("n_label")), Seq("vec_id"))
+      .groupBy($"q_label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when($"q_label" === $"n_label", 1L).otherwise(0L)).as("n_same"))
+      .withColumn("purity_e4", expr("n_same * 10000 div n_neighbors"))
+      .orderBy($"q_label")
+  }
+
   /** #108 Embedding-norm health report: per label, the quantized
     * squared-norm profile (count/min/max/mean) and how many vectors
     * sit more than 3σ from the label's mean — the broken-encoder

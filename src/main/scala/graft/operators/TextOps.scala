@@ -553,10 +553,32 @@ object TextOps {
     * explode; per-source partial agg; the rate division runs
     * DECIMAL(38,0) because n_oov·10⁶ overflows BIGINT at 100 TB
     * token counts. No token-keyed shuffle anywhere. */
-  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The [[OovVocabK]]-term reference vocabulary — ONE cut definition
+    * shared by [[oovRate]], the per-doc frame, and the streaming
+    * ingest gate, so the three can never disagree on what "in
+    * vocabulary" means. */
+  private[graft] def oovVocab(spark: SparkSession, sfDir: String): DataFrame = {
     val (uni, _) = lmCountsShared(spark, sfDir)
-    val vocab = uni.orderBy($"c1".desc, $"w1".asc).limit(OovVocabK)
+    uni.orderBy($"c1".desc, $"w1".asc).limit(OovVocabK)
       .select($"w1".as("token"), lit(1L).as("in_vocab"))
+  }
+
+  /** Per-doc OOV counts against a broadcast `vocab` — the stage the
+    * streaming ingest gate ([[graft.streaming.StreamingJobs.oovGate]])
+    * shares with the batch per-doc audit: stateless per doc, so it
+    * runs identically over a micro-batch drop and a batch scan.
+    * Per-doc counts fit BIGINT at any corpus scale (the DECIMAL
+    * guard is only needed for [[oovRate]]'s source totals). */
+  private[graft] def oovPerDoc(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_e6", expr("n_oov * 1000000 div n_tokens"))
+
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = oovVocab(spark, sfDir)
     Tables.documents(spark, sfDir)
       .select($"source", explode(tokens($"text")).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")

@@ -229,6 +229,19 @@ object StreamingJobs {
   def tokenDeconGate(stream: DataFrame, benchGrams: DataFrame): DataFrame =
     graft.operators.CurationOps.gramHits(stream, benchGrams)
 
+  /** Streaming OOV gate (SURVEY.md §2.7 #114b): score each arriving
+    * doc's out-of-vocabulary token share against the BROADCAST
+    * reference vocabulary — #114 run at ingest, the
+    * tokenizer-coverage / encoding-rot alarm a pipeline fires before
+    * admitting a drop (a doc whose text is mostly unknown tokens is
+    * a new domain, a new language, or mojibake). The per-doc stage
+    * is `TextOps.oovPerDoc` — the ONE definition shared with the
+    * batch audit — stateless but for the update-mode agg keyed by
+    * doc_id; each doc arrives in one micro-batch, so each doc emits
+    * exactly once (the [[lmGate]] contract). */
+  def oovGate(stream: DataFrame, vocab: DataFrame): DataFrame =
+    graft.operators.TextOps.oovPerDoc(stream, vocab)
+
   /** Streaming decontamination gate (SURVEY.md §2.7 #91b): score each
     * drop's embedding vectors against the BROADCAST benchmark table
     * before admitting them — the "is today's crawl contaminated with

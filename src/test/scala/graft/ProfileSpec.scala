@@ -547,6 +547,31 @@ class ProfileSpec extends SparkTestBase {
     assert(got.map(_._1).toSet == model.keySet)
   }
 
+  test("quality yield curve reconciles with the quality artifact and is cumulative-consistent") {
+    import graft.functions.TextFunctions.tokens
+    val per = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(CurationOps.qualityPercentile(spark, sf)
+        .select(col("doc_id"), col("composite_e4")), Seq("doc_id"))
+      .select(col("composite_e4"), col("n_tok"))
+      .as[(Long, Long)].collect()
+    val model = per.groupBy(r => math.min(r._1 / 1000L, 9L)).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val got = CurationOps.qualityYield(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSet == model.keySet)
+    got.foreach { case (d, n, t, _, _) =>
+      assert((n, t) == model(d), s"decile $d diverges from model")
+    }
+    // cumulative columns: docs/tokens kept when gating at >= decile
+    got.foreach { case (d, _, _, cd, ct) =>
+      val keep = per.filter(r => math.min(r._1 / 1000L, 9L) >= d)
+      assert(cd == keep.length.toLong && ct == keep.map(_._2).sum,
+        s"decile $d cumulative diverges")
+    }
+    assert(got.map(_._2).sum == per.length.toLong, "deciles must partition the quality domain")
+  }
+
   test("quality-length slope equals a plain-BigInt least-squares model") {
     import graft.functions.TextFunctions.tokens
     val per = Tables.documents(spark, sf)

@@ -373,4 +373,26 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect()
     assert(rows.toSeq == Seq((0L, 0L, 0L)))
   }
+
+  test("ann label purity equals a recompute from the exact ranking") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val top = SimilarityOps.annTopk(spark, sf)
+      .as[(Long, Long, Long, Long)].collect() // query_id, rank, vec_id, cos
+    val model = top.groupBy(r => labels(r._1)).view.mapValues { rs =>
+      val n = rs.length.toLong
+      val same = rs.count(r => labels(r._1) == labels(r._3)).toLong
+      (n, same, same * 10000L / n)
+    }.toMap
+    val got = SimilarityOps.annLabelPurity(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (ql, n, same, p) =>
+      assert((n, same, p) == model(ql), s"label $ql diverges from the ranking")
+      assert(p >= 0L && p <= 10000L)
+    }
+    assert(got.map(_._1).toSet == model.keySet,
+      "every query label must report")
+  }
 }

@@ -167,6 +167,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming oov gate scores each drop doc exactly as the batch per-doc audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val vocab = TextOps.oovVocab(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val batch = TextOps.oovPerDoc(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")), vocab)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingJobs.oovGate(in.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.format("memory").queryName("oovgate")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("oovgate")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"oov drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+      // and the per-doc frame reconciles with the oracle-gated source
+      // totals (same vocab, same counts, different grouping key)
+      val bySource = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+      val reduced = streamed.toSeq.groupBy(r => bySource(r._1))
+        .view.mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+      TextOps.oovRate(spark, sf).as[(String, Long, Long, Long)].collect()
+        .foreach { case (src, n, oov, _) =>
+          assert(reduced(src) == ((n, oov)), s"$src totals drift from q_oov_rate")
+        }
+    } finally q.stop()
+  }
+
   test("streaming quality gate equals the batch report across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextOps
