@@ -153,6 +153,7 @@ object SparkEntry {
     "q_quality_slope" -> (CurationOps.qualityLengthSlope _),
     "q_quality_yield" -> (CurationOps.qualityYield _),
     "q_ann_purity" -> (SimilarityOps.annLabelPurity _),
+    "q_pair_degree" -> (DedupOps.pairDegreeHist _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1988,5 +1989,15 @@ object SparkEntry {
          |    * 10000 // count(*) AS BIGINT) AS purity_e4
          |FROM t JOIN e q ON t.query_id = q.vec_id JOIN e n ON t.vec_id = n.vec_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pair_degree" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT doc_a AS doc_id FROM pr
+         |        UNION ALL SELECT doc_b AS doc_id FROM pr)
+         |  GROUP BY 1)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -468,6 +468,24 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** #117 Near-dup pair degree histogram: for every doc appearing in
+    * a near-dup pair, its partner count, bucketed into (degree →
+    * n_docs) — the TOPOLOGY report the cluster-size histogram (#102)
+    * cannot give: a 10-doc cluster might be a hub (one template with
+    * nine stamped copies — degree 9 + nine degree-1s) or a chain of
+    * near-misses (all degree ≤ 2), and the remediation differs (drop
+    * the template vs raise the bar). Reads the materialized pairs
+    * artifact; two partial-agg'd shuffles over the sublinear pair
+    * set, output bounded by the max degree. */
+  def pairDegreeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b")
+    pairs.select($"doc_a".as("doc_id"))
+      .unionAll(pairs.select($"doc_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"degree")
+  }
+
   /** Jaccard bars swept by [[dedupThresholds]] (e4). */
   val CalibTaus: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
 

@@ -382,4 +382,21 @@ class DedupSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("pair degree histogram reconciles with the pair listing") {
+    val pairs = DedupOps.dedupMinhash(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val model = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = DedupOps.pairDegreeHist(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).toSet == model.keySet)
+    got.foreach { case (deg, n) =>
+      assert(n == model(deg), s"degree $deg diverges from the pair listing")
+    }
+    // conservation: degree-weighted doc count = 2 * pairs
+    assert(got.map(r => r._1 * r._2).sum == 2L * pairs.length,
+      "sum degree*n_docs must equal twice the pair count")
+  }
 }
