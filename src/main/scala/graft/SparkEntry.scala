@@ -154,6 +154,7 @@ object SparkEntry {
     "q_quality_yield" -> (CurationOps.qualityYield _),
     "q_ann_purity" -> (SimilarityOps.annLabelPurity _),
     "q_pair_degree" -> (DedupOps.pairDegreeHist _),
+    "q_split_leakage" -> (CurationOps.splitLeakage _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1999,5 +2000,21 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
          |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ${h60("source")} % 100 < 90 THEN 'train'
+         |         WHEN ${h60("source")} % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |px AS (SELECT least(a.split, b.split) AS split_lo,
+         |    greatest(a.split, b.split) AS split_hi
+         |  FROM pr JOIN sp a ON pr.doc_a = a.doc_id
+         |          JOIN sp b ON pr.doc_b = b.doc_id)
+         |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT) AS leaky
+         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

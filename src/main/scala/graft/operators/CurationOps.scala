@@ -20,7 +20,9 @@ object CurationOps {
     * in the same split (hash the source, not the doc), so near-dups
     * within a source can never straddle train/val. Deterministic —
     * re-running on new data never reassigns old sources. 90/5/5. */
-  def splitTrainVal(spark: SparkSession, sfDir: String): DataFrame =
+  /** The split assignment — ONE rule definition shared by the listing
+    * ([[splitTrainVal]]) and the leakage audit ([[splitLeakage]]). */
+  private[graft] def splitFrame(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select($"doc_id", $"source", (hash60($"source") % 100).as("bucket"))
       .withColumn("split",
@@ -28,7 +30,36 @@ object CurationOps {
           .when($"bucket" < 95, "val")
           .otherwise("test"))
       .select($"doc_id", $"source", $"split")
-      .orderBy($"doc_id")
+
+  def splitTrainVal(spark: SparkSession, sfDir: String): DataFrame =
+    splitFrame(spark, sfDir).orderBy($"doc_id")
+
+  /** #48f Cross-split leakage audit: near-dup pairs bucketed by the
+    * split pair they straddle — the check that the #48c source-hash
+    * split actually prevented near-duplicate leakage into val/test
+    * (same-source near-dups land in one split by construction, but
+    * CROSS-source near-dups — mirrors, syndication, quote farms (#69
+    * counts them) — can straddle splits, and a val doc with a train
+    * near-twin inflates eval). Rows with `leaky = 1` are the
+    * train↔val/test contamination counts an eval owner signs off on.
+    *
+    * Scale shape: pure composition of the materialized pairs artifact
+    * (sublinear) with the narrow split map — the split join is ON the
+    * corpus (never a corpus broadcast; AQE broadcasts the pairs
+    * side), output ≤ C(3,2)+3 rows. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = splitFrame(spark, sfDir).select($"doc_id", $"split")
+    DedupOps.minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b")
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .select(least($"split_a", $"split_b").as("split_lo"),
+        greatest($"split_a", $"split_b").as("split_hi"))
+      .groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky",
+        when($"split_lo" =!= $"split_hi", 1L).otherwise(0L))
+      .orderBy($"split_lo", $"split_hi")
+  }
 
   /** Corpus stats: per (source, lang) doc counts, token totals, char
     * totals — the profile report before/after curation. One shuffle,

@@ -399,4 +399,25 @@ class DedupSpec extends SparkTestBase {
     assert(got.map(r => r._1 * r._2).sum == 2L * pairs.length,
       "sum degree*n_docs must equal twice the pair count")
   }
+
+  test("split leakage reconciles with the pair listing under the split map") {
+    import graft.operators.CurationOps
+    val split = CurationOps.splitTrainVal(spark, sf)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val pairs = DedupOps.dedupMinhash(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    val model = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = CurationOps.splitLeakage(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == model.keySet)
+    got.foreach { case (lo, hi, n, leaky) =>
+      assert(n == model((lo, hi)), s"($lo,$hi) diverges from the pair listing")
+      assert(leaky == (if (lo != hi) 1L else 0L))
+    }
+    // every pair lands in exactly one split-pair bucket
+    assert(got.map(_._3).sum == pairs.length.toLong)
+  }
 }
