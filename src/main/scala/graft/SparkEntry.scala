@@ -155,6 +155,7 @@ object SparkEntry {
     "q_ann_purity" -> (SimilarityOps.annLabelPurity _),
     "q_pair_degree" -> (DedupOps.pairDegreeHist _),
     "q_split_leakage" -> (CurationOps.splitLeakage _),
+    "q_funnel_tokens" -> (CurationOps.curationFunnelTokens _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -270,7 +271,7 @@ object SparkEntry {
        |        CAST(len(list_filter(tk, x -> list_contains(${inList(deMarkers)}, x))) AS BIGINT) AS de_hits,
        |        CAST(len(list_filter(tk, x -> list_contains(${inList(frMarkers)}, x))) AS BIGINT) AS fr_hits
        |      FROM tkv JOIN documents t USING (doc_id)),
-       |flags AS (SELECT doc_id, source, text,
+       |flags AS (SELECT doc_id, source, text, n_tokens,
        |    CASE WHEN n_tokens >= 10 AND (n_tokens - n_distinct) * 10000 // n_tokens <= 3000
        |         THEN 1 ELSE 0 END AS q_ok,
        |    CASE WHEN NOT list_contains(${inList(detectableLangs)}, lang)
@@ -2016,5 +2017,31 @@ object SparkEntry {
          |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
          |  CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT) AS leaky
          |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel_tokens" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |$curationFlagsCtes,
+         |keep AS (SELECT doc_id, source, n_tokens, md5(lower(trim(text))) AS h
+         |  FROM flags WHERE q_ok = 1 AND l_ok = 1),
+         |kp AS (SELECT min(doc_id) AS doc_id FROM keep GROUP BY h),
+         |kpx AS (SELECT kp.doc_id, keep.source, keep.n_tokens
+         |  FROM kp JOIN keep USING (doc_id)),
+         |ku AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_unique
+         |  FROM kpx GROUP BY source),
+         |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |surv AS (SELECT coalesce(lab.cluster_id, k.doc_id) AS cl, min(k.doc_id) AS doc_id
+         |  FROM kpx k LEFT JOIN lab USING (doc_id) GROUP BY 1),
+         |nnd AS (SELECT k.source, CAST(sum(k.n_tokens) AS BIGINT) AS t_neardup
+         |  FROM surv JOIN kpx k USING (doc_id) GROUP BY 1)
+         |SELECT f.source, CAST(sum(n_tokens) AS BIGINT) AS t_raw,
+         |  CAST(sum(q_ok * n_tokens) AS BIGINT) AS t_quality,
+         |  CAST(sum(q_ok * l_ok * n_tokens) AS BIGINT) AS t_gated,
+         |  CAST(coalesce(max(ku.t_unique), 0) AS BIGINT) AS t_unique,
+         |  CAST(coalesce(max(nnd.t_neardup), 0) AS BIGINT) AS t_neardup
+         |FROM flags f LEFT JOIN ku USING (source) LEFT JOIN nnd USING (source)
+         |GROUP BY f.source ORDER BY f.source""".stripMargin,
   )
 }

@@ -119,7 +119,27 @@ object CurationOps {
       .withColumn("l_ok",
         when(!$"lang".isin(detectableLangs.map(l => l: Any): _*) ||
           $"detected" === $"lang", 1L).otherwise(0L))
-      .select($"doc_id", $"source", $"text", $"q_ok", $"l_ok")
+      .select($"doc_id", $"source", $"text", $"n_tokens", $"q_ok", $"l_ok")
+
+  /** The funnel's keeper frames — ONE definition of the exact-dedup
+    * keepers (`keepers`) and near-dup cluster keepers (`ndKeepers`),
+    * both carrying (doc_id, source, n_tokens), shared by the doc
+    * funnel (#74) and the token funnel (#74b) so the two reports
+    * count the SAME surviving documents by construction. */
+  private def funnelKeepers(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val f = curationFlags(spark, sfDir)
+    val keep = f.filter($"q_ok" === 1L && $"l_ok" === 1L)
+      .select($"doc_id", $"source", $"n_tokens", md5(lower(trim($"text"))).as("h"))
+    val keepers = keep.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      .join(keep.select($"doc_id", $"source", $"n_tokens"), "doc_id")
+    val ndKeepers = keepers
+      .join(ClusterOps.clusterLabels(spark, sfDir), Seq("doc_id"), "left_outer")
+      .withColumn("cl", coalesce($"cluster_id", $"doc_id"))
+      .groupBy($"cl").agg(min($"doc_id").as("doc_id"))
+      .join(keepers.select($"doc_id", $"source", $"n_tokens"), "doc_id")
+    (f, keepers, ndKeepers)
+  }
 
   /** #74 Curation funnel: per source, how many docs survive each
     * pipeline stage (raw → quality gate → +language gate → exact
@@ -138,17 +158,9 @@ object CurationOps {
     * broadcasts the label side — the per-source result is |sources|
     * rows. */
   def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = curationFlags(spark, sfDir)
-    val keep = f.filter($"q_ok" === 1L && $"l_ok" === 1L)
-      .select($"doc_id", $"source", md5(lower(trim($"text"))).as("h"))
-    val keepers = keep.groupBy($"h").agg(min($"doc_id").as("doc_id"))
-      .join(keep.select($"doc_id", $"source"), "doc_id")
+    val (f, keepers, ndKeepers) = funnelKeepers(spark, sfDir)
     val uniq = keepers.groupBy($"source").agg(count(lit(1)).as("n_unique"))
-    val nearDup = keepers
-      .join(ClusterOps.clusterLabels(spark, sfDir), Seq("doc_id"), "left_outer")
-      .withColumn("cl", coalesce($"cluster_id", $"doc_id"))
-      .groupBy($"cl").agg(min($"doc_id").as("doc_id"))
-      .join(keepers.select($"doc_id", $"source"), "doc_id")
+    val nearDup = ndKeepers
       .groupBy($"source").agg(count(lit(1)).as("n_neardup"))
     f.groupBy($"source")
       .agg(count(lit(1)).as("n_raw"), sum($"q_ok").as("n_quality"),
@@ -156,6 +168,32 @@ object CurationOps {
       .join(uniq, Seq("source"), "left_outer")
       .join(nearDup, Seq("source"), "left_outer")
       .na.fill(0L, Seq("n_unique", "n_neardup"))
+      .orderBy($"source")
+  }
+
+  /** #74b Token-weighted curation funnel: the #74 stages priced in
+    * TOKENS — the unit budgets and mixtures are actually written in
+    * (a source can lose 3% of its docs and 40% of its tokens if the
+    * gates cut long docs; the doc funnel alone hides that). Stage
+    * membership is [[funnelKeepers]] — the SAME keeper frames as the
+    * doc funnel, so the two reports cannot disagree on who survived;
+    * only the measure differs (Σ n_tokens vs count).
+    *
+    * Scale shape: identical to #74 — narrow flag maps, the exact-hash
+    * shuffle, the pair-artifact cluster join, per-stage partial
+    * aggs. */
+  def curationFunnelTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val (f, keepers, ndKeepers) = funnelKeepers(spark, sfDir)
+    val uniq = keepers.groupBy($"source").agg(sum($"n_tokens").as("t_unique"))
+    val nearDup = ndKeepers
+      .groupBy($"source").agg(sum($"n_tokens").as("t_neardup"))
+    f.groupBy($"source")
+      .agg(sum($"n_tokens").as("t_raw"),
+        sum($"q_ok" * $"n_tokens").as("t_quality"),
+        sum($"q_ok" * $"l_ok" * $"n_tokens").as("t_gated"))
+      .join(uniq, Seq("source"), "left_outer")
+      .join(nearDup, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("t_unique", "t_neardup"))
       .orderBy($"source")
   }
 

@@ -572,6 +572,34 @@ class ProfileSpec extends SparkTestBase {
     assert(got.map(_._2).sum == per.length.toLong, "deciles must partition the quality domain")
   }
 
+  test("token funnel: monotone stages, reconciles with source stats and the doc funnel") {
+    val got = CurationOps.curationFunnelTokens(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (src, raw, q, g, u, nd) =>
+      assert(raw >= q && q >= g && g >= u && u >= nd,
+        s"$src: token stages must be monotone non-increasing")
+    }
+    // t_raw per source = sourceStats token totals (one tokens() rule)
+    val stats = CurationOps.sourceStats(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    got.foreach { case (src, raw, _, _, _, _) =>
+      assert(raw == stats(src), s"$src t_raw drifts from sourceStats")
+    }
+    // zero docs at a stage <=> zero tokens at that stage (same keepers)
+    val docs = CurationOps.curationFunnel(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    got.foreach { case (src, _, _, _, u, nd) =>
+      val d = docs(src)
+      assert((d._5 == 0L) == (u == 0L) && (d._6 == 0L) == (nd == 0L),
+        s"$src: doc and token funnels disagree on empty stages")
+      assert(u >= d._5 && nd >= d._6,
+        s"$src: every surviving doc has >= 1 token (gated docs have >= 10)")
+    }
+  }
+
   test("quality-length slope equals a plain-BigInt least-squares model") {
     import graft.functions.TextFunctions.tokens
     val per = Tables.documents(spark, sf)
