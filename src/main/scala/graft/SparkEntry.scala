@@ -156,6 +156,7 @@ object SparkEntry {
     "q_pair_degree" -> (DedupOps.pairDegreeHist _),
     "q_split_leakage" -> (CurationOps.splitLeakage _),
     "q_funnel_tokens" -> (CurationOps.curationFunnelTokens _),
+    "q_char_profile" -> (TextOps.charProfile _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2043,5 +2044,21 @@ object SparkEntry {
          |  CAST(coalesce(max(nnd.t_neardup), 0) AS BIGINT) AS t_neardup
          |FROM flags f LEFT JOIN ku USING (source) LEFT JOIN nnd USING (source)
          |GROUP BY f.source ORDER BY f.source""".stripMargin,
+    "q_char_profile" ->
+      """WITH per AS (SELECT source,
+        |    CAST(len(text) AS BIGINT) AS n,
+        |    CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+        |    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS nd,
+        |    CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS ns
+        |  FROM documents),
+        |ag AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    CAST(sum(na) AS BIGINT) AS n_alpha, CAST(sum(nd) AS BIGINT) AS n_digit,
+        |    CAST(sum(ns) AS BIGINT) AS n_space
+        |  FROM per GROUP BY 1)
+        |SELECT source, n_chars, n_alpha, n_digit, n_space,
+        |  CAST(CAST(n_alpha AS HUGEINT) * 1000000 // CAST(n_chars AS HUGEINT) AS BIGINT) AS alpha_e6,
+        |  CAST(CAST(n_digit AS HUGEINT) * 1000000 // CAST(n_chars AS HUGEINT) AS BIGINT) AS digit_e6,
+        |  CAST(CAST(n_space AS HUGEINT) * 1000000 // CAST(n_chars AS HUGEINT) AS BIGINT) AS space_e6
+        |FROM ag ORDER BY source""".stripMargin,
   )
 }

@@ -577,6 +577,36 @@ object TextOps {
         sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_e6", expr("n_oov * 1000000 div n_tokens"))
 
+  /** #119 Character-class profile: per source, the e6 shares of
+    * letter / digit / space characters (the remainder is punctuation
+    * and symbols) — the encoding-health report that catches mojibake,
+    * markup bleed-through, and number-dump sources at a glance, one
+    * level below the token-based gates (#46 scores docs; this
+    * profiles the FEED). ASCII classes only, so the Java and RE2
+    * regex engines agree character-for-character.
+    *
+    * Scale shape: narrow per-row `regexp_replace` counts (codegen'd)
+    * into one |sources| partial agg; share divisions run
+    * DECIMAL(38,0) since class counts scale with corpus bytes. */
+  def charProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def share(num: String) =
+      expr(s"""CAST((CAST($num AS DECIMAL(38,0)) * 1000000)
+              |div CAST(n_chars AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+    Tables.documents(spark, sfDir)
+      .select($"source",
+        length($"text").cast(LongType).as("n"),
+        length(regexp_replace($"text", "[^A-Za-z]", "")).cast(LongType).as("na"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast(LongType).as("nd"),
+        length(regexp_replace($"text", "[^ ]", "")).cast(LongType).as("ns"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_chars"), sum($"na").as("n_alpha"),
+        sum($"nd").as("n_digit"), sum($"ns").as("n_space"))
+      .withColumn("alpha_e6", share("n_alpha"))
+      .withColumn("digit_e6", share("n_digit"))
+      .withColumn("space_e6", share("n_space"))
+      .orderBy($"source")
+  }
+
   def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
     val vocab = oovVocab(spark, sfDir)
     Tables.documents(spark, sfDir)

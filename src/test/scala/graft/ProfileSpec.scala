@@ -572,6 +572,25 @@ class ProfileSpec extends SparkTestBase {
     assert(got.map(_._2).sum == per.length.toLong, "deciles must partition the quality domain")
   }
 
+  test("char profile equals a plain-Scala classifier and the classes bound the total") {
+    val per = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val model = per.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.map(_._2.length.toLong).sum
+      val na = rows.map(_._2.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')).toLong).sum
+      val nd = rows.map(_._2.count(c => c >= '0' && c <= '9').toLong).sum
+      val ns = rows.map(_._2.count(_ == ' ').toLong).sum
+      (n, na, nd, ns, na * 1000000L / n, nd * 1000000L / n, ns * 1000000L / n)
+    }.toMap
+    val got = TextOps.charProfile(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == model.keySet)
+    got.foreach { case (src, n, na, nd, ns, ae, de, se) =>
+      assert((n, na, nd, ns, ae, de, se) == model(src), s"$src diverges from model")
+      assert(na + nd + ns <= n, s"$src classes must bound the total")
+    }
+  }
+
   test("token funnel: monotone stages, reconciles with source stats and the doc funnel") {
     val got = CurationOps.curationFunnelTokens(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
