@@ -744,10 +744,29 @@ object SparkEntry {
          |rm AS (SELECT 'multiprobe' AS method, e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
          |    CAST(count(m2.vec_id) AS BIGINT) AS n_hit
          |  FROM ex e LEFT JOIN mr m2 ON e.query_id = m2.query_id AND e.vec_id = m2.vec_id
+         |  GROUP BY e.query_id),
+         |${lloydCtes(1)},
+         |ipiv AS (SELECT c AS pid, q AS pq, n2 AS pn2 FROM cents_1),
+         |iasn AS (SELECT vec_id, q, n2, pid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, pid ASC) AS pr
+         |  FROM (SELECT n.vec_id, n.q, n.n2, ipiv.pid,
+         |          ${cosE6("n.q", "ipiv.pq", "n.n2", "ipiv.pn2")} AS pcos
+         |        FROM n CROSS JOIN ipiv)),
+         |icells AS (SELECT pid AS cell, vec_id, q, n2 FROM iasn WHERE pr = 1 AND vec_id >= 10),
+         |iprobes AS (SELECT pid AS qcell, vec_id AS query_id, q, n2 FROM iasn WHERE pr <= 2 AND vec_id < 10),
+         |sv AS (SELECT query_id, b.vec_id AS vec_id,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM iprobes a JOIN icells b ON a.qcell = b.cell),
+         |ir AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS rank FROM sv)
+         |  WHERE rank <= 3),
+         |riv AS (SELECT 'ivf' AS method, e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(count(i.vec_id) AS BIGINT) AS n_hit
+         |  FROM ex e LEFT JOIN ir i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
          |  GROUP BY e.query_id)
          |SELECT method, query_id, n_exact, n_hit,
          |  (n_hit * 10000) // n_exact AS recall_e4
-         |FROM (SELECT * FROM rl UNION ALL SELECT * FROM rm)
+         |FROM (SELECT * FROM rl UNION ALL SELECT * FROM rm UNION ALL SELECT * FROM riv)
          |ORDER BY method, query_id""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH $quantCte,

@@ -445,6 +445,10 @@ object SimilarityOps {
           expr("(n_hit * 10000) div n_exact").as("recall_e4"))
     recallOf("lsh", lshRanked(v, k = 3))
       .unionByName(recallOf("multiprobe", multiprobeRanked(v, k = 3)))
+      // the IVF path probes the build-once materialized cell index —
+      // the recall report prices all three serving tiers side by side
+      .unionByName(recallOf("ivf",
+        annIvf(spark, sfDir).select($"query_id", $"vec_id")))
       .orderBy($"method", $"query_id")
   }
 
