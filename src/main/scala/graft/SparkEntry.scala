@@ -157,6 +157,7 @@ object SparkEntry {
     "q_split_leakage" -> (CurationOps.splitLeakage _),
     "q_funnel_tokens" -> (CurationOps.curationFunnelTokens _),
     "q_char_profile" -> (TextOps.charProfile _),
+    "q_mixture_temp" -> (CurationOps.mixtureTemperature _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2079,5 +2080,24 @@ object SparkEntry {
         |  CAST(CAST(n_digit AS HUGEINT) * 1000000 // CAST(n_chars AS HUGEINT) AS BIGINT) AS digit_e6,
         |  CAST(CAST(n_space AS HUGEINT) * 1000000 // CAST(n_chars AS HUGEINT) AS BIGINT) AS space_e6
         |FROM ag ORDER BY source""".stripMargin,
+    "q_mixture_temp" ->
+      s"""WITH $tkCte,
+         |av AS (SELECT d.source, CAST(sum(len(tkv.tk)) AS BIGINT) AS avail_tokens
+         |  FROM tkv JOIN documents d USING (doc_id) GROUP BY 1),
+         |sq AS (SELECT source, avail_tokens,
+         |    CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM av),
+         |wt AS (SELECT source, avail_tokens,
+         |    CASE WHEN avail_tokens <= 0 THEN 0
+         |      WHEN (s0 + 1) * (s0 + 1) <= avail_tokens THEN s0 + 1
+         |      WHEN s0 * s0 > avail_tokens THEN s0 - 1
+         |      ELSE s0 END AS weight
+         |  FROM sq),
+         |tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS tot_avail,
+         |    CAST(sum(weight) AS BIGINT) AS tot_w FROM wt)
+         |SELECT source, avail_tokens, CAST(weight AS BIGINT) AS weight,
+         |  CAST(CAST(avail_tokens AS HUGEINT) * 1000000 // CAST(tot_avail AS HUGEINT) AS BIGINT) AS natural_share_e6,
+         |  CAST(weight * 1000000 // tot_w AS BIGINT) AS temp_share_e6
+         |FROM wt CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 }

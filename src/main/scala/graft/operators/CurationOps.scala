@@ -1098,6 +1098,44 @@ object CurationOps {
       .orderBy($"source")
   }
 
+  /** #75b Temperature-rebalanced mixture shares: each source weighted
+    * by isqrt(available tokens) — the α = 0.5 temperature-sampling
+    * rule (multilingual/multi-source training's standard head-
+    * flattener: a 100× bigger source gets only 10× the share) —
+    * reported next to the natural (proportional) share so the
+    * flattening is visible per source. The integer square root is
+    * EXACT in both engines: floor(sqrt(double)) seeded, then a ±1
+    * correction by integer comparison, so a half-ulp sqrt difference
+    * can never change the answer (squares stay under BIGINT through
+    * ~10¹⁸ tokens); the natural-share division runs DECIMAL(38,0).
+    *
+    * Scale shape: one narrow scan → |sources| partial agg; the 1-row
+    * totals frame broadcasts back; everything after is
+    * |sources|-bounded. */
+  def mixtureTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select($"source", size(tokens($"text")).cast(LongType).as("n_tokens"))
+      .groupBy($"source").agg(sum($"n_tokens").as("avail_tokens"))
+      .withColumn("s0",
+        expr("CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("weight", expr(
+        """CASE WHEN avail_tokens <= 0 THEN 0
+          |  WHEN (s0 + 1) * (s0 + 1) <= avail_tokens THEN s0 + 1
+          |  WHEN s0 * s0 > avail_tokens THEN s0 - 1
+          |  ELSE s0 END""".stripMargin))
+      .drop("s0")
+    val tot = per.agg(sum($"avail_tokens").as("tot_avail"),
+      sum($"weight").as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("natural_share_e6",
+        expr("""CAST((CAST(avail_tokens AS DECIMAL(38,0)) * 1000000)
+               |div CAST(tot_avail AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .withColumn("temp_share_e6", expr("weight * 1000000 div tot_w"))
+      .select($"source", $"avail_tokens", $"weight",
+        $"natural_share_e6", $"temp_share_e6")
+      .orderBy($"source")
+  }
+
   /** Sample size for [[uniformSample]]. */
   val UniformK = 100
 

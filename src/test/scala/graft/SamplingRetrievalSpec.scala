@@ -178,6 +178,43 @@ class SamplingRetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("temperature mixture: exact isqrt weights, flattening dominance, share accounting") {
+    def isqrt(x: BigInt): BigInt = { // Newton, exact
+      if (x <= 0) BigInt(0)
+      else { var g = x; var n = (g + 1) / 2
+        while (n < g) { g = n; n = (g + x / g) / 2 }; g }
+    }
+    val got = CurationOps.mixtureTemperature(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val totAvail = got.map(r => BigInt(r._2)).sum
+    val totW = got.map(r => BigInt(r._3)).sum
+    got.foreach { case (src, avail, w, nat, temp) =>
+      assert(BigInt(w) == isqrt(BigInt(avail)), s"$src weight must be exact isqrt")
+      assert(BigInt(nat) == BigInt(avail) * 1000000 / totAvail, s"$src natural share")
+      assert(BigInt(temp) == BigInt(w) * 1000000 / totW, s"$src temp share")
+    }
+    // flattening: temperature shrinks the head and lifts the tail —
+    // sqrt weighting preserves source order but compresses ratios
+    val sorted = got.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array(small, big) =>
+        assert(big._3 >= small._3, "weights must be monotone in avail")
+        if (small._2 > 0 && big._2 > small._2) {
+          // share ratio big/small is smaller under temperature; the
+          // floor in isqrt costs at most one unit of slack on the
+          // small side (w_big·a < (w_small+1)·b holds exactly:
+          // w_big ≤ √b, w_small+1 > √a, and √b·a ≤ √a·b for a ≤ b)
+          assert(BigInt(big._3) * small._2 < BigInt(small._3 + 1) * big._2,
+            s"${big._1}/${small._1}: sqrt must compress the ratio")
+        }
+      case _ =>
+    }
+    // floor-rounded shares sum to at most 1e6, within |sources| of it
+    val sumT = got.map(_._5).sum
+    assert(sumT <= 1000000L && sumT >= 1000000L - got.length)
+  }
+
   test("source cap equals the full window answer and scores match the quality artifact") {
     import org.apache.spark.sql.expressions.Window
     val got = CurationOps.sourceCap(spark, sf)
