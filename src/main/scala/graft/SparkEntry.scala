@@ -158,6 +158,7 @@ object SparkEntry {
     "q_funnel_tokens" -> (CurationOps.curationFunnelTokens _),
     "q_char_profile" -> (TextOps.charProfile _),
     "q_mixture_temp" -> (CurationOps.mixtureTemperature _),
+    "q_trade_volume" -> (JoinOps.tradeVolume _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2099,5 +2100,22 @@ object SparkEntry {
          |  CAST(CAST(avail_tokens AS HUGEINT) * 1000000 // CAST(tot_avail AS HUGEINT) AS BIGINT) AS natural_share_e6,
          |  CAST(weight * 1000000 // tot_w AS BIGINT) AS temp_share_e6
          |FROM wt CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q_trade_volume" -> {
+      val (na, nb) = graft.operators.JoinOps.TradeNations
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |WHERE ns.n_name IN ('$na', '$nb') AND nc.n_name IN ('$na', '$nb')
+         |  AND ns.n_name <> nc.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
   )
 }

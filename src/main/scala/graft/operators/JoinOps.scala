@@ -348,6 +348,45 @@ object JoinOps {
       .orderBy($"revenue_e4".desc, $"n_name".asc)
   }
 
+  /** The two nations [[tradeVolume]] reports on (both directions). */
+  val TradeNations: (String, String) = ("NATION_3", "NATION_7")
+
+  /** #33i (SURVEY §2.6) TPC-H Q7-style bi-national trade volume:
+    * revenue shipped between two nations in each direction per ship
+    * year — supplier's nation ≠ customer's nation, the cross-border
+    * flow report. The relational shape: the supplier and customer
+    * dims are first REDUCED to the two nations (broadcast joins that
+    * double as fact-side filters — the lineitem scan keeps only the
+    * two nations' suppliers without a fact shuffle), one fact-fact
+    * shuffle pairs lineitem with orders on the uniform order key,
+    * and the output is a 2-direction × years partial agg. */
+  def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val (na, nb) = TradeNations
+    val n = Tables.nation(spark, sfDir)
+      .filter($"n_name".isin(na, nb)).select($"n_nationkey", $"n_name")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
+    li.join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("ship_year"))
+      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .as("revenue_e4"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
+
   /** #33h (SURVEY §2.6) TPC-H Q15-style top supplier: per-supplier
     * revenue over 1996-Q1 and the supplier(s) achieving the maximum —
     * the scalar-subquery shape (`WHERE rev = (SELECT max ...)`)

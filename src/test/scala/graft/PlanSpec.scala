@@ -435,6 +435,9 @@ class PlanSpec extends SparkTestBase {
         s"$q must broadcast its dimension/1-row side:\n$plan")
       assert(!plan.contains("CartesianProduct"), q)
     }
+    val tv = fullPlanString("q_trade_volume")
+    assert(tv.contains("BroadcastHashJoin") && !tv.contains("CartesianProduct"),
+      "trade volume must broadcast the two-nation dim filters")
     val op = fullPlanString("q_order_priority")
     assert(op.contains("LeftSemi"),
       s"the late-ship EXISTS must plan as a semi join:\n$op")
