@@ -558,6 +558,37 @@ object CurationOps {
       .orderBy($"source")
   }
 
+  /** #58b The KMV sketch state over a (source, token) frame — the K
+    * smallest DISTINCT token hashes per source, held by the
+    * duplicate-collapsing [[BoundedDistinctTopK]]: O(K) state per
+    * source, commutative idempotent merge, so the SAME sketch falls
+    * out of a batch scan and an unbounded stream (complete mode) at
+    * any micro-batch split — shared by the streaming gate
+    * (`StreamingJobs.kmvGate`) and its spec's batch recompute. */
+  def kmvMinsAgg(toks: DataFrame): DataFrame = {
+    import toks.sparkSession.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    val agg = new BoundedDistinctTopK[Long](KmvK, _ < _)
+    toks.select($"source", hash60($"tok").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("mins"))
+      .toDF("source", "mins")
+  }
+
+  /** Estimate readout over the [[kmvMinsAgg]] sketch — the SAME
+    * estimator rule as [[kmvDistinct]] ((K−1)·|space| div kth; exact
+    * count when the sketch isn't full, where "not full" means fewer
+    * than K distinct hashes exist). */
+  def kmvSketchRows(mins: DataFrame): DataFrame =
+    mins.select($"source", size($"mins").cast(LongType).as("n_mins"),
+      element_at($"mins", KmvK).as("kth"))
+      .select($"source", $"n_mins",
+        when($"n_mins" < KmvK, $"n_mins")
+          .otherwise(lit(KmvK - 1L) * expr(s"$KmvSpace div greatest(kth, 1L)"))
+          .as("kmv_est"))
+      .orderBy($"source")
+
   /** #59 Exact per-source token-count quantiles (p50/p90/p99) by rank
     * position — the corpus length profile. Rank-based selection
     * (value at sorted position `(n-1)·q` floored) is engine-

@@ -60,6 +60,41 @@ class BoundedTopK[R: TypeTag: ClassTag](k: Int, better: (R, R) => Boolean)
 class TopKAggregator(k: Int) extends BoundedTopK[(Double, Long)](
   k, (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
 
+/** [[BoundedTopK]] over DISTINCT elements: duplicates (neither side
+  * `better` — `better` is a strict total order) collapse to one slot
+  * during the bounded merge, so the buffer is always a sorted
+  * duplicate-free K-set. This is exactly the KMV sketch's state (the
+  * K smallest distinct hashes); the merge stays a commutative,
+  * idempotent monoid, so micro-batch boundaries and re-delivery can
+  * never change the sketch. */
+class BoundedDistinctTopK[R: TypeTag: ClassTag](k: Int, better: (R, R) => Boolean)
+    extends Aggregator[R, Array[R], Array[R]] {
+
+  override def zero: Array[R] = Array.empty[R]
+
+  override def reduce(buf: Array[R], row: R): Array[R] =
+    if (buf.length == k && !better(row, buf(k - 1))) buf
+    else merge(buf, Array(row))
+
+  override def merge(a: Array[R], b: Array[R]): Array[R] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[R]
+    var i = 0; var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      if (j >= b.length) { out += a(i); i += 1 }
+      else if (i >= a.length) { out += b(j); j += 1 }
+      else if (better(a(i), b(j))) { out += a(i); i += 1 }
+      else if (better(b(j), a(i))) { out += b(j); j += 1 }
+      else { out += a(i); i += 1; j += 1 } // equal element: one slot
+    }
+    out.toArray
+  }
+
+  override def finish(buf: Array[R]): Array[R] = buf
+
+  override def bufferEncoder: Encoder[Array[R]] = ExpressionEncoder[Array[R]]()
+  override def outputEncoder: Encoder[Array[R]] = ExpressionEncoder[Array[R]]()
+}
+
 object TopK {
 
   /** Top-3 orders per priority via the bounded-heap aggregator —

@@ -242,6 +242,18 @@ object StreamingJobs {
   def oovGate(stream: DataFrame, vocab: DataFrame): DataFrame =
     graft.operators.TextOps.oovPerDoc(stream, vocab)
 
+  /** Streaming KMV distinct-token sketch (SURVEY.md §2.7 #58b): the
+    * per-source K-minimum-values sketch maintained over an unbounded
+    * token stream in complete mode — O(K) state per source whatever
+    * the vocabulary, because the duplicate-collapsing bounded merge
+    * IS the sketch (`CurationOps.kmvMinsAgg`, one shared
+    * definition). The live "how many distinct tokens has this feed
+    * shipped" estimate; read out with `kmvSketchRows`. Micro-batch
+    * boundaries, arrival order, and re-delivery cannot change the
+    * state (commutative idempotent monoid). Input: (source, tok). */
+  def kmvGate(toks: DataFrame): DataFrame =
+    graft.operators.CurationOps.kmvMinsAgg(toks)
+
   /** Streaming decontamination gate (SURVEY.md §2.7 #91b): score each
     * drop's embedding vectors against the BROADCAST benchmark table
     * before admitting them — the "is today's crawl contaminated with

@@ -146,6 +146,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BoundedDistinctTopK equals sorted-distinct-take-k under any reduce/merge schedule") {
+    // the streaming KMV gate's state contract: however the stream is
+    // chopped into micro-batches (reduce runs, buffer merges), the
+    // buffer is the k smallest DISTINCT values
+    val k = 8
+    val vals = Gen.listOf(Gen.choose(0L, 30L)) // tight range → many dups
+    forSamples(Gen.zip(vals, vals)) { case (a, b) =>
+      val agg = new graft.operators.BoundedDistinctTopK[Long](k, _ < _)
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(bufA, bufB).toList
+      val model = (a ++ b).distinct.sorted.take(k)
+      assert(merged == model)
+      // idempotent: merging a sketch with itself changes nothing
+      assert(agg.merge(bufA, bufA).toList == bufA.toList)
+    }
+  }
+
   test("prefix-filtered candidates equal brute-force J>=1/2 pairs on random corpora") {
     // end-to-end model check of the dedupNgram candidate rule over
     // random gram-set corpora: prefix-join candidates, after the

@@ -371,6 +371,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch reaches the batch estimate under adversarial arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CurationOps
+    import graft.functions.TextFunctions.tokens
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .as[(String, String)].collect()
+    // batch truth: the oracle-gated per-source estimate + exact count
+    val batch = CurationOps.kmvDistinct(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // reversed order split across micro-batches: heavy duplication
+    // and late small hashes — an order-sensitive or non-idempotent
+    // merge would drift
+    val shuffled = rows.reverse
+    val in = MemoryStream[(String, String)]
+    val q = StreamingJobs.kmvGate(in.toDF().toDF("source", "tok"))
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val got = CurationOps.kmvSketchRows(spark.table("kmv"))
+        .as[(String, Long, Long)].collect()
+      assert(got.map(_._1).toSet == batch.keySet)
+      got.foreach { case (src, nMins, est) =>
+        val (exact, bEst) = batch(src)
+        assert(est == bEst, s"$src: streamed estimate drifts from batch KMV")
+        assert(nMins == math.min(CurationOps.KmvK.toLong, exact),
+          s"$src: sketch must hold min(K, distinct) hashes")
+      }
+    } finally q.stop()
+  }
+
   test("streaming CMS sketch equals the batch sketch cell-for-cell") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
