@@ -159,6 +159,7 @@ object SparkEntry {
     "q_char_profile" -> (TextOps.charProfile _),
     "q_mixture_temp" -> (CurationOps.mixtureTemperature _),
     "q_trade_volume" -> (JoinOps.tradeVolume _),
+    "q_active_rolling" -> (CoreOps.rollingActive _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2117,5 +2118,13 @@ object SparkEntry {
          |  AND l_shipdate < TIMESTAMP '1998-01-01'
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
     },
+    "q_active_rolling" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |w AS (SELECT DISTINCT user_id, day + o AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o)),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7 FROM w GROUP BY 1)
+        |SELECT day, dau, wau7 FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
   )
 }

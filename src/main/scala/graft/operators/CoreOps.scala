@@ -273,10 +273,42 @@ object CoreOps {
     * retention self-join is an equi-join on uniform (user_id, day)
     * keys, first-seen is a per-user min, and the day-level frames are
     * |days| rows that AQE broadcasts into the final assembly. */
-  def retentionDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    val ud = Tables.events(spark, sfDir)
+  /** The distinct (user, UTC day) frame — ONE reduction shared by
+    * [[retentionDaily]] (#87) and [[rollingActive]] (#87b), the only
+    * row-granularity shuffle either report pays. */
+  private def userDays(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
+
+  /** #87b Rolling 7-day active users: per UTC day, the exact distinct
+    * users active that day (DAU) and in the trailing 7-day window
+    * (WAU) — the engagement pair every growth dashboard tracks, made
+    * EXACT without a per-day 7-way distinct union: each (user, day)
+    * row claims the 7 window-days it contributes to (a bounded ×7
+    * narrow explode), the claim set is de-duplicated once, and the
+    * window counts are a partial agg. Days with no events inside a
+    * window still count their carried users; only observed days are
+    * reported (inner join against the day frame).
+    *
+    * Scale shape: the (user, day) distinct is the one row-granularity
+    * shuffle (shared with #87); the ×7 claim explode re-shuffles
+    * user-day rows once more on the uniform (user, window-day) key;
+    * day frames are |days| rows, AQE-broadcast into the assembly. */
+  def rollingActive(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = userDays(spark, sfDir)
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select($"user_id", explode(sequence($"day", $"day" + 6L)).as("w_day"))
+      .distinct()
+      .groupBy($"w_day".as("day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau7")
+      .orderBy($"day")
+  }
+
+  def retentionDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = userDays(spark, sfDir)
     val act = ud.groupBy($"day").agg(count(lit(1)).as("n_active"))
     val newu = ud.groupBy($"user_id").agg(min($"day").as("day"))
       .groupBy($"day").agg(count(lit(1)).as("n_new"))

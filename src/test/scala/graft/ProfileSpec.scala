@@ -572,6 +572,23 @@ class ProfileSpec extends SparkTestBase {
     assert(got.map(_._2).sum == per.length.toLong, "deciles must partition the quality domain")
   }
 
+  test("rolling 7-day actives equal a per-day set model and bound DAU") {
+    import graft.operators.CoreOps
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val byDay = ud.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = CoreOps.rollingActive(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == byDay.keySet, "every observed day reports")
+    got.foreach { case (day, dau, wau) =>
+      val want = (day - 6L to day).flatMap(d => byDay.getOrElse(d, Set.empty)).toSet
+      assert(dau == byDay(day).size.toLong, s"day $day DAU")
+      assert(wau == want.size.toLong, s"day $day WAU7 diverges from the set model")
+      assert(wau >= dau, s"day $day: the window must contain the day")
+    }
+  }
+
   test("char profile equals a plain-Scala classifier and the classes bound the total") {
     val per = Tables.documents(spark, sf)
       .select(col("source"), col("text")).as[(String, String)].collect()
