@@ -588,24 +588,34 @@ object TextOps {
     * Scale shape: narrow per-row `regexp_replace` counts (codegen'd)
     * into one |sources| partial agg; share divisions run
     * DECIMAL(38,0) since class counts scale with corpus bytes. */
-  def charProfile(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The stateless per-row class counts of [[charProfile]] — shared
+    * with the streaming per-drop gate (one classifier definition). */
+  private[graft] def charClassCounts(docs: DataFrame): DataFrame =
+    docs.select($"source",
+      length($"text").cast(LongType).as("n"),
+      length(regexp_replace($"text", "[^A-Za-z]", "")).cast(LongType).as("na"),
+      length(regexp_replace($"text", "[^0-9]", "")).cast(LongType).as("nd"),
+      length(regexp_replace($"text", "[^ ]", "")).cast(LongType).as("ns"))
+
+  /** The per-source reduction + share readout of [[charProfile]] —
+    * commutative integer sums, so the complete-mode streaming form is
+    * micro-batch-invariant with O(|sources|) state. */
+  private[graft] def charReport(counts: DataFrame): DataFrame = {
     def share(num: String) =
       expr(s"""CAST((CAST($num AS DECIMAL(38,0)) * 1000000)
               |div CAST(n_chars AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
-    Tables.documents(spark, sfDir)
-      .select($"source",
-        length($"text").cast(LongType).as("n"),
-        length(regexp_replace($"text", "[^A-Za-z]", "")).cast(LongType).as("na"),
-        length(regexp_replace($"text", "[^0-9]", "")).cast(LongType).as("nd"),
-        length(regexp_replace($"text", "[^ ]", "")).cast(LongType).as("ns"))
+    counts
       .groupBy($"source")
       .agg(sum($"n").as("n_chars"), sum($"na").as("n_alpha"),
         sum($"nd").as("n_digit"), sum($"ns").as("n_space"))
       .withColumn("alpha_e6", share("n_alpha"))
       .withColumn("digit_e6", share("n_digit"))
       .withColumn("space_e6", share("n_space"))
-      .orderBy($"source")
   }
+
+  def charProfile(spark: SparkSession, sfDir: String): DataFrame =
+    charReport(charClassCounts(Tables.documents(spark, sfDir)))
+      .orderBy($"source")
 
   def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
     val vocab = oovVocab(spark, sfDir)

@@ -254,6 +254,18 @@ object StreamingJobs {
   def kmvGate(toks: DataFrame): DataFrame =
     graft.operators.CurationOps.kmvMinsAgg(toks)
 
+  /** Streaming character-class profile (SURVEY.md §2.7 #119b): the
+    * per-source encoding-health dashboard maintained over an ingest
+    * stream in complete mode — the SAME stateless classifier and
+    * report stages as the batch operator (`TextOps.charClassCounts` /
+    * `charReport`); commutative integer sums keep state O(|sources|)
+    * and the result micro-batch-invariant. A mojibake feed shows up
+    * as a falling alpha share LIVE, not at the next batch profile.
+    * Input: (source, text). */
+  def charGate(stream: DataFrame): DataFrame =
+    graft.operators.TextOps.charReport(
+      graft.operators.TextOps.charClassCounts(stream))
+
   /** Streaming decontamination gate (SURVEY.md §2.7 #91b): score each
     * drop's embedding vectors against the BROADCAST benchmark table
     * before admitting them — the "is today's crawl contaminated with

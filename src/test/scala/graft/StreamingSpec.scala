@@ -371,6 +371,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming char-profile gate equals the batch report across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val batch = TextOps.charProfile(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val in = MemoryStream[(String, String)]
+    val q = StreamingJobs.charGate(in.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("chargate")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("chargate")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"char profile drift: extra=${streamed.diff(batch).take(2)} " +
+          s"missing=${batch.diff(streamed).take(2)}")
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch reaches the batch estimate under adversarial arrival") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CurationOps
