@@ -160,6 +160,8 @@ object SparkEntry {
     "q_mixture_temp" -> (CurationOps.mixtureTemperature _),
     "q_trade_volume" -> (JoinOps.tradeVolume _),
     "q_active_rolling" -> (CoreOps.rollingActive _),
+    "q_decon_split" -> (CurationOps.deconBySplit _),
+    "q_revenue_mtd" -> (JoinOps.revenueMtd _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2126,5 +2128,34 @@ object SparkEntry {
         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
         |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7 FROM w GROUP BY 1)
         |SELECT day, dau, wau7 FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q_decon_split" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.CurationOps.DecontGram)},
+         |bg AS (SELECT DISTINCT unnest(gs) AS h FROM g3
+         |  WHERE doc_id % ${graft.operators.CurationOps.DecontMod} = 0),
+         |hits AS (SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest(gs) AS h FROM g3
+         |        WHERE doc_id % ${graft.operators.CurationOps.DecontMod} <> 0)
+         |  JOIN bg USING (h)),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ${h60("source")} % 100 < 90 THEN 'train'
+         |         WHEN ${h60("source")} % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |  WHERE doc_id % ${graft.operators.CurationOps.DecontMod} <> 0)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_contaminated,
+         |  CAST(CAST(coalesce(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS HUGEINT)
+         |    * 1000000 // CAST(count(*) AS HUGEINT) AS BIGINT) AS rate_e6
+         |FROM sp LEFT JOIN hits USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_revenue_mtd" ->
+      """WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |    count(*) AS total_num,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_money_e2
+        |  FROM orders GROUP BY 1)
+        |SELECT order_day, total_num, total_money_e2,
+        |  CAST(sum(total_money_e2) OVER (PARTITION BY substr(order_day, 1, 7)
+        |    ORDER BY order_day ASC) AS BIGINT) AS mtd_money_e2
+        |FROM d ORDER BY order_day""".stripMargin,
   )
 }

@@ -197,6 +197,32 @@ object CurationOps {
       .orderBy($"source")
   }
 
+  /** #51c Contamination by split: the #51 token-gram hits re-keyed by
+    * the #48c train/val/test assignment — WHERE the eval overlap
+    * lives. Train-side contamination biases training; VAL/TEST-side
+    * contamination silently invalidates the eval itself, so the two
+    * readings demand different responses (drop docs vs re-draw the
+    * benchmark). Pure composition: the broadcast-gated scoring
+    * subtree (shared `gramHits` / `benchGramSet` definitions) joined
+    * LEFT onto the split map so clean splits report a zero row, one
+    * 3-group partial agg. */
+  def deconBySplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = splitFrame(spark, sfDir)
+      .filter($"doc_id" % DecontMod =!= 0L).select($"doc_id", $"split")
+    val hits = gramHits(docs.filter($"doc_id" % DecontMod =!= 0L),
+        benchGramSet(docs))
+      .select($"doc_id", lit(1L).as("hit"))
+    corpus.join(hits, Seq("doc_id"), "left")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      .withColumn("rate_e6",
+        expr("""CAST((CAST(n_contaminated AS DECIMAL(38,0)) * 1000000)
+               |div CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .orderBy($"split")
+  }
+
   /** n-gram width for [[decontaminate]] — short enough that the test
     * corpus's docs HAVE 5-grams, long enough that shared grams mean
     * real shared phrasing (production decontamination uses 8-13). */

@@ -37,6 +37,22 @@ object JoinOps {
       .orderBy($"n_name")
   }
 
+  /** #30b Month-to-date cumulative revenue: the daily dashboard row
+    * (#30) plus the running month total a finance dashboard draws —
+    * the cumulative window runs per MONTH partition over the
+    * already-aggregated |days| frame (≤ 31 rows per partition, never
+    * the orders table; a global unpartitioned cumulative would
+    * single-partition the whole history at 100 TB). */
+  def revenueMtd(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = orderDaily(spark, sfDir)
+      .withColumn("month", substring($"order_day", 1, 7))
+    val w = Window.partitionBy($"month").orderBy($"order_day".asc)
+    daily
+      .withColumn("mtd_money_e2", sum($"total_money_e2").over(w))
+      .select($"order_day", $"total_num", $"total_money_e2", $"mtd_money_e2")
+      .orderBy($"order_day")
+  }
+
   /** Fact×dim enrichment join: revenue per brand. */
   def joinEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)

@@ -464,6 +464,14 @@ class PlanSpec extends SparkTestBase {
       "the per-source moment sums must map-side combine")
   }
 
+  test("q_revenue_mtd windows per month over the aggregated day frame — never globally") {
+    val plan = fullPlanString("q_revenue_mtd")
+    assert(!plan.contains("SinglePartition"),
+      s"the cumulative window must partition by month:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the daily totals must map-side combine before the day shuffle")
+  }
+
   test("q_event_gaps windows per (user, type) — never a single global sort partition") {
     val plan = fullPlanString("q_event_gaps")
     assert(!plan.contains("SinglePartition"),

@@ -572,6 +572,24 @@ class ProfileSpec extends SparkTestBase {
     assert(got.map(_._2).sum == per.length.toLong, "deciles must partition the quality domain")
   }
 
+  test("contamination-by-split reconciles with the hit listing under the split map") {
+    val split = CurationOps.splitTrainVal(spark, sf)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    val hits = CurationOps.decontaminate(spark, sf)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val corpusByCplit = split.toSeq
+      .filter(_._1 % CurationOps.DecontMod != 0L).groupBy(_._2)
+    val got = CurationOps.deconBySplit(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == corpusByCplit.keySet)
+    got.foreach { case (sp, n, cont, rate) =>
+      val docs = corpusByCplit(sp).map(_._1)
+      assert(n == docs.length.toLong, s"$sp corpus count")
+      assert(cont == docs.count(hits).toLong, s"$sp contaminated count")
+      assert(rate == cont * 1000000L / n)
+    }
+  }
+
   test("rolling 7-day actives equal a per-day set model and bound DAU") {
     import graft.operators.CoreOps
     val ud = Tables.events(spark, sf)
