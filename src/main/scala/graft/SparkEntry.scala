@@ -162,6 +162,7 @@ object SparkEntry {
     "q_active_rolling" -> (CoreOps.rollingActive _),
     "q_decon_split" -> (CurationOps.deconBySplit _),
     "q_revenue_mtd" -> (JoinOps.revenueMtd _),
+    "q_returned_items" -> (JoinOps.returnedItems _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2157,5 +2158,16 @@ object SparkEntry {
         |  CAST(sum(total_money_e2) OVER (PARTITION BY substr(order_day, 1, 7)
         |    ORDER BY order_day ASC) AS BIGINT) AS mtd_money_e2
         |FROM d ORDER BY order_day""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS lost_rev_e4
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY lost_rev_e4 DESC, c_custkey ASC LIMIT 20""".stripMargin,
   )
 }

@@ -403,6 +403,35 @@ object JoinOps {
       .orderBy($"supp_nation", $"cust_nation", $"ship_year")
   }
 
+  /** #33j (SURVEY §2.6) TPC-H Q10-style returned-item report: the 20
+    * customers losing the most revenue to returns in one quarter —
+    * the churn-risk list support teams work from. One fact-fact
+    * shuffle (return-flagged lineitem ⋈ quarter-sliced orders on the
+    * order key), the customer→nation enrichment BROADCAST onto the
+    * per-customer agg, top-20 via TakeOrdered (never a global
+    * sort). */
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .as("lost_rev_e4"))
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"lost_rev_e4")
+      .orderBy($"lost_rev_e4".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
   /** #33h (SURVEY §2.6) TPC-H Q15-style top supplier: per-supplier
     * revenue over 1996-Q1 and the supplier(s) achieving the maximum —
     * the scalar-subquery shape (`WHERE rev = (SELECT max ...)`)
