@@ -163,6 +163,11 @@ object SparkEntry {
     "q_decon_split" -> (CurationOps.deconBySplit _),
     "q_revenue_mtd" -> (JoinOps.revenueMtd _),
     "q_returned_items" -> (JoinOps.returnedItems _),
+    "q_big_orders" -> (JoinOps.bigOrders _),
+    "q_small_qty_rev" -> (JoinOps.smallQtyRev _),
+    "q_disjunct_rev" -> (JoinOps.disjunctRev _),
+    "q_dormant_rich" -> (JoinOps.dormantRich _),
+    "q_market_share" -> (JoinOps.marketShare _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2169,5 +2174,74 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-10-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3 ORDER BY lost_rev_e4 DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q_big_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_qty_e2
+        |  FROM lineitem GROUP BY 1 HAVING total_qty_e2 > 25000)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS total_price_e2,
+        |  total_qty_e2
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty_e2 DESC, o_orderkey ASC""".stripMargin,
+    "q_small_qty_rev" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS qty_e2,
+        |    l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |st AS (SELECT l_partkey AS pk, count(*) AS n_lines,
+        |    CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small_lines,
+        |  coalesce(CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT), 0) AS small_rev_e2
+        |FROM li JOIN st ON l_partkey = pk
+        |WHERE qty_e2 * 5 * n_lines < sum_qty_e2""".stripMargin,
+    "q_disjunct_rev" ->
+      """SELECT count(*) AS n_lines,
+        |  coalesce(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT), 0) AS revenue_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 1.0 AND l_quantity <= 30.0 AND (
+        |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity <= 11.0)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10.0 AND 20.0)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20.0))""".stripMargin,
+    "q_dormant_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bal_e2
+        |  FROM customer),
+        |pos AS (SELECT CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2,
+        |    count(*) AS n_pos FROM c WHERE bal_e2 > 0),
+        |active AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+        |SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(bal_e2) AS BIGINT) AS total_bal_e2
+        |FROM c CROSS JOIN pos
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_e2 * n_pos > sum_bal_e2
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_market_share" ->
+      """WITH asia_cust AS (SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |yr AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |    CAST(sum(CASE WHEN n_name = 'NATION_3'
+        |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS total_rev_e4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'MEDIUM'
+        |    AND o_custkey IN (SELECT c_custkey FROM asia_cust)
+        |  GROUP BY 1)
+        |SELECT order_year, nation_rev_e4, total_rev_e4,
+        |  CAST((CAST(nation_rev_e4 AS HUGEINT) * 1000000)
+        |    // CAST(total_rev_e4 AS HUGEINT) AS BIGINT) AS mkt_share_e6
+        |FROM yr ORDER BY order_year""".stripMargin,
   )
 }

@@ -454,4 +454,174 @@ object JoinOps {
       .select($"s_suppkey", $"s_name", $"total_rev_e4")
       .orderBy($"s_suppkey")
   }
+
+  /** [[bigOrders]] keeps orders whose total quantity exceeds this
+    * (e2 fixed-point; 250 units ≈ the p99 of the synthetic data). */
+  val BigOrderQtyE2: Long = 250L * 100
+
+  /** #33k (SURVEY §2.6) TPC-H Q18-style large-volume customers:
+    * every order whose total quantity across its lines exceeds
+    * [[BigOrderQtyE2]], with the buying customer — the
+    * bulk-buyer / fraud-screen list. The HAVING-subquery shape:
+    * lineitem partial-aggs once on the uniform order key, the
+    * (rare) survivors join orders on the SAME key — Catalyst reuses
+    * the aggregation's partitioning, so the order side is the only
+    * added exchange — and the customer name is a broadcast
+    * enrichment on the ~1%-of-orders result. Quantity compares in
+    * e2 fixed-point (never a double HAVING). */
+  def bigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(Det.sumFixed($"l_quantity", 2).as("total_qty_e2"))
+      .filter($"total_qty_e2" > BigOrderQtyE2)
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
+    qty.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"),
+        Det.toFixed($"o_totalprice", 2).as("total_price_e2"),
+        $"total_qty_e2")
+      .orderBy($"total_qty_e2".desc, $"o_orderkey".asc)
+  }
+
+  /** [[smallQtyRev]]'s brand slice. */
+  val SmallQtyBrand = "Brand#12"
+
+  /** #33l (SURVEY §2.6) TPC-H Q17-style small-quantity revenue: for
+    * one brand's parts, the revenue carried by order lines whose
+    * quantity is below 20% of that part's average line quantity —
+    * what a minimum-order policy would shed. The correlated-AVG
+    * shape without any division: qty < avg/5 is evaluated as
+    * 5·qty·n < Σqty in e2 integers (exact, engine-independent).
+    * The brand dim BROADCAST-narrows the fact scan first, so the
+    * one part-keyed shuffle carries only the brand's lines; the
+    * per-part stats frame joins back on the SAME key (exchange
+    * reuse — no second fact shuffle); output is a 1-row agg. */
+  def smallQtyRev(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandParts = Tables.part(spark, sfDir)
+      .filter($"p_brand" === SmallQtyBrand).select($"p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .select($"l_partkey", Det.toFixed($"l_quantity", 2).as("qty_e2"),
+        $"l_extendedprice")
+    val stats = li.groupBy($"l_partkey".as("pk"))
+      .agg(count(lit(1)).as("n_lines"), sum($"qty_e2").as("sum_qty_e2"))
+    li.join(stats, $"l_partkey" === $"pk")
+      .filter($"qty_e2" * lit(5L) * $"n_lines" < $"sum_qty_e2")
+      .agg(count(lit(1)).as("n_small_lines"),
+        coalesce(Det.sumFixed($"l_extendedprice", 2), lit(0L))
+          .as("small_rev_e2"))
+  }
+
+  /** #33m (SURVEY §2.6) TPC-H Q19-style disjunctive-predicate
+    * revenue: lines matching any of three (brand, size-range,
+    * quantity-range) bundles — the shape that punishes engines that
+    * can't evaluate OR-of-ANDs inside a join. The part dim is
+    * BROADCAST with the whole disjunction in the join condition
+    * (one pass over the fact, no union of three scans); the
+    * quantity bounds that appear in every branch ([1, 30]) are
+    * pre-filtered on the fact side so the scan prunes row groups
+    * before the join. 1-row agg output. */
+  def disjunctRev(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_quantity" >= 1.0 && $"l_quantity" <= 30.0)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val p = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_brand", $"p_size")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity" <= 11.0) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10.0, 20.0)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
+          $"l_quantity" >= 20.0)))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"),
+          4), lit(0L)).as("revenue_e4"))
+  }
+
+  /** [[dormantRich]]'s recency cutoff: a customer with no order on
+    * or after this date counts as dormant. */
+  val DormantCutoff = "2000-06-01"
+
+  /** #33n (SURVEY §2.6) TPC-H Q22-style dormant high-balance
+    * customers: per nation, customers whose balance beats the
+    * positive-balance average but who placed no order since
+    * [[DormantCutoff]] — the sales-opportunity report. The global
+    * average is a 1-ROW (Σ, n) frame broadcast as a join predicate
+    * evaluated multiplication-only (bal·n > Σ — the exact rational
+    * mean, no division anywhere); the NOT-EXISTS is a left-anti
+    * join against the recent orders' custkey projection (already
+    * |customers|-bounded after its partial-agg'd distinct). Output
+    * is a |nations| partial agg. */
+  def dormantRich(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_nationkey",
+        Det.toFixed($"c_acctbal", 2).as("bal_e2"))
+    val pos = c.filter($"bal_e2" > 0)
+      .agg(sum($"bal_e2").as("sum_bal_e2"), count(lit(1)).as("n_pos"))
+    val active = Tables.orders(spark, sfDir)
+      .filter($"o_orderdate" >= lit(DormantCutoff).cast("timestamp"))
+      .select($"o_custkey").distinct()
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    c.join(broadcast(pos), $"bal_e2" * $"n_pos" > $"sum_bal_e2")
+      .join(active, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"), sum($"bal_e2").as("total_bal_e2"))
+      .orderBy($"n_name")
+  }
+
+  /** [[marketShare]]'s market: ASIA-region customers buying MEDIUM
+    * parts; the tracked supplier nation. */
+  val MarketNation = "NATION_3"
+
+  /** #33o (SURVEY §2.6) TPC-H Q8-style national market share: per
+    * order year, the e6 share of one part-type's ASIA-market revenue
+    * supplied from [[MarketNation]] — the competitive-position
+    * trend. The part-type slice BROADCAST-semi-narrows the fact
+    * scan first (the biggest reducer), one fact-fact shuffle pairs
+    * it with orders on the uniform order key, the ASIA customer
+    * filter and the supplier→nation tag ride broadcast joins, and
+    * the share divides per-year sums in DECIMAL(38,0) (≡ DuckDB
+    * HUGEINT — rev_e4·10⁶ overflows BIGINT at fact scale). */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val typedParts = Tables.part(spark, sfDir)
+      .filter($"p_type" === "MEDIUM").select($"p_partkey")
+    val asiaCust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
+            $"n_regionkey" === $"r_regionkey", "left_semi")
+          .select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey", "left_semi")
+      .select($"c_custkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount")
+      .join(broadcast(typedParts), $"l_partkey" === $"p_partkey", "left_semi")
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey",
+      $"o_orderdate")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("order_year"))
+      .agg(
+        coalesce(sum(when($"supp_nation" === MarketNation,
+          Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4))
+          .otherwise(0L)), lit(0L)).as("nation_rev_e4"),
+        coalesce(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"),
+          4), lit(0L)).as("total_rev_e4"))
+      .withColumn("mkt_share_e6",
+        expr("""CAST((CAST(nation_rev_e4 AS DECIMAL(38,0)) * 1000000)
+               |div CAST(total_rev_e4 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .orderBy($"order_year")
+  }
 }
