@@ -168,6 +168,11 @@ object SparkEntry {
     "q_disjunct_rev" -> (JoinOps.disjunctRev _),
     "q_dormant_rich" -> (JoinOps.dormantRich _),
     "q_market_share" -> (JoinOps.marketShare _),
+    "q_hourly_profile" -> (CoreOps.hourlyProfile _),
+    "q_event_affinity" -> (CoreOps.eventAffinity _),
+    "q_label_centroids" -> (SimilarityOps.labelCentroids _),
+    "q_pair_lang" -> (DedupOps.pairLangMatrix _),
+    "q_zipf_topk" -> (TextOps.zipfTopk _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -1288,6 +1293,16 @@ object SparkEntry {
          |FROM pr JOIN documents da ON da.doc_id = pr.doc_a
          |        JOIN documents db ON db.doc_id = pr.doc_b
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pair_lang" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes
+         |SELECT least(da.lang, db.lang) AS lang_a,
+         |  greatest(da.lang, db.lang) AS lang_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+         |        JOIN documents db ON db.doc_id = pr.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cluster_best" ->
       s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,
@@ -2243,5 +2258,59 @@ object SparkEntry {
         |  CAST((CAST(nation_rev_e4 AS HUGEINT) * 1000000)
         |    // CAST(total_rev_e4 AS HUGEINT) AS BIGINT) AS mkt_share_e6
         |FROM yr ORDER BY order_year""".stripMargin,
+    "q_hourly_profile" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hod, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_event_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        |bo AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b,
+        |  CAST((CAST(n_both AS HUGEINT) * n_users * 10000)
+        |    // (CAST(pa.n_t AS HUGEINT) * pb.n_t) AS BIGINT) AS lift_e4
+        |FROM bo JOIN pt pa ON type_a = pa.event_type
+        |  JOIN pt pb ON type_b = pb.event_type
+        |  CROSS JOIN tot
+        |ORDER BY 1, 2""".stripMargin,
+    "q_label_centroids" ->
+      """WITH vq AS (SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ex AS (SELECT label, unnest(range(len(q))) AS dim, unnest(q) AS qv FROM vq),
+        |cells AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |sizes AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs FROM cells GROUP BY 1),
+        |norms AS (SELECT label, CAST(sum(c*c) AS BIGINT) AS n2 FROM cells GROUP BY 1),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM cells a JOIN cells b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+        |  CAST(round(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) * 1000000.0) AS BIGINT) AS cos_e6
+        |FROM dots JOIN norms na ON label_a = na.label
+        |  JOIN norms nb ON label_b = nb.label
+        |  JOIN sizes sa ON label_a = sa.label
+        |  JOIN sizes sb ON label_b = sb.label
+        |ORDER BY 1, 2""".stripMargin,
+    "q_zipf_topk" ->
+      s"""WITH $tkCte, $lmCtes,
+         |ztop AS (SELECT w1, c1 FROM uni ORDER BY c1 DESC, w1 ASC LIMIT 30),
+         |zrk AS (SELECT w1, c1,
+         |    CAST(row_number() OVER (ORDER BY c1 DESC, w1 ASC) AS BIGINT) AS rank
+         |  FROM ztop),
+         |zct AS (SELECT CAST(max(c1) AS BIGINT) AS c_top FROM ztop)
+         |SELECT rank, w1 AS token, c1 AS cnt,
+         |  CAST((CAST(c_top AS HUGEINT) * 10000) // CAST(c1 AS HUGEINT) AS BIGINT) AS head_ratio_e4,
+         |  CAST(c1 * rank AS BIGINT) AS rank_product
+         |FROM zrk CROSS JOIN zct ORDER BY rank""".stripMargin,
   )
 }

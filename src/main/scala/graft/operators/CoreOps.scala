@@ -481,4 +481,54 @@ object CoreOps {
           .otherwise(expr("n_users * 10000 div prev")).as("conv_e4"))
       .orderBy($"stage")
   }
+
+  /** #120 (SURVEY §2.6) hour-of-day seasonality profile: events and
+    * distinct users per (UTC hour-of-day × event type) — the
+    * daily-rhythm table behind load shaping and anomaly baselines
+    * (an hour whose user count collapses while events hold is one
+    * bot, not an outage). The distinct-user leg is the usual
+    * two-phase COUNT DISTINCT: one (hod, type, user) partial-agg'd
+    * dedup shuffle, then the 24×|types| count — the events scan
+    * stays narrow (ts, type, user) and is never row-shuffled
+    * wholesale. */
+  def hourlyProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(hour($"ts").cast(LongType).as("hod"), $"event_type", $"user_id")
+      .groupBy($"hod", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"hod", $"event_type")
+
+  /** #121 (SURVEY §2.6) event-type affinity matrix: for every type
+    * pair, how many users perform BOTH, with the e4 lift against
+    * independence (n_both·N / (n_a·n_b)) — the cross-sell /
+    * feature-coupling report. The user set per type is bounded by
+    * |users|, so the shape is: ONE (user, type) distinct shuffle,
+    * a user-keyed self-join of that reduced frame with itself
+    * (per-user fan-out ≤ |types|² — bounded, never corpus-quadratic),
+    * and a |types|²-group partial agg; the per-type and global user
+    * counts ride broadcast joins. Lift multiplies in DECIMAL(38,0)
+    * (n_both·N·10⁴ passes 2^63 at billion-user scale). */
+  def eventAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct()
+    val perType = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+    val totUsers = ut.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    ut.select($"user_id", $"event_type".as("type_a"))
+      .join(ut.select($"user_id", $"event_type".as("type_b")), Seq("user_id"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select($"event_type".as("type_a"),
+        $"n_t".as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select($"event_type".as("type_b"),
+        $"n_t".as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totUsers))
+      .withColumn("lift_e4",
+        expr("""CAST((CAST(n_both AS DECIMAL(38,0)) * n_users * 10000)
+               |div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin))
+      .select($"type_a", $"type_b", $"n_both", $"n_a", $"n_b", $"lift_e4")
+      .orderBy($"type_a", $"type_b")
+  }
 }

@@ -284,6 +284,29 @@ object DedupOps {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** #124 (SURVEY §2.7) near-dup language matrix: the #69 provenance
+    * report re-keyed by LANGUAGE label — near-dup pairs straddling
+    * two language tags are either mislabeled metadata (#54's signal
+    * at pair granularity) or boilerplate/markup shells identical
+    * across translations; both mean the lang column can't be trusted
+    * to partition the corpus for per-language dedup. Same shape as
+    * [[dupSourceMatrix]]: the sublinear pairs artifact equi-joins the
+    * corpus's (doc_id, lang) projection twice (AQE broadcasts the
+    * pairs side when it fits), then a |langs|²-bounded partial agg;
+    * the cross-language row count IS the audit number. */
+  def pairLangMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b")
+    val lang = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
+    pairs
+      .join(lang.select($"doc_id".as("doc_a"), $"lang".as("la")), "doc_a")
+      .join(lang.select($"doc_id".as("doc_b"), $"lang".as("lb")), "doc_b")
+      .select(least($"la", $"lb").as("lang_a"),
+        greatest($"la", $"lb").as("lang_b"))
+      .groupBy($"lang_a", $"lang_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"lang_a", $"lang_b")
+  }
+
   /** #106 Source-level MinHash similarity matrix: the estimated
     * gram-set Jaccard between every source PAIR, from one 16-slot
     * signature per source. The content-overlap audit at source

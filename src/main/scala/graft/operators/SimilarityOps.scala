@@ -679,4 +679,47 @@ object SimilarityOps {
         sum($"is_out").as("n_outliers"))
       .orderBy($"label")
   }
+
+  /** #122 (SURVEY §2.7) label-centroid separation matrix: the e6
+    * cosine between every pair of per-label mean embeddings, with
+    * label sizes — the class-geometry report read before trusting
+    * label-conditioned sampling or the #90 purity score (two labels
+    * whose centroids sit at cosine 0.9 will never separate in ANN
+    * retrieval). Centroid cells are HALF_UP integer means of the
+    * e3-quantized vectors (the #62 per-output-row IEEE contract), so
+    * cell values stay e3-bounded at ANY corpus size — the pairwise
+    * math can never overflow no matter how many vectors aggregate.
+    * Scale shape: one narrow posexplode partial-aggs to |labels|·dim
+    * cells; dots and norms come from a dim-keyed equi self-join of
+    * that bounded frame; everything after the first agg is
+    * |labels|²-bounded. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, sfDir)
+      .select($"label".cast(LongType).as("label"),
+        posexplode(quantize($"embedding")).as(Seq("dim", "q")))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"q").cast("double") / count(lit(1))).cast(LongType)
+          .as("c"))
+    val sizes = cells.groupBy($"label").agg(max($"n").as("n_vecs"))
+    val norms = cells.groupBy($"label").agg(sum($"c" * $"c").as("n2"))
+    val dots = cells.select($"label".as("label_a"), $"dim", $"c".as("ca"))
+      .join(cells.select($"label".as("label_b"), $"dim", $"c".as("cb")),
+        Seq("dim"))
+      .filter($"label_a" < $"label_b")
+      .groupBy($"label_a", $"label_b")
+      .agg(sum($"ca" * $"cb").as("dot"))
+    dots
+      .join(broadcast(sizes.select($"label".as("label_a"),
+        $"n_vecs".as("n_a"))), Seq("label_a"))
+      .join(broadcast(sizes.select($"label".as("label_b"),
+        $"n_vecs".as("n_b"))), Seq("label_b"))
+      .join(broadcast(norms.select($"label".as("label_a"),
+        $"n2".as("n2_a"))), Seq("label_a"))
+      .join(broadcast(norms.select($"label".as("label_b"),
+        $"n2".as("n2_b"))), Seq("label_b"))
+      .select($"label_a", $"label_b", $"n_a", $"n_b",
+        cosineE6($"dot", $"n2_a", $"n2_b").as("cos_e6"))
+      .orderBy($"label_a", $"label_b")
+  }
 }

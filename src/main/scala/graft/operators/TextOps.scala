@@ -3,6 +3,7 @@ package graft.operators
 import graft.{ColumnInterpolator, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -629,5 +630,36 @@ object TextOps {
         expr("""CAST((CAST(n_oov AS DECIMAL(38,0)) * 1000000)
                |div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
       .orderBy($"source")
+  }
+
+  /** [[zipfTopk]] reports this many head terms. */
+  val ZipfTopK = 30
+
+  /** #123 (SURVEY §2.7) Zipf head profile: the [[ZipfTopK]] most
+    * frequent unigrams with rank, count, the e4 head-to-rank count
+    * ratio (c₁/c_r — Zipf's law predicts ≈ r), and the count·rank
+    * product (≈ constant under the law) — the tokenizer-health /
+    * head-concentration audit: a corpus whose top term carries 10×
+    * the Zipf-predicted mass is template spam, one whose head is
+    * flat is likely tokenizer breakage. Reads the materialized LM
+    * unigram artifact (#81's count table — one corpus-vocabulary
+    * definition); top-k is TakeOrdered on the vocab-bounded frame;
+    * the rank window runs on the 30-row result only. The head-count
+    * ratio multiplies in DECIMAL(38,0) (c₁·10⁴ passes 2^63 at
+    * web-corpus token counts). */
+  def zipfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val uni = lmCountsShared(spark, sfDir)._1
+    val top = uni.orderBy($"c1".desc, $"w1".asc).limit(ZipfTopK)
+    val cTop = top.agg(max($"c1").as("c_top"))
+    top
+      .withColumn("rank", row_number()
+        .over(Window.orderBy($"c1".desc, $"w1".asc)).cast(LongType))
+      .crossJoin(broadcast(cTop))
+      .select($"rank", $"w1".as("token"), $"c1".as("cnt"),
+        expr("""CAST((CAST(c_top AS DECIMAL(38,0)) * 10000)
+               |div CAST(c1 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("head_ratio_e4"),
+        ($"c1" * $"rank").as("rank_product"))
+      .orderBy($"rank")
   }
 }
