@@ -173,6 +173,9 @@ object SparkEntry {
     "q_label_centroids" -> (SimilarityOps.labelCentroids _),
     "q_pair_lang" -> (DedupOps.pairLangMatrix _),
     "q_zipf_topk" -> (TextOps.zipfTopk _),
+    "q_lang_confusion" -> (TextOps.langConfusion _),
+    "q_token_len" -> (TextOps.tokenLenProfile _),
+    "q_cluster_span" -> (ClusterOps.clusterSpan _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2312,5 +2315,45 @@ object SparkEntry {
          |  CAST((CAST(c_top AS HUGEINT) * 10000) // CAST(c1 AS HUGEINT) AS BIGINT) AS head_ratio_e4,
          |  CAST(c1 * rank AS BIGINT) AS rank_product
          |FROM zrk CROSS JOIN zct ORDER BY rank""".stripMargin,
+    "q_lang_confusion" -> {
+      import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
+      s"""WITH $tkCte,
+         |m AS (SELECT d.lang,
+         |    ${detectedLangSql(
+               s"len(list_filter(tk, t -> list_contains(${inList(enMarkers)}, t)))",
+               s"len(list_filter(tk, t -> list_contains(${inList(deMarkers)}, t)))",
+               s"len(list_filter(tk, t -> list_contains(${inList(frMarkers)}, t)))")} AS detected
+         |  FROM tkv JOIN documents d USING (doc_id)),
+         |cm AS (SELECT lang, detected, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM m GROUP BY 1, 2),
+         |rt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+         |  FROM cm GROUP BY 1)
+         |SELECT lang, detected, n_docs,
+         |  CAST(n_docs * 10000 // n_lang AS BIGINT) AS share_e4
+         |FROM cm JOIN rt USING (lang) ORDER BY 1, 2""".stripMargin
+    },
+    "q_token_len" ->
+      s"""WITH $tkCte,
+         |tl AS (SELECT CAST(length(t) AS BIGINT) AS tok_len,
+         |    CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(count(DISTINCT t) AS BIGINT) AS n_terms
+         |  FROM (SELECT unnest(tk) AS t FROM tkv) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_occ) AS BIGINT) AS n_total FROM tl)
+         |SELECT tok_len, n_occ, n_terms,
+         |  CAST((CAST(n_occ AS HUGEINT) * 1000000) // CAST(n_total AS HUGEINT) AS BIGINT) AS share_e6
+         |FROM tl CROSS JOIN tt ORDER BY tok_len""".stripMargin,
+    "q_cluster_span" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |lbl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+         |sp AS (SELECT cluster_id,
+         |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |    CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lbl JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM sp GROUP BY n_sources ORDER BY n_sources""".stripMargin,
   )
 }

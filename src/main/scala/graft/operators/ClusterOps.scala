@@ -287,4 +287,26 @@ object ClusterOps {
       .select($"doc_id", $"cluster_id", $"composite_e4", $"keep")
       .orderBy($"doc_id")
   }
+
+  /** #127 (SURVEY §2.7) cluster source-span histogram: for each
+    * near-dup cluster, how many distinct SOURCES its members come
+    * from, histogrammed — the template-propagation report #102's
+    * size bars and #69's pairwise matrix can't give: a span-1 tail
+    * is intra-crawl duplication (fix one feed), a heavy span-3+ head
+    * is syndicated boilerplate that every source will keep
+    * re-shipping. Shares the #50 `clusterLabels` subtree (one
+    * membership definition); the source lookup is an equi-join ON
+    * the corpus projection (pairs-artifact-sized left side, AQE
+    * broadcasts it when it fits), then two bounded partial aggs. */
+  def clusterSpan(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    clusterLabels(spark, sfDir)
+      .join(src, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(countDistinct($"source").as("n_sources"),
+        count(lit(1)).as("cluster_size"))
+      .groupBy($"n_sources")
+      .agg(count(lit(1)).as("n_clusters"), sum($"cluster_size").as("n_docs"))
+      .orderBy($"n_sources")
+  }
 }

@@ -632,6 +632,53 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** #125 (SURVEY §2.7) language confusion matrix: metadata `lang` ×
+    * detected language with counts and the e4 share of the metadata
+    * row — WHERE the #54 mismatches go (en-labeled docs detecting
+    * 'und' is markup/code bleed; en detecting de is mislabeled
+    * ingestion), which decides whether to re-run language ID or fix
+    * the feed. Shares the marker-hit + [[detectedLang]] decision
+    * stages with #45/#54 (one classifier definition); one narrow
+    * scan, a |langs|²-bounded partial agg, row totals broadcast
+    * back. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = Tables.documents(spark, sfDir)
+      .withColumn("tk", tokens($"text"))
+      .withColumn("detected", detectedLang(
+        markerHits($"tk", enMarkers), markerHits($"tk", deMarkers),
+        markerHits($"tk", frMarkers)))
+      .groupBy($"lang", $"detected")
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTot = cm.groupBy($"lang").agg(sum($"n_docs").as("n_lang"))
+    cm.join(broadcast(rowTot), Seq("lang"))
+      .select($"lang", $"detected", $"n_docs",
+        expr("n_docs * 10000 div n_lang").as("share_e4"))
+      .orderBy($"lang", $"detected")
+  }
+
+  /** #126 (SURVEY §2.7) token-length profile: occurrences, distinct
+    * terms, and the e6 occurrence share per token character length —
+    * the tokenizer-health histogram one level below #47's counts (a
+    * mass spike at length 1 is shattered punctuation, a heavy tail
+    * past ~20 chars is URLs/markup gluing). Lengths are bounded
+    * (≲ longest token), so: one narrow explode, a (len, term)
+    * partial-agg dedup for the distinct leg, a |lens| agg, 1-row
+    * total broadcast. */
+  def tokenLenProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens($"text")).as("t"))
+      .select(length($"t").cast(LongType).as("tok_len"), $"t")
+    val per = toks.groupBy($"tok_len")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($"t").as("n_terms"))
+    val tot = per.agg(sum($"n_occ").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select($"tok_len", $"n_occ", $"n_terms",
+        expr("""CAST((CAST(n_occ AS DECIMAL(38,0)) * 1000000)
+               |div CAST(n_total AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("share_e6"))
+      .orderBy($"tok_len")
+  }
+
   /** [[zipfTopk]] reports this many head terms. */
   val ZipfTopK = 30
 
