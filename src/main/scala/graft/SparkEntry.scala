@@ -176,6 +176,10 @@ object SparkEntry {
     "q_lang_confusion" -> (TextOps.langConfusion _),
     "q_token_len" -> (TextOps.tokenLenProfile _),
     "q_cluster_span" -> (ClusterOps.clusterSpan _),
+    "q_pair_dist" -> (DedupOps.pairDistanceHist _),
+    "q_quality_lang" -> (CurationOps.qualityByLang _),
+    "q_order_lines" -> (JoinOps.orderLinesHist _),
+    "q_ann_buckets" -> (SimilarityOps.annBucketStats _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2355,5 +2359,39 @@ object SparkEntry {
          |SELECT n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
          |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
          |FROM sp GROUP BY n_sources ORDER BY n_sources""".stripMargin,
+    "q_pair_dist" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes
+         |SELECT CAST(length(bin(doc_b - doc_a)) - 1 AS BIGINT) AS log2_dist,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(min(doc_b - doc_a) AS BIGINT) AS min_dist,
+         |  CAST(max(doc_b - doc_a) AS BIGINT) AS max_dist
+         |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quality_lang" ->
+      s"""WITH $tkCte,
+         |$lmCtes,
+         |$qualityCtes
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(composite_e4) // count(*) AS BIGINT) AS mean_comp_e4,
+         |  CAST(min(composite_e4) AS BIGINT) AS min_comp_e4,
+         |  CAST(max(composite_e4) AS BIGINT) AS max_comp_e4
+         |FROM comp JOIN documents USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_order_lines" ->
+      """WITH per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ann_buckets" ->
+      s"""WITH $quantCte,
+         |$lshBucketCtes,
+         |per AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM nb WHERE vec_id >= 10 GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM per)
+         |SELECT bucket, n_vecs,
+         |  CAST((CAST(n_vecs AS HUGEINT) * 10000) // CAST(n_total AS HUGEINT) AS BIGINT) AS share_e4
+         |FROM per CROSS JOIN tt ORDER BY bucket""".stripMargin,
   )
 }

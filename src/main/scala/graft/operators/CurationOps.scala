@@ -772,6 +772,25 @@ object CurationOps {
     spark.read.schema(schema).parquet(path).orderBy($"doc_id")
   }
 
+  /** #129 (SURVEY §2.7) quality by language: per metadata language,
+    * doc count and the count/mean/min/max of the #95 composite
+    * quality percentile — the "is the quality score calibrated per
+    * language or just anti-non-English" fairness audit run before a
+    * quality-gated multilingual mixture. Reads the materialized #95
+    * artifact (one composite definition), equi-joins the corpus's
+    * (doc_id, lang) projection, |langs|-bounded partial agg; the
+    * mean is the §4 integer floor division. */
+  def qualityByLang(spark: SparkSession, sfDir: String): DataFrame =
+    qualityPercentile(spark, sfDir).select($"doc_id", $"composite_e4")
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"lang"),
+        Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(composite_e4) div count(1)").as("mean_comp_e4"),
+        min($"composite_e4").as("min_comp_e4"),
+        max($"composite_e4").as("max_comp_e4"))
+      .orderBy($"lang")
+
   /** Count-Min sketch geometry for [[cmsHeavy]]: [[CmsRows]] hash rows
     * × [[CmsWidth]] cells — 1024 counters total, shared with the
     * oracle so the cell math cannot drift. */

@@ -294,6 +294,25 @@ object DedupOps {
     * corpus's (doc_id, lang) projection twice (AQE broadcasts the
     * pairs side when it fits), then a |langs|²-bounded partial agg;
     * the cross-language row count IS the audit number. */
+  /** #128 (SURVEY §2.7) near-dup distance horizon: pairs histogrammed
+    * by floor(log2(doc_id distance)) — how far apart in ingestion
+    * order duplicates sit. The answer prices a bounded dedup window
+    * at ingest: if 95% of pairs land within 2^16 ids, a sliding
+    * near-dup buffer catches them at O(window) state and the full
+    * corpus-wide job becomes a weekly sweep instead of a daily one.
+    * Pure narrow math over the sublinear pairs artifact (bin-length
+    * log2 — no float log at bucket boundaries), ≤64-group partial
+    * agg. */
+  def pairDistanceHist(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsShared(spark, sfDir)
+      .select(($"doc_b" - $"doc_a").as("d"))
+      .select((length(bin($"d")) - 1).cast(LongType).as("log2_dist"),
+        $"d")
+      .groupBy($"log2_dist")
+      .agg(count(lit(1)).as("n_pairs"), min($"d").as("min_dist"),
+        max($"d").as("max_dist"))
+      .orderBy($"log2_dist")
+
   def pairLangMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b")
     val lang = Tables.documents(spark, sfDir).select($"doc_id", $"lang")

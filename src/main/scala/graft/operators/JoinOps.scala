@@ -486,6 +486,18 @@ object JoinOps {
       .orderBy($"total_qty_e2".desc, $"o_orderkey".asc)
   }
 
+  /** #130 (SURVEY §2.6) order fan-out histogram: orders per
+    * line-count — the fact-table shape audit behind join sizing
+    * (the order-key shuffle's skew ceiling IS this histogram's
+    * tail). One partial-agg'd shuffle on the uniform order key,
+    * then a ≤|max lines|-group agg; the second agg's input is
+    * |orders| rows but its output is bounded. */
+  def orderLinesHist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+      .groupBy($"n_lines").agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_lines")
+
   /** [[smallQtyRev]]'s brand slice. */
   val SmallQtyBrand = "Brand#12"
 

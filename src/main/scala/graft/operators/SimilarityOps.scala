@@ -680,6 +680,30 @@ object SimilarityOps {
       .orderBy($"label")
   }
 
+  /** #131 (SURVEY §2.7) LSH bucket occupancy audit: corpus vectors
+    * per hyperplane-sign bucket with the e4 share — the load-balance
+    * report for the ANN index. This measures the exact failure mode
+    * round 7's sf1 sweep caught (bucket occupancy growing with the
+    * corpus until bucketed joins go quadratic — the nPlanes ∝
+    * log2(corpus) rule at `VectorFunctions.nPlanes`): a top-bucket
+    * share far above 1/2^nPlanes says the planes no longer spread
+    * this corpus and the index needs more planes. One narrow
+    * quantize+bucket scan, ≤2^nPlanes-group partial agg, 1-row total
+    * broadcast. */
+  def annBucketStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = bucketedVecs(spark, sfDir)
+      .filter($"vec_id" >= 10)
+      .groupBy($"bucket".cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum($"n_vecs").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select($"bucket", $"n_vecs",
+        expr("""CAST((CAST(n_vecs AS DECIMAL(38,0)) * 10000)
+               |div CAST(n_total AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("share_e4"))
+      .orderBy($"bucket")
+  }
+
   /** #122 (SURVEY §2.7) label-centroid separation matrix: the e6
     * cosine between every pair of per-label mean embeddings, with
     * label sizes — the class-geometry report read before trusting
