@@ -180,6 +180,7 @@ object SparkEntry {
     "q_quality_lang" -> (CurationOps.qualityByLang _),
     "q_order_lines" -> (JoinOps.orderLinesHist _),
     "q_ann_buckets" -> (SimilarityOps.annBucketStats _),
+    "q_supplier_conc" -> (JoinOps.supplierConcentration _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2393,5 +2394,19 @@ object SparkEntry {
          |SELECT bucket, n_vecs,
          |  CAST((CAST(n_vecs AS HUGEINT) * 10000) // CAST(n_total AS HUGEINT) AS BIGINT) AS share_e4
          |FROM per CROSS JOIN tt ORDER BY bucket""".stripMargin,
+    "q_supplier_conc" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS rev_e4
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS tot_e4,
+        |    CAST(count(*) AS BIGINT) AS n_suppliers FROM rev),
+        |sh AS (SELECT l_suppkey,
+        |    CAST((CAST(rev_e4 AS HUGEINT) * 1000000) // CAST(tot_e4 AS HUGEINT) AS BIGINT) AS share_e6
+        |  FROM rev CROSS JOIN tot),
+        |hhi AS (SELECT CAST(sum(share_e6 * share_e6) // 1000000 AS BIGINT) AS hhi_e6 FROM sh),
+        |t10 AS (SELECT CAST(sum(share_e6) AS BIGINT) AS top10_share_e6
+        |  FROM (SELECT share_e6 FROM sh ORDER BY share_e6 DESC, l_suppkey ASC LIMIT 10))
+        |SELECT n_suppliers, tot_e4 AS total_rev_e4, hhi_e6, top10_share_e6
+        |FROM tot CROSS JOIN hhi CROSS JOIN t10""".stripMargin,
   )
 }

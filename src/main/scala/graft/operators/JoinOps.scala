@@ -469,10 +469,18 @@ object JoinOps {
     * added exchange — and the customer name is a broadcast
     * enrichment on the ~1%-of-orders result. Quantity compares in
     * e2 fixed-point (never a double HAVING). */
-  def bigOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    val qty = Tables.lineitem(spark, sfDir)
-      .groupBy($"l_orderkey")
+  /** Per-order e2 quantity totals over any (l_orderkey, l_quantity)
+    * frame — ONE total definition shared by the batch report and the
+    * streaming alarm gate (StreamingJobs.bigOrderGate), so the bar
+    * they compare against can never drift. Pure keyed agg: batch
+    * plans it with map-side combine; streaming runs it in update
+    * mode with O(1) state per open order. */
+  private[graft] def orderQtyTotals(lines: DataFrame): DataFrame =
+    lines.groupBy($"l_orderkey")
       .agg(Det.sumFixed($"l_quantity", 2).as("total_qty_e2"))
+
+  def bigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val qty = orderQtyTotals(Tables.lineitem(spark, sfDir))
       .filter($"total_qty_e2" > BigOrderQtyE2)
     val o = Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
@@ -553,6 +561,35 @@ object JoinOps {
       .agg(count(lit(1)).as("n_lines"),
         coalesce(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"),
           4), lit(0L)).as("revenue_e4"))
+  }
+
+  /** #132 (SURVEY §2.6) supplier concentration report: supplier
+    * count, total revenue, the Herfindahl–Hirschman index over e6
+    * revenue shares, and the top-10 suppliers' combined share — the
+    * single-row market-structure answer to "does one supplier's
+    * outage take the supply chain down". One fact partial-agg
+    * shuffle on the uniform supplier key; everything after is
+    * |suppliers|-bounded: shares divide against a 1-row broadcast
+    * total in DECIMAL(38,0), HHI sums share² exactly, and the top-10
+    * picks via TakeOrdered (never a global sort). */
+  def supplierConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_suppkey")
+      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .as("rev_e4"))
+    val tot = rev.agg(sum($"rev_e4").as("tot_e4"),
+      count(lit(1)).as("n_suppliers"))
+    val shares = rev.crossJoin(broadcast(tot))
+      .withColumn("share_e6",
+        expr("""CAST((CAST(rev_e4 AS DECIMAL(38,0)) * 1000000)
+               |div CAST(tot_e4 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+    val hhi = shares.agg(
+      expr("sum(share_e6 * share_e6) div 1000000").as("hhi_e6"))
+    val top10 = shares.orderBy($"share_e6".desc, $"l_suppkey".asc).limit(10)
+      .agg(sum($"share_e6").as("top10_share_e6"))
+    tot.crossJoin(broadcast(hhi)).crossJoin(broadcast(top10))
+      .select($"n_suppliers", $"tot_e4".as("total_rev_e4"),
+        $"hhi_e6", $"top10_share_e6")
   }
 
   /** [[dormantRich]]'s recency cutoff: a customer with no order on

@@ -266,6 +266,20 @@ object StreamingJobs {
     graft.operators.TextOps.charReport(
       graft.operators.TextOps.charClassCounts(stream))
 
+  /** Streaming large-order alarm (SURVEY.md §2.6 #33k streaming
+    * form): per-order running quantity totals over a lineitem
+    * stream, emitting orders past the [[graft.operators.JoinOps.BigOrderQtyE2]]
+    * bar as they cross it — the bulk-buyer / fraud screen at ingest
+    * instead of end-of-day. The SAME total definition as the batch
+    * report (`JoinOps.orderQtyTotals` — one shared stage), run in
+    * update mode: O(1) state per open order, and because quantities
+    * are positive the running total is monotone, so an order that
+    * crossed the bar stays emitted (the latest update row is the
+    * final answer). Input: (l_orderkey, l_quantity). */
+  def bigOrderGate(lines: DataFrame): DataFrame =
+    graft.operators.JoinOps.orderQtyTotals(lines)
+      .filter($"total_qty_e2" > graft.operators.JoinOps.BigOrderQtyE2)
+
   /** Streaming decontamination gate (SURVEY.md §2.7 #91b): score each
     * drop's embedding vectors against the BROADCAST benchmark table
     * before admitting them — the "is today's crawl contaminated with

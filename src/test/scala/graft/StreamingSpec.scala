@@ -744,4 +744,35 @@ class StreamingSpec extends SparkTestBase {
       assert(rows == Set((0L, 2L), (100L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming big-order alarm matches the batch report under adversarial arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .as[(Long, Double)].collect()
+    val batch = graft.operators.JoinOps.bigOrders(spark, sf)
+      .select(col("o_orderkey"), col("total_qty_e2"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture must cross the bar")
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingJobs.bigOrderGate(
+        in.toDF().toDF("l_orderkey", "l_quantity"))
+      .writeStream.format("memory").queryName("bigordergate")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // reversed order, split mid-order across micro-batches: an
+      // order can cross the bar in batch 1 and grow in batch 2 — the
+      // monotone running total means max-per-key is the final answer
+      val shuffled = rows.reverse
+      val (a, b) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("bigordergate").as[(Long, Long)]
+        .collect().groupBy(_._1)
+        .map { case (k, v) => (k, v.map(_._2).max) }.toSet
+      assert(streamed == batch,
+        s"big-order drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
 }
