@@ -181,6 +181,7 @@ object SparkEntry {
     "q_order_lines" -> (JoinOps.orderLinesHist _),
     "q_ann_buckets" -> (SimilarityOps.annBucketStats _),
     "q_supplier_conc" -> (JoinOps.supplierConcentration _),
+    "q_daily_anomaly" -> (CoreOps.dailyAnomaly _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2408,5 +2409,20 @@ object SparkEntry {
         |  FROM (SELECT share_e6 FROM sh ORDER BY share_e6 DESC, l_suppkey ASC LIMIT 10))
         |SELECT n_suppliers, tot_e4 AS total_rev_e4, hhi_e6, top10_share_e6
         |FROM tot CROSS JOIN hhi CROSS JOIN t10""".stripMargin,
+    "q_daily_anomaly" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(n_events) AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS q FROM daily)
+        |SELECT day, n_events,
+        |  n_events - coalesce(lag(n_events, 1) OVER (ORDER BY day), n_events) AS delta,
+        |  CAST(CASE WHEN
+        |      (CAST(n_days AS HUGEINT) * n_events - s)
+        |        * (CAST(n_days AS HUGEINT) * n_events - s)
+        |      > 9 * (CAST(n_days AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        |FROM daily CROSS JOIN mom ORDER BY day""".stripMargin,
   )
 }

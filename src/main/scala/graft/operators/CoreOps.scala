@@ -499,6 +499,40 @@ object CoreOps {
         countDistinct($"user_id").as("n_users"))
       .orderBy($"hod", $"event_type")
 
+  /** #133 (SURVEY §2.6) daily-volume anomaly report: events per day
+    * with the day-over-day delta and a 3σ spike flag — the ops
+    * baseline behind "is today's traffic real or a replay bug".
+    * Unlike #71 (whose per-row branch takes one IEEE division), the
+    * spike test here is EXACT integer arithmetic end to end:
+    * (x−μ)² > 9σ² rearranged over (n, Σx, Σx²) as
+    * (n·x − S)² > 9·(n·Q − S²) — no division, no floats, so the
+    * flag can never straddle an ulp. Products run DECIMAL(38,0)
+    * (n·x passes 2^63 at 10¹² events/day). Scale shape: one
+    * (day)-keyed partial agg bounds the frame to |days| rows;
+    * the lag window and the 1-row moments broadcast both run on
+    * that bounded frame. */
+  def dailyAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_events"))
+    val mom = daily.agg(count(lit(1)).as("n_days"),
+      sum($"n_events").as("s"),
+      sum($"n_events" * $"n_events").as("q"))
+    daily.crossJoin(broadcast(mom))
+      .withColumn("delta",
+        $"n_events" - coalesce(
+          lag($"n_events", 1).over(Window.orderBy($"day")), $"n_events"))
+      .withColumn("is_spike",
+        expr("""CASE WHEN
+               |  (CAST(n_days AS DECIMAL(38,0)) * n_events - s)
+               |    * (CAST(n_days AS DECIMAL(38,0)) * n_events - s)
+               |  > 9 * (CAST(n_days AS DECIMAL(38,0)) * q
+               |         - CAST(s AS DECIMAL(38,0)) * s)
+               |THEN 1 ELSE 0 END""".stripMargin).cast(LongType))
+      .select($"day", $"n_events", $"delta", $"is_spike")
+      .orderBy($"day")
+  }
+
   /** #121 (SURVEY §2.6) event-type affinity matrix: for every type
     * pair, how many users perform BOTH, with the e4 lift against
     * independence (n_both·N / (n_a·n_b)) — the cross-sell /
