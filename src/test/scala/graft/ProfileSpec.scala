@@ -684,4 +684,47 @@ class ProfileSpec extends SparkTestBase {
     }
     assert(got.map(_._1).toSet == model.keySet)
   }
+
+  test("daily anomaly equals a plain-BigInt model — flag exact, never ulp-dependent") {
+    import graft.operators.CoreOps
+    val days = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .as[String].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ordered = days.toSeq.sortBy(_._1)
+    val n = BigInt(ordered.length)
+    val s = BigInt(ordered.map(_._2).sum)
+    val q = BigInt(ordered.map(v => v._2 * v._2).sum)
+    val model = ordered.zipWithIndex.map { case ((day, x), i) =>
+      val delta = if (i == 0) 0L else x - ordered(i - 1)._2
+      val dev = n * BigInt(x) - s
+      val spike = if (dev * dev > 9 * (n * q - s * s)) 1L else 0L
+      (day, x, delta, spike)
+    }
+    val got = CoreOps.dailyAnomaly(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == model, s"anomaly drift: got=${got.take(3)} want=${model.take(3)}")
+  }
+
+  test("event affinity equals a brute-force pair model with exact lift") {
+    import graft.operators.CoreOps
+    val ut = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .as[(Long, String)].collect()
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nUsers = BigInt(ut.map(_._1).distinct.length)
+    val types = byType.keys.toSeq.sorted
+    val model = (for {
+      (a, i) <- types.zipWithIndex; b <- types.drop(i + 1)
+      both = (byType(a) & byType(b)).size.toLong if both > 0
+    } yield {
+      val (na, nb) = (byType(a).size.toLong, byType(b).size.toLong)
+      val lift = (BigInt(both) * nUsers * 10000) / (BigInt(na) * nb)
+      (a, b, both, na, nb, lift.toLong)
+    }).toSet
+    val got = CoreOps.eventAffinity(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == model,
+      s"affinity drift: extra=${got.diff(model).take(2)} missing=${model.diff(got).take(2)}")
+  }
 }
