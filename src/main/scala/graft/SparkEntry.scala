@@ -182,6 +182,7 @@ object SparkEntry {
     "q_ann_buckets" -> (SimilarityOps.annBucketStats _),
     "q_supplier_conc" -> (JoinOps.supplierConcentration _),
     "q_daily_anomaly" -> (CoreOps.dailyAnomaly _),
+    "q_dedup_gain" -> (DedupOps.dedupGain _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2424,5 +2425,41 @@ object SparkEntry {
         |      > 9 * (CAST(n_days AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
         |FROM daily CROSS JOIN mom ORDER BY day""".stripMargin,
+    "q_dedup_gain" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |lbl AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+         |gbase AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    md5(lower(trim(text))) AS raw_hash,
+         |    md5(trim(regexp_replace(
+         |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+         |    CASE WHEN len(tk) >= ${graft.operators.DedupOps.PrefixTok}
+         |      THEN md5(array_to_string(list_slice(list_transform(tk, x -> lower(x)), 1, ${graft.operators.DedupOps.PrefixTok}), ' '))
+         |    END AS prefix_hash
+         |  FROM tkv),
+         |gex AS (SELECT raw_hash, min(doc_id) AS ek FROM gbase GROUP BY 1),
+         |gnm AS (SELECT norm_hash, min(doc_id) AS nk FROM gbase GROUP BY 1),
+         |gpf AS (SELECT prefix_hash, min(doc_id) AS pk FROM gbase
+         |  WHERE prefix_hash IS NOT NULL GROUP BY 1),
+         |gfl AS (SELECT n_tokens,
+         |    (doc_id = ek) AS kx, (doc_id = nk) AS kn,
+         |    (gbase.prefix_hash IS NULL OR doc_id = pk) AS kp,
+         |    (lbl.cluster_id IS NULL OR doc_id = lbl.cluster_id) AS kc
+         |  FROM gbase JOIN gex USING (raw_hash) JOIN gnm USING (norm_hash)
+         |  LEFT JOIN gpf USING (prefix_hash) LEFT JOIN lbl USING (doc_id)),
+         |gout AS (
+         |  SELECT 'none' AS policy, CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens_kept FROM gfl
+         |  UNION ALL SELECT 'exact', CAST(count(*) FILTER (kx) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens) FILTER (kx), 0) AS BIGINT) FROM gfl
+         |  UNION ALL SELECT 'normalized', CAST(count(*) FILTER (kn) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens) FILTER (kn), 0) AS BIGINT) FROM gfl
+         |  UNION ALL SELECT 'prefix', CAST(count(*) FILTER (kp) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens) FILTER (kp), 0) AS BIGINT) FROM gfl
+         |  UNION ALL SELECT 'neardup', CAST(count(*) FILTER (kc) AS BIGINT),
+         |    CAST(coalesce(sum(n_tokens) FILTER (kc), 0) AS BIGINT) FROM gfl)
+         |SELECT policy, n_docs_kept, n_tokens_kept FROM gout ORDER BY policy""".stripMargin,
   )
 }

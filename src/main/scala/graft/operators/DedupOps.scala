@@ -294,6 +294,66 @@ object DedupOps {
     * corpus's (doc_id, lang) projection twice (AQE broadcasts the
     * pairs side when it fits), then a |langs|²-bounded partial agg;
     * the cross-language row count IS the audit number. */
+  /** #134 (SURVEY §2.7) dedup-policy gain table: docs and tokens the
+    * corpus keeps under each dedup tier — none / exact (#37) /
+    * normalized (#85) / prefix (#97, short docs kept) / near-dup
+    * cluster canonical (#50, unclustered docs kept) — the one-glance
+    * answer to "which policy buys how much shrink", priced in the
+    * unit that matters (tokens), using the SAME class keys as the
+    * gated per-tier operators so this summary can never disagree
+    * with them. Scale shape: one narrow scan computes all three
+    * class hashes; each tier is a hash-keyed partial agg joined back
+    * on its own key; the near-dup flag left-joins the sublinear
+    * cluster-label artifact; the 5-policy readout is a 1-row
+    * conditional agg unpivoted by a bounded `stack`. */
+  def dedupGain(spark: SparkSession, sfDir: String): DataFrame = {
+    val ltk = graft.functions.TextFunctions.tokens(lower($"text"))
+    val base = Tables.documents(spark, sfDir).select(
+      $"doc_id",
+      size(graft.functions.TextFunctions.tokens($"text")).cast(LongType)
+        .as("n_tokens"),
+      md5(lower(trim($"text"))).as("raw_hash"),
+      md5(trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
+        .as("norm_hash"),
+      when(size(ltk) >= PrefixTok,
+        md5(array_join(slice(ltk, 1, PrefixTok), " "))).as("prefix_hash"))
+    val ex = base.groupBy($"raw_hash").agg(min($"doc_id").as("ek"))
+    val nm = base.groupBy($"norm_hash").agg(min($"doc_id").as("nk"))
+    val pf = base.filter($"prefix_hash".isNotNull)
+      .groupBy($"prefix_hash").agg(min($"doc_id").as("pk"))
+    val flags = base
+      .join(ex, Seq("raw_hash"))
+      .join(nm, Seq("norm_hash"))
+      .join(pf, Seq("prefix_hash"), "left")
+      .join(ClusterOps.clusterLabels(spark, sfDir), Seq("doc_id"), "left")
+      .select($"n_tokens",
+        ($"doc_id" === $"ek").as("kx"),
+        ($"doc_id" === $"nk").as("kn"),
+        ($"prefix_hash".isNull || $"doc_id" === $"pk").as("kp"),
+        ($"cluster_id".isNull || $"doc_id" === $"cluster_id").as("kc"))
+    flags.agg(
+        count(lit(1)).as("d0"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("t0"),
+        coalesce(sum(when($"kx", 1L).otherwise(0L)), lit(0L)).as("d1"),
+        coalesce(sum(when($"kx", $"n_tokens").otherwise(0L)), lit(0L)).as("t1"),
+        coalesce(sum(when($"kn", 1L).otherwise(0L)), lit(0L)).as("d2"),
+        coalesce(sum(when($"kn", $"n_tokens").otherwise(0L)), lit(0L)).as("t2"),
+        coalesce(sum(when($"kp", 1L).otherwise(0L)), lit(0L)).as("d3"),
+        coalesce(sum(when($"kp", $"n_tokens").otherwise(0L)), lit(0L)).as("t3"),
+        coalesce(sum(when($"kc", 1L).otherwise(0L)), lit(0L)).as("d4"),
+        coalesce(sum(when($"kc", $"n_tokens").otherwise(0L)), lit(0L)).as("t4"))
+      .selectExpr(
+        """stack(5,
+          |  'exact', d1, t1,
+          |  'neardup', d4, t4,
+          |  'none', d0, t0,
+          |  'normalized', d2, t2,
+          |  'prefix', d3, t3) AS (policy, n_docs_kept, n_tokens_kept)"""
+          .stripMargin)
+      .orderBy($"policy")
+  }
+
   /** #128 (SURVEY §2.7) near-dup distance horizon: pairs histogrammed
     * by floor(log2(doc_id distance)) — how far apart in ingestion
     * order duplicates sit. The answer prices a bounded dedup window
