@@ -183,6 +183,9 @@ object SparkEntry {
     "q_supplier_conc" -> (JoinOps.supplierConcentration _),
     "q_daily_anomaly" -> (CoreOps.dailyAnomaly _),
     "q_dedup_gain" -> (DedupOps.dedupGain _),
+    "q_revenue_yoy" -> (JoinOps.revenueYoy _),
+    "q_trade_balance" -> (JoinOps.tradeBalance _),
+    "q_exact_span" -> (DedupOps.exactSpan _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2461,5 +2464,44 @@ object SparkEntry {
          |  UNION ALL SELECT 'neardup', CAST(count(*) FILTER (kc) AS BIGINT),
          |    CAST(coalesce(sum(n_tokens) FILTER (kc), 0) AS BIGINT) FROM gfl)
          |SELECT policy, n_docs_kept, n_tokens_kept FROM gout ORDER BY policy""".stripMargin,
+    "q_revenue_yoy" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS rev_e2
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT m.yr, m.mo, m.n_orders, m.rev_e2, p.rev_e2 AS prev_rev_e2,
+        |  CASE WHEN p.rev_e2 IS NULL OR p.rev_e2 = 0 THEN NULL
+        |    WHEN m.rev_e2 >= p.rev_e2
+        |      THEN (m.rev_e2 - p.rev_e2) * 10000 // p.rev_e2
+        |    ELSE -((p.rev_e2 - m.rev_e2) * 10000 // p.rev_e2)
+        |  END AS yoy_e4
+        |FROM m LEFT JOIN m p ON m.yr = p.yr + 1 AND m.mo = p.mo
+        |ORDER BY m.yr, m.mo""".stripMargin,
+    "q_trade_balance" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT) AS rev_e4
+        |  FROM lineitem),
+        |ex AS (SELECT n_name, CAST(sum(rev_e4) AS BIGINT) AS export_rev_e4
+        |  FROM li JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey GROUP BY 1),
+        |im AS (SELECT n_name, CAST(sum(rev_e4) AS BIGINT) AS import_rev_e4
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+        |SELECT coalesce(ex.n_name, im.n_name) AS n_name,
+        |  coalesce(export_rev_e4, 0) AS export_rev_e4,
+        |  coalesce(import_rev_e4, 0) AS import_rev_e4,
+        |  coalesce(export_rev_e4, 0) - coalesce(import_rev_e4, 0) AS net_e4
+        |FROM ex FULL OUTER JOIN im ON ex.n_name = im.n_name
+        |ORDER BY 1""".stripMargin,
+    "q_exact_span" ->
+      """WITH cls AS (SELECT md5(lower(trim(text))) AS raw_hash,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1 HAVING cnt >= 2)
+        |SELECT n_sources, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -294,6 +294,24 @@ object DedupOps {
     * corpus's (doc_id, lang) projection twice (AQE broadcasts the
     * pairs side when it fits), then a |langs|²-bounded partial agg;
     * the cross-language row count IS the audit number. */
+  /** #137 (SURVEY §2.7) exact-duplicate source span: duplicated
+    * exact classes (cnt ≥ 2) histogrammed by how many distinct
+    * SOURCES they span — the exact-tier twin of the #127 cluster
+    * span, and the cheapest syndication detector (a verbatim copy
+    * across 3 crawls needs no MinHash to find). Same one-shuffle
+    * shape as #37 with the source carried into the partial agg;
+    * output bounded by |sources|. */
+  def exactSpan(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(md5(lower(trim($"text"))).as("raw_hash"), $"source")
+      .groupBy($"raw_hash")
+      .agg(countDistinct($"source").as("n_sources"),
+        count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2)
+      .groupBy($"n_sources")
+      .agg(count(lit(1)).as("n_classes"), sum($"cnt").as("n_docs"))
+      .orderBy($"n_sources")
+
   /** #134 (SURVEY §2.7) dedup-policy gain table: docs and tokens the
     * corpus keeps under each dedup tier — none / exact (#37) /
     * normalized (#85) / prefix (#97, short docs kept) / near-dup

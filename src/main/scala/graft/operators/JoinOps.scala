@@ -563,6 +563,71 @@ object JoinOps {
           4), lit(0L)).as("revenue_e4"))
   }
 
+  /** #135 (SURVEY §2.6) month-over-year revenue trend: per (year,
+    * month): order count, revenue, the same-month-last-year revenue,
+    * and the signed e4 YoY growth — the seasonality-corrected trend
+    * report (January vs December is noise; January vs last January
+    * is signal). One (year, month) partial agg bounds the frame to
+    * |months| rows; the self-join on (year−1, month) and the growth
+    * division run on that bounded frame. The division is SIGN-SPLIT
+    * (both engines divide nonnegative operands only — the #115
+    * pattern), because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and YoY deltas go negative. */
+  def revenueYoy(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.sumFixed($"o_totalprice", 2).as("rev_e2"))
+    monthly
+      .join(broadcast(monthly.select(($"yr" + 1L).as("yr"), $"mo",
+        $"rev_e2".as("prev_rev_e2"))), Seq("yr", "mo"), "left")
+      .withColumn("yoy_e4",
+        expr("""CASE WHEN prev_rev_e2 IS NULL OR prev_rev_e2 = 0 THEN NULL
+               |  WHEN rev_e2 >= prev_rev_e2
+               |    THEN (rev_e2 - prev_rev_e2) * 10000 div prev_rev_e2
+               |  ELSE -((prev_rev_e2 - rev_e2) * 10000 div prev_rev_e2)
+               |END""".stripMargin))
+      .select($"yr", $"mo", $"n_orders", $"rev_e2", $"prev_rev_e2",
+        $"yoy_e4")
+      .orderBy($"yr", $"mo")
+  }
+
+  /** #136 (SURVEY §2.6) nation trade balance: per nation, revenue
+    * its suppliers shipped (exports) vs revenue its customers bought
+    * (imports) and the net — the all-nations generalization of the
+    * #33i two-nation flow. The export leg never touches orders (the
+    * supplier tag broadcasts straight onto lineitem); the import leg
+    * pays the one fact-fact order-key shuffle; both collapse to
+    * |nations| rows before the full-outer merge (outer, so a
+    * nation with suppliers but no customers still reports). */
+  def tradeBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey",
+        Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+          .as("rev_e4"))
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    val exp = li.join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"n_name").agg(sum($"rev_e4").as("export_rev_e4"))
+    val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val imp = li
+      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name").agg(sum($"rev_e4").as("import_rev_e4"))
+    exp.join(imp, Seq("n_name"), "full_outer")
+      .select($"n_name",
+        coalesce($"export_rev_e4", lit(0L)).as("export_rev_e4"),
+        coalesce($"import_rev_e4", lit(0L)).as("import_rev_e4"))
+      .withColumn("net_e4", $"export_rev_e4" - $"import_rev_e4")
+      .orderBy($"n_name")
+  }
+
   /** #132 (SURVEY §2.6) supplier concentration report: supplier
     * count, total revenue, the Herfindahl–Hirschman index over e6
     * revenue shares, and the top-10 suppliers' combined share — the
