@@ -186,6 +186,9 @@ object SparkEntry {
     "q_revenue_yoy" -> (JoinOps.revenueYoy _),
     "q_trade_balance" -> (JoinOps.tradeBalance _),
     "q_exact_span" -> (DedupOps.exactSpan _),
+    "q_decon_widths" -> (CurationOps.deconWidthSweep _),
+    "q_dup_by_length" -> (DedupOps.dupByLength _),
+    "q_discount_effect" -> (JoinOps.discountEffect _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2503,5 +2506,39 @@ object SparkEntry {
         |SELECT n_sources, CAST(count(*) AS BIGINT) AS n_classes,
         |  CAST(sum(cnt) AS BIGINT) AS n_docs
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decon_widths" -> {
+      val ws = graft.operators.CurationOps.DeconWidths
+      val mod = graft.operators.CurationOps.DecontMod
+      val legs = ws.map { w =>
+        s"""bgw$w AS (SELECT DISTINCT unnest(gs) AS h FROM gw$w WHERE doc_id % $mod = 0),
+           |chw$w AS (SELECT doc_id, unnest(gs) AS h FROM gw$w WHERE doc_id % $mod <> 0),
+           |rw$w AS (SELECT CAST($w AS BIGINT) AS gram_w,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bgw$w) AS n_bench_grams,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+           |  CAST(count(*) AS BIGINT) AS n_gram_hits
+           |  FROM chw$w JOIN bgw$w USING (h))""".stripMargin
+      }
+      s"""WITH $tkCte,
+         |${ws.map(w => gramsCte(w, s"gw$w")).mkString(",\n")},
+         |${legs.mkString(",\n")}
+         |SELECT * FROM (${ws.map(w => s"SELECT * FROM rw$w").mkString(" UNION ALL ")})
+         |ORDER BY gram_w""".stripMargin
+    },
+    "q_dup_by_length" ->
+      s"""WITH $tkCte,
+         |db AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    md5(lower(trim(text))) AS raw_hash FROM tkv),
+         |dc AS (SELECT raw_hash, count(*) AS cnt FROM db GROUP BY 1)
+         |SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS log2_len,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (cnt >= 2) AS BIGINT) AS n_dup,
+         |  CAST(count(*) FILTER (cnt >= 2) * 10000 // count(*) AS BIGINT) AS dup_rate_e4
+         |FROM db JOIN dc USING (raw_hash) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_discount_effect" ->
+      """SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS discount_e2,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -772,6 +772,40 @@ object CurationOps {
     spark.read.schema(schema).parquet(path).orderBy($"doc_id")
   }
 
+  /** Gram widths [[deconWidthSweep]] prices. */
+  val DeconWidths: Seq[Int] = Seq(2, 3, 5, 8)
+
+  /** #138 (SURVEY §2.7) decontamination gram-width sweep: for each
+    * candidate width, the benchmark's distinct gram count, the
+    * corpus docs flagged, and the total per-doc-distinct gram hits —
+    * the calibration table that PICKS #51's [[DecontGram]] before a
+    * 100 TB decon run (2-grams flag half the corpus on stopword
+    * collisions; 13-grams miss light paraphrases; the knee in this
+    * table is the defensible setting). Each width leg is exactly the
+    * #51 shape — benchmark grams distinct-agg'd and BROADCAST, one
+    * narrow corpus gram stream, 1-row agg — and the sweep unions the
+    * bounded rows; legs are independent (a calibration run schedules
+    * them in parallel). */
+  def deconWidthSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    DeconWidths.map { w =>
+      val bench = docs.filter($"doc_id" % DecontMod === 0L)
+        .select(explode(
+          graft.functions.TextHash.gramHashes($"text", w)).as("h"))
+        .distinct()
+      val nb = bench.agg(count(lit(1)).as("n_bench_grams"))
+      docs.filter($"doc_id" % DecontMod =!= 0L)
+        .select($"doc_id", explode(
+          graft.functions.TextHash.gramHashes($"text", w)).as("h"))
+        .join(broadcast(bench), "h")
+        .agg(countDistinct($"doc_id").as("n_docs_hit"),
+          count(lit(1)).as("n_gram_hits"))
+        .crossJoin(broadcast(nb))
+        .select(lit(w.toLong).as("gram_w"), $"n_bench_grams",
+          $"n_docs_hit", $"n_gram_hits")
+    }.reduce(_.unionByName(_)).orderBy($"gram_w")
+  }
+
   /** #129 (SURVEY §2.7) quality by language: per metadata language,
     * doc count and the count/mean/min/max of the #95 composite
     * quality percentile — the "is the quality score calibrated per

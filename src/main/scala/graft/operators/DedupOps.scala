@@ -312,6 +312,29 @@ object DedupOps {
       .agg(count(lit(1)).as("n_classes"), sum($"cnt").as("n_docs"))
       .orderBy($"n_sources")
 
+  /** #139 (SURVEY §2.7) duplication by length: per floor(log2
+    * (token count)) bucket: docs, exact-duplicated docs (class
+    * cnt ≥ 2), and the e4 duplication rate — WHERE duplication lives
+    * on the length axis (short-doc dup is shattered boilerplate the
+    * chunk tier handles; long-doc dup is re-crawls worth full-class
+    * drops). #37's one-shuffle class agg joined back on its own key,
+    * ≤64-bucket readout; bin-length log2, no float at bucket
+    * boundaries. */
+  def dupByLength(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select($"doc_id",
+      size(graft.functions.TextFunctions.tokens($"text")).cast(LongType)
+        .as("n_tokens"),
+      md5(lower(trim($"text"))).as("raw_hash"))
+    val cls = base.groupBy($"raw_hash").agg(count(lit(1)).as("cnt"))
+    base.join(cls, Seq("raw_hash"))
+      .select((length(bin($"n_tokens")) - 1).cast(LongType).as("log2_len"),
+        when($"cnt" >= 2L, 1L).otherwise(0L).as("is_dup"))
+      .groupBy($"log2_len")
+      .agg(count(lit(1)).as("n_docs"), sum($"is_dup").as("n_dup"),
+        expr("sum(is_dup) * 10000 div count(1)").as("dup_rate_e4"))
+      .orderBy($"log2_len")
+  }
+
   /** #134 (SURVEY §2.7) dedup-policy gain table: docs and tokens the
     * corpus keeps under each dedup tier — none / exact (#37) /
     * normalized (#85) / prefix (#97, short docs kept) / near-dup

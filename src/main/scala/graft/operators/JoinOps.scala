@@ -563,6 +563,20 @@ object JoinOps {
           4), lit(0L)).as("revenue_e4"))
   }
 
+  /** #140 (SURVEY §2.6) discount elasticity profile: per discount
+    * level (e2): line count, quantity, revenue — the "does a deeper
+    * discount move more units" curve pricing teams read; one narrow
+    * scan into a ≤|levels|-group partial agg (discounts are a small
+    * finite menu). */
+  def discountEffect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(round($"l_discount" * 100, 0).cast("long").as("discount_e2"))
+      .agg(count(lit(1)).as("n_lines"),
+        Det.sumFixed($"l_quantity", 2).as("sum_qty_e2"),
+        Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+          .as("revenue_e4"))
+      .orderBy($"discount_e2")
+
   /** #135 (SURVEY §2.6) month-over-year revenue trend: per (year,
     * month): order count, revenue, the same-month-last-year revenue,
     * and the signed e4 YoY growth — the seasonality-corrected trend
