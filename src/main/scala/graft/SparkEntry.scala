@@ -187,6 +187,7 @@ object SparkEntry {
     "q_trade_balance" -> (JoinOps.tradeBalance _),
     "q_exact_span" -> (DedupOps.exactSpan _),
     "q_decon_widths" -> (CurationOps.deconWidthSweep _),
+    "q_quality_vs_dup" -> (CurationOps.qualityVsDup _),
     "q_dup_by_length" -> (DedupOps.dupByLength _),
     "q_discount_effect" -> (JoinOps.discountEffect _),
   )
@@ -2534,6 +2535,25 @@ object SparkEntry {
          |  CAST(count(*) FILTER (cnt >= 2) AS BIGINT) AS n_dup,
          |  CAST(count(*) FILTER (cnt >= 2) * 10000 // count(*) AS BIGINT) AS dup_rate_e4
          |FROM db JOIN dc USING (raw_hash) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quality_vs_dup" ->
+      s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |$pairsCtes,
+         |$reachCtes,
+         |lab AS (SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+         |  FROM reach GROUP BY s),
+         |$lmCtes,
+         |$qualityCtes,
+         |qf AS (SELECT comp.composite_e4,
+         |    CASE WHEN lab.doc_id IS NULL THEN 'unclustered'
+         |         WHEN comp.doc_id = lab.cluster_id THEN 'kept'
+         |         ELSE 'dropped' END AS fate
+         |  FROM comp LEFT JOIN lab USING (doc_id))
+         |SELECT fate, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(composite_e4) // count(*) AS BIGINT) AS mean_comp_e4,
+         |  CAST(min(composite_e4) AS BIGINT) AS min_comp_e4,
+         |  CAST(max(composite_e4) AS BIGINT) AS max_comp_e4
+         |FROM qf GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_discount_effect" ->
       """SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS discount_e2,
         |  CAST(count(*) AS BIGINT) AS n_lines,

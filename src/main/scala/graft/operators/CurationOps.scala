@@ -806,6 +806,28 @@ object CurationOps {
     }.reduce(_.unionByName(_)).orderBy($"gram_w")
   }
 
+  /** #141 (SURVEY §2.7) quality of kept vs dropped: the #95
+    * composite-percentile stats split by near-dup fate (canonical
+    * keeper / redundant duplicate / unclustered) — the "is dedup
+    * throwing away good docs" audit: if dropped docs score HIGHER
+    * than keepers, the min-id retention policy is destroying value
+    * and #70/#96's quality-arbitrated policies should ship instead.
+    * Composes two artifacts (quality percentiles + cluster labels),
+    * 3-row conditional agg; the §4 integer mean. */
+  def qualityVsDup(spark: SparkSession, sfDir: String): DataFrame =
+    qualityPercentile(spark, sfDir).select($"doc_id", $"composite_e4")
+      .join(ClusterOps.dedupCluster(spark, sfDir)
+        .select($"doc_id", $"keep"), Seq("doc_id"), "left")
+      .select($"composite_e4",
+        when($"keep".isNull, "unclustered")
+          .when($"keep" === 1L, "kept").otherwise("dropped").as("fate"))
+      .groupBy($"fate")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(composite_e4) div count(1)").as("mean_comp_e4"),
+        min($"composite_e4").as("min_comp_e4"),
+        max($"composite_e4").as("max_comp_e4"))
+      .orderBy($"fate")
+
   /** #129 (SURVEY §2.7) quality by language: per metadata language,
     * doc count and the count/mean/min/max of the #95 composite
     * quality percentile — the "is the quality score calibrated per

@@ -420,4 +420,28 @@ class DedupSpec extends SparkTestBase {
     // every pair lands in exactly one split-pair bucket
     assert(got.map(_._3).sum == pairs.length.toLong)
   }
+
+  test("dedup-policy gain table reconciles with the per-tier operators") {
+    import graft.operators.ClusterOps
+    val gain = DedupOps.dedupGain(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gain.keySet ==
+      Set("none", "exact", "normalized", "prefix", "neardup"))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(gain("none")._1 == nDocs)
+    // tier keeper counts equal the gated class tables' cardinalities
+    assert(gain("exact")._1 == DedupOps.dedupExact(spark, sf).count())
+    assert(gain("normalized")._1 ==
+      DedupOps.dedupNormalized(spark, sf).count())
+    // near-dup keepers = canonical docs + unclustered docs
+    val cl = ClusterOps.dedupCluster(spark, sf)
+      .agg(count(lit(1)), sum(col("keep"))).as[(Long, Long)].head()
+    assert(gain("neardup")._1 == nDocs - (cl._1 - cl._2))
+    // coarser whole-text tiers keep no more docs; every tier's token
+    // mass is bounded by the undeduped corpus
+    assert(gain("normalized")._1 <= gain("exact")._1)
+    assert(gain("exact")._1 <= nDocs && gain("neardup")._1 <= nDocs)
+    assert(gain.values.forall(_._2 <= gain("none")._2))
+  }
 }
