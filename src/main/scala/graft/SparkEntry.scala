@@ -188,6 +188,7 @@ object SparkEntry {
     "q_exact_span" -> (DedupOps.exactSpan _),
     "q_decon_widths" -> (CurationOps.deconWidthSweep _),
     "q_quality_vs_dup" -> (CurationOps.qualityVsDup _),
+    "q_band_occupancy" -> (DedupOps.bandOccupancy _),
     "q_dup_by_length" -> (DedupOps.dupByLength _),
     "q_discount_effect" -> (JoinOps.discountEffect _),
   )
@@ -2554,6 +2555,17 @@ object SparkEntry {
          |  CAST(min(composite_e4) AS BIGINT) AS min_comp_e4,
          |  CAST(max(composite_e4) AS BIGINT) AS max_comp_e4
          |FROM qf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_band_occupancy" ->
+      s"""WITH $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
+         |$mhCtes,
+         |oc AS (SELECT b, band_hash, CAST(count(*) AS BIGINT) AS sz
+         |  FROM bnd GROUP BY 1, 2)
+         |SELECT CAST(b AS BIGINT) AS band,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(sz) AS BIGINT) AS max_bucket,
+         |  CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM oc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_discount_effect" ->
       """SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS discount_e2,
         |  CAST(count(*) AS BIGINT) AS n_lines,

@@ -312,6 +312,26 @@ object DedupOps {
       .agg(count(lit(1)).as("n_classes"), sum($"cnt").as("n_docs"))
       .orderBy($"n_sources")
 
+  /** #142 (SURVEY §2.7) MinHash band-bucket occupancy audit: per
+    * band — buckets, largest bucket, rows, and the candidate pairs
+    * the band generates (Σ sz·(sz−1)/2) — the #131 occupancy report
+    * for the DEDUP index: the candidate count IS the banding
+    * shuffle's cost function, and a band whose max bucket grows with
+    * the corpus is the quadratic-blowup early warning (the same
+    * failure mode the sf1 sweep caught on single-block SimHash and
+    * 16-bucket embedding LSH). Reads the materialized band artifact;
+    * one (band, key) partial agg, 8-row readout. */
+  def bandOccupancy(spark: SparkSession, sfDir: String): DataFrame =
+    minhashBandsShared(spark, sfDir)
+      .groupBy($"band", $"band_hash")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy($"band".cast(LongType).as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max($"sz").as("max_bucket"),
+        sum($"sz").as("n_rows"),
+        expr("sum(sz * (sz - 1) div 2)").as("n_cand_pairs"))
+      .orderBy($"band")
+
   /** #139 (SURVEY §2.7) duplication by length: per floor(log2
     * (token count)) bucket: docs, exact-duplicated docs (class
     * cnt ≥ 2), and the e4 duplication rate — WHERE duplication lives
