@@ -189,6 +189,8 @@ object SparkEntry {
     "q_decon_widths" -> (CurationOps.deconWidthSweep _),
     "q_quality_vs_dup" -> (CurationOps.qualityVsDup _),
     "q_band_occupancy" -> (DedupOps.bandOccupancy _),
+    "q_reorder_gaps" -> (JoinOps.reorderGaps _),
+    "q_spend_hist" -> (JoinOps.spendHist _),
     "q_dup_by_length" -> (DedupOps.dupByLength _),
     "q_discount_effect" -> (JoinOps.discountEffect _),
   )
@@ -2566,6 +2568,27 @@ object SparkEntry {
          |  CAST(sum(sz) AS BIGINT) AS n_rows,
          |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_cand_pairs
          |FROM oc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_reorder_gaps" ->
+      """WITH g AS (SELECT o_custkey,
+        |    (epoch_us(o_orderdate) - epoch_us(lag(o_orderdate, 1) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+        |      // 86400000000 AS gap_days
+        |  FROM orders)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap_days) AS BIGINT) AS min_days,
+        |  CAST(max(gap_days) AS BIGINT) AS max_days,
+        |  CAST(sum(gap_days) // count(*) AS BIGINT) AS mean_days
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_spend_hist" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS spend_e2
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(length(bin(spend_e2)) - 1 AS BIGINT) AS log2_spend,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(spend_e2) AS BIGINT) AS total_spend_e2
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_discount_effect" ->
       """SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS discount_e2,
         |  CAST(count(*) AS BIGINT) AS n_lines,

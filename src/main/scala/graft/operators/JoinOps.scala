@@ -563,6 +563,51 @@ object JoinOps {
           4), lit(0L)).as("revenue_e4"))
   }
 
+  /** #143 (SURVEY §2.6) reorder-cadence profile: per market segment,
+    * stats over the day gaps between a customer's consecutive orders
+    * — the repurchase-rhythm table behind churn windows and campaign
+    * timing. Same shape as the #113 event-gap profile on the orders
+    * fact: one (custkey)-keyed window sort shuffle (per-customer
+    * sequences are small), segment broadcast from the customer dim,
+    * \|segments\|-row partial agg; gaps in whole days from µs
+    * timestamps by exact integer division. */
+  def reorderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .withColumn("prev", lag($"o_orderdate", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"o_custkey",
+        // o_orderdate reads as TIMESTAMP_NTZ (midnight-aligned days),
+        // so whole-day datediff is exact; unix_micros rejects NTZ
+        expr("cast(datediff(cast(o_orderdate as date), cast(prev as date)) as bigint)")
+          .as("gap_days"))
+    val seg = Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    gaps.join(broadcast(seg), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"), min($"gap_days").as("min_days"),
+        max($"gap_days").as("max_days"),
+        expr("sum(gap_days) div count(1)").as("mean_days"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** #144 (SURVEY §2.6) customer-spend histogram: customers per
+    * floor(log2(lifetime spend e2)) bucket — the LTV distribution at
+    * a glance (a heavy 2^40 tail is the whale cohort a flat mean
+    * hides). One uniform-key fact partial agg to per-customer spend,
+    * bin-length log2, ≤64-bucket readout. */
+  def spendHist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(Det.sumFixed($"o_totalprice", 2).as("spend_e2"))
+      .select((length(bin($"spend_e2")) - 1).cast("long").as("log2_spend"),
+        $"spend_e2")
+      .groupBy($"log2_spend")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"spend_e2").as("total_spend_e2"))
+      .orderBy($"log2_spend")
+
   /** #140 (SURVEY §2.6) discount elasticity profile: per discount
     * level (e2): line count, quantity, revenue — the "does a deeper
     * discount move more units" curve pricing teams read; one narrow
