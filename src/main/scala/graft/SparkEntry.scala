@@ -193,6 +193,7 @@ object SparkEntry {
     "q_spend_hist" -> (JoinOps.spendHist _),
     "q_dup_by_length" -> (DedupOps.dupByLength _),
     "q_discount_effect" -> (JoinOps.discountEffect _),
+    "q_brand_returns" -> (JoinOps.brandReturns _),
   )
 
   /** Shared oracle-SQL fragments (documents tokenization + quantized
@@ -2589,6 +2590,15 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(spend_e2) AS BIGINT) AS total_spend_e2
         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_brand_returns" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_returned,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS rev_e4,
+        |  CAST(coalesce(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) FILTER (l_returnflag = 'R'), 0) AS BIGINT) AS returned_rev_e4,
+        |  CAST((CAST(count(*) FILTER (l_returnflag = 'R') AS HUGEINT) * 10000)
+        |    // CAST(count(*) AS HUGEINT) AS BIGINT) AS return_rate_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_discount_effect" ->
       """SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS discount_e2,
         |  CAST(count(*) AS BIGINT) AS n_lines,

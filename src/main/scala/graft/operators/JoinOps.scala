@@ -563,6 +563,32 @@ object JoinOps {
           4), lit(0L)).as("revenue_e4"))
   }
 
+  /** #145 (SURVEY §2.6) brand return-rate report: per part brand,
+    * line and revenue totals with the returned share (e4) — the
+    * defect/complaint screen merchandising reads weekly. Part dim
+    * BROADCAST onto one narrow fact scan, \|brands\|-row partial
+    * agg; the rate divides in DECIMAL(38,0) (returned·10⁴ passes
+    * 2^63 at fact scale). */
+  def brandReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
+    Tables.lineitem(spark, sfDir)
+      .select($"l_partkey", $"l_returnflag",
+        Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+          .as("rev_e4"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        sum($"rev_e4").as("rev_e4"),
+        sum(when($"l_returnflag" === "R", $"rev_e4").otherwise(0L))
+          .as("returned_rev_e4"))
+      .withColumn("return_rate_e4",
+        expr("""CAST((CAST(n_returned AS DECIMAL(38,0)) * 10000)
+               |div CAST(n_lines AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
+      .orderBy($"p_brand")
+  }
+
   /** #143 (SURVEY §2.6) reorder-cadence profile: per market segment,
     * stats over the day gaps between a customer's consecutive orders
     * — the repurchase-rhythm table behind churn windows and campaign
