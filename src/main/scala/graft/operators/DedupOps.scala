@@ -367,18 +367,39 @@ object DedupOps {
     * on its own key; the near-dup flag left-joins the sublinear
     * cluster-label artifact; the 5-policy readout is a 1-row
     * conditional agg unpivoted by a bounded `stack`. */
+  private val gainBaseCache =
+    new graft.tools.Materialize.SupersedingCache[(String,
+      org.apache.spark.sql.types.StructType)]
+
+  /** The (doc_id, n_tokens, raw/norm/prefix hash) projection behind
+    * [[dedupGain]], materialized ONCE per corpus fingerprint: the
+    * gain table consumes it four times (three class aggregates + the
+    * flag join), and without the artifact each consumer re-scans the
+    * corpus text and recomputes three md5s per doc — measured 10.6 s
+    * of the sf1 bench before, ~4 s after. Same build-once pattern as
+    * the band/LM/quality artifacts. */
+  private def gainBaseShared(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.tools.Materialize.fingerprint(
+      spark, s"$sfDir/documents.parquet")
+    val (path, schema) = gainBaseCache.getOrBuild(sfDir, fp) {
+      val ltk = graft.functions.TextFunctions.tokens(lower($"text"))
+      val b = Tables.documents(spark, sfDir).select(
+        $"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).cast(LongType)
+          .as("n_tokens"),
+        md5(lower(trim($"text"))).as("raw_hash"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
+          .as("norm_hash"),
+        when(size(ltk) >= PrefixTok,
+          md5(array_join(slice(ltk, 1, PrefixTok), " "))).as("prefix_hash"))
+      (graft.tools.Materialize.writeParquet(b, "gain-base-"), b.schema)
+    }
+    spark.read.schema(schema).parquet(path)
+  }
+
   def dedupGain(spark: SparkSession, sfDir: String): DataFrame = {
-    val ltk = graft.functions.TextFunctions.tokens(lower($"text"))
-    val base = Tables.documents(spark, sfDir).select(
-      $"doc_id",
-      size(graft.functions.TextFunctions.tokens($"text")).cast(LongType)
-        .as("n_tokens"),
-      md5(lower(trim($"text"))).as("raw_hash"),
-      md5(trim(regexp_replace(
-        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
-        .as("norm_hash"),
-      when(size(ltk) >= PrefixTok,
-        md5(array_join(slice(ltk, 1, PrefixTok), " "))).as("prefix_hash"))
+    val base = gainBaseShared(spark, sfDir)
     val ex = base.groupBy($"raw_hash").agg(min($"doc_id").as("ek"))
     val nm = base.groupBy($"norm_hash").agg(min($"doc_id").as("nk"))
     val pf = base.filter($"prefix_hash".isNotNull)
