@@ -2211,9 +2211,9 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2, 3 ORDER BY lost_rev_e4 DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q_big_orders" ->
-      """WITH q AS (SELECT l_orderkey,
+      s"""WITH q AS (SELECT l_orderkey,
         |    CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_qty_e2
-        |  FROM lineitem GROUP BY 1 HAVING total_qty_e2 > 25000)
+        |  FROM lineitem GROUP BY 1 HAVING total_qty_e2 > ${graft.operators.JoinOps.BigOrderQtyE2})
         |SELECT c_custkey, c_name, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
         |  CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS total_price_e2,
@@ -2222,11 +2222,11 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty_e2 DESC, o_orderkey ASC""".stripMargin,
     "q_small_qty_rev" ->
-      """WITH li AS (SELECT l_partkey,
+      s"""WITH li AS (SELECT l_partkey,
         |    CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS qty_e2,
         |    l_extendedprice
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE p_brand = 'Brand#12'),
+        |  WHERE p_brand = '${graft.operators.JoinOps.SmallQtyBrand}'),
         |st AS (SELECT l_partkey AS pk, count(*) AS n_lines,
         |    CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2
         |  FROM li GROUP BY 1)
@@ -2243,27 +2243,27 @@ object SparkEntry {
         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10.0 AND 20.0)
         |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20.0))""".stripMargin,
     "q_dormant_rich" ->
-      """WITH c AS (SELECT c_custkey, c_nationkey,
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
         |    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bal_e2
         |  FROM customer),
         |pos AS (SELECT CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2,
         |    count(*) AS n_pos FROM c WHERE bal_e2 > 0),
         |active AS (SELECT DISTINCT o_custkey FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+        |  WHERE o_orderdate >= TIMESTAMP '${graft.operators.JoinOps.DormantCutoff}')
         |SELECT n_name, count(*) AS n_cust,
         |  CAST(sum(bal_e2) AS BIGINT) AS total_bal_e2
         |FROM c CROSS JOIN pos
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE bal_e2 * n_pos > sum_bal_e2
-        |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+        |  AND NOT EXISTS (SELECT 1 FROM active WHERE o_custkey = c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_market_share" ->
-      """WITH asia_cust AS (SELECT c_custkey FROM customer
+      s"""WITH asia_cust AS (SELECT c_custkey FROM customer
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'ASIA'),
         |yr AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-        |    CAST(sum(CASE WHEN n_name = 'NATION_3'
+        |    CAST(sum(CASE WHEN n_name = '${graft.operators.JoinOps.MarketNation}'
         |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)
         |      ELSE 0 END) AS BIGINT) AS nation_rev_e4,
         |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS BIGINT) AS total_rev_e4
@@ -2324,7 +2324,7 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_zipf_topk" ->
       s"""WITH $tkCte, $lmCtes,
-         |ztop AS (SELECT w1, c1 FROM uni ORDER BY c1 DESC, w1 ASC LIMIT 30),
+         |ztop AS (SELECT w1, c1 FROM uni ORDER BY c1 DESC, w1 ASC LIMIT ${graft.operators.TextOps.ZipfTopK}),
          |zrk AS (SELECT w1, c1,
          |    CAST(row_number() OVER (ORDER BY c1 DESC, w1 ASC) AS BIGINT) AS rank
          |  FROM ztop),

@@ -255,10 +255,11 @@ object CurationOps {
     * the batch operator and the streaming per-drop gate
     * (StreamingJobs.tokenDeconGate) so the gram definition cannot
     * drift between them. */
-  private[graft] def benchGramSet(docs: DataFrame): DataFrame =
+  private[graft] def benchGramSet(docs: DataFrame,
+      gram: Int = DecontGram): DataFrame =
     docs.filter($"doc_id" % DecontMod === 0L)
       .select(explode(
-        graft.functions.TextHash.gramHashes($"text", DecontGram)).as("h"))
+        graft.functions.TextHash.gramHashes($"text", gram)).as("h"))
       .distinct()
 
   /** Per-doc contaminated-gram counts against a broadcast benchmark
@@ -267,9 +268,10 @@ object CurationOps {
     * join + one keyed agg). gramHashes is per-doc DISTINCT, so
     * count(*) after the join is the distinct contaminated-gram
     * count. */
-  private[graft] def gramHits(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+  private[graft] def gramHits(docs: DataFrame, benchGrams: DataFrame,
+      gram: Int = DecontGram): DataFrame =
     docs.select($"doc_id", explode(
-        graft.functions.TextHash.gramHashes($"text", DecontGram)).as("h"))
+        graft.functions.TextHash.gramHashes($"text", gram)).as("h"))
       .join(broadcast(benchGrams), "h")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_hit"))
@@ -781,25 +783,19 @@ object CurationOps {
     * the calibration table that PICKS #51's [[DecontGram]] before a
     * 100 TB decon run (2-grams flag half the corpus on stopword
     * collisions; 13-grams miss light paraphrases; the knee in this
-    * table is the defensible setting). Each width leg is exactly the
-    * #51 shape — benchmark grams distinct-agg'd and BROADCAST, one
-    * narrow corpus gram stream, 1-row agg — and the sweep unions the
-    * bounded rows; legs are independent (a calibration run schedules
-    * them in parallel). */
+    * table is the defensible setting). Each width leg runs the #51
+    * stages THEMSELVES — [[benchGramSet]]/[[gramHits]] with the
+    * width parameterized, one definition — reduced to a 1-row agg;
+    * the sweep unions the bounded rows, and legs are independent (a
+    * calibration run schedules them in parallel). */
   def deconWidthSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     DeconWidths.map { w =>
-      val bench = docs.filter($"doc_id" % DecontMod === 0L)
-        .select(explode(
-          graft.functions.TextHash.gramHashes($"text", w)).as("h"))
-        .distinct()
+      val bench = benchGramSet(docs, w)
       val nb = bench.agg(count(lit(1)).as("n_bench_grams"))
-      docs.filter($"doc_id" % DecontMod =!= 0L)
-        .select($"doc_id", explode(
-          graft.functions.TextHash.gramHashes($"text", w)).as("h"))
-        .join(broadcast(bench), "h")
-        .agg(countDistinct($"doc_id").as("n_docs_hit"),
-          count(lit(1)).as("n_gram_hits"))
+      gramHits(docs.filter($"doc_id" % DecontMod =!= 0L), bench, w)
+        .agg(count(lit(1)).as("n_docs_hit"),
+          coalesce(sum($"n_hit"), lit(0L)).as("n_gram_hits"))
         .crossJoin(broadcast(nb))
         .select(lit(w.toLong).as("gram_w"), $"n_bench_grams",
           $"n_docs_hit", $"n_gram_hits")

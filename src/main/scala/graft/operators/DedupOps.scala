@@ -284,16 +284,6 @@ object DedupOps {
       .orderBy($"source_a", $"source_b")
   }
 
-  /** #124 (SURVEY §2.7) near-dup language matrix: the #69 provenance
-    * report re-keyed by LANGUAGE label — near-dup pairs straddling
-    * two language tags are either mislabeled metadata (#54's signal
-    * at pair granularity) or boilerplate/markup shells identical
-    * across translations; both mean the lang column can't be trusted
-    * to partition the corpus for per-language dedup. Same shape as
-    * [[dupSourceMatrix]]: the sublinear pairs artifact equi-joins the
-    * corpus's (doc_id, lang) projection twice (AQE broadcasts the
-    * pairs side when it fits), then a |langs|²-bounded partial agg;
-    * the cross-language row count IS the audit number. */
   /** #137 (SURVEY §2.7) exact-duplicate source span: duplicated
     * exact classes (cnt ≥ 2) histogrammed by how many distinct
     * SOURCES they span — the exact-tier twin of the #127 cluster
@@ -337,14 +327,16 @@ object DedupOps {
     * cnt ≥ 2), and the e4 duplication rate — WHERE duplication lives
     * on the length axis (short-doc dup is shattered boilerplate the
     * chunk tier handles; long-doc dup is re-crawls worth full-class
-    * drops). #37's one-shuffle class agg joined back on its own key,
-    * ≤64-bucket readout; bin-length log2, no float at bucket
-    * boundaries. */
+    * drops). Reads the [[gainBaseShared]] artifact (one text scan
+    * per corpus fingerprint); #37's one-shuffle class agg joined
+    * back on its own key, ≤64-bucket readout; bin-length log2, no
+    * float at bucket boundaries. */
   def dupByLength(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir).select($"doc_id",
-      size(graft.functions.TextFunctions.tokens($"text")).cast(LongType)
-        .as("n_tokens"),
-      md5(lower(trim($"text"))).as("raw_hash"))
+    // the gain-base artifact already materializes exactly this
+    // projection — reuse it so the text scan + hashes run once per
+    // corpus fingerprint, not twice per call
+    val base = gainBaseShared(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"raw_hash")
     val cls = base.groupBy($"raw_hash").agg(count(lit(1)).as("cnt"))
     base.join(cls, Seq("raw_hash"))
       .select((length(bin($"n_tokens")) - 1).cast(LongType).as("log2_len"),
@@ -455,6 +447,16 @@ object DedupOps {
         max($"d").as("max_dist"))
       .orderBy($"log2_dist")
 
+  /** #124 (SURVEY §2.7) near-dup language matrix: the #69 provenance
+    * report re-keyed by LANGUAGE label — near-dup pairs straddling
+    * two language tags are either mislabeled metadata (#54's signal
+    * at pair granularity) or boilerplate/markup shells identical
+    * across translations; both mean the lang column can't be trusted
+    * to partition the corpus for per-language dedup. Same shape as
+    * [[dupSourceMatrix]]: the sublinear pairs artifact equi-joins the
+    * corpus's (doc_id, lang) projection twice (AQE broadcasts the
+    * pairs side when it fits), then a |langs|²-bounded partial agg;
+    * the cross-language row count IS the audit number. */
   def pairLangMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = minhashPairsShared(spark, sfDir).select($"doc_a", $"doc_b")
     val lang = Tables.documents(spark, sfDir).select($"doc_id", $"lang")
