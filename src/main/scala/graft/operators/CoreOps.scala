@@ -511,10 +511,18 @@ object CoreOps {
     * (day)-keyed partial agg bounds the frame to |days| rows;
     * the lag window and the 1-row moments broadcast both run on
     * that bounded frame. */
-  def dailyAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
-      .select(date_format($"ts", "yyyy-MM-dd").as("day"))
+  /** The per-day event counts behind [[dailyAnomaly]] — ONE
+    * day-bucketing definition shared with the streaming volume gate
+    * (StreamingJobs.volumeGate): commutative counts over a bounded
+    * |days| key space, so the streaming form runs it verbatim in
+    * complete mode and the live dashboard can never disagree with
+    * the batch anomaly report's input frame. */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events.select(date_format($"ts", "yyyy-MM-dd").as("day"))
       .groupBy($"day").agg(count(lit(1)).as("n_events"))
+
+  def dailyAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCounts(Tables.events(spark, sfDir))
     val mom = daily.agg(count(lit(1)).as("n_days"),
       sum($"n_events").as("s"),
       sum($"n_events" * $"n_events").as("q"))

@@ -266,6 +266,17 @@ object StreamingJobs {
     graft.operators.TextOps.charReport(
       graft.operators.TextOps.charClassCounts(stream))
 
+  /** Streaming daily-volume dashboard (SURVEY.md §2.6 #133
+    * streaming form): per-day event counts maintained live over the
+    * ingest stream in complete mode — the SAME day-bucketing stage
+    * as the batch anomaly report's input frame
+    * (`CoreOps.dailyCounts`, one definition), so the live dashboard
+    * and the nightly exact-integer 3σ report can never disagree on
+    * a day's volume. Commutative counts over a bounded |days| key
+    * space: O(|days|) state, micro-batch-invariant. Input: (ts). */
+  def volumeGate(stream: DataFrame): DataFrame =
+    graft.operators.CoreOps.dailyCounts(stream)
+
   /** Streaming large-order alarm (SURVEY.md §2.6 #33k streaming
     * form): per-order running quantity totals over a lineitem
     * stream, emitting orders past the [[graft.operators.JoinOps.BigOrderQtyE2]]

@@ -745,6 +745,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming daily-volume cells equal the batch day counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf).select(col("ts"))
+      .as[Timestamp].collect()
+    val batch = graft.operators.CoreOps
+      .dailyCounts(Tables.events(spark, sf))
+      .as[(String, Long)].collect().toSet
+    val in = MemoryStream[Timestamp]
+    val q = StreamingJobs.volumeGate(in.toDF().toDF("ts"))
+      .writeStream.format("memory").queryName("volgate")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val shuffled = rows.reverse
+      val (a, b) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("volgate").as[(String, Long)]
+        .collect().toSet
+      assert(streamed == batch,
+        s"volume drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming big-order alarm matches the batch report under adversarial arrival") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.lineitem(spark, sf)
