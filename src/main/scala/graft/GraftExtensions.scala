@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CountInSetExpr, GramHashesExpr, GramStringsExpr, MaxTokenCountExpr, MinhashSigExpr, RollingHashExpr}
+import graft.functions.{CountInSetExpr, GramHashesExpr, GramStringsExpr, MaxTokenCountExpr, MinhashSigExpr, OrderedPairsExpr, RollingHashExpr, ZValueExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -20,6 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_count_in_set(arr, csv)   — elements present in a
   *                                    comma-separated literal set
   *   graft_max_token_count(arr)     — top element multiplicity
+  *   graft_zvalue(x, y, bits)       — Morton z-order interleave
+  *   graft_ordered_pairs(ids)       — C(n,2) (min,max) id pairs
   *
   * without touching the Scala API. Shape parameters must be integer
   * literals; arity and literal-ness are validated when the analyzer
@@ -94,6 +96,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         checkArity("graft_max_token_count", "(arr)", args, 1)
         MaxTokenCountExpr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValueExpr].getName, "graft_zvalue"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_zvalue", "(x, y, bits)", args, 3)
+        ZValueExpr(args.head, args(1), litInt(args(2), "graft_zvalue", "bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ordered_pairs"),
+      new ExpressionInfo(classOf[OrderedPairsExpr].getName, "graft_ordered_pairs"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_ordered_pairs", "(ids)", args, 1)
+        OrderedPairsExpr(args.head)
       }))
   }
 }

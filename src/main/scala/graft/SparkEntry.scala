@@ -67,6 +67,9 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.textQuality _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_text_pii" -> (TextOps.textPii _),
+    "q_pii_redact" -> (TextOps.piiRedact _),
+    "q_skew_keys" -> (JoinOps.keySkewAudit _),
+    "q_integrity" -> (JoinOps.integrityAudit _),
     "q_decontaminate" -> (CurationOps.decontaminate _),
     "q_decon_bloom" -> (CurationOps.decontaminateBloom _),
     "q_quality_gate" -> (TextOps.qualityGate _),
@@ -1028,6 +1031,71 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
         |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" -> {
+      import graft.operators.TextOps.{PiiDigitsRe, PiiEmailRe, PiiUrlRe}
+      s"""SELECT doc_id, source,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmailRe', '<EMAIL>', 'g'),
+         |    '$PiiUrlRe', '<URL>', 'g'),
+         |    '$PiiDigitsRe', '<DIGITS>', 'g') AS red_text,
+         |  CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PiiUrlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(text, '$PiiEmailRe', '<EMAIL>', 'g'),
+         |      '$PiiUrlRe', '<URL>', 'g'),
+         |    '$PiiDigitsRe')) AS BIGINT) AS n_digit_runs
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_skew_keys" -> {
+      def leg(label: String, table: String, key: String): String =
+        s"""SELECT '$label' AS key_col,
+           |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
+           |  CAST((CAST(max(cnt) AS HUGEINT) * 1000000)
+           |    // CAST(sum(cnt) AS HUGEINT) AS BIGINT) AS top_share_e6,
+           |  CAST((CAST(max(cnt) AS HUGEINT) * count(*) * 100)
+           |    // CAST(sum(cnt) AS HUGEINT) AS BIGINT) AS skew_x_e2
+           |FROM (SELECT $key, count(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+      Seq(
+        leg("lineitem.l_partkey", "lineitem", "l_partkey"),
+        leg("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        leg("orders.o_custkey", "orders", "o_custkey"),
+        leg("events.user_id", "events", "user_id"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY key_col")
+    },
+    "q_integrity" -> {
+      """SELECT * FROM (
+        |SELECT 'fk lineitem.l_orderkey -> orders' AS check_name,
+        |  CAST(count(*) AS BIGINT) AS n_checked,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'fk orders.o_custkey -> customer',
+        |  CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'range lineitem.l_quantity > 0',
+        |  CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range lineitem.l_discount in [0,1]',
+        |  CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range orders.o_totalprice >= 0',
+        |  CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'notnull events.user_id',
+        |  CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'unique documents.doc_id',
+        |  CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+        |FROM documents
+        |) ORDER BY check_name""".stripMargin
+    },
     "q_fingerprint" ->
       s"""WITH $tkCte,
          |t AS (SELECT doc_id, unnest(tk) AS tok FROM tkv)

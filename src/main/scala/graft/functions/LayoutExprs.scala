@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native expression for multi-dimensional data-layout keys
+  * ([[graft.operators.LayoutOps]]): the Morton / z-order interleave
+  * that turns two scan-predicate dimensions into ONE cluster key, so
+  * parquet row-group min/max statistics prune on BOTH dimensions —
+  * a single-column sort can only ever prune on its leading column.
+  * Codegen'd like every other graft expression (a fallback would
+  * break the write projection's whole-stage span). */
+object LayoutFunctions {
+
+  /** Bit-interleave of the low `bits` bits of two non-negative
+    * longs: result bit 2i is x's bit i, bit 2i+1 is y's bit i. A
+    * contiguous range of z values is a small set of axis-aligned
+    * tiles — which is exactly why range-partitioning on z yields
+    * files whose min/max are tight in BOTH source columns. */
+  def zInterleaveJvm(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  def zvalue(x: Column, y: Column, bits: Int): Column =
+    ColumnBridge.column(ZValueExpr(
+      ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
+}
+
+case class ZValueExpr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    LayoutFunctions.zInterleaveJvm(
+      x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.LayoutFunctions.zInterleaveJvm($x, $y, $bits);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ZValueExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "zvalue"
+}

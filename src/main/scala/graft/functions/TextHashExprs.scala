@@ -168,6 +168,70 @@ object TextHash {
   def intersectCountData(a: ArrayData, b: ArrayData): Long =
     intersectCountJvm(a.toLongArray(), b.toLongArray()).toLong
 
+  /** The floor(n/2)+1 SMALLEST grams of a hash-SORTED gram set under
+    * the df-aware total order (rank(g), g), where rank(g) = the gram's
+    * slot in the bounded hot-gram table (1..K ascending by document
+    * frequency) and 0 for every gram outside it. Any fixed total order
+    * preserves the AllPairs J ≥ 1/2 prefix-recall lemma
+    * ([[graft.operators.DedupOps.dedupNgram]]); ordering hot
+    * boilerplate grams LAST pushes them out of every prefix, so the
+    * candidate join's biggest groups (group size = gram df) vanish.
+    * The hot table is a pure performance hint — a wrong/stale/sampled
+    * df estimate can only change candidate COUNT, never the verified
+    * output.
+    *
+    * One pass: non-hot grams stream out in existing (hash) order; hot
+    * grams collect into a ≤K side buffer appended in (rank, hash)
+    * order only when the non-hot stream runs short of the prefix
+    * length. `hot` must be sorted ascending (binary-searched). */
+  def dfPrefixJvm(gs: Array[Long], hot: Array[Long], rank: Array[Int]): Array[Long] = {
+    val n = gs.length
+    val pLen = n / 2 + 1
+    val out = new Array[Long](pLen)
+    var oi = 0
+    var hotN = 0
+    var hotKeys: Array[Long] = null // (rank << 48 | hash>>>12) sort keys — see below
+    var hotGs: Array[Long] = null
+    var i = 0
+    while (i < n && oi < pLen) {
+      val g = gs(i)
+      if (java.util.Arrays.binarySearch(hot, g) < 0) { out(oi) = g; oi += 1 }
+      else {
+        if (hotGs == null) { hotGs = new Array[Long](n - i); hotKeys = new Array[Long](n - i) }
+        hotGs(hotN) = g; hotN += 1
+      }
+      i += 1
+    }
+    if (oi == pLen) return out
+    // non-hot grams exhausted before the prefix filled: append hot
+    // grams in (rank, hash) order. Hashes are 60-bit; rank ≤ K < 2^16
+    // does NOT fit a packed key safely, so sort (rank, g) pairs via
+    // indices on a boxed-free two-array insertion (hotN is small: it
+    // is bounded by the doc's HOT gram count, itself ≤ K).
+    var k = 0
+    while (k < hotN) {
+      hotKeys(k) = rank(java.util.Arrays.binarySearch(hot, hotGs(k))).toLong
+      k += 1
+    }
+    // insertion sort by (key, gram) — hotN is tiny in practice
+    k = 1
+    while (k < hotN) {
+      val kk = hotKeys(k); val gg = hotGs(k)
+      var j = k - 1
+      while (j >= 0 && (hotKeys(j) > kk || (hotKeys(j) == kk && hotGs(j) > gg))) {
+        hotKeys(j + 1) = hotKeys(j); hotGs(j + 1) = hotGs(j); j -= 1
+      }
+      hotKeys(j + 1) = kk; hotGs(j + 1) = gg
+      k += 1
+    }
+    k = 0
+    while (oi < pLen && k < hotN) { out(oi) = hotGs(k); oi += 1; k += 1 }
+    if (oi == pLen) out else java.util.Arrays.copyOf(out, oi)
+  }
+
+  def dfPrefixData(gs: ArrayData, hot: Array[Long], rank: Array[Int]): ArrayData =
+    new GenericArrayData(dfPrefixJvm(gs.toLongArray(), hot, rank))
+
   def minhashSigData(text: UTF8String, n: Int, pa: Array[Long], pb: Array[Long]): ArrayData = {
     val gs = gramHashesJvm(text.toString, n)
     val k = pa.length
@@ -203,6 +267,13 @@ object TextHash {
 
   def minhashSig(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(text), n, k))
+
+  /** df-ordered AllPairs prefix of a sorted gram-set column — see
+    * [[dfPrefixJvm]]. `hot`/`rank` ride into codegen as reference
+    * objects (the table is bounded, ≤ [[graft.operators.DedupOps.HotGramK]]
+    * entries — a few KB in the task closure, never a shuffle). */
+  def dfPrefix(gs: Column, hot: Array[Long], rank: Array[Int]): Column =
+    ColumnBridge.column(DfPrefixExpr(ColumnBridge.expression(gs), hot, rank))
 }
 
 case class GramHashesExpr(child: Expression, n: Int)
@@ -261,6 +332,26 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedIntersectCountExpr =
     copy(left = l, right = r)
   override def prettyName: String = "sorted_intersect_count"
+}
+
+/** [[TextHash.dfPrefixJvm]] as a codegen'd unary expression; the hot
+  * table and its order ranks are plan-time constants shipped as
+  * codegen reference objects (same pattern as [[MinhashSigExpr]]'s
+  * permutation tables). */
+case class DfPrefixExpr(child: Expression, hot: Array[Long], rank: Array[Int])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(gs: Any): Any =
+    TextHash.dfPrefixData(gs.asInstanceOf[ArrayData], hot, rank)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hotRef = ctx.addReferenceObj("dfPrefixHot", hot, "long[]")
+    val rankRef = ctx.addReferenceObj("dfPrefixRank", rank, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.dfPrefixData($c, $hotRef, $rankRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): DfPrefixExpr =
+    copy(child = c)
+  override def prettyName: String = "df_prefix"
 }
 
 case class MinhashSigExpr(child: Expression, n: Int, k: Int)

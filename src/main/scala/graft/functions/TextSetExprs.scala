@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native set-membership counting over string arrays — the
@@ -40,8 +40,41 @@ object TextSetExprs {
   def sumSqTokenCounts(tk: Column): Column =
     ColumnBridge.column(SumSqTokenCountsExpr(ColumnBridge.expression(tk)))
 
+  /** Every unordered pair of a distinct long-id array as
+    * array<struct<doc_a, doc_b>> with doc_a < doc_b — the
+    * candidate-pair expansion inside every bucket-grouped pair
+    * generator (MinHash band buckets, n-gram prefix buckets). The
+    * declarative form (`filter(flatten(transform(ids, a ->
+    * transform(ids, b -> ...))))`) allocates n² structs through three
+    * interpreted lambdas and discards half; this emits exactly C(n,2)
+    * pairs in one codegen'd pass. Bucket sizes are df-/collision-
+    * bounded by construction, so the output array stays small. */
+  def orderedPairs(ids: Column): Column =
+    ColumnBridge.column(OrderedPairsExpr(ColumnBridge.expression(ids)))
+
   // codegen kernels (static forwarders; called from generated Java and
   // the interpreted eval paths)
+  def orderedPairsData(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        val b = ids.getLong(j)
+        out(k) =
+          if (a < b) new GenericInternalRow(Array[Any](a, b))
+          else new GenericInternalRow(Array[Any](b, a))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def countInSetData(a: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
     val n = a.numElements()
     var cnt = 0L
@@ -84,6 +117,23 @@ object TextSetExprs {
     while (it.hasNext) { val c = it.next().toLong; ssq += c * c }
     ssq
   }
+}
+
+case class OrderedPairsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    TextSetExprs.orderedPairsData(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSetExprs.orderedPairsData($c);")
+  override protected def withNewChildInternal(c: Expression): OrderedPairsExpr =
+    copy(child = c)
+  override def prettyName: String = "ordered_pairs"
 }
 
 case class CountInSetExpr(child: Expression, markers: Seq[String])

@@ -607,10 +607,8 @@ object DedupOps {
       .groupBy($"band", $"band_hash")
       .agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(ids, a -> transform(ids, b -> struct(a AS doc_a, b AS doc_b)))),
-          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+      .select(explode(
+        graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
 
@@ -701,6 +699,47 @@ object DedupOps {
           .otherwise(0L)).as("n_true_only"))
       .orderBy($"tau_e4")
 
+  /** Bounded size of the df-hot gram table feeding [[dedupNgram]]'s
+    * prefix order (a few KB of task closure via a codegen reference
+    * object — same driver-bounded contract as ClusterOps's edge
+    * limit). */
+  val HotGramK = 4096
+
+  /** Minimum document frequency for a gram to enter the hot table —
+    * below this the gram's candidate group is already small and
+    * demoting it buys nothing. */
+  val HotDfMin = 8
+
+  private val hotGramIndex =
+    new graft.tools.Materialize.SupersedingCache[(Array[Long], Array[Int])]
+
+  /** The ≤[[HotGramK]] highest-df 3-grams of the corpus with df ≥
+    * [[HotDfMin]], as (hash-sorted grams, order rank per gram) arrays
+    * for [[graft.functions.DfPrefixExpr]]. Rank runs 1..K ascending
+    * df, so the hottest gram sorts last in the prefix order. One
+    * partial-agg'd (gram → df) shuffle + a TakeOrdered-K — corpus
+    * metadata a production pipeline profiles once and stores; cached
+    * here per corpus fingerprint like the band/pairs artifacts. At
+    * 100 TB the profile can come from a document SAMPLE: the order
+    * only needs to be shared, not exact, so profile error costs
+    * candidates, never recall. */
+  private[operators] def hotGrams(spark: SparkSession, sfDir: String): (Array[Long], Array[Int]) = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
+    hotGramIndex.getOrBuild(sfDir, fp) {
+      val rows = gramSets(spark, sfDir, 3)
+        .select(explode($"gs").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" >= HotDfMin)
+        .orderBy($"df".desc, $"h".asc)
+        .limit(HotGramK)
+        .collect()
+      val rankOf = rows.map(r => (r.getLong(1), r.getLong(0))).sorted
+        .iterator.zipWithIndex.map { case ((_, h), i) => h -> (i + 1) }.toMap
+      val hotSorted = rows.map(_.getLong(0)).sorted
+      (hotSorted, hotSorted.map(rankOf))
+    }
+  }
+
   /** #41 Exact n-gram Jaccard near-dup (3-grams, J >= 1/2) via PREFIX
     * FILTERING (the AllPairs/PPJoin candidate rule, Bayardo et al.
     * 2007): with gram hashes globally ordered (the sets are stored
@@ -717,21 +756,30 @@ object DedupOps {
     * previous length-bucket cogroup was measured QUADRATIC at scale
     * (sf1 bench: x44 at x10 data — bucket occupancy grows with the
     * corpus); prefix groups grow with gram df, which a replica-style
-    * corpus growth leaves flat. At 100 TB the knob is df-ORDERING the
-    * global gram order (rarest-first prefixes, the full AllPairs
-    * recipe — one extra df aggregate) so hot boilerplate grams leave
-    * every prefix; plain hash order suffices here. Verify = the
+    * corpus growth leaves flat.
+    *
+    * The prefix order is df-AWARE (the full AllPairs recipe, round
+    * 8): grams rank by (df-rank-in-hot-table, hash) with every gram
+    * outside the bounded [[hotGrams]] table ranking 0, so hot
+    * boilerplate grams — exactly the ones whose candidate groups
+    * explode — sort LAST and leave every prefix that has enough rare
+    * grams to fill it. The lemma needs only SOME fixed total order
+    * shared by both sides (PropertySpec drives it under adversarial
+    * hot tables), so the df table is a pure performance hint: stale,
+    * sampled, or empty profiles change candidate count, never the
+    * verified output — which is also why the ORACLE keeps its plain
+    * hash-ordered prefix and still matches exactly. Verify = the
     * shared exact-Jaccard bar ([[verifyJaccard]]). */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val gs = gramSets(spark, sfDir, 3)
+    val (hot, rank) = hotGrams(spark, sfDir)
     val cand = gs
-      .select($"doc_id", explode(expr("slice(gs, 1, size(gs) div 2 + 1)")).as("h"))
+      .select($"doc_id",
+        explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank)).as("h"))
       .groupBy($"h").agg(collect_list($"doc_id").as("ids"))
       .filter(size($"ids") > 1)
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(ids, a -> transform(ids, b -> struct(a AS doc_a, b AS doc_b)))),
-          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+      .select(explode(
+        graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
     verifyJaccard(cand, gs, gs, "doc_a", "doc_b")

@@ -683,9 +683,13 @@ object JoinOps {
     * (imports) and the net — the all-nations generalization of the
     * #33i two-nation flow. The export leg never touches orders (the
     * supplier tag broadcasts straight onto lineitem); the import leg
-    * pays the one fact-fact order-key shuffle; both collapse to
-    * |nations| rows before the full-outer merge (outer, so a
-    * nation with suppliers but no customers still reports). */
+    * pays the one fact-fact order-key shuffle, but pre-aggregates
+    * lineitem to (orderkey, revenue) FIRST — the partial agg combines
+    * each order's ~4 line rows map-side, so the exchange carries
+    * order-count rows of two columns instead of full line rows, and
+    * the orders join reuses that same hash partitioning. Both legs
+    * collapse to |nations| rows before the full-outer merge (outer,
+    * so a nation with suppliers but no customers still reports). */
   def tradeBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
     val li = Tables.lineitem(spark, sfDir)
@@ -701,6 +705,7 @@ object JoinOps {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name")
     val imp = li
+      .groupBy($"l_orderkey").agg(sum($"rev_e4").as("rev_e4"))
       .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
@@ -822,5 +827,98 @@ object JoinOps {
         expr("""CAST((CAST(nation_rev_e4 AS DECIMAL(38,0)) * 1000000)
                |div CAST(total_rev_e4 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
       .orderBy($"order_year")
+  }
+
+  /** #147 (SURVEY §2.7) join-key skew audit: for each fact-side
+    * join/groupBy key the engine shuffles on, the exact key
+    * cardinality, the heaviest key's row count and e6 share, and the
+    * max/mean imbalance factor (e2) — the number that DECIDES whether
+    * a key needs salting (`keyedSumSalted`'s trigger) or can rely on
+    * AQE skew splitting. At 100 TB you run this audit BEFORE sizing a
+    * shuffle, not after it straggles.
+    *
+    * Shape: one partial-agg'd shuffle per audited key (map-side
+    * combine collapses each partition's repeats, so the exchange
+    * carries O(keys) rows), then a 1-row reduction; the four 1-row
+    * legs union. The imbalance math is integer-exact in
+    * DECIMAL(38,0): share_e6 = max·1e6 div rows, skew_x_e2 =
+    * max·keys·1e2 div rows (max/mean, since mean = rows/keys). */
+  def keySkewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def leg(df: DataFrame, label: String, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), sum($"cnt").as("n_rows"),
+          max($"cnt").as("max_key_rows"))
+        .select(lit(label).as("key_col"), $"n_rows", $"n_keys",
+          $"max_key_rows",
+          expr("""CAST((CAST(max_key_rows AS DECIMAL(38,0)) * 1000000)
+                 |div CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+            .as("top_share_e6"),
+          expr("""CAST((CAST(max_key_rows AS DECIMAL(38,0)) * n_keys * 100)
+                 |div CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+            .as("skew_x_e2"))
+    leg(Tables.lineitem(spark, sfDir), "lineitem.l_partkey", "l_partkey")
+      .unionByName(leg(Tables.lineitem(spark, sfDir),
+        "lineitem.l_suppkey", "l_suppkey"))
+      .unionByName(leg(Tables.orders(spark, sfDir),
+        "orders.o_custkey", "o_custkey"))
+      .unionByName(leg(Tables.events(spark, sfDir),
+        "events.user_id", "user_id"))
+      .orderBy($"key_col")
+  }
+
+  /** #150 (SURVEY §2.7) data-quality constraint audit: referential
+    * integrity (fact FK → dim, checked in ONE left-join pass — the
+    * dim key is unique so the join never fans out and
+    * null-right-side = orphan), range/sign rules, null keys, and
+    * key uniqueness across the star schema — the expectations gate a
+    * 100 TB ingest runs before anything downstream trusts the drop.
+    * Every leg is either a narrow conditional agg (range rules: zero
+    * shuffle before the 1-row reduce) or one equi-join on the
+    * uniform key; all legs collapse to 1 row before the union.
+    * Violations are 0 on healthy data BY DESIGN — the oracle gates
+    * the counting logic, and the spec drives crafted dirty frames
+    * through the SAME stage to prove each rule actually fires. */
+  def integrityAudit(spark: SparkSession, sfDir: String): DataFrame =
+    integrityReport(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.events(spark, sfDir),
+      Tables.documents(spark, sfDir))
+
+  /** The constraint battery behind [[integrityAudit]], over
+    * caller-supplied frames so the spec can feed dirty data through
+    * the production stage. */
+  private[graft] def integrityReport(li: DataFrame, o: DataFrame,
+      c: DataFrame, ev: DataFrame, docs: DataFrame): DataFrame = {
+    def one(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("check_name"), $"n_checked", $"n_violations")
+    val fkLiOrders = one("fk lineitem.l_orderkey -> orders",
+      li.select($"l_orderkey")
+        .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("n_violations")))
+    val fkOrdersCust = one("fk orders.o_custkey -> customer",
+      o.select($"o_custkey")
+        .join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey", "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_violations")))
+    val ranges = one("range lineitem.l_quantity > 0",
+      li.agg(count(lit(1)).as("n_checked"),
+        sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L)).as("n_violations")))
+      .unionByName(one("range lineitem.l_discount in [0,1]",
+        li.agg(count(lit(1)).as("n_checked"),
+          sum(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1L)
+            .otherwise(0L)).as("n_violations"))))
+      .unionByName(one("range orders.o_totalprice >= 0",
+        o.agg(count(lit(1)).as("n_checked"),
+          sum(when($"o_totalprice" < 0.0, 1L).otherwise(0L))
+            .as("n_violations"))))
+      .unionByName(one("notnull events.user_id",
+        ev.agg(count(lit(1)).as("n_checked"),
+          sum(when($"user_id".isNull, 1L).otherwise(0L)).as("n_violations"))))
+      .unionByName(one("unique documents.doc_id",
+        docs.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct($"doc_id")).as("n_violations"))))
+    fkLiOrders.unionByName(fkOrdersCust).unionByName(ranges)
+      .orderBy($"check_name")
   }
 }

@@ -223,18 +223,64 @@ object TextOps {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** PII patterns — ONE definition shared by the metrics report
+    * (#47b), the redaction transform (#146), and both oracles (the
+    * round-7 interpolation convention: a retuned pattern cannot
+    * drift the gate). Restricted to the regex subset Java and RE2
+    * (DuckDB) evaluate identically: character classes, bounded
+    * counts, alternation — no backreferences or lookaround. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiUrlRe = "https?://[^ ]+"
+  val PiiDigitsRe = "[0-9]{6,}"
+
   /** #47b Pattern scrubbing metrics: email / URL / long-digit-run
     * counts per document — the flag-before-redact pass of a
-    * training-data pipeline. Patterns restricted to the regex subset
-    * Java and RE2 (DuckDB) evaluate identically. */
+    * training-data pipeline. */
   def textPii(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select($"doc_id",
-        regexp_count($"text", lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
-          .cast(LongType).as("n_emails"),
-        regexp_count($"text", lit("https?://[^ ]+")).cast(LongType).as("n_urls"),
-        regexp_count($"text", lit("[0-9]{6,}")).cast(LongType).as("n_digit_runs"))
+        regexp_count($"text", lit(PiiEmailRe)).cast(LongType).as("n_emails"),
+        regexp_count($"text", lit(PiiUrlRe)).cast(LongType).as("n_urls"),
+        regexp_count($"text", lit(PiiDigitsRe)).cast(LongType).as("n_digit_runs"))
       .orderBy($"doc_id")
+
+  /** #146 PII redaction transform: the act-on-it half of #47b — every
+    * email / URL / long digit run replaced by a typed placeholder
+    * token, with per-doc replacement counts so the drop in byte count
+    * reconciles against the metrics report. Replacement ORDER is part
+    * of the contract (emails first, then URLs, then digit runs, each
+    * global leftmost-first — both engines apply the same chain), since
+    * a URL can contain digit runs and the output text depends on who
+    * fires first.
+    *
+    * Scale shape: a pure narrow codegen'd projection — three
+    * `regexp_replace` passes over the text at scan speed, no shuffle
+    * anywhere (the ORDER BY is the gate's, not the operator's). At
+    * 100 TB this is the canonical "rewrite the corpus in place" map
+    * stage; counts ride along so the pipeline can alert on a source
+    * whose redaction density jumps. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    redactStage(Tables.documents(spark, sfDir)).orderBy($"doc_id")
+
+  /** The stateless redaction projection behind [[piiRedact]] — ONE
+    * definition shared with the streaming ingest gate
+    * (StreamingJobs.redactGate), so batch rewrite and at-ingest
+    * redaction can never disagree on a byte. Input needs (doc_id,
+    * source, text). */
+  private[graft] def redactStage(docs: DataFrame): DataFrame =
+    docs
+      .select($"doc_id", $"source", $"text",
+        regexp_replace(
+          regexp_replace($"text", PiiEmailRe, "<EMAIL>"),
+          PiiUrlRe, "<URL>").as("red1"))
+      .select($"doc_id", $"source",
+        regexp_replace($"red1", PiiDigitsRe, "<DIGITS>").as("red_text"),
+        regexp_count($"text", lit(PiiEmailRe)).cast(LongType).as("n_emails"),
+        regexp_count($"text", lit(PiiUrlRe)).cast(LongType).as("n_urls"),
+        // counted on red1, not the raw text: this is the number of
+        // <DIGITS> substitutions actually made (a digit run consumed
+        // by an email/URL above no longer exists to redact)
+        regexp_count($"red1", lit(PiiDigitsRe)).cast(LongType).as("n_digit_runs"))
 
   // ---- #77 multi-rule quality gate ----------------------------------
 

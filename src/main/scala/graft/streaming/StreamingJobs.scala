@@ -266,6 +266,16 @@ object StreamingJobs {
     graft.operators.TextOps.charReport(
       graft.operators.TextOps.charClassCounts(stream))
 
+  /** Streaming PII-redaction gate (SURVEY.md §2.7 #146 streaming
+    * form): redact each drop at ingest with the SAME stateless
+    * projection as the batch rewrite (`TextOps.redactStage`, one
+    * definition) — pure per-row append mode, zero state, so the
+    * corpus lands clean instead of waiting for a rewrite pass, and
+    * the two paths cannot disagree on a byte. Input: (doc_id,
+    * source, text). */
+  def redactGate(stream: DataFrame): DataFrame =
+    graft.operators.TextOps.redactStage(stream)
+
   /** Streaming daily-volume dashboard (SURVEY.md §2.6 #133
     * streaming form): per-day event counts maintained live over the
     * ingest stream in complete mode — the SAME day-bucketing stage

@@ -72,7 +72,13 @@ class CodegenSpec extends SparkTestBase {
       col("gram_strs"), col("sum_mod"), col("marker_hits"),
       col("top_tok"), col("ssq_tok"),
       TextHash.sortedIntersectCount(
-        sort_array(col("grams")), sort_array(col("grams"))).as("self_common"))
+        sort_array(col("grams")), sort_array(col("grams"))).as("self_common"),
+      TextHash.dfPrefix(sort_array(col("grams")),
+        Array(3L, 17L, 40L), Array(2, 1, 3)).as("df_prefix"),
+      graft.functions.TextSetExprs.orderedPairs(
+        slice(sort_array(col("grams")), 1, 5)).as("pairs5"),
+      graft.functions.LayoutFunctions.zvalue(
+        pmod(col("id"), lit(4)), col("id"), 7).as("zv"))
     tt.crossJoin(e)
   }
 

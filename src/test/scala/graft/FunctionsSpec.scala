@@ -71,6 +71,14 @@ class FunctionsSpec extends SparkTestBase {
         "SELECT graft_max_token_count(array('x','y','x','x')) AS m")
         .collect()(0).getLong(0)
       assert(mtc == 3L)
+      val zv = s2.sql("SELECT graft_zvalue(3L, 3L, 7) AS z")
+        .collect()(0).getLong(0)
+      assert(zv == 15L)
+      val op = s2.sql(
+        "SELECT graft_ordered_pairs(array(5L, 2L, 9L)) AS p")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(op == Set((2L, 5L), (5L, 9L), (2L, 9L)))
       // non-literal shape parameter is rejected with a clear error
       val err = intercept[Exception](
         s2.sql("SELECT graft_gram_hashes('a b', CAST(rand()*2 AS INT))").collect())

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+
+/** Data-layout operators (SURVEY §2.7 #148/#149): the z-order write
+  * must make row-group min/max statistics prune on the SECOND
+  * dimension (where a single-column sort layout reads everything),
+  * and compaction must hit its file-count target — both measured
+  * against the actual parquet footers, not the plan. */
+class LayoutSpec extends SparkTestBase {
+
+  // deterministic 128x128 grid: x = id % 128, y = id / 128
+  private def grid = {
+    spark.range(128L * 128L)
+      .select((col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"),
+        col("id").as("payload"))
+  }
+
+  test("z-order layout prunes row groups on the non-leading dimension; linear does not") {
+    val zDir = tmpDir("layout-z")
+    val xDir = tmpDir("layout-x")
+    LayoutOps.zorderWrite(grid, "x", "y", zDir, nFiles = 16, bits = 7)
+    LayoutOps.linearWrite(grid, "x", xDir, nFiles = 16)
+
+    val zStats = LayoutOps.rowGroupStats(spark, zDir, "x", "y")
+    val xStats = LayoutOps.rowGroupStats(spark, xDir, "x", "y")
+    assert(zStats.nonEmpty && xStats.nonEmpty)
+
+    // a y-only slab: 1/16 of the y span, x unconstrained
+    val yBox = Some((0L, 7L))
+    val zMatch = LayoutOps.matchingGroups(zStats, None, yBox)
+    val xMatch = LayoutOps.matchingGroups(xStats, None, yBox)
+    // linear-on-x files each span all of y — zero pruning
+    assert(xMatch == xStats.size, s"expected no pruning, got $xMatch/${xStats.size}")
+    // z files are ~axis-aligned tiles — most never touch the slab
+    assert(zMatch * 2 <= zStats.size,
+      s"z-order pruned too little: $zMatch of ${zStats.size} groups match")
+
+    // the rewrite moved rows, never changed them
+    val out = spark.read.parquet(zDir)
+      .agg(count(lit(1)), sum("x"), sum("y"), sum("payload")).head()
+    val in = grid.agg(count(lit(1)), sum("x"), sum("y"), sum("payload")).head()
+    assert(out == in)
+  }
+
+  test("z-order layout still prunes on the leading dimension") {
+    val zDir = tmpDir("layout-z2")
+    LayoutOps.zorderWrite(grid, "x", "y", zDir, nFiles = 16, bits = 7)
+    val zStats = LayoutOps.rowGroupStats(spark, zDir, "x", "y")
+    val zMatch = LayoutOps.matchingGroups(zStats, Some((0L, 7L)), None)
+    assert(zMatch * 2 <= zStats.size,
+      s"x-slab pruned too little: $zMatch of ${zStats.size}")
+  }
+
+  test("compaction rewrites a many-small-files directory to the byte-target count") {
+    val smallDir = tmpDir("layout-small")
+    val outDir = tmpDir("layout-compact")
+    grid.repartition(64).write.mode("overwrite").parquet(smallDir)
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(smallDir).length == 64)
+
+    val totalBytes = files(smallDir).map(_.length()).sum
+    val n = LayoutOps.compact(spark, smallDir, outDir, targetBytes = totalBytes / 4)
+    assert(n >= 4 && n <= 5, s"unexpected target count $n") // ceil division
+    // coalesce caps at the scan's partition count (tiny files pack
+    // into fewer read splits), so the result can undershoot the
+    // target — never overshoot it
+    val outCount = files(outDir).length
+    assert(outCount <= n && outCount >= 1, s"got $outCount files for target $n")
+
+    val got = spark.read.parquet(outDir)
+      .agg(count(lit(1)), sum("x"), sum("y"), sum("payload")).head()
+    val want = grid.agg(count(lit(1)), sum("x"), sum("y"), sum("payload")).head()
+    assert(got == want)
+  }
+
+  test("z-interleave kernel: bit-exact round trip on tile corners") {
+    import graft.functions.LayoutFunctions.zInterleaveJvm
+    assert(zInterleaveJvm(0L, 0L, 7) == 0L)
+    assert(zInterleaveJvm(1L, 0L, 7) == 1L)
+    assert(zInterleaveJvm(0L, 1L, 7) == 2L)
+    assert(zInterleaveJvm(3L, 3L, 7) == 15L)
+    assert(zInterleaveJvm(127L, 127L, 7) == (1L << 14) - 1)
+    // z range of one 32x32 tile is contiguous: the tile (x in [32,63],
+    // y in [0,31]) occupies exactly one 2^10-aligned z block
+    val zs = for (x <- 32L to 63L; y <- 0L to 31L) yield zInterleaveJvm(x, y, 7)
+    assert(zs.min == zInterleaveJvm(32L, 0L, 7))
+    assert(zs.max - zs.min == (1L << 10) - 1 && zs.distinct.size == 1024)
+  }
+}

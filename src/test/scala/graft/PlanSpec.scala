@@ -102,7 +102,8 @@ class PlanSpec extends SparkTestBase {
     // ship real doGenCode, keeping the scan→project stage fused.
     for ((q, marker) <- Seq(
         "q_minhash_band" -> "minhash_sig",
-        "q_simhash" -> "simhash")) {
+        "q_simhash" -> "simhash",
+        "q_dedup_ngram" -> "df_prefix")) {
       val df = SparkEntry.queries(q)(spark, sf)
       // AQE only inserts WSCG into the FINAL plan at execution; collect()
       // (not count(), which builds a separate QueryExecution) runs THIS plan
@@ -149,7 +150,7 @@ class PlanSpec extends SparkTestBase {
         "q_chunks", "q_chunk_dedup", "q_funnel", "q_event_outliers",
         "q_sample_balanced", "q_quality_gate", "q_bm25_topk",
         "q_sample_uniform", "q_decon_bloom", "q_dedup_prefix",
-        "q_pmi_topk", "q_meta_audit")) {
+        "q_pmi_topk", "q_meta_audit", "q_pii_redact", "q_dedup_ngram")) {
       val plan = fullPlanString(q)
       assert(!plan.contains("lambdafunction"),
         s"$q: interpreted HOF found in plan:\n" +
@@ -563,5 +564,19 @@ class PlanSpec extends SparkTestBase {
     val plan = fullPlanString("q_zipf_topk")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be TakeOrdered on the vocab frame:\n$plan")
+  }
+
+  test("q_pii_redact is a narrow projection — no shuffle beyond the output sort") {
+    assert(countShuffles(planOf("q_pii_redact")) <= 1,
+      "the redaction rewrite must run at scan speed (<=1 for the gate's sort)")
+  }
+
+  test("q_skew_keys partial-aggregates every audited key before its exchange") {
+    val plan = fullPlanString("q_skew_keys")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"per-key counts must map-side combine:\n$plan")
+    // 4 per-key aggs + 4 single-row reductions + the output sort; the
+    // audited fact tables must never shuffle raw rows twice
+    assert(countShuffles(planOf("q_skew_keys")) <= 9)
   }
 }

@@ -727,4 +727,35 @@ class ProfileSpec extends SparkTestBase {
     assert(got == model,
       s"affinity drift: extra=${got.diff(model).take(2)} missing=${model.diff(got).take(2)}")
   }
+
+  test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
+    import graft.operators.JoinOps
+    // clean production tables: all-zero violations
+    val clean = JoinOps.integrityAudit(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(clean.length == 7 && clean.forall(_._3 == 0L),
+      s"clean data must audit clean: ${clean.filter(_._3 != 0L).toSeq}")
+    // dirty frames: one violation of EVERY rule, driven through the
+    // SAME production stage
+    val li = Seq(
+      (1L, 5.0, 0.1, 10.0),   // ok (order 1 exists)
+      (99L, 5.0, 0.1, 10.0),  // FK orphan: no order 99
+      (1L, -2.0, 0.1, 10.0),  // quantity <= 0
+      (1L, 5.0, 1.5, 10.0))   // discount > 1
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val o = Seq((1L, 10L, 50.0), (2L, 77L, -5.0)) // cust 77 missing; negative total
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Seq(Tuple1(10L)).toDF("c_custkey")
+    val ev = Seq(Some(5L), None).toDF("user_id")
+    val docs = Seq(1L, 1L, 2L).toDF("doc_id") // duplicate id
+    val dirty = JoinOps.integrityReport(li, o, c, ev, docs)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dirty("fk lineitem.l_orderkey -> orders") == (4L, 1L))
+    assert(dirty("fk orders.o_custkey -> customer") == (2L, 1L))
+    assert(dirty("range lineitem.l_quantity > 0") == (4L, 1L))
+    assert(dirty("range lineitem.l_discount in [0,1]") == (4L, 1L))
+    assert(dirty("range orders.o_totalprice >= 0") == (2L, 1L))
+    assert(dirty("notnull events.user_id") == (2L, 1L))
+    assert(dirty("unique documents.doc_id") == (3L, 1L))
+  }
 }

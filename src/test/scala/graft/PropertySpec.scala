@@ -87,6 +87,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("df-ordered prefix: kernel matches the order model and keeps exact recall") {
+    // dfPrefixJvm under ADVERSARIAL hot tables: any (rank, gram)
+    // total order must (a) be what the kernel computes and (b)
+    // preserve the AllPairs J >= 1/2 recall lemma — the property that
+    // makes the df table a pure performance hint
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 60L)).map(_.distinct.sorted)
+    val hotGen = for {
+      hot <- Gen.listOf(Gen.choose(0L, 60L)).map(_.distinct.sorted)
+      ranks <- Gen.listOfN(hot.size, Gen.choose(1, 9))
+    } yield (hot.toArray, ranks.toArray)
+    forSamples(Gen.zip(setGen, setGen, hotGen)) { case (a, b, (hot, rank)) =>
+      def rankOf(g: Long): Int = {
+        val i = java.util.Arrays.binarySearch(hot, g)
+        if (i >= 0) rank(i) else 0
+      }
+      def model(s: List[Long]): List[Long] =
+        s.sortBy(g => (rankOf(g), g)).take(s.size / 2 + 1)
+      val ka = TextHash.dfPrefixJvm(a.toArray, hot, rank).toList
+      // the kernel returns the model prefix AS A SET (emission order
+      // differs: non-hot stream first); candidates join on membership
+      assert(ka.toSet == model(a).toSet && ka.size == a.size / 2 + 1,
+        s"a=$a hot=${hot.toList} rank=${rank.toList}")
+      val inter = a.toSet.intersect(b.toSet).size
+      if (inter * 2 >= a.size + b.size - inter) {
+        val kb = TextHash.dfPrefixJvm(b.toArray, hot, rank).toSet
+        assert(ka.toSet.intersect(kb).nonEmpty,
+          s"recall lost: a=$a b=$b hot=${hot.toList} rank=${rank.toList}")
+      }
+    }
+  }
+
+  test("ordered-pairs kernel equals the nested-loop model exactly") {
+    // the codegen'd bucket-pair expansion behind the MinHash band and
+    // n-gram prefix candidate generators — must emit each unordered
+    // pair once as (min, max), C(n,2) total
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val idsGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct)
+    forSamples(idsGen) { ids =>
+      val out = graft.functions.TextSetExprs
+        .orderedPairsData(new GenericArrayData(ids.toArray))
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      val model = (for { a <- ids; b <- ids if a < b } yield (a, b)).toSet
+      assert(got.toSet == model && got.size == model.size, s"ids=$ids")
+    }
+  }
+
   test("simhash sentinel: token-less docs return -1, real docs never do") {
     assert(TextHash.simhashJvm("", 32) == -1L)
     assert(TextHash.simhashJvm("    ", 32) == -1L)

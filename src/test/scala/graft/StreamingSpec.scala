@@ -394,6 +394,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PII redaction equals the batch rewrite byte-for-byte") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    // the synthetic corpus carries no PII, so append crafted docs —
+    // covering each pattern, the URL-swallows-digits precedence, and
+    // a clean doc — to the real rows
+    val crafted = Seq(
+      (900001L, "web", "contact me at alice@example.com or bob.smith@sub.domain.org thanks"),
+      (900002L, "web", "see https://example.com/a?id=1234567 and 987654321 plain"),
+      (900003L, "web", "card 1234567890123456 and short 12345 stay partial"),
+      (900004L, "web", "no pii here at all"))
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq ++ crafted
+    val batchDf = TextOps.redactStage(
+      rows.toDF("doc_id", "source", "text"))
+    val batch = batchDf
+      .as[(Long, String, String, Long, Long, Long)].collect().toSet
+    // content pins: the crafted rows redact exactly as specified
+    val byId = batch.map(r => r._1 -> r).toMap
+    assert(byId(900001L)._3 ==
+      "contact me at <EMAIL> or <EMAIL> thanks" && byId(900001L)._4 == 2L)
+    // the URL consumes its query-string digits; the bare run redacts
+    assert(byId(900002L)._3 == "see <URL> and <DIGITS> plain" &&
+      byId(900002L)._5 == 1L && byId(900002L)._6 == 1L)
+    assert(byId(900003L)._3 == "card <DIGITS> and short 12345 stay partial")
+    assert(byId(900004L)._3 == "no pii here at all" &&
+      byId(900004L)._4 + byId(900004L)._5 + byId(900004L)._6 == 0L)
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamingJobs.redactGate(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("redactgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = rows.reverse.splitAt(rows.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val streamed = spark.table("redactgate")
+        .as[(Long, String, String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"redaction drift: extra=${streamed.diff(batch).take(2)} " +
+          s"missing=${batch.diff(streamed).take(2)}")
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch reaches the batch estimate under adversarial arrival") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CurationOps
