@@ -102,14 +102,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZValueExpr].getName, "graft_zvalue"),
       (args: Seq[Expression]) => {
         checkArity("graft_zvalue", "(x, y, bits)", args, 3)
-        ZValueExpr(args.head, args(1), litInt(args(2), "graft_zvalue", "bits"))
+        // explicit long casts: int arguments would CCE on the
+        // interpreted path (constant folding) but widen under codegen
+        ZValueExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.LongType),
+          litInt(args(2), "graft_zvalue", "bits"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_ordered_pairs"),
       new ExpressionInfo(classOf[OrderedPairsExpr].getName, "graft_ordered_pairs"),
       (args: Seq[Expression]) => {
         checkArity("graft_ordered_pairs", "(ids)", args, 1)
-        OrderedPairsExpr(args.head)
+        OrderedPairsExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
       }))
   }
 }

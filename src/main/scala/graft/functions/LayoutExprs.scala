@@ -33,11 +33,21 @@ object LayoutFunctions {
 
   def zvalue(x: Column, y: Column, bits: Int): Column =
     ColumnBridge.column(ZValueExpr(
-      ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
+      ColumnBridge.expression(x.cast("long")),
+      ColumnBridge.expression(y.cast("long")), bits))
 }
 
+/** Inputs must already be LongType — construct through
+  * [[LayoutFunctions.zvalue]] or the SQL registration, which insert
+  * explicit casts (an INT argument would otherwise ClassCastException
+  * on the interpreted path — constant folding included — while
+  * codegen silently widens: same query, mode-dependent behavior). */
 case class ZValueExpr(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {
+  // a shift amount past 31 wraps mod 64 in the interleave (2·i+1 > 63)
+  // and scribbles high bits over low — reject at construction, for the
+  // SQL surface as well as the Scala one
+  require(bits >= 1 && bits <= 31, s"zvalue bits must be in [1,31], got $bits")
   override def dataType: DataType = LongType
   override def nullSafeEval(x: Any, y: Any): Any =
     LayoutFunctions.zInterleaveJvm(

@@ -190,7 +190,7 @@ object TextHash {
     val out = new Array[Long](pLen)
     var oi = 0
     var hotN = 0
-    var hotKeys: Array[Long] = null // (rank << 48 | hash>>>12) sort keys — see below
+    var hotKeys: Array[Long] = null // the hot gram's RANK (plain, not packed)
     var hotGs: Array[Long] = null
     var i = 0
     while (i < n && oi < pLen) {

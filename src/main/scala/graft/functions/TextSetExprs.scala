@@ -40,8 +40,9 @@ object TextSetExprs {
   def sumSqTokenCounts(tk: Column): Column =
     ColumnBridge.column(SumSqTokenCountsExpr(ColumnBridge.expression(tk)))
 
-  /** Every unordered pair of a distinct long-id array as
-    * array<struct<doc_a, doc_b>> with doc_a < doc_b — the
+  /** Every unordered pair of DISTINCT values of a long-id array as
+    * array<struct<doc_a, doc_b>> with doc_a < doc_b strictly (equal
+    * ids emit nothing, matching the replaced form's filter) — the
     * candidate-pair expansion inside every bucket-grouped pair
     * generator (MinHash band buckets, n-gram prefix buckets). The
     * declarative form (`filter(flatten(transform(ids, a ->
@@ -50,13 +51,18 @@ object TextSetExprs {
     * pairs in one codegen'd pass. Bucket sizes are df-/collision-
     * bounded by construction, so the output array stays small. */
   def orderedPairs(ids: Column): Column =
-    ColumnBridge.column(OrderedPairsExpr(ColumnBridge.expression(ids)))
+    ColumnBridge.column(OrderedPairsExpr(
+      ColumnBridge.expression(ids.cast("array<bigint>"))))
 
   // codegen kernels (static forwarders; called from generated Java and
   // the interpreted eval paths)
   def orderedPairsData(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // fail loudly on an array big enough to overflow C(n,2) in Int —
+    // bucket inputs are df-/collision-bounded, so this only fires on
+    // misuse of the SQL function
+    val cap = java.lang.Math.toIntExact(n.toLong * (n - 1) / 2)
+    val out = new Array[Any](cap)
     var k = 0
     var i = 0
     while (i < n) {
@@ -64,15 +70,20 @@ object TextSetExprs {
       var j = i + 1
       while (j < n) {
         val b = ids.getLong(j)
-        out(k) =
-          if (a < b) new GenericInternalRow(Array[Any](a, b))
-          else new GenericInternalRow(Array[Any](b, a))
-        k += 1
+        // strict: equal ids emit nothing (the replaced declarative
+        // form's `doc_a < doc_b` filter — a duplicate id in a bucket
+        // must not become a Jaccard-1 self-edge downstream)
+        if (a != b) {
+          out(k) =
+            if (a < b) new GenericInternalRow(Array[Any](a, b))
+            else new GenericInternalRow(Array[Any](b, a))
+          k += 1
+        }
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (k == cap) out else out.slice(0, k))
   }
 
   def countInSetData(a: ArrayData, set: java.util.HashSet[UTF8String]): Long = {
@@ -119,6 +130,11 @@ object TextSetExprs {
   }
 }
 
+/** Input must already be array<bigint> — construct through
+  * [[TextSetExprs.orderedPairs]] or the SQL registration, which
+  * insert an explicit cast (an int-element array would otherwise
+  * fail `getLong` on the interpreted path while codegen widens:
+  * mode-dependent behavior on the SQL surface). */
 case class OrderedPairsExpr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(

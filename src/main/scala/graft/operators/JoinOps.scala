@@ -872,9 +872,10 @@ object JoinOps {
     * null-right-side = orphan), range/sign rules, null keys, and
     * key uniqueness across the star schema — the expectations gate a
     * 100 TB ingest runs before anything downstream trusts the drop.
-    * Every leg is either a narrow conditional agg (range rules: zero
-    * shuffle before the 1-row reduce) or one equi-join on the
-    * uniform key; all legs collapse to 1 row before the union.
+    * Each fact table is scanned ONCE: its range rules ride the same
+    * pass as its FK join agg; the events/documents legs are narrow
+    * conditional aggs; everything collapses to 1 row per table
+    * before fanning out to report rows.
     * Violations are 0 on healthy data BY DESIGN — the oracle gates
     * the counting logic, and the spec drives crafted dirty frames
     * through the SAME stage to prove each rule actually fires. */
@@ -886,39 +887,46 @@ object JoinOps {
 
   /** The constraint battery behind [[integrityAudit]], over
     * caller-supplied frames so the spec can feed dirty data through
-    * the production stage. */
+    * the production stage. Each fact table is scanned ONCE: its
+    * range rules ride the same pass as its FK left-join (the dim key
+    * is unique, so the join preserves row count and every rule's
+    * n_checked stays count(*)), the multi-rule 1-row agg fans out to
+    * report rows with an explode over literal-named structs. */
   private[graft] def integrityReport(li: DataFrame, o: DataFrame,
       c: DataFrame, ev: DataFrame, docs: DataFrame): DataFrame = {
-    def one(name: String, agg: DataFrame): DataFrame =
-      agg.select(lit(name).as("check_name"), $"n_checked", $"n_violations")
-    val fkLiOrders = one("fk lineitem.l_orderkey -> orders",
-      li.select($"l_orderkey")
+    def fanOut(agg1: DataFrame, legs: (String, String)*): DataFrame =
+      agg1.select(explode(array(legs.map { case (name, vCol) =>
+        struct(lit(name).as("check_name"), $"n".as("n_checked"),
+          col(vCol).as("n_violations"))
+      }: _*)).as("r")).select($"r.*")
+    val liLegs = fanOut(
+      li.select($"l_orderkey", $"l_quantity", $"l_discount")
         .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left")
-        .agg(count(lit(1)).as("n_checked"),
-          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("n_violations")))
-    val fkOrdersCust = one("fk orders.o_custkey -> customer",
-      o.select($"o_custkey")
-        .join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey", "left")
-        .agg(count(lit(1)).as("n_checked"),
-          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_violations")))
-    val ranges = one("range lineitem.l_quantity > 0",
-      li.agg(count(lit(1)).as("n_checked"),
-        sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L)).as("n_violations")))
-      .unionByName(one("range lineitem.l_discount in [0,1]",
-        li.agg(count(lit(1)).as("n_checked"),
+        .agg(count(lit(1)).as("n"),
+          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("v_fk"),
+          sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L)).as("v_qty"),
           sum(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1L)
-            .otherwise(0L)).as("n_violations"))))
-      .unionByName(one("range orders.o_totalprice >= 0",
-        o.agg(count(lit(1)).as("n_checked"),
-          sum(when($"o_totalprice" < 0.0, 1L).otherwise(0L))
-            .as("n_violations"))))
-      .unionByName(one("notnull events.user_id",
-        ev.agg(count(lit(1)).as("n_checked"),
-          sum(when($"user_id".isNull, 1L).otherwise(0L)).as("n_violations"))))
-      .unionByName(one("unique documents.doc_id",
-        docs.agg(count(lit(1)).as("n_checked"),
-          (count(lit(1)) - countDistinct($"doc_id")).as("n_violations"))))
-    fkLiOrders.unionByName(fkOrdersCust).unionByName(ranges)
+            .otherwise(0L)).as("v_disc")),
+      "fk lineitem.l_orderkey -> orders" -> "v_fk",
+      "range lineitem.l_quantity > 0" -> "v_qty",
+      "range lineitem.l_discount in [0,1]" -> "v_disc")
+    val oLegs = fanOut(
+      o.select($"o_custkey", $"o_totalprice")
+        .join(c.select($"c_custkey"), $"o_custkey" === $"c_custkey", "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("v_fk"),
+          sum(when($"o_totalprice" < 0.0, 1L).otherwise(0L)).as("v_price")),
+      "fk orders.o_custkey -> customer" -> "v_fk",
+      "range orders.o_totalprice >= 0" -> "v_price")
+    val evLeg = fanOut(
+      ev.agg(count(lit(1)).as("n"),
+        sum(when($"user_id".isNull, 1L).otherwise(0L)).as("v_null")),
+      "notnull events.user_id" -> "v_null")
+    val docLeg = fanOut(
+      docs.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct($"doc_id")).as("v_dup")),
+      "unique documents.doc_id" -> "v_dup")
+    liLegs.unionByName(oLegs).unionByName(evLeg).unionByName(docLeg)
       .orderBy($"check_name")
   }
 }

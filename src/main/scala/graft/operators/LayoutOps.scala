@@ -52,14 +52,23 @@ object LayoutOps {
     val (xMin, xMax, yMin, yMax) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val maxCell = (1L << bits) - 1
-    require(xMax - xMin <= Long.MaxValue / math.max(maxCell, 1L) &&
-      yMax - yMin <= Long.MaxValue / math.max(maxCell, 1L),
-      "column range too wide for integer grid scaling")
-    def cell(c: String, mn: Long, mx: Long): Column =
-      if (mx == mn) lit(0L)
-      else (col(c).cast("long") - lit(mn)) * lit(maxCell) / lit(mx - mn)
+    // grid math in DECIMAL(38,0): (v−mn)·maxCell div span is exact for
+    // ANY long range — a double `/` here loses low bits past 2^53 and
+    // quietly shifts rows across cell boundaries, and a full-Long span
+    // (mn<0<mx) overflows 64-bit subtraction; both are silent layout
+    // corruption, the one failure this operator exists to prevent
+    def cell(c: String, mn: Long, mx: Long): Column = {
+      val span = BigInt(mx) - BigInt(mn)
+      if (span == 0) lit(0L)
+      else expr(
+        // `div` (not `/`): decimal `/` rounds HALF_UP at scale 6,
+        // which can bump a cell boundary; div is exact integral
+        s"""CAST((CAST(`$c` AS DECIMAL(38,0)) - CAST('$mn' AS DECIMAL(38,0)))
+           | * $maxCell div CAST('$span' AS DECIMAL(38,0)) AS BIGINT)"""
+          .stripMargin.replace("\n", " "))
+    }
     df.withColumn("__zv", graft.functions.LayoutFunctions.zvalue(
-        cell(xCol, xMin, xMax).cast("long"), cell(yCol, yMin, yMax).cast("long"), bits))
+        cell(xCol, xMin, xMax), cell(yCol, yMin, yMax), bits))
       .repartitionByRange(nFiles, col("__zv"))
       .sortWithinPartitions("__zv")
       .drop("__zv")

@@ -74,11 +74,27 @@ class FunctionsSpec extends SparkTestBase {
       val zv = s2.sql("SELECT graft_zvalue(3L, 3L, 7) AS z")
         .collect()(0).getLong(0)
       assert(zv == 15L)
+      // INT literals must coerce (ImplicitCastInputTypes) — constant
+      // folding runs the INTERPRETED eval, which would otherwise CCE
+      val zvInt = s2.sql("SELECT graft_zvalue(3, 3, 7) AS z")
+        .collect()(0).getLong(0)
+      assert(zvInt == 15L)
       val op = s2.sql(
         "SELECT graft_ordered_pairs(array(5L, 2L, 9L)) AS p")
         .collect()(0).getSeq[org.apache.spark.sql.Row](0)
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(op == Set((2L, 5L), (5L, 9L), (2L, 9L)))
+      // int-element arrays coerce; duplicate ids emit no self-pair
+      val opInt = s2.sql(
+        "SELECT graft_ordered_pairs(array(7, 7, 2)) AS p")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(opInt == Seq((2L, 7L), (2L, 7L)))
+      // out-of-range bits is an error, not a corrupted interleave
+      val zerr = intercept[Exception](
+        s2.sql("SELECT graft_zvalue(1L, 1L, 40)").collect())
+      assert(zerr.getMessage.contains("[1,31]") ||
+        zerr.getMessage.contains("zvalue"))
       // non-literal shape parameter is rejected with a clear error
       val err = intercept[Exception](
         s2.sql("SELECT graft_gram_hashes('a b', CAST(rand()*2 AS INT))").collect())

@@ -573,7 +573,7 @@ class PlanSpec extends SparkTestBase {
 
   test("q_skew_keys partial-aggregates every audited key before its exchange") {
     val plan = fullPlanString("q_skew_keys")
-    assert(plan.contains("partial_count") || plan.contains("partial"),
+    assert(plan.contains("partial_count"),
       s"per-key counts must map-side combine:\n$plan")
     // 4 per-key aggs + 4 single-row reductions + the output sort; the
     // audited fact tables must never shuffle raw rows twice

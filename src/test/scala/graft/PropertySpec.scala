@@ -123,15 +123,20 @@ class PropertySpec extends AnyFunSuite {
     // n-gram prefix candidate generators — must emit each unordered
     // pair once as (min, max), C(n,2) total
     import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val idsGen = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct)
+    // duplicates allowed: equal ids must emit NO self-pair (the
+    // replaced declarative form's doc_a < doc_b filter)
+    val idsGen = Gen.listOf(Gen.choose(0L, 50L))
     forSamples(idsGen) { ids =>
       val out = graft.functions.TextSetExprs
         .orderedPairsData(new GenericArrayData(ids.toArray))
       val got = (0 until out.numElements()).map { i =>
         val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
       }
-      val model = (for { a <- ids; b <- ids if a < b } yield (a, b)).toSet
-      assert(got.toSet == model && got.size == model.size, s"ids=$ids")
+      val model = for {
+        i <- ids.indices; j <- i + 1 until ids.size
+        if ids(i) != ids(j)
+      } yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+      assert(got == model, s"ids=$ids")
     }
   }
 
