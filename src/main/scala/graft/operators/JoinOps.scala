@@ -885,6 +885,22 @@ object JoinOps {
       Tables.customer(spark, sfDir), Tables.events(spark, sfDir),
       Tables.documents(spark, sfDir))
 
+  /** The lineitem constraint pass of [[integrityReport]] — FK orphans
+    * against orders plus both range rules in ONE scan (the order key
+    * is unique, so the left join preserves row count and n_checked
+    * stays count(*)). ONE definition shared with the streaming
+    * per-drop gate (StreamingJobs.integrityGate): against a stream
+    * it is a stream-static left join + a complete-mode commutative
+    * agg, so the live totals and the batch audit cannot disagree. */
+  private[graft] def lineitemChecksAgg(li: DataFrame, o: DataFrame): DataFrame =
+    li.select($"l_orderkey", $"l_quantity", $"l_discount")
+      .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L)).as("v_qty"),
+        sum(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1L)
+          .otherwise(0L)).as("v_disc"))
+
   /** The constraint battery behind [[integrityAudit]], over
     * caller-supplied frames so the spec can feed dirty data through
     * the production stage. Each fact table is scanned ONCE: its
@@ -899,14 +915,7 @@ object JoinOps {
         struct(lit(name).as("check_name"), $"n".as("n_checked"),
           col(vCol).as("n_violations"))
       }: _*)).as("r")).select($"r.*")
-    val liLegs = fanOut(
-      li.select($"l_orderkey", $"l_quantity", $"l_discount")
-        .join(o.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left")
-        .agg(count(lit(1)).as("n"),
-          sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("v_fk"),
-          sum(when($"l_quantity" <= 0.0, 1L).otherwise(0L)).as("v_qty"),
-          sum(when($"l_discount" < 0.0 || $"l_discount" > 1.0, 1L)
-            .otherwise(0L)).as("v_disc")),
+    val liLegs = fanOut(lineitemChecksAgg(li, o),
       "fk lineitem.l_orderkey -> orders" -> "v_fk",
       "range lineitem.l_quantity > 0" -> "v_qty",
       "range lineitem.l_discount in [0,1]" -> "v_disc")

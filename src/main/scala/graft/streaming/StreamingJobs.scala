@@ -266,6 +266,20 @@ object StreamingJobs {
     graft.operators.TextOps.charReport(
       graft.operators.TextOps.charClassCounts(stream))
 
+  /** Streaming data-quality gate (SURVEY.md §2.7 #150 streaming
+    * form): the lineitem constraint pass — FK orphans against the
+    * STATIC orders dim plus both range rules — maintained live over
+    * the ingest stream, so a bad feed (orphaned keys, negative
+    * quantities) alarms within a micro-batch instead of at the
+    * nightly audit. SAME `lineitemChecksAgg` stage as the batch
+    * battery (one definition): stream-static left join (the static
+    * side is the reference dim — supported, no watermark needed) into
+    * a complete-mode 1-row agg of commutative counts, so the result
+    * is micro-batch-invariant and ≡ the batch audit over the same
+    * rows. Input: (l_orderkey, l_quantity, l_discount). */
+  def integrityGate(lines: DataFrame, orders: DataFrame): DataFrame =
+    graft.operators.JoinOps.lineitemChecksAgg(lines, orders)
+
   /** Streaming PII-redaction gate (SURVEY.md §2.7 #146 streaming
     * form): redact each drop at ingest with the SAME stateless
     * projection as the batch rewrite (`TextOps.redactStage`, one

@@ -394,6 +394,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming integrity gate equals the batch constraint pass, dirty rows included") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.JoinOps
+    val orders = Tables.orders(spark, sf)
+    // real lines + crafted violations: an FK orphan, a zero quantity,
+    // an out-of-range discount (order 1's key exists in sf0.001)
+    val firstKey = orders.select(col("o_orderkey")).as[Long].head()
+    val crafted = Seq(
+      (-12345L, 5.0, 0.1),      // orphan key
+      (firstKey, 0.0, 0.1),     // quantity <= 0
+      (firstKey, 5.0, 1.5))     // discount > 1
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+      .as[(Long, Double, Double)].collect().toSeq ++ crafted
+    val batch = JoinOps.lineitemChecksAgg(
+        rows.toDF("l_orderkey", "l_quantity", "l_discount"), orders)
+      .as[(Long, Long, Long, Long)].head()
+    assert(batch._2 >= 1L && batch._3 >= 1L && batch._4 >= 1L,
+      "crafted violations must register in the batch pass")
+    val in = MemoryStream[(Long, Double, Double)]
+    val q = StreamingJobs.integrityGate(
+        in.toDF().toDF("l_orderkey", "l_quantity", "l_discount"), orders)
+      .writeStream.format("memory").queryName("integritygate")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = rows.reverse.splitAt(rows.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val streamed = spark.table("integritygate")
+        .as[(Long, Long, Long, Long)].head()
+      assert(streamed == batch,
+        s"integrity drift: stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming PII redaction equals the batch rewrite byte-for-byte") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextOps
