@@ -37,7 +37,14 @@ object Bench {
     // for identical code between two runs minutes apart. The minimum
     // of two isolated attempts is the query's cost, not the noise's.
     // A failed query reports -1, never a plausible-looking time.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-list restricting the benched queries — for scale
+    // studies at SFs where the documented-quadratic oracle baselines
+    // (q_dedup_embedding's broadcast all-pairs) are out of budget
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val attempts = (1 to 2).map { _ =>
         resetSession()
         val t0 = System.nanoTime()

@@ -383,6 +383,29 @@ object SparkEntry {
        |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesSqlValues})
        |  GROUP BY 1),
        |nb AS (SELECT n.vec_id, q, n2, bucket FROM n JOIN bkt ON n.vec_id = bkt.vec_id)""".stripMargin
+
+  /** Corpus-SCALED wide-bucket variant for the #42b dedup oracle
+    * (`nbw(vec_id, q, n2, bucket)`): the [[graft.functions
+    * .VectorFunctions.MaxPlanes]]-plane bucket (plane j at bit
+    * MaxPlanes−1−j) right-shifted to the count-scaled plane number —
+    * p = least(MaxPlanes, greatest(nPlanes, bitlen((n−1) div occ))),
+    * with bitlen as an EXACT integer power-of-two count (no log2
+    * doubles). Mirrors `VectorFunctions.scaledPlanes` +
+    * `lshBucketWide` bit-for-bit. */
+  private val lshBucketWideCtes = {
+    import graft.functions.VectorFunctions.{EmbLshOcc, MaxPlanes, nPlanes}
+    s"""pl AS (SELECT LEAST($MaxPlanes, GREATEST($nPlanes,
+       |    (SELECT CAST(count(*) AS INT) FROM range(0, 63) t(r)
+       |     WHERE (CAST(1 AS BIGINT) << CAST(t.r AS INT)) <=
+       |       (SELECT (count(*) - 1) // $EmbLshOcc FROM n)))) AS p),
+       |bktw AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (${MaxPlanes - 1} - j)) ELSE 0 END) AS BIGINT) AS bucket20
+       |  FROM (SELECT n.vec_id, planesw.j,
+       |          CAST(list_sum(list_transform(list_zip(n.q, planesw.w), z -> z[1]*z[2])) AS BIGINT) AS d
+       |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesWideSqlValues})
+       |  GROUP BY 1),
+       |nbw AS (SELECT n.vec_id, q, n2, bucket20 >> ($MaxPlanes - (SELECT p FROM pl)) AS bucket
+       |  FROM n JOIN bktw ON n.vec_id = bktw.vec_id)""".stripMargin
+  }
   /** Bigram-LM count tables + per-occurrence ratio rows
     * `lmr(doc_id, r)` (r = c(w1w2)·10⁶ div c(w1)) — the ONE corpus
     * LM definition shared by the #81 fluency oracle and the #95
@@ -726,11 +749,11 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
     "q_dedup_embedding_lsh" ->
       s"""WITH $quantCte,
-         |$lshBucketCtes
+         |$lshBucketWideCtes
          |SELECT vec_a, vec_b, cos_e6 FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
-         |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM nbw a JOIN nbw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $quantCte,

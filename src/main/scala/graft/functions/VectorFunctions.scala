@@ -122,4 +122,55 @@ object VectorFunctions {
     planes.zipWithIndex.map { case (w, j) =>
       s"($j, [${w.mkString(",")}])"
     }.mkString("(VALUES ", ", ", ") planes(j, w)")
+
+  // ---- corpus-scaled planes (the nPlanes ∝ log2(corpus) rule) -------
+
+  /** Plane budget of the WIDE bucket — wide enough for ~8·2^20 = 8M
+    * vectors per... plane-count consumer at the default occupancy;
+    * raise together with [[planesWide]] if a corpus outgrows it. */
+  val MaxPlanes = 20
+
+  /** Target mean bucket occupancy for [[scaledPlanes]] — the knob
+    * that keeps the bucketed self-join linear: candidates ≈ N·occ/2. */
+  val EmbLshOcc = 8L
+
+  /** Same deterministic weights, extended to [[MaxPlanes]] planes —
+    * plane j of [[planes]] IS plane j here (same `weight(j, i)`), so
+    * a p = [[nPlanes]] truncation groups vectors exactly like the
+    * legacy 8-plane bucket. */
+  val planesWide: IndexedSeq[IndexedSeq[Long]] =
+    (0 until MaxPlanes).map(j => (0 until dim).map(i => weight(j, i)))
+
+  /** Wide sign bucket with plane j at bit ([[MaxPlanes]]−1−j):
+    * keeping only the FIRST p planes is one `>> (MaxPlanes − p)` —
+    * which is how a static oracle SQL can apply a data-dependent
+    * plane count to a fixed bucket expression. */
+  def lshBucketWide(q: Column): Column =
+    (0 until MaxPlanes).map { j =>
+      val pl = typedLit(planesWide(j))
+      when(dotL(q, pl) > 0, lit(1L << (MaxPlanes - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** The wide planes as a SQL VALUES relation `planesw(j, w)`. */
+  def planesWideSqlValues: String =
+    planesWide.zipWithIndex.map { case (w, j) =>
+      s"($j, [${w.mkString(",")}])"
+    }.mkString("(VALUES ", ", ", ") planesw(j, w)")
+
+  /** The corpus-scaled plane count: the smallest p ≥ [[nPlanes]] with
+    * 2^p · [[EmbLshOcc]] ≥ n, i.e. max(nPlanes, bitlen((n−1) div occ))
+    * — EXACT integer math (no log2 doubles), mirrored bit-for-bit by
+    * the oracle's shift-count CTE. Fixed planes were measured
+    * quadratic at the sf10 sweep (bucket occupancy ∝ corpus →
+    * q_dedup_embedding_lsh ×70 at ×10 data); under this rule mean
+    * occupancy stays ≤ occ and the self-join stays linear. The
+    * recall trade (collision P = (1−θ/π)^p falls per plane) is the
+    * standard LSH one — the OR-construction over independent plane
+    * tables is the production recall lever, and the exact all-pairs
+    * form remains the small-corpus baseline. */
+  def scaledPlanes(n: Long, occ: Long = EmbLshOcc): Int = {
+    val x = if (n <= 0) 0L else (n - 1) / occ
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    math.min(MaxPlanes, math.max(nPlanes, bitlen))
+  }
 }

@@ -1050,21 +1050,31 @@ object DedupOps {
   }
 
   /** #42b Embedding-cosine near-dup, SCALE path: sign-bucket every
-    * vector with the shared random hyperplanes
-    * ([[VectorFunctions.lshBucket]]), self equi-join on the bucket,
-    * verify cos_e6 ≥ τ — same integer math as [[dedupEmbedding]], but
-    * candidates are LSH-bounded (≈N²/2^nPlanes) instead of all-pairs
-    * and nothing is collected or broadcast. At 100 TB you raise
-    * nPlanes so bucket sizes stay bounded; the join stays a plain
-    * shuffle on a uniform key. Recall is the standard LSH trade:
-    * same-bucket pairs only (P[collide] = (1 − θ/π)^nPlanes), which
-    * is why the exact all-pairs form remains as the small-corpus
-    * baseline. */
+    * vector with the shared random hyperplanes, self equi-join on the
+    * bucket, verify cos_e6 ≥ τ — same integer math as
+    * [[dedupEmbedding]], but candidates are LSH-bounded instead of
+    * all-pairs and nothing is collected or broadcast.
+    *
+    * The plane count SCALES with the corpus
+    * ([[VectorFunctions.scaledPlanes]] — the "nPlanes ∝ log2(corpus)"
+    * rule, implemented after the sf10 sweep measured fixed planes
+    * going quadratic): the wide [[VectorFunctions.lshBucketWide]]
+    * bucket is truncated by one shift to p = max(8, bitlen((n−1)
+    * div 8)) planes, so mean occupancy stays ≤ 8 and the self-join
+    * stays linear at any scale. At the correctness-gate SFs (n ≤
+    * 2048) p = 8 and the grouping equals the legacy shared 8-plane
+    * bucket exactly. The count() is one 1-row job (corpus metadata a
+    * production index stores); the oracle computes the identical p
+    * from count(*) in exact integer SQL and applies the same shift
+    * to the same wide-bucket expression. */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = Tables.embeddings(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val p = VectorFunctions.scaledPlanes(emb.count())
+    val v = emb
       .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
       .withColumn("n2", VectorFunctions.norm2($"q"))
-      .withColumn("bucket", VectorFunctions.lshBucket($"q"))
+      .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
+        VectorFunctions.MaxPlanes - p))
     v.as("a").join(v.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),

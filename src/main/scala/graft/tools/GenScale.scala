@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * Content perturbation keeps the statistical shape without welding
   * replicas together:
-  *  - documents: every token gets a `~k` suffix (bijective per
-  *    replica), so exact-dup groups and n-gram Jaccard structure
-  *    replicate WITHIN a replica but no text matches across replicas
-  *    — dedup output scales linearly instead of quadratically;
-  *  - embeddings: the vector is rotated by k positions (norm- and
-  *    structure-preserving within a replica, uncorrelated across).
+  *  - documents: every token gets a `~(k·offset)` suffix (bijective
+  *    per replica AND unique across chained generations), so
+  *    exact-dup groups and n-gram Jaccard structure replicate WITHIN
+  *    a replica but no text matches across replicas — dedup output
+  *    scales linearly instead of quadratically;
+  *  - embeddings: the vector is rotated by k positions and
+  *    sign-flipped by a mask keyed on k·offset (norm- and
+  *    structure-preserving within a replica, uncorrelated across —
+  *    including across chained generations, where bare rotation
+  *    composed additively and welded replica paths together).
   *
   * Everything is column arithmetic on the source rows — no rand(),
   * same output on every run. events.ts is written as a standard µs
@@ -98,9 +102,17 @@ object GenScale {
 
     val docs = Tables.documents(spark, src)
     val offD = pow10Above(docs, "doc_id")
+    // suffix tag = rep · offD, NOT the bare rep: offD grows every
+    // generation, so chained runs (sf0.1 → sf1 → sf10) keep replica
+    // token spaces disjoint ACROSS generations too. With a bare rep,
+    // generation-2 replica k of generation-1 replica 0 ("tok~k")
+    // collided with generation-1 replica k's verbatim copy — exact
+    // cross-replica duplicate docs, which silently tripled the
+    // near-dup pair count in the first sf10 corpus (measured: 75,208
+    // q_dedup_ngram rows where linear replication predicts 25,600).
     val scaledText = when($"rep" === 0L, $"text").otherwise(expr(
-      """array_join(transform(split(text, ' '),
-        |  t -> CASE WHEN t = '' THEN t ELSE concat(t, '~', CAST(rep AS STRING)) END), ' ')""".stripMargin))
+      s"""array_join(transform(split(text, ' '),
+         |  t -> CASE WHEN t = '' THEN t ELSE concat(t, '~', CAST(rep * $offD AS STRING)) END), ' ')""".stripMargin))
     write(reps(docs)
       .withColumn("doc_id", shifted("doc_id", offD))
       .withColumn("text", scaledText)
@@ -109,12 +121,21 @@ object GenScale {
 
     val emb = Tables.embeddings(spark, src)
     val offV = pow10Above(emb, "vec_id")
-    val rotated = expr(
-      """concat(slice(embedding, CAST(rep + 1 AS INT), size(embedding) - CAST(rep AS INT)),
-        |       slice(embedding, 1, CAST(rep AS INT)))""".stripMargin)
+    // rotation alone composes additively (rot j ∘ rot k = rot j+k),
+    // so chained generations collided (gen-2 replica j of gen-1
+    // replica 0 ≡ gen-1 replica j verbatim) and a single run with
+    // factor > dim wrapped back to the identity. The sign-flip layer
+    // keyed by rep·offV (generation-unique, like the text suffix)
+    // breaks both: norm-preserving, deterministic, and two distinct
+    // replica paths now differ by a pseudo-random 64-bit mask XOR.
+    val rotatedFlipped = expr(
+      s"""transform(
+         |  concat(slice(embedding, CAST(pmod(rep, size(embedding)) + 1 AS INT), size(embedding) - CAST(pmod(rep, size(embedding)) AS INT)),
+         |         slice(embedding, 1, CAST(pmod(rep, size(embedding)) AS INT))),
+         |  (x, i) -> CASE WHEN pmod(xxhash64(rep * $offV, i), 2) = 0 THEN x ELSE -x END)""".stripMargin)
     write(reps(emb)
       .withColumn("vec_id", shifted("vec_id", offV))
-      .withColumn("embedding", when($"rep" === 0L, $"embedding").otherwise(rotated))
+      .withColumn("embedding", when($"rep" === 0L, $"embedding").otherwise(rotatedFlipped))
       .drop("rep"), "embeddings")
 
     spark.stop()

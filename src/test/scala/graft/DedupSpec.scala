@@ -444,4 +444,32 @@ class DedupSpec extends SparkTestBase {
     assert(gain("exact")._1 <= nDocs && gain("neardup")._1 <= nDocs)
     assert(gain.values.forall(_._2 <= gain("none")._2))
   }
+
+  test("scaled-plane embedding LSH equals the legacy 8-plane form at gate scale") {
+    import graft.functions.VectorFunctions
+    // at n <= 2048 scaledPlanes = nPlanes, and the wide bucket's
+    // first 8 planes are THE 8 legacy planes — so the output must
+    // equal a recompute with the legacy shared bucket exactly
+    val n = Tables.embeddings(spark, sf).count()
+    assert(VectorFunctions.scaledPlanes(n) == VectorFunctions.nPlanes,
+      s"gate fixture grew past 2048 vectors ($n) — pick a legacy-equal pin differently")
+    val got = DedupOps.dedupEmbeddingLsh(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val legacy = {
+      val v = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+        .withColumn("n2", VectorFunctions.norm2(col("q")))
+        .withColumn("bucket", VectorFunctions.lshBucket(col("q")))
+      v.as("a").join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          VectorFunctions.cosineE6(
+            VectorFunctions.dotL(col("a.q"), col("b.q")),
+            col("a.n2"), col("b.n2")).as("cos_e6"))
+        .filter(col("cos_e6") >= 400000L)
+        .orderBy(col("vec_a"), col("vec_b"))
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(got.nonEmpty && got == legacy)
+  }
 }

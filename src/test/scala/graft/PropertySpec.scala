@@ -118,6 +118,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scaled LSH planes keep the bucketed self-join linear where fixed planes go quadratic") {
+    import graft.functions.VectorFunctions._
+    // the exact integer rule, pinned at its boundaries
+    assert(scaledPlanes(0) == nPlanes && scaledPlanes(200) == nPlanes)
+    assert(scaledPlanes(2048) == 8 && scaledPlanes(2049) == 9)
+    assert(scaledPlanes(200000) == 15)
+    assert(scaledPlanes(Long.MaxValue) == MaxPlanes)
+    // candidate-pair count on a deterministic pseudo-random corpus:
+    // with the scaled p the within-bucket pair total stays ~n·occ/2;
+    // frozen at 8 planes it is ~2^(p-8)× larger — the sf10 blowup
+    val n = 1 << 15
+    val vs = Array.tabulate(n)(id =>
+      Array.tabulate(dim)(i => TextHash.hash60Jvm(s"v:$id:$i") % 2001 - 1000))
+    def pairs(p: Int): Long = {
+      val counts = new java.util.HashMap[java.lang.Long, Integer]()
+      vs.foreach { q =>
+        var b = 0L
+        var j = 0
+        while (j < p) {
+          val w = planesWide(j)
+          var dot = 0L
+          var i = 0
+          while (i < dim) { dot += q(i) * w(i); i += 1 }
+          if (dot > 0) b |= 1L << (p - 1 - j)
+          j += 1
+        }
+        counts.merge(b, 1, (x, y) => x + y)
+      }
+      var s = 0L
+      counts.values.forEach(c => s += c.toLong * (c - 1) / 2)
+      s
+    }
+    val p = scaledPlanes(n)
+    assert(p == 12, s"expected 12 planes for n=$n, got $p")
+    val scaled = pairs(p)
+    val fixed = pairs(nPlanes)
+    assert(scaled <= n.toLong * 16,
+      s"scaled-plane candidates not linear: $scaled for n=$n")
+    assert(scaled * 8 <= fixed,
+      s"scaling planes should cut candidates ~16x: scaled=$scaled fixed=$fixed")
+  }
+
   test("ordered-pairs kernel equals the nested-loop model exactly") {
     // the codegen'd bucket-pair expansion behind the MinHash band and
     // n-gram prefix candidate generators — must emit each unordered
