@@ -57,6 +57,7 @@ object SparkEntry {
     "q_dedup_cluster" -> (ClusterOps.dedupCluster _),
     "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
     "q_dedup_embedding_lsh" -> (DedupOps.dedupEmbeddingLsh _),
+    "q_dedup_embedding_or" -> (DedupOps.dedupEmbeddingLshOr _),
     "q_overlap_pairs" -> ((s: SparkSession, d: String) => DedupOps.overlapPairs(s, d)),
     "q_ann_topk" -> (SimilarityOps.annTopk _),
     "q_ann_lsh" -> (SimilarityOps.annLsh _),
@@ -392,20 +393,34 @@ object SparkEntry {
     * with bitlen as an EXACT integer power-of-two count (no log2
     * doubles). Mirrors `VectorFunctions.scaledPlanes` +
     * `lshBucketWide` bit-for-bit. */
-  private val lshBucketWideCtes = {
+  private val scaledPlaneCountCte = {
     import graft.functions.VectorFunctions.{EmbLshOcc, MaxPlanes, nPlanes}
     s"""pl AS (SELECT LEAST($MaxPlanes, GREATEST($nPlanes,
        |    (SELECT CAST(count(*) AS INT) FROM range(0, 63) t(r)
        |     WHERE (CAST(1 AS BIGINT) << CAST(t.r AS INT)) <=
-       |       (SELECT (count(*) - 1) // $EmbLshOcc FROM n)))) AS p),
-       |bktw AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (${MaxPlanes - 1} - j)) ELSE 0 END) AS BIGINT) AS bucket20
-       |  FROM (SELECT n.vec_id, planesw.j,
-       |          CAST(list_sum(list_transform(list_zip(n.q, planesw.w), z -> z[1]*z[2])) AS BIGINT) AS d
-       |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesWideSqlValues})
-       |  GROUP BY 1),
-       |nbw AS (SELECT n.vec_id, q, n2, bucket20 >> ($MaxPlanes - (SELECT p FROM pl)) AS bucket
-       |  FROM n JOIN bktw ON n.vec_id = bktw.vec_id)""".stripMargin
+       |       (SELECT (count(*) - 1) // $EmbLshOcc FROM n)))) AS p)""".stripMargin
   }
+
+  /** The scaled wide bucket under plane TABLE `t` of the
+    * OR-construction — `nbw{sfx}(vec_id, q, n2, bucket)` over
+    * `planesw$t`; requires `$scaledPlaneCountCte` upstream. Table 0
+    * keeps the legacy un-suffixed names (`bktw`/`nbw`), so the #42b
+    * single-table oracle is literally the t = 0 instance. */
+  private def wideBucketCtesT(t: Int): String = {
+    import graft.functions.VectorFunctions.MaxPlanes
+    val sfx = if (t == 0) "" else t.toString
+    s"""bktw$sfx AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << (${MaxPlanes - 1} - j)) ELSE 0 END) AS BIGINT) AS bucket20
+       |  FROM (SELECT n.vec_id, planesw$t.j,
+       |          CAST(list_sum(list_transform(list_zip(n.q, planesw$t.w), z -> z[1]*z[2])) AS BIGINT) AS d
+       |        FROM n CROSS JOIN ${graft.functions.VectorFunctions.planesWideSqlValuesT(t)})
+       |  GROUP BY 1),
+       |nbw$sfx AS (SELECT n.vec_id, q, n2, bucket20 >> ($MaxPlanes - (SELECT p FROM pl)) AS bucket
+       |  FROM n JOIN bktw$sfx ON n.vec_id = bktw$sfx.vec_id)""".stripMargin
+  }
+
+  private val lshBucketWideCtes =
+    s"""$scaledPlaneCountCte,
+       |${wideBucketCtesT(0)}""".stripMargin
   /** Bigram-LM count tables + per-occurrence ratio rows
     * `lmr(doc_id, r)` (r = c(w1w2)·10⁶ div c(w1)) — the ONE corpus
     * LM definition shared by the #81 fluency oracle and the #95
@@ -754,6 +769,21 @@ object SparkEntry {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
          |  FROM nbw a JOIN nbw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+    // #42c: UNION (set semantics) over the per-table same-bucket pair
+    // sets = the Spark side's distinct over the (t, bucket) explode
+    "q_dedup_embedding_or" ->
+      s"""WITH $quantCte,
+         |$lshBucketWideCtes,
+         |${wideBucketCtesT(1)}
+         |SELECT vec_a, vec_b, cos_e6 FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM nbw a JOIN nbw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM nbw1 a JOIN nbw1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $quantCte,

@@ -151,11 +151,40 @@ object VectorFunctions {
       when(dotL(q, pl) > 0, lit(1L << (MaxPlanes - 1 - j))).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** The wide planes as a SQL VALUES relation `planesw(j, w)`. */
-  def planesWideSqlValues: String =
-    planesWide.zipWithIndex.map { case (w, j) =>
+  /** Number of independent plane tables in the OR-construction
+    * ([[graft.operators.DedupOps.dedupEmbeddingLshOr]]) — the
+    * standard recall lever: a true pair is a candidate if it
+    * collides in ANY table (P = 1 − (1 − (1−θ/π)^p)^L), at L× the
+    * candidate volume. Table 0 is THE single-table plane family, so
+    * the single-table result is a structural subset. */
+  val LshOrTables = 2
+
+  /** Deterministic plane weight for table `t`: table 0 is exactly
+    * [[weight]] (the shared legacy family); tables ≥ 1 hash a
+    * disjoint `t$t:` key namespace — independent pseudo-random
+    * families from the same public md5-prefix construction. */
+  def weightT(t: Int, j: Int, i: Int): Long =
+    if (t == 0) weight(j, i)
+    else java.lang.Long.parseLong(md5hex(s"t$t:$j:$i").substring(0, 15), 16) % 2001 - 1000
+
+  /** Wide plane family of table `t` ([[planesWide]] when t = 0). */
+  def planesWideT(t: Int): IndexedSeq[IndexedSeq[Long]] =
+    if (t == 0) planesWide
+    else (0 until MaxPlanes).map(j => (0 until dim).map(i => weightT(t, j, i)))
+
+  /** [[lshBucketWide]] under table `t`'s plane family. */
+  def lshBucketWideT(t: Int, q: Column): Column =
+    (0 until MaxPlanes).map { j =>
+      val pl = typedLit(planesWideT(t)(j))
+      when(dotL(q, pl) > 0, lit(1L << (MaxPlanes - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Table `t`'s wide planes as a SQL VALUES relation
+    * `planesw$t(j, w)`. */
+  def planesWideSqlValuesT(t: Int): String =
+    planesWideT(t).zipWithIndex.map { case (w, j) =>
       s"($j, [${w.mkString(",")}])"
-    }.mkString("(VALUES ", ", ", ") planesw(j, w)")
+    }.mkString("(VALUES ", ", ", s") planesw$t(j, w)")
 
   /** The corpus-scaled plane count: the smallest p ≥ [[nPlanes]] with
     * 2^p · [[EmbLshOcc]] ≥ n, i.e. max(nPlanes, bitlen((n−1) div occ))

@@ -1083,4 +1083,43 @@ object DedupOps {
       .filter($"cos_e6" >= 400000L)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** #42c Embedding-cosine near-dup, OR-construction: the
+    * [[dedupEmbeddingLsh]] recall lever made first-class. Each vector
+    * is bucketed under [[VectorFunctions.LshOrTables]] INDEPENDENT
+    * plane families (table 0 is THE single-table family, so that
+    * result is a structural subset of this one); a pair is a
+    * candidate if it collides in ANY table — recall rises from
+    * (1−θ/π)^p to 1 − (1 − (1−θ/π)^p)^L while candidate volume grows
+    * only L×, which is the trade that keeps recall usable as
+    * [[VectorFunctions.scaledPlanes]] raises p with the corpus.
+    *
+    * Physical shape: ONE posexplode into (t, bucket) keys — the
+    * MinHash band-explode pattern — then a single (t, bucket)-keyed
+    * self equi-join; Catalyst reuses the exchange across the join's
+    * two sides, so the corpus is shuffled once, L·N rows total.
+    * A pair colliding in several tables is collapsed by the final
+    * set-distinct (the oracle's UNION does the same). Still no
+    * collect, no broadcast, no cartesian at any scale. */
+  def dedupEmbeddingLshOr(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val p = VectorFunctions.scaledPlanes(emb.count())
+    val shift = VectorFunctions.MaxPlanes - p
+    val keyed = emb
+      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("n2", VectorFunctions.norm2($"q"))
+      .select($"vec_id", $"q", $"n2",
+        posexplode(array((0 until VectorFunctions.LshOrTables).map(t =>
+          shiftright(VectorFunctions.lshBucketWideT(t, $"q"), shift)): _*))
+          .as(Seq("t", "bucket")))
+    keyed.as("a").join(keyed.as("b"),
+        $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        VectorFunctions.cosineE6(
+          VectorFunctions.dotL($"a.q", $"b.q"), $"a.n2", $"b.n2").as("cos_e6"))
+      .filter($"cos_e6" >= 400000L)
+      .distinct()
+      .orderBy($"vec_a", $"vec_b")
+  }
 }

@@ -472,4 +472,17 @@ class DedupSpec extends SparkTestBase {
     }
     assert(got.nonEmpty && got == legacy)
   }
+
+  test("OR-construction embedding LSH: single-table ⊆ OR ⊆ exact all-pairs") {
+    // table 0 of the OR IS the single-table plane family, so its
+    // pairs must all reappear; every OR pair passes the same cos
+    // verify, so none can escape the exact all-pairs baseline
+    val single = DedupOps.dedupEmbeddingLsh(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val or = DedupOps.dedupEmbeddingLshOr(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = DedupOps.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(single.nonEmpty && single.subsetOf(or) && or.subsetOf(exact))
+  }
 }

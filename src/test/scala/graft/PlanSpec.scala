@@ -50,6 +50,33 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(planOf("q1_agg")) <= 2)
   }
 
+  test("q_dedup_embedding_or joins on equi keys and reuses the keyed exchange") {
+    // OR-construction must stay an equi-join on (t, bucket) — never a
+    // product — at any scale
+    val plan = fullPlanString("q_dedup_embedding_or")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "OR-construction must never plan a product")
+    assert(plan.contains("HashJoin"), "bucket match must be an equi join")
+    // at scale (broadcast off = the shuffle-join regime a real corpus
+    // lands in) the self-join's two sides are the SAME subplan, so
+    // the corpus shuffles ONCE and the second side is a ReusedExchange
+    // AQE applies exchange reuse at runtime, not in the static plan —
+    // disable it here so the planner-level ReuseExchange rule is
+    // visible to the assertion
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(fullPlanString("q_dedup_embedding_or").contains("ReusedExchange"),
+        "self-join sides must share one exchange in the shuffle regime")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("q_order_nation broadcasts both dimension tables") {
     val plan = fullPlanString("q_order_nation")
     assert(plan.contains("BroadcastHashJoin"))
