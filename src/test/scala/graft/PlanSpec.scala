@@ -50,6 +50,17 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(planOf("q1_agg")) <= 2)
   }
 
+  test("q_minby/q_maxby argmin is a partial-agg'd min_by — never a window sort of all rows") {
+    for (q <- Seq("q_minby", "q_maxby")) {
+      val plan = fullPlanString(q)
+      assert(!plan.contains("Window"), s"$q must not window-sort every event row")
+      assert(plan.contains("partial_min_by") || plan.contains("partial_max_by"),
+        s"$q must combine map-side")
+      // one keyed agg exchange + the output range sort
+      assert(countShuffles(planOf(q)) <= 2, s"$q shuffle count")
+    }
+  }
+
   test("q_dedup_embedding_or joins on equi keys and reuses the keyed exchange") {
     // OR-construction must stay an equi-join on (t, bucket) — never a
     // product — at any scale
