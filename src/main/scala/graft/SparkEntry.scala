@@ -58,6 +58,8 @@ object SparkEntry {
     "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
     "q_dedup_embedding_lsh" -> (DedupOps.dedupEmbeddingLsh _),
     "q_dedup_embedding_or" -> (DedupOps.dedupEmbeddingLshOr _),
+    "q_embed_cluster" -> (ClusterOps.embedCluster _),
+    "q_embed_incremental" -> (DedupOps.dedupEmbeddingIncremental _),
     "q_overlap_pairs" -> ((s: SparkSession, d: String) => DedupOps.overlapPairs(s, d)),
     "q_ann_topk" -> (SimilarityOps.annTopk _),
     "q_ann_lsh" -> (SimilarityOps.annLsh _),
@@ -785,6 +787,40 @@ object SparkEntry {
          |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
          |  FROM nbw1 a JOIN nbw1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+    // #42d: transitive closure (the shared recursive reach CTE) over
+    // the OR-construction pair set, labels = min vec_id per component
+    "q_embed_cluster" ->
+      s"""WITH RECURSIVE $quantCte,
+         |$lshBucketWideCtes,
+         |${wideBucketCtesT(1)},
+         |pr AS (
+         |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |      ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |    FROM nbw a JOIN nbw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |    UNION
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |      ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |    FROM nbw1 a JOIN nbw1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  WHERE cos_e6 >= 400000),
+         |$reachCtes
+         |SELECT s AS vec_id,
+         |  CAST(least(s, min(d)) AS BIGINT) AS cluster_id,
+         |  CAST(CASE WHEN least(s, min(d)) = s THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM reach GROUP BY s ORDER BY vec_id""".stripMargin,
+    // #42e: drop (vec_id % IncrMod = 0) vs corpus, same full-corpus
+    // scaled bucket on both sides — the artifact is exact math, so
+    // the oracle just splits the shared nbw relation
+    "q_embed_incremental" ->
+      s"""WITH $quantCte,
+         |$lshBucketWideCtes
+         |SELECT vec_new, vec_old, cos_e6 FROM (
+         |  SELECT a.vec_id AS vec_new, b.vec_id AS vec_old,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM nbw a JOIN nbw b ON a.bucket = b.bucket
+         |  WHERE a.vec_id % ${graft.operators.DedupOps.IncrMod} = 0
+         |    AND b.vec_id % ${graft.operators.DedupOps.IncrMod} <> 0)
+         |WHERE cos_e6 >= 400000 ORDER BY vec_new, vec_old""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $quantCte,
          |$lshBucketCtes,

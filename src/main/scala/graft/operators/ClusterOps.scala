@@ -187,6 +187,25 @@ object ClusterOps {
         when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("keep"))
       .orderBy($"doc_id")
 
+  /** #42d Embedding duplicate clusters: the same transitive
+    * resolution as [[dedupCluster]], over the SEMANTIC near-dup graph
+    * — [[DedupOps.dedupEmbeddingLshOr]]'s OR-construction pairs
+    * (cos ≥ 0.4) instead of the MinHash text pairs. Completes the
+    * embedding dedup family the way #50 completed #39: pairs are only
+    * half the story, the pipeline drops docs per CLUSTER. No
+    * materialized artifact here (unlike the MinHash pairs): the
+    * embedding pair subtree has no text re-hash or verify join to
+    * amortize — it recomputes in seconds at sf10 — and the adaptive
+    * [[connectedComponents]] sees only the pair projection either
+    * way. */
+  def embedCluster(spark: SparkSession, sfDir: String): DataFrame =
+    connectedComponents(
+      DedupOps.dedupEmbeddingLshOr(spark, sfDir).select($"vec_a", $"vec_b"),
+      "vec_a", "vec_b")
+      .select($"id".as("vec_id"), $"label".as("cluster_id"),
+        when($"id" === $"label", 1L).otherwise(0L).as("keep"))
+      .orderBy($"vec_id")
+
   /** #70 Quality-weighted cluster representative: within each
     * near-dup cluster keep the LONGEST doc (token count, doc_id
     * tiebreak) instead of [[dedupCluster]]'s min-id canonical — the

@@ -1084,6 +1084,63 @@ object DedupOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  private val embBucketsIndex = new graft.tools.Materialize.SupersedingCache[
+    (String, org.apache.spark.sql.types.StructType, Int)]
+
+  /** Corpus (vec_id, q, n2, bucket) sign-bucket index materialized
+    * ONCE per corpus fingerprint — the vector-index artifact a
+    * production store keeps next to the embeddings (the embedding
+    * twin of [[minhashBandsShared]]). Bucket is the table-0 wide
+    * bucket truncated to the FULL-corpus scaled plane count; that p
+    * rides the cache entry so incremental consumers bucket their
+    * fresh drops under the index's own geometry (the log-scale rule
+    * moves p only on decade growth, exactly when a production index
+    * rebuilds anyway). */
+  private[operators] def embBucketsShared(spark: SparkSession, sfDir: String)
+      : (DataFrame, Int) = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    val (path, schema, p) = embBucketsIndex.getOrBuild(sfDir, fp) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val pb = VectorFunctions.scaledPlanes(emb.count())
+      val b = emb
+        .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+        .withColumn("n2", VectorFunctions.norm2($"q"))
+        .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
+          VectorFunctions.MaxPlanes - pb))
+      (graft.tools.Materialize.writeParquet(b, "emb-buckets"), b.schema, pb)
+    }
+    (spark.read.schema(schema).parquet(path), p)
+  }
+
+  /** #42e Incremental embedding near-dup — the [[dedupIncremental]]
+    * daily-ingest shape in the SEMANTIC space: today's drop
+    * (vec_id % [[IncrMod]] = 0, standing in for newly embedded docs)
+    * is quantized and bucketed FRESH (a narrow map over drop rows
+    * only, under the stored index's plane count) and BROADCAST
+    * against the corpus side of the [[embBucketsShared]] artifact —
+    * a compact columnar scan, never a corpus re-quantize, never a
+    * corpus shuffle. Verify is the same integer cos ≥ τ on the q
+    * vectors both sides already carry; the whole run is
+    * O(drop + candidates) at any corpus size. Same modeling
+    * convention as the text path: the artifact covers the full
+    * table and the corpus side filters % ≠ 0 on the artifact scan. */
+  def dedupEmbeddingIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (index, p) = embBucketsShared(spark, sfDir)
+    val drop = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % IncrMod === 0L)
+      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("n2", VectorFunctions.norm2($"q"))
+      .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
+        VectorFunctions.MaxPlanes - p))
+    val corpus = index.filter($"vec_id" % IncrMod =!= 0L)
+    corpus.as("b").join(broadcast(drop.as("a")), Seq("bucket"))
+      .select($"a.vec_id".as("vec_new"), $"b.vec_id".as("vec_old"),
+        VectorFunctions.cosineE6(
+          VectorFunctions.dotL($"a.q", $"b.q"), $"a.n2", $"b.n2").as("cos_e6"))
+      .filter($"cos_e6" >= 400000L)
+      .orderBy($"vec_new", $"vec_old")
+  }
+
   /** #42c Embedding-cosine near-dup, OR-construction: the
     * [[dedupEmbeddingLsh]] recall lever made first-class. Each vector
     * is bucketed under [[VectorFunctions.LshOrTables]] INDEPENDENT

@@ -167,6 +167,24 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("embedCluster labels cover exactly the OR-pair vectors and link every pair") {
+    val pairs = graft.operators.DedupOps.dedupEmbeddingLshOr(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = ClusterOps.embedCluster(spark, sf).collect()
+    assert(pairs.nonEmpty && rows.nonEmpty)
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // membership = every vector in some pair, nothing else
+    assert(label.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both endpoints of every pair share a component label
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters") }
+    // one keeper per cluster, at the min id
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.count(_.getLong(2) == 1L) == 1)
+    }
+  }
+
   test("effective dataset size reconciles with an independent cluster recompute") {
     import spark.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
     import graft.functions.TextFunctions.tokens

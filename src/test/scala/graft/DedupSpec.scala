@@ -473,6 +473,29 @@ class DedupSpec extends SparkTestBase {
     assert(got.nonEmpty && got == legacy)
   }
 
+  test("incremental embedding dedup equals the single-table pairs restricted to one-new-one-old") {
+    import graft.operators.DedupOps.IncrMod
+    // the same-bucket pair set under one plane table, one side in the
+    // drop — exactly what the artifact-backed incremental path emits
+    val full = DedupOps.dedupEmbeddingLsh(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val expected = full.flatMap { case (a, b) =>
+      (a % IncrMod == 0, b % IncrMod == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _ => None
+      }
+    }.toSet
+    val incrDf = DedupOps.dedupEmbeddingIncremental(spark, sf)
+    val incr = incrDf.select("vec_new", "vec_old").as[(Long, Long)].collect().toSet
+    assert(incr == expected,
+      s"extra=${incr.diff(expected)} missing=${expected.diff(incr)}")
+    // the drop must be the broadcast side (never the corpus index)
+    val plan = incrDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "drop join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus index must not shuffle")
+  }
+
   test("OR-construction embedding LSH: single-table ⊆ OR ⊆ exact all-pairs") {
     // table 0 of the OR IS the single-table plane family, so its
     // pairs must all reappear; every OR pair passes the same cos
