@@ -21,6 +21,13 @@ object LayoutFunctions {
     * tiles — which is exactly why range-partitioning on z yields
     * files whose min/max are tight in BOTH source columns. */
   def zInterleaveJvm(x: Long, y: Long, bits: Int): Long = {
+    // negatives have no grid cell: two's-complement low bits would
+    // interleave -1 as the TOP cell and silently corrupt the layout —
+    // the one failure this family exists to prevent. Normalize first
+    // (zorderWrite does) or shift the domain.
+    if (x < 0 || y < 0)
+      throw new IllegalArgumentException(
+        s"zvalue inputs must be non-negative grid cells, got ($x, $y)")
     var z = 0L
     var i = 0
     while (i < bits) {

@@ -66,20 +66,27 @@ object TextSetExprs {
     var k = 0
     var i = 0
     while (i < n) {
-      val a = ids.getLong(i)
-      var j = i + 1
-      while (j < n) {
-        val b = ids.getLong(j)
-        // strict: equal ids emit nothing (the replaced declarative
-        // form's `doc_a < doc_b` filter — a duplicate id in a bucket
-        // must not become a Jaccard-1 self-edge downstream)
-        if (a != b) {
-          out(k) =
-            if (a < b) new GenericInternalRow(Array[Any](a, b))
-            else new GenericInternalRow(Array[Any](b, a))
-          k += 1
+      // NULL slots emit nothing — the replaced declarative form's
+      // `null < x` predicate dropped them; reading them as getLong's
+      // default 0 would fabricate phantom doc-0 pairs
+      if (!ids.isNullAt(i)) {
+        val a = ids.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          if (!ids.isNullAt(j)) {
+            val b = ids.getLong(j)
+            // strict: equal ids emit nothing (the replaced declarative
+            // form's `doc_a < doc_b` filter — a duplicate id in a bucket
+            // must not become a Jaccard-1 self-edge downstream)
+            if (a != b) {
+              out(k) =
+                if (a < b) new GenericInternalRow(Array[Any](a, b))
+                else new GenericInternalRow(Array[Any](b, a))
+              k += 1
+            }
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }

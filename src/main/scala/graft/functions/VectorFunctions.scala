@@ -145,11 +145,7 @@ object VectorFunctions {
     * keeping only the FIRST p planes is one `>> (MaxPlanes − p)` —
     * which is how a static oracle SQL can apply a data-dependent
     * plane count to a fixed bucket expression. */
-  def lshBucketWide(q: Column): Column =
-    (0 until MaxPlanes).map { j =>
-      val pl = typedLit(planesWide(j))
-      when(dotL(q, pl) > 0, lit(1L << (MaxPlanes - 1 - j))).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshBucketWide(q: Column): Column = lshBucketWideT(0, q)
 
   /** Number of independent plane tables in the OR-construction
     * ([[graft.operators.DedupOps.dedupEmbeddingLshOr]]) — the
@@ -173,11 +169,13 @@ object VectorFunctions {
     else (0 until MaxPlanes).map(j => (0 until dim).map(i => weightT(t, j, i)))
 
   /** [[lshBucketWide]] under table `t`'s plane family. */
-  def lshBucketWideT(t: Int, q: Column): Column =
+  def lshBucketWideT(t: Int, q: Column): Column = {
+    val planes = planesWideT(t) // derive the family once, not per plane
     (0 until MaxPlanes).map { j =>
-      val pl = typedLit(planesWideT(t)(j))
+      val pl = typedLit(planes(j))
       when(dotL(q, pl) > 0, lit(1L << (MaxPlanes - 1 - j))).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Table `t`'s wide planes as a SQL VALUES relation
     * `planesw$t(j, w)`. */

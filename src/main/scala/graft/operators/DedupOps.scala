@@ -1069,12 +1069,7 @@ object DedupOps {
     * to the same wide-bucket expression. */
   def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val p = VectorFunctions.scaledPlanes(emb.count())
-    val v = emb
-      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
-      .withColumn("n2", VectorFunctions.norm2($"q"))
-      .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
-        VectorFunctions.MaxPlanes - p))
+    val v = embBucketed(emb, VectorFunctions.scaledPlanes(emb.count()))
     v.as("a").join(v.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
@@ -1083,6 +1078,17 @@ object DedupOps {
       .filter($"cos_e6" >= 400000L)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** (vec_id, q, n2, bucket) under the table-0 wide bucket truncated
+    * to p planes — THE quantize/norm/bucket projection every
+    * embedding dedup consumer shares and the oracles mirror
+    * bit-for-bit; one definition so an operator can never
+    * desynchronize from the shared artifact. */
+  private def embBucketed(emb: DataFrame, p: Int): DataFrame =
+    emb.select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("n2", VectorFunctions.norm2($"q"))
+      .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
+        VectorFunctions.MaxPlanes - p))
 
   private val embBucketsIndex = new graft.tools.Materialize.SupersedingCache[
     (String, org.apache.spark.sql.types.StructType, Int)]
@@ -1102,11 +1108,7 @@ object DedupOps {
     val (path, schema, p) = embBucketsIndex.getOrBuild(sfDir, fp) {
       val emb = Tables.embeddings(spark, sfDir)
       val pb = VectorFunctions.scaledPlanes(emb.count())
-      val b = emb
-        .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
-        .withColumn("n2", VectorFunctions.norm2($"q"))
-        .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
-          VectorFunctions.MaxPlanes - pb))
+      val b = embBucketed(emb, pb)
       (graft.tools.Materialize.writeParquet(b, "emb-buckets"), b.schema, pb)
     }
     (spark.read.schema(schema).parquet(path), p)
@@ -1126,12 +1128,8 @@ object DedupOps {
     * table and the corpus side filters % ≠ 0 on the artifact scan. */
   def dedupEmbeddingIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val (index, p) = embBucketsShared(spark, sfDir)
-    val drop = Tables.embeddings(spark, sfDir)
-      .filter($"vec_id" % IncrMod === 0L)
-      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
-      .withColumn("n2", VectorFunctions.norm2($"q"))
-      .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
-        VectorFunctions.MaxPlanes - p))
+    val drop = embBucketed(
+      Tables.embeddings(spark, sfDir).filter($"vec_id" % IncrMod === 0L), p)
     val corpus = index.filter($"vec_id" % IncrMod =!= 0L)
     corpus.as("b").join(broadcast(drop.as("a")), Seq("bucket"))
       .select($"a.vec_id".as("vec_new"), $"b.vec_id".as("vec_old"),

@@ -49,6 +49,13 @@ object LayoutOps {
     val r = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    // empty input (or an all-NULL coordinate column) has no z geometry
+    // to cluster by — write the rows through unchanged instead of
+    // NPE-ing out of Row's primitive getter
+    if ((0 to 3).exists(r.isNullAt)) {
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     val (xMin, xMax, yMin, yMax) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val maxCell = (1L << bits) - 1
@@ -105,6 +112,10 @@ object LayoutOps {
                 .find(_.getPath.toDotString == name)
                 .getOrElse(sys.error(s"column $name not in footer"))
               val st = cc.getStatistics
+              // a writer may omit min/max stats entirely — name the
+              // unauditable file/column instead of NPE-ing mid-audit
+              if (st == null || st.genericGetMin == null || st.genericGetMax == null)
+                sys.error(s"no min/max statistics for $name in ${f.getPath}")
               (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
                 st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
             }
@@ -143,9 +154,19 @@ object LayoutOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(conf)
-    val bytes = fs.listStatus(p)
-      .filter(f => f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: the read below descends into partition
+    // subdirs, so the byte total must too — a top-level-only listing
+    // saw 0 bytes for a hive-partitioned table and silently coalesced
+    // multi-GB inputs into one file
+    val bytes = {
+      val it = fs.listFiles(p, true)
+      var s = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) s += f.getLen
+      }
+      s
+    }
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).coalesce(n)
       .write.mode("overwrite").parquet(outDir)

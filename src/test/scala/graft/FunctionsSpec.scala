@@ -95,6 +95,18 @@ class FunctionsSpec extends SparkTestBase {
         s2.sql("SELECT graft_zvalue(1L, 1L, 40)").collect())
       assert(zerr.getMessage.contains("[1,31]") ||
         zerr.getMessage.contains("zvalue"))
+      // NULL id slots emit nothing — reading them as 0 would
+      // fabricate phantom doc-0 pairs the declarative form dropped
+      val opNull = s2.sql(
+        "SELECT graft_ordered_pairs(array(5L, NULL, 9L)) AS p")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(opNull == Set((5L, 9L)))
+      // negative coordinates have no grid cell: error, not a
+      // silently-corrupted top-tile z value
+      val zneg = intercept[Exception](
+        s2.sql("SELECT graft_zvalue(-1L, 0L, 16)").collect())
+      assert(zneg.getMessage.contains("non-negative"))
       // non-literal shape parameter is rejected with a clear error
       val err = intercept[Exception](
         s2.sql("SELECT graft_gram_hashes('a b', CAST(rand()*2 AS INT))").collect())

@@ -76,6 +76,33 @@ class LayoutSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("compaction sizes partitioned (nested) input from a recursive listing") {
+    val partDir = tmpDir("layout-part")
+    val outDir = tmpDir("layout-part-out")
+    grid.withColumn("k", col("x") % 4)
+      .write.mode("overwrite").partitionBy("k").parquet(partDir)
+    // files live in k=*/ subdirs: a top-level listing sees 0 bytes and
+    // would coalesce everything to 1 file regardless of the target
+    val bytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(partDir))
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    assert(bytes > 0)
+    val n = LayoutOps.compact(spark, partDir, outDir, targetBytes = bytes / 4)
+    assert(n >= 4, s"partitioned input must size from nested bytes, got n=$n")
+    val got = spark.read.parquet(outDir).agg(count(lit(1)), sum("x")).head()
+    val want = grid.agg(count(lit(1)), sum("x")).head()
+    assert(got == want)
+  }
+
+  test("zorderWrite on empty input writes empty output instead of NPE-ing") {
+    val outDir = tmpDir("layout-empty")
+    LayoutOps.zorderWrite(grid.filter(col("x") < -1), "x", "y", outDir, 4)
+    assert(spark.read.parquet(outDir).count() == 0)
+  }
+
   test("z-interleave kernel: bit-exact round trip on tile corners") {
     import graft.functions.LayoutFunctions.zInterleaveJvm
     assert(zInterleaveJvm(0L, 0L, 7) == 0L)
