@@ -63,7 +63,12 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (attempts.exists(_ < 0)) -1.0 else attempts.min)
+      val best = if (attempts.exists(_ < 0)) -1.0 else attempts.min
+      // per-query progress on stderr (the driver parses only the final
+      // stdout JSON line): long scale-study runs stay observable, and
+      // a killed run still yields every completed measurement
+      System.err.println(f"[bench] $name%-28s $best%8.2f s")
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

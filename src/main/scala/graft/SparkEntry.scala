@@ -179,6 +179,8 @@ object SparkEntry {
     "q_label_centroids" -> (SimilarityOps.labelCentroids _),
     "q_pair_lang" -> (DedupOps.pairLangMatrix _),
     "q_zipf_topk" -> (TextOps.zipfTopk _),
+    "q_bpe_merges" -> (TextOps.bpeMerges _),
+    "q_bpe_apply" -> (TextOps.bpeApply _),
     "q_lang_confusion" -> (TextOps.langConfusion _),
     "q_token_len" -> (TextOps.tokenLenProfile _),
     "q_cluster_span" -> (ClusterOps.clusterSpan _),
@@ -436,6 +438,38 @@ object SparkEntry {
       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
       |lmr AS (SELECT doc_id, c2 * 1000000 // c1 AS r
       |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1))""".stripMargin
+  /** The #151 BPE training chain over `uni` (requires `$lmCtes`
+    * upstream): `t0..t$k` are the progressively-merged word-type
+    * tables (parenthesis-wrapped symbol sequences — see
+    * TextOps.wrapSyms for why `replace` on that form IS the greedy
+    * merge), `b1..b$k` the per-round winning pairs. Every stateful
+    * CTE is AS MATERIALIZED — DuckDB inlines plain CTEs, and a
+    * k-step chain re-evaluates exponentially otherwise (the #88
+    * power-iteration lesson). An exhausted round (every type one
+    * symbol) leaves `b$r` empty and the chr(1) coalesce makes the
+    * round's replace a no-op, mirroring the Scala loop's early stop. */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder(
+      """bt0 AS MATERIALIZED (SELECT w1, CAST(c1 AS BIGINT) AS cnt,
+        |    regexp_replace(w1, '(.)', '(\1)', 'g') AS seq FROM uni)""".stripMargin)
+    for (r <- 1 to k) {
+      sb ++= s""",
+        |bp$r AS (SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i+1 AS INTEGER)] AS s2,
+        |    CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+        |        FROM (SELECT string_split(substr(seq, 2, length(seq) - 2), ')(') AS s, cnt
+        |              FROM bt${r - 1})
+        |        WHERE len(s) >= 2)
+        |  GROUP BY 1, 2),
+        |bb$r AS MATERIALIZED (SELECT s1, s2, n FROM bp$r ORDER BY n DESC, s1, s2 LIMIT 1),
+        |bt$r AS MATERIALIZED (SELECT w1, cnt, replace(seq,
+        |    coalesce((SELECT '(' || s1 || ')(' || s2 || ')' FROM bb$r), chr(1)),
+        |    coalesce((SELECT '(' || s1 || s2 || ')' FROM bb$r), '')) AS seq
+        |  FROM bt${r - 1})""".stripMargin
+    }
+    sb.toString
+  }
+
   /** The #95 quality-percentile chain ending in
     * `comp(doc_id, lm_pct_e4, div_pct_e4, rep_pct_e4, composite_e4)`
     * — ONE composite-quality definition shared by the #95 oracle and
@@ -2490,6 +2524,36 @@ object SparkEntry {
          |  CAST((CAST(c_top AS HUGEINT) * 10000) // CAST(c1 AS HUGEINT) AS BIGINT) AS head_ratio_e4,
          |  CAST(c1 * rank AS BIGINT) AS rank_product
          |FROM zrk CROSS JOIN zct ORDER BY rank""".stripMargin,
+    "q_bpe_merges" -> {
+      val k = graft.operators.TextOps.BpeTrainRounds
+      val union = (1 to k)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, s1, s2, n FROM bb$r")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH $tkCte, $lmCtes,
+         |${bpeCtes(k)}
+         |SELECT round, s1, s2, n FROM (
+         |  $union
+         |) ORDER BY round""".stripMargin
+    },
+    "q_bpe_apply" -> {
+      val k = graft.operators.TextOps.BpeTrainRounds
+      s"""WITH $tkCte, $lmCtes,
+         |${bpeCtes(k)},
+         |bsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT d.source, unnest(t.tk) AS w
+         |        FROM tkv t JOIN documents d USING (doc_id))
+         |  GROUP BY 1, 2),
+         |bapp AS (SELECT source, bsrc.cnt AS cnt, CAST(length(w1) AS BIGINT) AS wlen,
+         |    CAST(length(seq) - length(replace(seq, '(', '')) AS BIGINT) AS units
+         |  FROM bsrc JOIN bt$k ON bsrc.w = bt$k.w1)
+         |SELECT source,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(cnt * wlen) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * units) AS BIGINT) AS n_units,
+         |  CAST(sum(cnt * units) * 1000 // sum(cnt) AS BIGINT) AS units_per_token_e3,
+         |  CAST(sum(cnt * wlen) * 1000 // sum(cnt * units) AS BIGINT) AS chars_per_unit_e3
+         |FROM bapp GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_lang_confusion" -> {
       import graft.functions.TextFunctions.{enMarkers, deMarkers, frMarkers}
       s"""WITH $tkCte,

@@ -740,6 +740,108 @@ object TextOps {
     * the rank window runs on the 30-row result only. The head-count
     * ratio multiplies in DECIMAL(38,0) (c₁·10⁴ passes 2^63 at
     * web-corpus token counts). */
+  /** Number of greedy merge rounds [[bpeMerges]] trains (#151). */
+  val BpeTrainRounds = 10
+
+  /** A word as a parenthesis-wrapped symbol sequence —
+    * `hello → (h)(e)(l)(l)(o)`. The wrapper makes merge application a
+    * plain string `replace`: the pattern `(s1)(s2)` can only match at
+    * a symbol boundary (a symbol SUFFIX like the `a` of `xa` is
+    * always followed by `)`, never by `)(s2`-with-a-fresh-`(`), and
+    * left-to-right non-overlapping replacement — the semantics of
+    * both Spark's and DuckDB's `replace` — IS the greedy merge order
+    * BPE specifies, so `(a)(a)(a)` under merge (a,a) becomes
+    * `(aa)(a)`, never the overlapping double-count. Precondition:
+    * tokens must not contain `(` or `)` (the synthetic corpus is
+    * `[a-z0-9~]`; a production corpus would escape or pre-strip). */
+  private def wrapSyms(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "(.)", "($1)")
+
+  /** #151 BPE tokenizer induction: [[BpeTrainRounds]] greedy merge
+    * rounds over the corpus WORD-TYPE table (classic BPE — symbol
+    * pairs never cross a word boundary), returning each round's
+    * chosen pair and the final segmented type table.
+    *
+    * Scale shape: the corpus is touched ONLY through the materialized
+    * LM unigram artifact ([[lmCountsShared]] — word types + counts,
+    * vocab-bounded ≪ corpus), so every training round is a narrow
+    * pass over a vocab-sized frame: adjacent-pair enumeration +
+    * one (s1, s2) partial-agg'd shuffle of pair-vocabulary size, then
+    * a 1-row argmax (count desc, pair asc tiebreak) collected to the
+    * driver — k single-row collects, the bounded-artifact discipline
+    * of the k-means centroids. At 100 TB the unigram table is the
+    * only corpus-sized reduction and it is already amortized across
+    * the LM/Zipf/OOV family. */
+  private[graft] def bpeTrain(spark: SparkSession, sfDir: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val uni = lmCountsShared(spark, sfDir)._1
+    var types = uni.select($"w1", $"c1".as("cnt"), wrapSyms($"w1").as("seq"))
+    val merges = scala.collection.mutable.ListBuffer
+      .empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeTrainRounds && !exhausted) {
+      val pairs = types
+        .select(split(expr("substring(seq, 2, length(seq) - 2)"),
+          "\\)\\(").as("s"), $"cnt")
+        .filter(size($"s") >= 2)
+        .select(explode(sequence(lit(1), size($"s") - 1)).as("i"),
+          $"s", $"cnt")
+        .select(element_at($"s", $"i").as("s1"),
+          element_at($"s", $"i" + 1).as("s2"), $"cnt")
+        .groupBy($"s1", $"s2").agg(sum($"cnt").as("n"))
+      val best = pairs.orderBy($"n".desc, $"s1".asc, $"s2".asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every type is one symbol
+      else {
+        val (s1v, s2v, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r.toLong, s1v, s2v, n))
+        types = types.withColumn("seq",
+          replace($"seq", lit(s"($s1v)($s2v)"), lit(s"($s1v$s2v)")))
+      }
+      r += 1
+    }
+    (merges.toList, types)
+  }
+
+  /** #151 The trained merge table: (round, s1, s2, n) — one row per
+    * greedy merge in training order with the weighted pair count that
+    * won the round. The first thing to diff when two corpus snapshots
+    * should share a tokenizer. */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    val (m, _) = bpeTrain(spark, sfDir)
+    spark.createDataFrame(m).toDF("round", "s1", "s2", "n")
+      .orderBy($"round")
+  }
+
+  /** #151b Tokenizer-fit report: the trained BPE applied per source —
+    * token/char/subword-unit totals with e3 units-per-token and
+    * chars-per-unit (the fertility / compression numbers that decide
+    * whether a tokenizer fits a corpus before anyone prices a
+    * training run). One (source, word) partial-agg'd shuffle
+    * (vocab-bounded output), then a broadcast join against the final
+    * segmented type table — applying BPE to a corpus is a VOCAB
+    * lookup, never a per-occurrence re-segmentation. */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, types) = bpeTrain(spark, sfDir)
+    val perSrc = Tables.documents(spark, sfDir)
+      .select($"source", explode(tokens($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+    perSrc
+      .join(broadcast(types.select($"w1".as("w"),
+        (length($"seq") - length(replace($"seq", lit("("), lit(""))))
+          .cast(LongType).as("units"))), Seq("w"))
+      .groupBy($"source").agg(
+        sum($"cnt").as("n_tokens"),
+        sum($"cnt" * length($"w")).as("n_chars"),
+        sum($"cnt" * $"units").as("n_units"))
+      .select($"source", $"n_tokens", $"n_chars", $"n_units",
+        expr("n_units * 1000 div n_tokens").as("units_per_token_e3"),
+        expr("n_chars * 1000 div n_units").as("chars_per_unit_e3"))
+      .orderBy($"source")
+  }
+
   def zipfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val uni = lmCountsShared(spark, sfDir)._1
     val top = uni.orderBy($"c1".desc, $"w1".asc).limit(ZipfTopK)

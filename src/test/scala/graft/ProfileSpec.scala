@@ -758,4 +758,77 @@ class ProfileSpec extends SparkTestBase {
     assert(dirty("notnull events.user_id") == (2L, 1L))
     assert(dirty("unique documents.doc_id") == (3L, 1L))
   }
+
+  /** Plain-Scala BPE reference: greedy merge rounds over a word-type
+    * count table, symbols as explicit vectors (no string-replace
+    * trickery — the independent formulation the operator's wrapped
+    * `replace` encoding must agree with). */
+  private def bpeModel(counts: Map[String, Long], rounds: Int)
+      : (List[(Long, String, String, Long)], Map[String, Vector[String]]) = {
+    var types = counts.map { case (w, c) => w -> (w.map(_.toString).toVector, c) }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= rounds && !stop) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.values.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      if (pc.isEmpty) stop = true
+      else {
+        val ((s1, s2), n) = pc.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        merges += ((r.toLong, s1, s2, n))
+        types = types.map { case (w, (syms, c)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == s1 && syms(i + 1) == s2) {
+              out += s1 + s2; i += 2 // greedy left-to-right, non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          w -> (out.result(), c)
+        }
+      }
+      r += 1
+    }
+    (merges.toList, types.map { case (w, (syms, _)) => w -> syms })
+  }
+
+  test("BPE training equals a greedy symbol-vector model; apply reconciles with it") {
+    import graft.functions.TextHash.tokensJvm
+    val texts = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val counts = texts.flatMap(t => tokensJvm(t._2))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val (wantMerges, finalSyms) = bpeModel(counts, TextOps.BpeTrainRounds)
+    val gotMerges = TextOps.bpeMerges(spark, sf)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(gotMerges == wantMerges,
+      s"merge drift: got=${gotMerges.take(3)} want=${wantMerges.take(3)}")
+    // overlap semantics: a crafted run-heavy corpus where the wrapped
+    // string-replace encoding and the vector model diverge if either
+    // double-counts overlapping pairs or merges them non-greedily
+    val crafted = Map("aaaa" -> 10L, "aaab" -> 5L, "baaa" -> 3L)
+    val (cm, cs) = bpeModel(crafted, 3)
+    assert(cm.head._2 == "a" && cm.head._3 == "a" && cm.head._4 == 46L,
+      s"(a,a) counts 3+2+2 per type occurrence-weighted: $cm")
+    // rounds: (a,a) 46 → (aa,aa) 10 → (aa,a) 8; greedy non-overlap pins
+    // "aaaa"→[aa,aa]→[aaaa], "aaab"→[aa,a,b]→[aaa,b], "baaa"→[b,aaa]
+    assert(cs("aaaa") == Vector("aaaa") && cs("aaab") == Vector("aaa", "b") &&
+      cs("baaa") == Vector("b", "aaa"), cs.toString)
+    // apply report reconciles with the model's final segmentation
+    val perSrc = texts.flatMap { case (src, txt) => tokensJvm(txt).map(src -> _) }
+    val want = perSrc.groupBy(_._1).map { case (src, ws) =>
+      val toks = ws.map(_._2)
+      (src, toks.length.toLong, toks.map(_.length.toLong).sum,
+        toks.map(w => finalSyms(w).length.toLong).sum)
+    }.toSet
+    val got = TextOps.bpeApply(spark, sf)
+      .select(col("source"), col("n_tokens"), col("n_chars"), col("n_units"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"apply drift: extra=${got.diff(want).take(2)} missing=${want.diff(got).take(2)}")
+    // fertility bounds: merges only ever shrink, units never below 1/token
+    got.foreach { case (_, nt, nc, nu) => assert(nt <= nu && nu <= nc) }
+  }
 }
