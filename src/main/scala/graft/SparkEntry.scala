@@ -451,7 +451,8 @@ object SparkEntry {
   private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder(
       """bt0 AS MATERIALIZED (SELECT w1, CAST(c1 AS BIGINT) AS cnt,
-        |    regexp_replace(w1, '(.)', '(\1)', 'g') AS seq FROM uni)""".stripMargin)
+        |    regexp_replace(w1, '(.)', '(\1)', 'g') AS seq FROM uni
+        |  WHERE w1 NOT LIKE '%(%' AND w1 NOT LIKE '%)%')""".stripMargin)
     for (r <- 1 to k) {
       sb ++= s""",
         |bp$r AS (SELECT s[CAST(i AS INTEGER)] AS s1, s[CAST(i+1 AS INTEGER)] AS s2,
@@ -2543,9 +2544,10 @@ object SparkEntry {
          |  FROM (SELECT d.source, unnest(t.tk) AS w
          |        FROM tkv t JOIN documents d USING (doc_id))
          |  GROUP BY 1, 2),
-         |bapp AS (SELECT source, bsrc.cnt AS cnt, CAST(length(w1) AS BIGINT) AS wlen,
-         |    CAST(length(seq) - length(replace(seq, '(', '')) AS BIGINT) AS units
-         |  FROM bsrc JOIN bt$k ON bsrc.w = bt$k.w1)
+         |bapp AS (SELECT source, bsrc.cnt AS cnt, CAST(length(w) AS BIGINT) AS wlen,
+         |    CAST(coalesce(length(seq) - length(replace(seq, '(', '')),
+         |                  length(w)) AS BIGINT) AS units
+         |  FROM bsrc LEFT JOIN bt$k ON bsrc.w = bt$k.w1)
          |SELECT source,
          |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
          |  CAST(sum(cnt * wlen) AS BIGINT) AS n_chars,

@@ -775,7 +775,13 @@ object TextOps {
   private[graft] def bpeTrain(spark: SparkSession, sfDir: String)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     val uni = lmCountsShared(spark, sfDir)._1
-    var types = uni.select($"w1", $"c1".as("cnt"), wrapSyms($"w1").as("seq"))
+    // tokens carrying the wrapper chars would make replace-as-merge
+    // ambiguous — exclude them from the vocabulary (they fall back to
+    // char-count segmentation in bpeApply) instead of corrupting
+    // every merge that touches their neighborhood
+    var types = uni
+      .filter(!$"w1".contains("(") && !$"w1".contains(")"))
+      .select($"w1", $"c1".as("cnt"), wrapSyms($"w1").as("seq"))
     val merges = scala.collection.mutable.ListBuffer
       .empty[(Long, String, String, Long)]
     var r = 1
@@ -825,22 +831,38 @@ object TextOps {
     * lookup, never a per-occurrence re-segmentation. */
   def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, types) = bpeTrain(spark, sfDir)
-    val perSrc = Tables.documents(spark, sfDir)
-      .select($"source", explode(tokens($"text")).as("w"))
-      .groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
-    perSrc
-      .join(broadcast(types.select($"w1".as("w"),
-        (length($"seq") - length(replace($"seq", lit("("), lit(""))))
-          .cast(LongType).as("units"))), Seq("w"))
+    bpeFitStage(Tables.documents(spark, sfDir), bpeUnitsVocab(types))
+      .orderBy($"source")
+  }
+
+  /** The trained tokenizer as a (w, units) lookup — the broadcastable
+    * "model" both the batch report and the streaming gate score
+    * against (one definition). */
+  private[graft] def bpeUnitsVocab(types: DataFrame): DataFrame =
+    types.select($"w1".as("w"),
+      (length($"seq") - length(replace($"seq", lit("("), lit(""))))
+        .cast(LongType).as("units"))
+
+  /** Per-source fertility report over a (source, text) frame — the
+    * ONE scoring definition behind [[bpeApply]] and
+    * StreamingJobs.bpeGate. A narrow broadcast vocab lookup per token
+    * occurrence into a SINGLE partial-agg'd per-source sum (map-side
+    * combine collapses to \|sources\| rows per partition — one
+    * shuffle total, and single-agg is what streaming complete mode
+    * requires). Out-of-vocab tokens (the wrapper-char exclusions, or
+    * genuinely unseen words in a streaming drop) segment to chars —
+    * the untrained-tokenizer worst case, never a dropped row. */
+  private[graft] def bpeFitStage(docs: DataFrame, unitsVocab: DataFrame): DataFrame =
+    docs.select($"source", explode(tokens($"text")).as("w"))
+      .join(broadcast(unitsVocab), Seq("w"), "left")
+      .withColumn("units", coalesce($"units", length($"w").cast(LongType)))
       .groupBy($"source").agg(
-        sum($"cnt").as("n_tokens"),
-        sum($"cnt" * length($"w")).as("n_chars"),
-        sum($"cnt" * $"units").as("n_units"))
+        count(lit(1)).as("n_tokens"),
+        sum(length($"w").cast(LongType)).as("n_chars"),
+        sum($"units").as("n_units"))
       .select($"source", $"n_tokens", $"n_chars", $"n_units",
         expr("n_units * 1000 div n_tokens").as("units_per_token_e3"),
         expr("n_chars * 1000 div n_units").as("chars_per_unit_e3"))
-      .orderBy($"source")
-  }
 
   def zipfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val uni = lmCountsShared(spark, sfDir)._1

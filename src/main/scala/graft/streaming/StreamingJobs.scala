@@ -266,6 +266,20 @@ object StreamingJobs {
     graft.operators.TextOps.charReport(
       graft.operators.TextOps.charClassCounts(stream))
 
+  /** Streaming tokenizer-fit gate (SURVEY.md §2.7 #151b streaming
+    * form): per-source fertility/compression of an ingest stream
+    * scored against the BATCH-trained BPE vocabulary — the
+    * "does yesterday's tokenizer still fit today's drop" alarm (a
+    * fertility spike means the feed drifted away from the trained
+    * vocabulary: new language, new templates, encoding breakage).
+    * SAME `TextOps.bpeFitStage` scoring definition as the batch
+    * report: broadcast vocab lookup (out-of-vocab segments to chars)
+    * into one complete-mode per-source agg of commutative sums —
+    * O(|sources|) state, micro-batch-invariant. Input: (source,
+    * text); `unitsVocab` from `TextOps.bpeUnitsVocab`. */
+  def bpeGate(stream: DataFrame, unitsVocab: DataFrame): DataFrame =
+    graft.operators.TextOps.bpeFitStage(stream, unitsVocab)
+
   /** Streaming data-quality gate (SURVEY.md §2.7 #150 streaming
     * form): the lineitem constraint pass — FK orphans against the
     * STATIC orders dim plus both range rules — maintained live over

@@ -394,6 +394,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming BPE-fit gate equals the batch report and char-falls-back on unseen tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val batch = TextOps.bpeApply(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val vocab = TextOps.bpeUnitsVocab(TextOps.bpeTrain(spark, sf)._2)
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val in = MemoryStream[(String, String)]
+    val q = StreamingJobs.bpeGate(in.toDF().toDF("source", "text"), vocab)
+      .writeStream.format("memory").queryName("bpegate")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("bpegate")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"bpe fit drift: extra=${streamed.diff(batch).take(2)} " +
+          s"missing=${batch.diff(streamed).take(2)}")
+      // a drifted drop: tokens the trained vocab has never seen must
+      // segment to chars (fertility = word length), not drop
+      in.addData(Seq(("driftsrc", "zzzzzz qqqq"))); q.processAllAvailable()
+      val drift = spark.table("bpegate")
+        .filter(col("source") === "driftsrc")
+        .as[(String, Long, Long, Long, Long, Long)].head()
+      assert(drift == (("driftsrc", 2L, 10L, 10L, 5000L, 1000L)),
+        s"unseen tokens must char-segment: $drift")
+    } finally q.stop()
+  }
+
   test("streaming integrity gate equals the batch constraint pass, dirty rows included") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.JoinOps
