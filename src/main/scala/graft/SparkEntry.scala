@@ -62,6 +62,7 @@ object SparkEntry {
     "q_embed_incremental" -> (DedupOps.dedupEmbeddingIncremental _),
     "q_overlap_pairs" -> ((s: SparkSession, d: String) => DedupOps.overlapPairs(s, d)),
     "q_ann_topk" -> (SimilarityOps.annTopk _),
+    "q_ann_negatives" -> (SimilarityOps.annNegatives _),
     "q_ann_lsh" -> (SimilarityOps.annLsh _),
     "q_ann_multiprobe" -> (SimilarityOps.annMultiprobe _),
     "q_ann_ivf" -> (SimilarityOps.annIvf _),
@@ -798,6 +799,19 @@ object SparkEntry {
          |r AS (SELECT query_id, vec_id, cos_e6,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
          |SELECT query_id, rank, vec_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_negatives" ->
+      s"""WITH $quantCte,
+         |nl AS (SELECT n.vec_id, q, n2, CAST(label AS BIGINT) AS label
+         |  FROM n JOIN embeddings e ON n.vec_id = e.vec_id),
+         |s AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |    a.label AS qlabel, b.label AS label,
+         |    ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |  FROM nl a CROSS JOIN nl b
+         |  WHERE a.vec_id < 10 AND b.vec_id >= 10 AND a.label <> b.label),
+         |r AS (SELECT query_id, vec_id, qlabel, label, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_e6 DESC, vec_id ASC) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, rank, vec_id, cos_e6, qlabel, label FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     "q_dedup_embedding_lsh" ->
       s"""WITH $quantCte,

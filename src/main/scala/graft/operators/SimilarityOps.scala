@@ -27,15 +27,18 @@ object SimilarityOps {
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("n2", norm2($"q"))
 
-  private def ranked(joined: DataFrame, k: Int): DataFrame = {
+  private def ranked(joined: DataFrame, k: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos_e6".desc, $"vec_id".asc)
     joined
-      .select($"query_id", $"vec_id",
-        cosineE6(dotL($"a.q", $"b.q"), $"a.n2", $"b.n2").as("cos_e6"))
+      .select($"query_id" +: $"vec_id" +:
+        cosineE6(dotL($"a.q", $"b.q"), $"a.n2", $"b.n2").as("cos_e6") +:
+        carry.map(col): _*)
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"vec_id", $"cos_e6")
+      .select($"query_id" +: $"rank" +: $"vec_id" +: $"cos_e6" +:
+        carry.map(col): _*)
       .orderBy($"query_id", $"rank")
   }
 
@@ -46,6 +49,33 @@ object SimilarityOps {
       .withColumnRenamed("vec_id", "query_id")
     val corpus = v.filter($"vec_id" >= 10)
     ranked(corpus.as("b").join(broadcast(queries.as("a"))), k = 5)
+  }
+
+  /** #152 Hard-negative mining: for each fixture query vector, the
+    * [[AnnK]]=5 highest-cosine corpus vectors whose ground-truth
+    * `label` DIFFERS from the query's — the contrastive-training
+    * negatives that are close in embedding space but semantically
+    * wrong, which is exactly the pair class an embedding model learns
+    * most from (easy random negatives teach nothing). Same physical
+    * shape as the exact #43 ranking it shares [[ranked]] with:
+    * queries broadcast over ONE narrow corpus scan, the label
+    * inequality applied in the join condition so wrong-label
+    * candidates never rank, per-query top-k via the bounded window.
+    * Exact by design: an approximate (bucketed) variant could miss
+    * the globally-nearest wrong-label vector, which is the one that
+    * matters. */
+  def annNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantize($"embedding").as("q"),
+        $"label".cast(LongType).as("label"))
+      .withColumn("n2", norm2($"q"))
+    val queries = v.filter($"vec_id" < 10)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("label", "qlabel")
+    val corpus = v.filter($"vec_id" >= 10)
+    ranked(
+      corpus.as("b").join(broadcast(queries.as("a")), $"qlabel" =!= $"label"),
+      k = 5, carry = Seq("qlabel", "label"))
   }
 
   private def bucketedVecs(spark: SparkSession, sfDir: String): DataFrame =

@@ -268,6 +268,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want, "operator diverges from the JVM model")
   }
 
+  test("hard negatives equal a plain-JVM wrong-label ranking model") {
+    import graft.functions.VectorFunctions.{quantizeJvm, cosineE6Jvm}
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), quantizeJvm(r.getSeq[Float](1).toArray),
+        r.getInt(2).toLong))
+    val n2 = emb.map { case (id, q, _) => id -> q.map(x => x * x).sum }.toMap
+    val queries = emb.filter(_._1 < 10)
+    val corpus = emb.filter(_._1 >= 10)
+    val want = queries.flatMap { case (qid, qq, ql) =>
+      corpus.filter(_._3 != ql)
+        .map { case (cid, cq, cl) =>
+          (cid, cosineE6Jvm(qq, cq, n2(qid), n2(cid)), cl) }
+        .sortBy { case (cid, cos, _) => (-cos, cid) }
+        .take(5).zipWithIndex
+        .map { case ((cid, cos, cl), i) => (qid, i + 1L, cid, cos, ql, cl) }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = SimilarityOps.annNegatives(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, "hard negatives diverge from the JVM model")
+    // every negative is genuinely wrong-label — the property that
+    // makes the pair a NEGATIVE and not just a neighbor
+    got.foreach { case (_, _, _, _, ql, l) => assert(ql != l) }
+  }
+
   test("ann margin agrees with the exact ranking and is non-negative") {
     val top = SimilarityOps.annTopk(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
