@@ -128,6 +128,7 @@ object SparkEntry {
     "q_pca_var" -> (SimilarityOps.pcaVar _),
     "q_cluster_purity" -> (SimilarityOps.clusterPurity _),
     "q_decon_embedding" -> (CurationOps.deconEmbedding _),
+    "q_decon_embedding_lsh" -> (CurationOps.deconEmbeddingLsh _),
     "q_token_diversity" -> (TextOps.tokenDiversity _),
     "q_length_gate" -> (CurationOps.lengthGate _),
     "q_hist_quantiles" -> (CurationOps.histQuantiles _),
@@ -1765,6 +1766,30 @@ object SparkEntry {
          |  WHERE cos_e6 >= ${CurationOps.EmbDecontCos})
          |SELECT vec_id, bench_id AS best_bench, cos_e6 AS max_cos_e6, n_hits
          |FROM hit WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // #91c: the same readout restricted to scaled-sign-bucket
+    // collisions (nbw = the corpus-scaled wide bucket of the
+    // embedding dedup family — one bucket definition), with Hamming-1
+    // multi-probe on the benchmark side: r = 0 is the own bucket,
+    // r = 1..p flips plane r-1
+    "q_decon_embedding_lsh" ->
+      s"""WITH $quantCte,
+         |$lshBucketWideCtes,
+         |lprobe AS (SELECT vec_id, q, n2,
+         |    CASE WHEN r = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(r - 1 AS INT)) END AS bucket
+         |  FROM nbw, (SELECT unnest(generate_series(0, (SELECT p FROM pl))) AS r)
+         |  WHERE vec_id % ${CurationOps.EmbDecontMod} = 0),
+         |lhit AS (SELECT vec_id, bench_id, cos_e6,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, bench_id ASC) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_hits
+         |  FROM (SELECT b.vec_id, a.vec_id AS bench_id,
+         |      ${cosE6("a.q", "b.q", "a.n2", "b.n2")} AS cos_e6
+         |    FROM lprobe a JOIN nbw b
+         |      ON a.bucket = b.bucket
+         |     AND b.vec_id % ${CurationOps.EmbDecontMod} <> 0)
+         |  WHERE cos_e6 >= ${CurationOps.EmbDecontCos})
+         |SELECT vec_id, bench_id AS best_bench, cos_e6 AS max_cos_e6, n_hits
+         |FROM lhit WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "q_token_diversity" ->
       s"""WITH $tkCte,
          |cnt AS (SELECT doc_id, tok, count(*) AS c

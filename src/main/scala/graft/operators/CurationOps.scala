@@ -420,10 +420,18 @@ object CurationOps {
   }
 
   def deconEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = quantVecs(Tables.embeddings(spark, sfDir))
       .filter($"vec_id" % EmbDecontMod =!= 0L)
-    val hits = deconHits(corpus, embBench(spark, sfDir))
+    deconReadout(deconHits(corpus, embBench(spark, sfDir)))
+  }
+
+  /** Per-vector contamination readout over a τ-filtered
+    * (vec_id, bench_id, cos_e6) hit frame — best bench + hit count;
+    * ONE definition shared by the exact #91 and the #91c LSH scale
+    * path so the report rule cannot drift between them. Window
+    * partitions are bounded by the benchmark size. */
+  private def deconReadout(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"vec_id").orderBy($"cos_e6".desc, $"bench_id".asc)
     hits
       .withColumn("rk", row_number().over(w))
@@ -432,6 +440,47 @@ object CurationOps {
       .select($"vec_id", $"bench_id".as("best_bench"),
         $"cos_e6".as("max_cos_e6"), $"n_hits")
       .orderBy($"vec_id")
+  }
+
+  /** #91c Semantic-decontamination SCALE path: the #91 judgment
+    * restricted to corpus-scaled sign-bucket collisions. The exact
+    * form's benchmark side is broadcast against every corpus vector —
+    * the right oracle baseline, but its cost is |bench|·|corpus|, and
+    * a benchmark stand-in that tracks corpus growth (the `% 31`
+    * fixture here) makes that quadratic across scale decades (the
+    * sf10 sweep measured it). This path reads the materialized
+    * sign-bucket index (`DedupOps.embBucketsShared` — the SAME
+    * artifact the embedding dedup family probes, benchmark vectors
+    * indexed next to the corpus the way a production vector store
+    * keeps them), equi-joins benchmark×corpus on the bucket (both
+    * sides one artifact scan — no re-quantize, no forced broadcast:
+    * AQE broadcasts while the bench side is small, shuffles when it
+    * isn't), and scores only collisions — candidate volume is bounded
+    * by the scaled-plane occupancy rule (≈16n), linear in the corpus.
+    * APPROXIMATE by construction: a τ-hit in a different bucket is
+    * missed (recall pinned as a subset sandwich in SimilaritySpec);
+    * the exact form stays the audit baseline. */
+  def deconEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineE6, dotL}
+    val (index, p) = DedupOps.embBucketsShared(spark, sfDir)
+    // Hamming-1 multi-probe on the BENCHMARK side (the small side —
+    // probe fan-out multiplies |bench|, never the corpus): mask 0 is
+    // the bench vector's own bucket, each 1<<j flips one of the p
+    // scaled planes. A (bench, corpus) pair matches at most one probe
+    // (probe buckets are pairwise distinct), so no distinct pass is
+    // needed. τ = cos 0.4 is ~66°, so single-bucket agreement across
+    // all p planes is rare (~0.63^p) — one tolerated disagreement
+    // lifts recall ~6x at (p+1)x candidate volume (n log n overall).
+    val masks = lit(0L) +: (0 until p).map(j => lit(1L << j))
+    val bench = index.filter($"vec_id" % EmbDecontMod === 0L)
+      .select($"vec_id".as("bench_id"), $"q".as("bq"), $"n2".as("bn2"),
+        explode(array(masks.map($"bucket".bitwiseXOR(_)): _*)).as("bucket"))
+    val corpus = index.filter($"vec_id" % EmbDecontMod =!= 0L)
+    val hits = corpus.join(bench, Seq("bucket"))
+      .select($"vec_id", $"bench_id",
+        cosineE6(dotL($"q", $"bq"), $"n2", $"bn2").as("cos_e6"))
+      .filter($"cos_e6" >= EmbDecontCos)
+    deconReadout(hits)
   }
 
   /** Winsorization percentiles for [[lengthGate]] (per mille-free

@@ -293,6 +293,28 @@ class SimilaritySpec extends SparkTestBase {
     got.foreach { case (_, _, _, _, ql, l) => assert(ql != l) }
   }
 
+  test("LSH decon is a recall-correct subset of the exact decon judgment") {
+    import graft.operators.CurationOps
+    // sf0.1: the gate scale where both forms produce rows (sf0.001's
+    // 6-vector benchmark makes every assertion vacuous)
+    val big = "/root/testdata/sf0.1"
+    val exact = CurationOps.deconEmbedding(spark, big)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val lsh = CurationOps.deconEmbeddingLsh(spark, big)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(lsh.nonEmpty, "multi-probe recall must find hits at sf0.1")
+    lsh.foreach { case (vec, best, cos, nHits) =>
+      val (_, exCos, exHits) = exact.getOrElse(vec,
+        fail(s"LSH flagged $vec which the exact judgment did not"))
+      // candidate subset ⇒ the approximate report can only UNDER-state
+      assert(nHits <= exHits && cos <= exCos,
+        s"LSH overstates contamination for $vec")
+      // and its best pair is a genuine τ-hit under the exact bar
+      assert(cos >= CurationOps.EmbDecontCos && best % CurationOps.EmbDecontMod == 0L)
+    }
+  }
+
   test("ann margin agrees with the exact ranking and is non-negative") {
     val top = SimilarityOps.annTopk(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
