@@ -609,6 +609,27 @@ class PlanSpec extends SparkTestBase {
       "the redaction rewrite must run at scan speed (<=1 for the gate's sort)")
   }
 
+  test("q_bpe_apply broadcasts the vocab and shuffles exactly once beyond the sort") {
+    val plan = fullPlanString("q_bpe_apply")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"the trained vocab must broadcast, never shuffle the token stream:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-source sums must map-side combine:\n$plan")
+    // token-occurrence stream: one per-source agg exchange + the
+    // output sort; training's vocab-bounded rounds are separate jobs
+    assert(countShuffles(planOf("q_bpe_apply")) <= 2,
+      "the fit report must not shuffle token occurrences more than once")
+  }
+
+  test("q_decon_embedding_lsh probes the bucket index without any cartesian product") {
+    val plan = fullPlanString("q_decon_embedding_lsh")
+    assert(!plan.contains("CartesianProduct"),
+      s"bucket equi-join only — the exact form owns the all-pairs cost:\n$plan")
+    // both sides scan the materialized index, never the raw embeddings
+    assert(!plan.toLowerCase.contains("embeddings.parquet"),
+      s"steady state must read the sign-bucket artifact, not re-quantize:\n$plan")
+  }
+
   test("q_skew_keys partial-aggregates every audited key before its exchange") {
     val plan = fullPlanString("q_skew_keys")
     assert(plan.contains("partial_count"),
