@@ -1084,7 +1084,7 @@ object DedupOps {
     * embedding dedup consumer shares and the oracles mirror
     * bit-for-bit; one definition so an operator can never
     * desynchronize from the shared artifact. */
-  private def embBucketed(emb: DataFrame, p: Int): DataFrame =
+  private[graft] def embBucketed(emb: DataFrame, p: Int): DataFrame =
     emb.select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
       .withColumn("n2", VectorFunctions.norm2($"q"))
       .withColumn("bucket", shiftright(VectorFunctions.lshBucketWide($"q"),
@@ -1102,7 +1102,7 @@ object DedupOps {
     * fresh drops under the index's own geometry (the log-scale rule
     * moves p only on decade growth, exactly when a production index
     * rebuilds anyway). */
-  private[operators] def embBucketsShared(spark: SparkSession, sfDir: String)
+  private[graft] def embBucketsShared(spark: SparkSession, sfDir: String)
       : (DataFrame, Int) = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
     val (path, schema, p) = embBucketsIndex.getOrBuild(sfDir, fp) {
@@ -1113,6 +1113,24 @@ object DedupOps {
     }
     (spark.read.schema(schema).parquet(path), p)
   }
+
+  /** Drop-admission lifecycle for the sign-bucket index — the
+    * embedding-space twin of [[admitDrop]]: after a drop is admitted
+    * (its rows appended to the corpus embeddings table), bucket the
+    * NEW vectors under the index's OWN plane geometry, append them to
+    * the stored artifact, and re-key the cache entry to the grown
+    * corpus's fingerprint — the corpus is never re-quantized for a
+    * daily drop. The plane count intentionally stays the index's
+    * (a vector store keeps its geometry until a rebuild); occupancy
+    * drifting past the scaledPlanes rule as the corpus grows is the
+    * rebuild signal, visible in the #142-style occupancy audits. */
+  private[graft] def admitEmbDrop(spark: SparkSession, sfDir: String,
+      dropVecs: DataFrame, updatedFingerprint: String): Boolean =
+    embBucketsIndex.rekey(sfDir, updatedFingerprint) { case (path, schema, p) =>
+      embBucketed(dropVecs.select($"vec_id", $"embedding"), p)
+        .write.mode("append").parquet(path)
+      (path, schema, p)
+    }.isDefined
 
   /** #42e Incremental embedding near-dup — the [[dedupIncremental]]
     * daily-ingest shape in the SEMANTIC space: today's drop

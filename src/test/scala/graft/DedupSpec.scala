@@ -169,6 +169,46 @@ class DedupSpec extends SparkTestBase {
       s"expected the candidate-id IN filter pushed into the corpus scan:\n$planStr")
   }
 
+  test("admitted embedding drops append to the sign-bucket index under its own geometry") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmpDir("graft-admit-emb-")
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => ((seed * 31 + i * 7) % 13 - 6) / 6.0f)
+    (0 until 12).map(i => (i.toLong, vec(i), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (before, p) = DedupOps.embBucketsShared(spark, dir)
+    before.count()
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    val pathBefore = scanPaths(before).filter(_.contains("emb-buckets"))
+    assert(pathBefore.nonEmpty)
+    // a drop is admitted: corpus table grows, then the index follows
+    val drop = (100 until 103).map(i => (i.toLong, vec(i), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    drop.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val newFp = graft.tools.Materialize.fingerprint(spark, s"$dir/embeddings.parquet")
+    assert(DedupOps.admitEmbDrop(spark, dir, drop, newFp),
+      "a live index must re-key instead of falling back to a rebuild")
+    val (after, pAfter) = DedupOps.embBucketsShared(spark, dir)
+    // same directory (appended, not rebuilt), same plane geometry
+    assert(scanPaths(after).filter(_.contains("emb-buckets")) == pathBefore,
+      "admission must append to the SAME index directory")
+    assert(pAfter == p, "the index keeps its plane geometry until a rebuild")
+    // content equals a from-scratch bucketing of the grown corpus
+    // under the index's geometry
+    val got = after.select(col("vec_id"), col("bucket"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val want = DedupOps.embBucketed(Tables.embeddings(spark, dir), p)
+      .select(col("vec_id"), col("bucket"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want, "appended index diverges from a rebuild")
+    assert(got.map(_._1) == (0L until 12L) ++ (100L until 103L),
+      "every corpus and drop vector must be indexed exactly once")
+  }
+
   test("admitted drops append to the band artifact — the next drop never re-hashes the corpus") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     import org.apache.spark.sql.execution.FileSourceScanExec
