@@ -151,6 +151,8 @@ object SparkEntry {
     "q_funnel_window" -> (CoreOps.eventFunnelWindow _),
     "q_funnel_latency" -> (CoreOps.funnelLatency _),
     "q_order_priority" -> (JoinOps.orderPriority _),
+    "q_waiting_supplier" -> (JoinOps.waitingSupplier _),
+    "q_supplier_diversity" -> (JoinOps.supplierDiversity _),
     "q_promo_share" -> (JoinOps.promoShare _),
     "q_local_supplier" -> (JoinOps.localSupplierVolume _),
     "q_top_supplier" -> (JoinOps.topSupplier _),
@@ -2139,6 +2141,29 @@ object SparkEntry {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_waiting_supplier" ->
+      """WITH ol AS (
+        |  SELECT l_orderkey AS okey, l_suppkey AS skey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |og AS (
+        |  SELECT okey, count(*) AS n_supp, sum(late) AS n_late,
+        |    max(CASE WHEN late = 1 THEN skey END) AS late_skey
+        |  FROM ol GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM og JOIN supplier ON late_skey = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey ASC LIMIT 20""".stripMargin,
+    "q_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_promo_share" ->
       """WITH sl AS (SELECT
         |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT) AS rev_e4,

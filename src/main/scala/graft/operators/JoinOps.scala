@@ -938,4 +938,80 @@ object JoinOps {
     liLegs.unionByName(oLegs).unionByName(evLeg).unionByName(docLeg)
       .orderBy($"check_name")
   }
+
+  /** #33p (SURVEY §2.6) TPC-H Q21-style "suppliers who kept orders
+    * waiting": over finished orders (status 'F'), the top-20
+    * suppliers who were the SOLE late supplier on a multi-supplier
+    * order — the blame report purchasing reads before renegotiating
+    * a contract. "Late" is the schema's lateness proxy shared with
+    * #33e: a line shipped more than 60 days after the order date
+    * (this lineitem has no commit/receipt dates; reference Q21 uses
+    * `l_receiptdate > l_commitdate`).
+    *
+    * The classic form is a double EXISTS / NOT-EXISTS self-join on
+    * lineitem; re-expressed as a cascading aggregation so the fact
+    * table crosses ONE fact-sized exchange: the status-filtered
+    * order slice joins (broadcast at gate scale; a shared orderkey
+    * SMJ shuffle when it outgrows that), the (orderkey, suppkey)
+    * late-flag agg is map-side combined before its shuffle, and
+    * everything after runs on collapsed frames — the per-order
+    * (n_supp, n_late, sole-late-supp) agg sees ≤ suppliers-per-order
+    * rows per order, the suppkey count sees one row per sole-late
+    * order (when n_late = 1 the max-over-late-suppkeys IS the unique
+    * culprit, so no join back onto a per-supplier frame is needed).
+    * Supplier names broadcast, top-20 via TakeOrdered. */
+  def waitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val perSupp = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        1L).otherwise(0L)).as("late"))
+    val soleLate = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"),
+        max(when($"late" === 1L, $"l_suppkey")).as("late_suppkey"))
+      .filter($"n_supp" >= 2L && $"n_late" === 1L)
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
+    // group + order on the supplier KEY, not the name: scaled corpora
+    // clone suppliers under fresh keys with recurring names, and a
+    // name-keyed report would silently weld the clones together
+    soleLate.groupBy($"late_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), $"late_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_suppkey".asc)
+      .limit(20)
+  }
+
+  /** #33q (SURVEY §2.6) TPC-H Q16-style supplier diversity: how many
+    * distinct suppliers have actually SHIPPED parts of each
+    * (brand, type, size) combination — the single-source-risk screen
+    * over the product catalog (a combination served by one supplier
+    * is a supply-chain outage away from stockout). Reference Q16
+    * counts partsupp offers; this schema has no partsupp, so the
+    * observed shipping relation (lineitem) stands in — a HARDER
+    * audit, since an offer that never shipped is no hedge. One brand
+    * is excluded and sizes restricted, Q16-style, so the report
+    * answers a concrete sourcing question rather than dumping the
+    * catalog.
+    *
+    * Scale shape: the filtered part dim BROADCASTS onto a 2-column
+    * lineitem scan (pruned ReadSchema, no fact shuffle for the
+    * join); Spark plans count(DISTINCT) as the two-phase expand —
+    * a partial dedup keyed by (brand, type, size, suppkey), then the
+    * bounded group-key agg — both exchanges uniform and partial-
+    * agg'd; output ≤ |brands|·|types|·|sizes| rows. */
+  def supplierDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_size".isin(1, 4, 7, 10))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val li = Tables.lineitem(spark, sfDir).select($"l_partkey", $"l_suppkey")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand".asc, $"p_type".asc,
+        $"p_size".asc)
+  }
 }

@@ -487,6 +487,35 @@ class PlanSpec extends SparkTestBase {
       "order-date slice must push to the orders parquet scan")
   }
 
+  test("q_waiting_supplier cascades partial aggs off one fact pass; dims broadcast") {
+    val plan = fullPlanString("q_waiting_supplier")
+    assert(plan.contains("BroadcastHashJoin"),
+      "order slice / supplier names must broadcast at gate scale")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      "no all-pairs and no window sort — the culprit pick is an agg")
+    assert(plan.contains("partial_max") || plan.contains("partial_count"),
+      "the late-flag agg must combine map-side before its shuffle")
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("o_orderstatus")),
+      "the status slice must push to the orders parquet scan")
+    // (okey,skey) agg + per-order agg + suppkey agg on collapsed frames
+    assert(countShuffles(planOf("q_waiting_supplier")) <= 3)
+  }
+
+  test("q_supplier_diversity broadcasts the part slice and pushes its filters") {
+    val plan = fullPlanString("q_supplier_diversity")
+    assert(plan.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("p_size")),
+      "brand/size slice must push to the part parquet scan")
+    assert(plan.linesIterator.exists(l => l.contains("ReadSchema") &&
+      l.contains("l_partkey") && !l.contains("l_quantity")),
+      "lineitem scan must prune to (l_partkey, l_suppkey)")
+    // two-phase distinct (dedup + group agg) + output sort
+    assert(countShuffles(planOf("q_supplier_diversity")) <= 3)
+  }
+
   test("q_oov_rate broadcasts the vocab; tokens never shuffle by token") {
     // force the unigram artifact first so steady state is observed
     SparkEntry.queries("q_oov_rate")(spark, sf).queryExecution.executedPlan
