@@ -105,7 +105,15 @@ object CurationOps {
     * pipeline actually keeps. Flags instead of filters: the funnel
     * needs the rejected rows too. Narrow maps only. */
   private def curationFlags(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    curationFlagsFrame(Tables.documents(spark, sfDir))
+
+  /** Frame-bound form of the gate flags — the ONE quality/language
+    * gate definition, shared by the batch pipeline above and the
+    * live ingest job (jobs.IngestPipeline): pure stateless narrow
+    * maps, so the same stage runs unchanged over a stream. Input
+    * needs (doc_id, source, lang, text). */
+  private[graft] def curationFlagsFrame(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", tokens($"text"))
       .withColumn("n_tokens", size($"tk").cast(LongType))
       .withColumn("n_distinct", size(array_distinct($"tk")).cast(LongType))

@@ -264,23 +264,30 @@ object TextOps {
 
   /** The stateless redaction projection behind [[piiRedact]] — ONE
     * definition shared with the streaming ingest gate
-    * (StreamingJobs.redactGate), so batch rewrite and at-ingest
-    * redaction can never disagree on a byte. Input needs (doc_id,
-    * source, text). */
-  private[graft] def redactStage(docs: DataFrame): DataFrame =
+    * (StreamingJobs.redactGate) and the end-to-end ingest job
+    * (jobs.IngestPipeline), so batch rewrite and at-ingest redaction
+    * can never disagree on a byte. Input needs (doc_id, source,
+    * text); `carry` names extra input columns to pass through
+    * untouched (the ingest job rides its gate flags and content hash
+    * through the rewrite instead of paying a join). */
+  private[graft] def redactStage(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val c = carry.map(col)
     docs
-      .select($"doc_id", $"source", $"text",
+      .select(Seq($"doc_id", $"source", $"text",
         regexp_replace(
           regexp_replace($"text", PiiEmailRe, "<EMAIL>"),
-          PiiUrlRe, "<URL>").as("red1"))
-      .select($"doc_id", $"source",
+          PiiUrlRe, "<URL>").as("red1")) ++ c: _*)
+      .select(Seq($"doc_id", $"source",
         regexp_replace($"red1", PiiDigitsRe, "<DIGITS>").as("red_text"),
         regexp_count($"text", lit(PiiEmailRe)).cast(LongType).as("n_emails"),
         regexp_count($"text", lit(PiiUrlRe)).cast(LongType).as("n_urls"),
         // counted on red1, not the raw text: this is the number of
         // <DIGITS> substitutions actually made (a digit run consumed
         // by an email/URL above no longer exists to redact)
-        regexp_count($"red1", lit(PiiDigitsRe)).cast(LongType).as("n_digit_runs"))
+        regexp_count($"red1", lit(PiiDigitsRe)).cast(LongType)
+          .as("n_digit_runs")) ++ c: _*)
+  }
 
   // ---- #77 multi-rule quality gate ----------------------------------
 
