@@ -145,6 +145,7 @@ object SparkEntry {
     "q_shard_assign" -> (CurationOps.shardAssign _),
     "q_cust_order_hist" -> (JoinOps.custOrderHist _),
     "q_ann_margin" -> (SimilarityOps.annMargin _),
+    "q_ann_pq" -> (SimilarityOps.annPq _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
     "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
@@ -2039,6 +2040,36 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS cos2_e6,
          |  CAST(max(CASE WHEN rank = 1 THEN cos_e6 END) - max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS margin_e6
          |FROM r WHERE rank <= 2 GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q_ann_pq" -> {
+      import graft.operators.SimilarityOps.{PqK, PqM, PqTopK}
+      s"""WITH $quantCte,
+         |dims AS (SELECT CAST(len(q) // $PqM AS BIGINT) AS sd FROM n LIMIT 1),
+         |subv AS (SELECT vec_id, m, list_slice(q, CAST(m*sd+1 AS BIGINT), CAST((m+1)*sd AS BIGINT)) AS s
+         |  FROM n CROSS JOIN (SELECT CAST(unnest(range($PqM)) AS BIGINT) AS m) CROSS JOIN dims),
+         |seeds AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, s
+         |  FROM subv WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id ASC LIMIT $PqK)),
+         |asg AS (SELECT m, c, s FROM (
+         |    SELECT v.m, sd2.c, v.s,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(v.s, sd2.s), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) ASC, sd2.c ASC) AS rk
+         |    FROM subv v JOIN seeds sd2 USING (m)) WHERE rk = 1),
+         |cbd AS (SELECT m, c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+         |  FROM (SELECT m, c, unnest(range(len(s))) AS dim, unnest(s) AS qv FROM asg) GROUP BY m, c, dim),
+         |cb AS (SELECT m, c, list(cv ORDER BY dim ASC) AS s FROM cbd GROUP BY m, c),
+         |codes AS (SELECT vec_id, m, c FROM (
+         |    SELECT v.vec_id, v.m, cb.c,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+         |        CAST(list_sum(list_transform(list_zip(v.s, cb.s), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) ASC, cb.c ASC) AS rk
+         |    FROM subv v JOIN cb USING (m) WHERE v.vec_id >= 10) WHERE rk = 1),
+         |qd AS (SELECT q.vec_id AS query_id, q.m, cb.c,
+         |    CAST(list_sum(list_transform(list_zip(q.s, cb.s), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+         |  FROM subv q JOIN cb USING (m) WHERE q.vec_id < 10),
+         |ad AS (SELECT qd.query_id, codes.vec_id, CAST(sum(qd.d2) AS BIGINT) AS adist_e6
+         |  FROM codes JOIN qd ON codes.m = qd.m AND codes.c = qd.c GROUP BY 1, 2)
+         |SELECT query_id, rank, vec_id, adist_e6 FROM (
+         |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, vec_id ASC) AS BIGINT) AS rank, vec_id, adist_e6
+         |  FROM ad) WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+    },
     "q_user_reconcile" ->
       """SELECT
         |  CAST(sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,

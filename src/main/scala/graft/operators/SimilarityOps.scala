@@ -776,4 +776,138 @@ object SimilarityOps {
         cosineE6($"dot", $"n2_a", $"n2_b").as("cos_e6"))
       .orderBy($"label_a", $"label_b")
   }
+
+  // ---- #44d product-quantization ANN --------------------------------
+
+  /** PQ geometry: [[PqM]] subspaces, [[PqK]] centroids each, top-
+    * [[PqTopK]] neighbors reported. At d = 64 a code is PqM small
+    * integers vs 64 longs — the 32-64× memory compression that lets a
+    * 100 TB embedding store fit an in-memory scan tier. */
+  val PqM = 4
+  val PqK = 4
+  val PqTopK = 5
+
+  /** Nearest codebook row by integer squared L2, ties keeping the
+    * FIRST minimum — the subspace analog of [[nearestCluster]]'s
+    * (dist asc, c asc) total order. */
+  private def nearestSub(book: Array[Array[Long]], sub: Array[Long]): Int = {
+    var best = -1; var bestD = Long.MaxValue
+    var i = 0
+    while (i < book.length) {
+      val b = book(i)
+      var d = 0L; var j = 0
+      while (j < b.length) { val t = sub(j) - b(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private val pqBooks =
+    new graft.tools.Materialize.SupersedingCache[Array[Array[Array[Long]]]]
+
+  /** PQ codebook training — one deterministic Lloyd round PER
+    * SUBSPACE, all [[PqM]] subspaces in a single corpus pass: seeds
+    * are the [[PqK]] lowest vec_ids' subvectors (the [[kmeansSeeds]]
+    * convention), assignment is integer squared L2 with lowest-id
+    * ties, the centroid update is the HALF_UP integer mean computed
+    * INSIDE Spark SQL (the exact `round()` the oracle applies —
+    * [[lloydUpdate]]'s contract). A cell that loses all members drops
+    * out, exactly as in k-means. Bounded driver traffic: PqK seed
+    * vectors in, PqM·PqK·(d/PqM) = d·PqK centroid cells out. */
+  private def pqTrain(spark: SparkSession, sfDir: String): Array[Array[Array[Long]]] = {
+    import spark.implicits.{newProductEncoder, newIntEncoder, newLongArrayEncoder}
+    import graft.functions.VectorFunctions.quantized
+    val seedVecs = quantized(
+        Tables.embeddings(spark, sfDir).orderBy($"vec_id".asc).limit(PqK))
+      .collect().sortBy(_._1).map(_._2)
+    val sd = seedVecs(0).length / PqM
+    val seeds: Array[Array[Array[Long]]] =
+      Array.tabulate(PqM)(m => seedVecs.map(_.slice(m * sd, (m + 1) * sd)))
+    val cells = quantized(Tables.embeddings(spark, sfDir))
+      .flatMap { case (_, q, _) =>
+        (0 until PqM).iterator.map { m =>
+          val sub = q.slice(m * sd, (m + 1) * sd)
+          (m, nearestSub(seeds(m), sub), sub)
+        }
+      }
+      .toDF("m", "c", "sub")
+      .select($"m", $"c", posexplode($"sub").as(Seq("dim", "qv")))
+      .groupBy($"m", $"c", $"dim")
+      .agg(round(sum($"qv").cast("double") / count(lit(1))).cast(LongType).as("cv"))
+      .collect()
+    val byM = cells.groupBy(_.getInt(0))
+    Array.tabulate(PqM) { m =>
+      byM(m).groupBy(_.getInt(1)).toArray.sortBy(_._1).map { case (_, rs) =>
+        rs.sortBy(_.getInt(2)).map(_.getLong(3))
+      }
+    }
+  }
+
+  /** #44d Product-quantization ANN (the third production index family
+    * next to LSH buckets and IVF cells): the corpus is ENCODED as
+    * [[PqM]] small codes per vector against per-subspace codebooks,
+    * and queries rank candidates by asymmetric-distance computation
+    * (ADC) — the query's exact subvector-to-centroid squared
+    * distances, summed by code lookup. Approximate by construction
+    * (quantization error), integer-exact end to end, so the DuckDB
+    * oracle reproduces training, encoding, and ranking bit-for-bit.
+    *
+    * Scale shape: training is one narrow pass + a d·PqK-cell partial
+    * agg; the scan carries the ~PqM·PqK·(d/PqM) codebook longs and
+    * the |queries|·PqM·PqK LUT in the task closure and reads each
+    * corpus vector ONCE (in production the M-byte codes are the
+    * stored column — a 32-64× bandwidth cut vs raw vectors, which is
+    * the entire point of PQ); per-query top-k is the bounded-heap
+    * [[graft.operators.BoundedTopK]] (O(k) state, no window sort, no
+    * join, no shuffle beyond the |queries|-key agg). Bounded driver
+    * collects: PqK seeds + d·PqK centroid cells + the 10-vector query
+    * fixture. */
+  def annPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
+    import graft.functions.VectorFunctions.quantized
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    val books = pqBooks.getOrBuild(sfDir, fp)(pqTrain(spark, sfDir))
+    val sd = books(0)(0).length
+    val queries = quantized(
+        Tables.embeddings(spark, sfDir).filter($"vec_id" < 10))
+      .collect().sortBy(_._1)
+    val qids = queries.map(_._1)
+    // ADC lookup table: per query × subspace × code, the exact
+    // squared L2 between the query subvector and that centroid (e6
+    // units — e3 coordinates squared)
+    val lut: Array[Array[Array[Long]]] = queries.map { case (_, qv, _) =>
+      Array.tabulate(PqM) { m =>
+        val sub = qv.slice(m * sd, (m + 1) * sd)
+        books(m).map { b =>
+          var s = 0L; var j = 0
+          while (j < b.length) { val t = sub(j) - b(j); s += t * t; j += 1 }
+          s
+        }
+      }
+    }
+    quantized(Tables.embeddings(spark, sfDir))
+      .filter(_._1 >= 10)
+      .flatMap { case (id, q, _) =>
+        val codes = Array.tabulate(PqM)(m =>
+          nearestSub(books(m), q.slice(m * sd, (m + 1) * sd)))
+        qids.indices.iterator.map { qi =>
+          var s = 0L; var m = 0
+          while (m < PqM) { s += lut(qi)(m)(codes(m)); m += 1 }
+          (qids(qi), id, s)
+        }
+      }
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(new BoundedTopK[(Long, Long)](PqTopK,
+        (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2))
+        .toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((ad, v), i) =>
+          (qid, (i + 1).toLong, v, ad)
+        }
+      }
+      .toDF("query_id", "rank", "vec_id", "adist_e6")
+      .orderBy($"query_id", $"rank")
+  }
 }

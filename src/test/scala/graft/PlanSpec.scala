@@ -516,6 +516,16 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(planOf("q_supplier_diversity")) <= 3)
   }
 
+  test("q_ann_pq is a joinless coded scan — codebooks ride the closure, top-k is a bounded agg") {
+    val plan = fullPlanString("q_ann_pq")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      "ADC scoring must be a single corpus pass with closure-side tables, never a join")
+    assert(!plan.contains("Window"),
+      "per-query top-k must be the bounded-heap aggregator, not a window sort")
+    // the |queries|-key agg + the output range sort
+    assert(countShuffles(planOf("q_ann_pq")) <= 2)
+  }
+
   test("q_oov_rate broadcasts the vocab; tokens never shuffle by token") {
     // force the unigram artifact first so steady state is observed
     SparkEntry.queries("q_oov_rate")(spark, sf).queryExecution.executedPlan

@@ -442,4 +442,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_._1).toSet == model.keySet,
       "every query label must report")
   }
+
+  test("product-quantization ANN equals a plain-JVM PQ model end to end") {
+    import graft.functions.VectorFunctions.{quantizeJvm, roundHalfUp}
+    import graft.operators.SimilarityOps.{PqK, PqM, PqTopK}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> quantizeJvm(r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val sd = emb.head._2.length / PqM
+    def sub(q: Array[Long], m: Int) = q.slice(m * sd, (m + 1) * sd)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // train: one Lloyd round per subspace, seeds = PqK lowest vec_ids
+    val seeds = Array.tabulate(PqM)(m => emb.take(PqK).map(e => sub(e._2, m)))
+    val books: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
+      emb.map { case (_, q) =>
+        val s = sub(q, m)
+        (seeds(m).zipWithIndex.minBy { case (c, i) => (d2(s, c), i) }._2, s)
+      }.groupBy(_._1).toArray.sortBy(_._1).map { case (_, members) =>
+        Array.tabulate(sd) { dim =>
+          roundHalfUp(members.map(_._2(dim)).sum.toDouble / members.length)
+        }
+      }
+    }
+    // encode + ADC rank
+    val queries = emb.filter(_._1 < 10)
+    val corpus = emb.filter(_._1 >= 10)
+    def code(q: Array[Long], m: Int): Int =
+      books(m).zipWithIndex.minBy { case (c, i) => (d2(sub(q, m), c), i) }._2
+    val want = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (vid, cv) =>
+        (qid, vid, (0 until PqM).map(m => d2(sub(qv, m), books(m)(code(cv, m)))).sum)
+      }.sortBy { case (_, vid, ad) => (ad, vid) }.take(PqTopK)
+        .zipWithIndex.map { case ((_, vid, ad), i) => (qid, (i + 1).toLong, vid, ad) }
+    }.toSeq
+    val got = SparkEntry.queries("q_ann_pq")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, "operator diverges from the JVM PQ model")
+    assert(got.forall(_._4 >= 0L), "squared ADC distances are non-negative")
+  }
 }
