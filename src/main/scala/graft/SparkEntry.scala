@@ -146,6 +146,7 @@ object SparkEntry {
     "q_cust_order_hist" -> (JoinOps.custOrderHist _),
     "q_ann_margin" -> (SimilarityOps.annMargin _),
     "q_ann_pq" -> (SimilarityOps.annPq _),
+    "q_rp_distortion" -> (SimilarityOps.rpDistortion _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
     "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
@@ -2040,6 +2041,34 @@ object SparkEntry {
          |  CAST(max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS cos2_e6,
          |  CAST(max(CASE WHEN rank = 1 THEN cos_e6 END) - max(CASE WHEN rank = 2 THEN cos_e6 END) AS BIGINT) AS margin_e6
          |FROM r WHERE rank <= 2 GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q_rp_distortion" -> {
+      import graft.functions.VectorFunctions.{nPlanes, planes}
+      import graft.operators.SimilarityOps.RpMod
+      val projCols = (0 until nPlanes).map(j =>
+        s"CAST(list_sum(list_transform(list_zip(q, [${planes(j).mkString(",")}]), z -> z[1]*z[2])) AS BIGINT) AS p$j")
+        .mkString(",\n|    ")
+      val dproj = (0 until nPlanes)
+        .map(j => s"(a.p$j-b.p$j)*(a.p$j-b.p$j)").mkString(" + ")
+      s"""WITH $quantCte,
+         |s AS (SELECT vec_id, q, n2,
+         |    $projCols
+         |  FROM n WHERE vec_id % $RpMod = 0),
+         |pr AS (SELECT
+         |    a.n2 + b.n2 - 2*CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1]*z[2])) AS BIGINT) AS d2_orig,
+         |    $dproj AS d2_proj
+         |  FROM s a JOIN s b ON b.vec_id = a.vec_id + $RpMod),
+         |r AS (SELECT d2_orig, d2_proj,
+         |    CASE WHEN d2_orig = 0 THEN 1 ELSE 0 END AS degen,
+         |    CAST(CAST(d2_proj AS HUGEINT) * 1000000 // CAST(greatest(d2_orig, 1) AS HUGEINT) AS BIGINT) AS ratio_e6
+         |  FROM pr)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(degen) AS BIGINT) AS n_degenerate,
+         |  CAST(min(CASE WHEN degen = 0 THEN ratio_e6 END) AS BIGINT) AS min_ratio_e6,
+         |  CAST(max(CASE WHEN degen = 0 THEN ratio_e6 END) AS BIGINT) AS max_ratio_e6,
+         |  CAST(sum(CASE WHEN degen = 0 THEN CAST(ratio_e6 AS HUGEINT) END)
+         |    // CAST(greatest(count(*) - sum(degen), 1) AS HUGEINT) AS BIGINT) AS mean_ratio_e6
+         |FROM r""".stripMargin
+    },
     "q_ann_pq" -> {
       import graft.operators.SimilarityOps.{PqK, PqM, PqTopK}
       s"""WITH $quantCte,

@@ -777,6 +777,63 @@ object SimilarityOps {
       .orderBy($"label_a", $"label_b")
   }
 
+  // ---- #44e random-projection distortion audit ----------------------
+
+  /** Sampled-pair stride for [[rpDistortion]] — pairs are (v, v+RpMod)
+    * within the vec_id % RpMod = 0 sample. */
+  val RpMod = 7L
+
+  /** #44e Random-projection distortion audit: how much pairwise
+    * squared-distance information do the [[graft.functions
+    * .VectorFunctions.planes]] projections keep? The
+    * Johnson–Lindenstrauss sanity check run BEFORE trusting any
+    * index built on those projections (the LSH buckets hash exactly
+    * these dot products' signs): per sampled vector pair, the e6
+    * ratio of projected to original squared L2 — a healthy random
+    * geometry shows a concentrated ratio band, a near-zero MIN is a
+    * pair the plane set cannot separate (bucket collision risk
+    * regardless of probes), and exact-duplicate pairs (d2_orig = 0)
+    * are counted out separately rather than polluting the band.
+    *
+    * Integer-exact end to end: projections are native [[dotL]] dots
+    * of e3 coordinates against the literal plane weights, both
+    * distances are BIGINT, the ratio and its mean divide in
+    * DECIMAL(38,0) ≡ HUGEINT (ratio ≤ 1e6·Σ|w|² ~ 1e16 by
+    * Cauchy–Schwarz — the ratio fits BIGINT, but its corpus-wide sum
+    * needs the wide type). Scale shape: ONE narrow scan computes
+    * sample membership + all nPlanes projections (plane weights are
+    * task-closure literals), the pair join is an equi-join of the
+    * sampled frame on an arithmetic id key (uniform, ~n/RpMod rows a
+    * side), and the report is a 1-row partial agg. */
+  def rpDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{nPlanes, planes}
+    val projCols = (0 until nPlanes).map(j =>
+      dotL($"q", typedLit(planes(j))).as(s"p$j"))
+    val s = vecs(spark, sfDir)
+      .filter($"vec_id" % RpMod === 0L)
+      .select(($"vec_id" +: $"q" +: $"n2" +: projCols): _*)
+    val dproj = (0 until nPlanes)
+      .map(j => (col(s"a.p$j") - col(s"b.p$j")) * (col(s"a.p$j") - col(s"b.p$j")))
+      .reduce(_ + _)
+    s.as("a").join(s.as("b"), $"b.vec_id" === $"a.vec_id" + RpMod)
+      .select(
+        ($"a.n2" + $"b.n2" - lit(2L) * dotL($"a.q", $"b.q")).as("d2_orig"),
+        dproj.as("d2_proj"))
+      .withColumn("degen", when($"d2_orig" === 0L, 1L).otherwise(0L))
+      .withColumn("ratio_e6",
+        expr("""CAST((CAST(d2_proj AS DECIMAL(38,0)) * 1000000)
+               |div CAST(greatest(d2_orig, 1) AS DECIMAL(38,0)) AS BIGINT)"""
+          .stripMargin))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"degen").as("n_degenerate"),
+        min(when($"degen" === 0L, $"ratio_e6")).as("min_ratio_e6"),
+        max(when($"degen" === 0L, $"ratio_e6")).as("max_ratio_e6"),
+        expr("""CAST(sum(CASE WHEN degen = 0
+               |  THEN CAST(ratio_e6 AS DECIMAL(38,0)) END)
+               |div CAST(greatest(count(1) - sum(degen), 1) AS DECIMAL(38,0))
+               |AS BIGINT)""".stripMargin).as("mean_ratio_e6"))
+  }
+
   // ---- #44d product-quantization ANN --------------------------------
 
   /** PQ geometry: [[PqM]] subspaces, [[PqK]] centroids each, top-
@@ -844,6 +901,36 @@ object SimilarityOps {
     }
   }
 
+  /** The trained PQ codebooks, built ONCE per corpus fingerprint —
+    * [[PqM]] arrays of up-to-[[PqK]] centroid subvectors (sorted by
+    * centroid id), ~d·PqK longs that ride task closures. Shared by
+    * [[annPq]] and the streaming encode gate
+    * ([[graft.streaming.StreamingJobs.pqEncodeGate]]). */
+  private[graft] def pqCodebooksShared(spark: SparkSession,
+      sfDir: String): Array[Array[Array[Long]]] = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
+    pqBooks.getOrBuild(sfDir, fp)(pqTrain(spark, sfDir))
+  }
+
+  /** The PQ encode stage — ONE definition shared by the batch ADC
+    * scorer ([[annPq]]) and the streaming encode gate, so the two
+    * runtimes code a vector identically by construction: a stateless
+    * narrow map with the codebooks in the task closure, emitting
+    * (vec_id, codes) where codes(m) indexes subspace m's codebook. */
+  private[graft] def encodeFrame(embeddings: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits.newProductEncoder
+    import graft.functions.VectorFunctions.quantized
+    val sd = books(0)(0).length
+    quantized(embeddings)
+      .map { case (id, q, _) =>
+        (id, Array.tabulate(PqM)(m =>
+          nearestSub(books(m), q.slice(m * sd, (m + 1) * sd))))
+      }
+      .toDF("vec_id", "codes")
+  }
+
   /** #44d Product-quantization ANN (the third production index family
     * next to LSH buckets and IVF cells): the corpus is ENCODED as
     * [[PqM]] small codes per vector against per-subspace codebooks,
@@ -866,8 +953,7 @@ object SimilarityOps {
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
     import graft.functions.VectorFunctions.quantized
-    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
-    val books = pqBooks.getOrBuild(sfDir, fp)(pqTrain(spark, sfDir))
+    val books = pqCodebooksShared(spark, sfDir)
     val sd = books(0)(0).length
     val queries = quantized(
         Tables.embeddings(spark, sfDir).filter($"vec_id" < 10))
@@ -886,11 +972,9 @@ object SimilarityOps {
         }
       }
     }
-    quantized(Tables.embeddings(spark, sfDir))
-      .filter(_._1 >= 10)
-      .flatMap { case (id, q, _) =>
-        val codes = Array.tabulate(PqM)(m =>
-          nearestSub(books(m), q.slice(m * sd, (m + 1) * sd)))
+    encodeFrame(Tables.embeddings(spark, sfDir).filter($"vec_id" >= 10), books)
+      .as[(Long, Array[Int])]
+      .flatMap { case (id, codes) =>
         qids.indices.iterator.map { qi =>
           var s = 0L; var m = 0
           while (m < PqM) { s += lut(qi)(m)(codes(m)); m += 1 }

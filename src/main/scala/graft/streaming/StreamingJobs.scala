@@ -485,6 +485,17 @@ object StreamingJobs {
       cents: Array[(Long, Array[Long], Long)]): DataFrame =
     graft.operators.SimilarityOps.assignFrame(stream, cents)
 
+  /** Streaming PQ-encode gate (SURVEY.md §2.7 #44d streaming form):
+    * each arriving embedding coded against the BATCH-trained PQ
+    * codebooks — the index-maintenance step a production vector store
+    * runs at ingest (codes append to the compressed scan tier; the
+    * codebooks retrain in batch). The SAME encode stage as the batch
+    * ADC scorer (SimilarityOps.encodeFrame — one shared definition),
+    * stateless with the ~d·PqK-long codebooks in the closure. */
+  def pqEncodeGate(stream: DataFrame,
+      books: Array[Array[Array[Long]]]): DataFrame =
+    graft.operators.SimilarityOps.encodeFrame(stream, books)
+
   /** Per-user buffered funnel events for [[funnelGate]] — the
     * CEP-style partial-match buffer: only funnel-STEP events are held
     * (step index + epoch-µs), everything else is filtered before the

@@ -443,6 +443,35 @@ class SimilaritySpec extends SparkTestBase {
       "every query label must report")
   }
 
+  test("random-projection distortion audit equals a plain-BigInt model") {
+    import graft.functions.VectorFunctions.{quantizeJvm, nPlanes, planes}
+    import graft.operators.SimilarityOps.RpMod
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> quantizeJvm(r.getSeq[Float](1).toArray))
+      .toMap
+    val sample = emb.keys.filter(_ % RpMod == 0L).toSeq.sorted
+    def proj(q: Array[Long]) =
+      Array.tabulate(nPlanes)(j => q.indices.map(i => q(i) * planes(j)(i)).sum)
+    val ratios = sample.flatMap { a =>
+      emb.get(a + RpMod).map { qb =>
+        val (qa, pa, pb) = (emb(a), proj(emb(a)), proj(emb(a + RpMod)))
+        val d2o = qa.indices.map(i => (qa(i) - qb(i)) * (qa(i) - qb(i))).sum
+        val d2p = pa.indices.map(j => (pa(j) - pb(j)) * (pa(j) - pb(j))).sum
+        (d2o, (BigInt(d2p) * 1000000 / BigInt(d2o max 1)).toLong)
+      }
+    }
+    val live = ratios.filter(_._1 != 0L).map(_._2)
+    val want = (ratios.size.toLong, ratios.count(_._1 == 0L).toLong,
+      live.min, live.max,
+      (live.map(BigInt(_)).sum / BigInt(live.size max 1)).toLong)
+    val got = SparkEntry.queries("q_rp_distortion")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got == want, s"operator $got diverges from the model $want")
+    assert(got._3 >= 0L && got._3 <= got._5 && got._5 <= got._4,
+      "ratio band must bracket its mean")
+  }
+
   test("product-quantization ANN equals a plain-JVM PQ model end to end") {
     import graft.functions.VectorFunctions.{quantizeJvm, roundHalfUp}
     import graft.operators.SimilarityOps.{PqK, PqM, PqTopK}

@@ -284,6 +284,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming PQ-encode gate codes each vector exactly like the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SimilarityOps
+    val books = SimilarityOps.pqCodebooksShared(spark, sf)
+    val batch = SimilarityOps.encodeFrame(Tables.embeddings(spark, sf), books)
+      .as[(Long, Seq[Int])].collect().toSet
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamingJobs.pqEncodeGate(
+        in.toDF().toDF("vec_id", "embedding"), books)
+      .writeStream.format("memory").queryName("pqcodes")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("pqcodes").as[(Long, Seq[Int])].collect().toSet
+      assert(streamed == batch,
+        s"code drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming funnel gate reaches the batch funnel's stage counts under out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.CoreOps
