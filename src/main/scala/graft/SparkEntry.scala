@@ -147,6 +147,7 @@ object SparkEntry {
     "q_ann_margin" -> (SimilarityOps.annMargin _),
     "q_ann_pq" -> (SimilarityOps.annPq _),
     "q_rp_distortion" -> (SimilarityOps.rpDistortion _),
+    "q_pq_cells" -> (SimilarityOps.pqCells _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
     "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
@@ -380,6 +381,38 @@ object SparkEntry {
     * `cents_1`; cd_2/cents_2 are never referenced so DuckDB never
     * evaluates them) — shared by the #67/#72 oracles, with `cents_1`
     * doubling as the #44c IVF pivot table. */
+  /** PQ training + corpus-coding CTE chain (requires `$quantCte`):
+    * subspace slices → seeds (PqK lowest vec_ids) → one Lloyd round →
+    * codebooks `cb(m, c, s)` → corpus codes WITH their quantization
+    * error `cerr(vec_id, m, c, d)` and the code-only view
+    * `codes(vec_id, m, c)`. ONE generator feeds the #44d ADC ranking
+    * oracle and the #44f cell-audit oracle, so the coding rule cannot
+    * drift between them. */
+  private val pqCtes: String = {
+    import graft.operators.SimilarityOps.{PqK, PqM}
+    val sq = "p -> (p[1]-p[2])*(p[1]-p[2])"
+    s"""dims AS (SELECT CAST(len(q) // $PqM AS BIGINT) AS sd FROM n LIMIT 1),
+       |subv AS (SELECT vec_id, m, list_slice(q, CAST(m*sd+1 AS BIGINT), CAST((m+1)*sd AS BIGINT)) AS s
+       |  FROM n CROSS JOIN (SELECT CAST(unnest(range($PqM)) AS BIGINT) AS m) CROSS JOIN dims),
+       |seeds AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, s
+       |  FROM subv WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id ASC LIMIT $PqK)),
+       |asg AS (SELECT m, c, s FROM (
+       |    SELECT v.m, sd2.c, v.s,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(v.s, sd2.s), $sq)) AS BIGINT) ASC, sd2.c ASC) AS rk
+       |    FROM subv v JOIN seeds sd2 USING (m)) WHERE rk = 1),
+       |cbd AS (SELECT m, c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
+       |  FROM (SELECT m, c, unnest(range(len(s))) AS dim, unnest(s) AS qv FROM asg) GROUP BY m, c, dim),
+       |cb AS (SELECT m, c, list(cv ORDER BY dim ASC) AS s FROM cbd GROUP BY m, c),
+       |cerr AS (SELECT vec_id, m, c, d FROM (
+       |    SELECT v.vec_id, v.m, cb.c,
+       |      CAST(list_sum(list_transform(list_zip(v.s, cb.s), $sq)) AS BIGINT) AS d,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(v.s, cb.s), $sq)) AS BIGINT) ASC, cb.c ASC) AS rk
+       |    FROM subv v JOIN cb USING (m) WHERE v.vec_id >= 10) WHERE rk = 1),
+       |codes AS (SELECT vec_id, m, c FROM cerr)""".stripMargin
+  }
+
   private val kmeansCtes: String =
     s"""${lloydCtes(2)},
        |a2 AS (SELECT vec_id, c, dist FROM asg_2)""".stripMargin
@@ -2070,26 +2103,9 @@ object SparkEntry {
          |FROM r""".stripMargin
     },
     "q_ann_pq" -> {
-      import graft.operators.SimilarityOps.{PqK, PqM, PqTopK}
+      import graft.operators.SimilarityOps.PqTopK
       s"""WITH $quantCte,
-         |dims AS (SELECT CAST(len(q) // $PqM AS BIGINT) AS sd FROM n LIMIT 1),
-         |subv AS (SELECT vec_id, m, list_slice(q, CAST(m*sd+1 AS BIGINT), CAST((m+1)*sd AS BIGINT)) AS s
-         |  FROM n CROSS JOIN (SELECT CAST(unnest(range($PqM)) AS BIGINT) AS m) CROSS JOIN dims),
-         |seeds AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id ASC) - 1 AS BIGINT) AS c, s
-         |  FROM subv WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id ASC LIMIT $PqK)),
-         |asg AS (SELECT m, c, s FROM (
-         |    SELECT v.m, sd2.c, v.s,
-         |      row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
-         |        CAST(list_sum(list_transform(list_zip(v.s, sd2.s), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) ASC, sd2.c ASC) AS rk
-         |    FROM subv v JOIN seeds sd2 USING (m)) WHERE rk = 1),
-         |cbd AS (SELECT m, c, dim, CAST(round(CAST(sum(qv) AS DOUBLE)/count(*)) AS BIGINT) AS cv
-         |  FROM (SELECT m, c, unnest(range(len(s))) AS dim, unnest(s) AS qv FROM asg) GROUP BY m, c, dim),
-         |cb AS (SELECT m, c, list(cv ORDER BY dim ASC) AS s FROM cbd GROUP BY m, c),
-         |codes AS (SELECT vec_id, m, c FROM (
-         |    SELECT v.vec_id, v.m, cb.c,
-         |      row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
-         |        CAST(list_sum(list_transform(list_zip(v.s, cb.s), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) ASC, cb.c ASC) AS rk
-         |    FROM subv v JOIN cb USING (m) WHERE v.vec_id >= 10) WHERE rk = 1),
+         |$pqCtes,
          |qd AS (SELECT q.vec_id AS query_id, q.m, cb.c,
          |    CAST(list_sum(list_transform(list_zip(q.s, cb.s), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
          |  FROM subv q JOIN cb USING (m) WHERE q.vec_id < 10),
@@ -2099,6 +2115,17 @@ object SparkEntry {
          |  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, vec_id ASC) AS BIGINT) AS rank, vec_id, adist_e6
          |  FROM ad) WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
     },
+    "q_pq_cells" ->
+      s"""WITH $quantCte,
+         |$pqCtes,
+         |cells AS (SELECT m, c AS code, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    sum(CAST(d AS HUGEINT)) AS serr
+         |  FROM cerr GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_corpus FROM cells WHERE m = 0)
+         |SELECT m, code, n_vecs,
+         |  CAST((10000 * n_vecs) // n_corpus AS BIGINT) AS share_e4,
+         |  CAST(serr // n_vecs AS BIGINT) AS mean_err_e6
+         |FROM cells CROSS JOIN tot ORDER BY m, code""".stripMargin,
     "q_user_reconcile" ->
       """SELECT
         |  CAST(sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,

@@ -844,10 +844,11 @@ object SimilarityOps {
   val PqK = 4
   val PqTopK = 5
 
-  /** Nearest codebook row by integer squared L2, ties keeping the
-    * FIRST minimum — the subspace analog of [[nearestCluster]]'s
-    * (dist asc, c asc) total order. */
-  private def nearestSub(book: Array[Array[Long]], sub: Array[Long]): Int = {
+  /** Nearest codebook row by integer squared L2 plus its distance,
+    * ties keeping the FIRST minimum — the subspace analog of
+    * [[nearestCluster]]'s (dist asc, c asc) total order. */
+  private def nearestSubD(book: Array[Array[Long]],
+      sub: Array[Long]): (Int, Long) = {
     var best = -1; var bestD = Long.MaxValue
     var i = 0
     while (i < book.length) {
@@ -857,8 +858,11 @@ object SimilarityOps {
       if (d < bestD) { bestD = d; best = i }
       i += 1
     }
-    best
+    (best, bestD)
   }
+
+  private def nearestSub(book: Array[Array[Long]], sub: Array[Long]): Int =
+    nearestSubD(book, sub)._1
 
   private val pqBooks =
     new graft.tools.Materialize.SupersedingCache[Array[Array[Array[Long]]]]
@@ -929,6 +933,46 @@ object SimilarityOps {
           nearestSub(books(m), q.slice(m * sd, (m + 1) * sd))))
       }
       .toDF("vec_id", "codes")
+  }
+
+  /** #44f PQ index-health report: per (subspace, code) cell, how many
+    * corpus vectors land there, their e4 share, and the total / mean
+    * quantization error (the exact subvector-to-centroid squared L2
+    * the ADC ranking absorbs as noise) — the occupancy-and-error
+    * audit PQ needs exactly as the LSH buckets (#131) and MinHash
+    * bands (#142) have: a cell hoarding the corpus means the
+    * codebook under-fits (raise PqK / retrain), a fat error tail
+    * bounds how far an ADC rank can be trusted. Same [[nearestSubD]]
+    * coding rule as the scorer, so the audit measures the index that
+    * actually serves. One narrow corpus scan (codebooks in the
+    * closure), one PqM·PqK-group partial agg, shares broadcast as a
+    * 1-row total. */
+  def pqCells(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, newLongEncoder}
+    val books = pqCodebooksShared(spark, sfDir)
+    val sd = books(0)(0).length
+    import graft.functions.VectorFunctions.quantized
+    val cells = quantized(Tables.embeddings(spark, sfDir).filter($"vec_id" >= 10))
+      .flatMap { case (_, q, _) =>
+        (0 until PqM).iterator.map { m =>
+          val (c, d) = nearestSubD(books(m), q.slice(m * sd, (m + 1) * sd))
+          (m.toLong, c.toLong, d)
+        }
+      }
+      .toDF("m", "code", "err")
+      .groupBy($"m", $"code")
+      // error totals in DECIMAL(38,0) ≡ HUGEINT: the per-vector error
+      // is bounded (~6.4e7 at d=64 e3 coords) but its sum over a
+      // 100 TB corpus is not BIGINT-safe; only the bounded mean ships
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"err".cast("decimal(38,0)")).as("serr"))
+    val total = cells.filter($"m" === 0L).agg(sum($"n_vecs").as("n_corpus"))
+    cells.crossJoin(broadcast(total))
+      .select($"m", $"code", $"n_vecs",
+        expr("(10000 * n_vecs) div n_corpus").as("share_e4"),
+        expr("CAST(serr div CAST(n_vecs AS DECIMAL(38,0)) AS BIGINT)")
+          .as("mean_err_e6"))
+      .orderBy($"m", $"code")
   }
 
   /** #44d Product-quantization ANN (the third production index family

@@ -472,19 +472,22 @@ class SimilaritySpec extends SparkTestBase {
       "ratio band must bracket its mean")
   }
 
-  test("product-quantization ANN equals a plain-JVM PQ model end to end") {
+  /** Plain-JVM PQ model shared by the #44d and #44f tests: quantized
+    * vectors, trained codebooks (one Lloyd round per subspace), and
+    * the slice/distance/code helpers — an independent reimplementation
+    * of the operator's training + coding rule. */
+  private def pqModel(): (Seq[(Long, Array[Long])], Array[Array[Array[Long]]], Int) = {
     import graft.functions.VectorFunctions.{quantizeJvm, roundHalfUp}
-    import graft.operators.SimilarityOps.{PqK, PqM, PqTopK}
+    import graft.operators.SimilarityOps.{PqK, PqM}
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
       .collect()
       .map(r => r.getLong(0) -> quantizeJvm(r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+      .sortBy(_._1).toSeq
     val sd = emb.head._2.length / PqM
     def sub(q: Array[Long], m: Int) = q.slice(m * sd, (m + 1) * sd)
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
-    // train: one Lloyd round per subspace, seeds = PqK lowest vec_ids
-    val seeds = Array.tabulate(PqM)(m => emb.take(PqK).map(e => sub(e._2, m)))
+    val seeds = Array.tabulate(PqM)(m => emb.take(PqK).map(e => sub(e._2, m)).toArray)
     val books: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
       emb.map { case (_, q) =>
         val s = sub(q, m)
@@ -495,7 +498,15 @@ class SimilaritySpec extends SparkTestBase {
         }
       }
     }
-    // encode + ADC rank
+    (emb, books, sd)
+  }
+
+  test("product-quantization ANN equals a plain-JVM PQ model end to end") {
+    import graft.operators.SimilarityOps.{PqM, PqTopK}
+    val (emb, books, sd) = pqModel()
+    def sub(q: Array[Long], m: Int) = q.slice(m * sd, (m + 1) * sd)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
     val queries = emb.filter(_._1 < 10)
     val corpus = emb.filter(_._1 >= 10)
     def code(q: Array[Long], m: Int): Int =
@@ -505,10 +516,40 @@ class SimilaritySpec extends SparkTestBase {
         (qid, vid, (0 until PqM).map(m => d2(sub(qv, m), books(m)(code(cv, m)))).sum)
       }.sortBy { case (_, vid, ad) => (ad, vid) }.take(PqTopK)
         .zipWithIndex.map { case ((_, vid, ad), i) => (qid, (i + 1).toLong, vid, ad) }
-    }.toSeq
+    }
     val got = SparkEntry.queries("q_ann_pq")(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == want, "operator diverges from the JVM PQ model")
     assert(got.forall(_._4 >= 0L), "squared ADC distances are non-negative")
+  }
+
+  test("PQ cell audit equals the JVM model and partitions the corpus per subspace") {
+    import graft.operators.SimilarityOps.PqM
+    val (emb, books, sd) = pqModel()
+    def sub(q: Array[Long], m: Int) = q.slice(m * sd, (m + 1) * sd)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val corpus = emb.filter(_._1 >= 10)
+    val cells = corpus.flatMap { case (_, q) =>
+      (0 until PqM).map { m =>
+        val (c, d) = books(m).zipWithIndex
+          .map { case (b, i) => (i, d2(sub(q, m), b)) }
+          .minBy { case (i, d) => (d, i) }
+        ((m.toLong, c.toLong), d)
+      }
+    }.groupBy(_._1)
+    val want = cells.toSeq.sortBy(_._1).map { case ((m, c), ds) =>
+      val errs = ds.map(e => BigInt(e._2))
+      (m, c, ds.size.toLong,
+        10000L * ds.size / corpus.size,
+        (errs.sum / errs.size).toLong)
+    }
+    val got = SparkEntry.queries("q_pq_cells")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"cell audit diverges from the JVM model")
+    // each subspace's cells partition the corpus
+    for (m <- 0L until PqM.toLong)
+      assert(got.filter(_._1 == m).map(_._3).sum == corpus.size.toLong,
+        s"subspace $m cells must cover the corpus exactly once")
   }
 }
