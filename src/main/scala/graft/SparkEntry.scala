@@ -148,6 +148,8 @@ object SparkEntry {
     "q_ann_pq" -> (SimilarityOps.annPq _),
     "q_rp_distortion" -> (SimilarityOps.rpDistortion _),
     "q_pq_cells" -> (SimilarityOps.pqCells _),
+    "q_event_transitions" -> (WindowOps.eventTransitions _),
+    "q_embed_drift" -> (SimilarityOps.embedDrift _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
     "q_cluster_policy" -> (ClusterOps.clusterPolicyAudit _),
@@ -2336,6 +2338,35 @@ object SparkEntry {
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM gaps WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_event_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS to_type
+        |  FROM ev),
+        |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((10000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_e4
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
+    "q_embed_drift" ->
+      s"""WITH $quantCte,
+         |b AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM n),
+         |c AS (SELECT CASE WHEN vec_id * 2 <= lo + hi THEN 0 ELSE 1 END AS half,
+         |    unnest(range(len(q))) AS dim, unnest(q) AS qv
+         |  FROM n CROSS JOIN b),
+         |g AS (SELECT dim, half, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(qv) AS BIGINT) AS s
+         |  FROM c GROUP BY 1, 2),
+         |pv AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |    max(CASE WHEN half = 0 THEN cnt END) AS n_a,
+         |    max(CASE WHEN half = 1 THEN cnt END) AS n_b,
+         |    max(CASE WHEN half = 0 THEN CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT) END) AS mean_a_e3,
+         |    max(CASE WHEN half = 1 THEN CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT) END) AS mean_b_e3
+         |  FROM g GROUP BY 1)
+         |SELECT dim, n_a, n_b, mean_a_e3, mean_b_e3,
+         |  CAST(mean_b_e3 - mean_a_e3 AS BIGINT) AS delta_e3
+         |FROM pv ORDER BY dim""".stripMargin,
     "q_oov_rate" ->
       s"""WITH $tkCte,
          |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1

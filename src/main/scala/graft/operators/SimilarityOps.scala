@@ -777,6 +777,43 @@ object SimilarityOps {
       .orderBy($"label_a", $"label_b")
   }
 
+  /** #62b Embedding ingestion-drift report: per dimension, the count,
+    * integer sum, and HALF_UP e3 mean of the first versus second
+    * ingestion half (vec_id order), plus the signed mean delta — the
+    * "did the encoder or the upstream corpus shift mid-ingest" audit
+    * that the whole-corpus profile (#62) averages away. A drifted
+    * dimension flags a re-encode or a re-train of anything (k-means
+    * cells, PQ codebooks, LSH occupancy expectations) fitted on the
+    * early half.
+    *
+    * Scale shape: a 1-row (min, max) id-bounds agg broadcast back,
+    * then ONE narrow posexplode scan partial-agg'd to 2·dim cells,
+    * pivoted per dim on that bounded frame. Halving rule is integer
+    * (vec_id·2 vs lo+hi) — no median pass, no sort. */
+  def embedDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", quantize($"embedding").as("q"))
+    val bounds = v.agg(min($"vec_id").as("lo"), max($"vec_id").as("hi"))
+    v.crossJoin(broadcast(bounds))
+      .select(
+        when($"vec_id" * 2 <= $"lo" + $"hi", 0L).otherwise(1L).as("half"),
+        posexplode($"q").as(Seq("dim", "qv")))
+      .groupBy($"dim", $"half")
+      .agg(count(lit(1)).as("cnt"), sum($"qv").as("s"))
+      .groupBy($"dim")
+      .agg(
+        max(when($"half" === 0L, $"cnt")).as("n_a"),
+        max(when($"half" === 1L, $"cnt")).as("n_b"),
+        max(when($"half" === 0L,
+          round($"s".cast("double") / $"cnt").cast(LongType))).as("mean_a_e3"),
+        max(when($"half" === 1L,
+          round($"s".cast("double") / $"cnt").cast(LongType))).as("mean_b_e3"))
+      .withColumn("delta_e3", $"mean_b_e3" - $"mean_a_e3")
+      .select($"dim".cast(LongType).as("dim"), $"n_a", $"n_b",
+        $"mean_a_e3", $"mean_b_e3", $"delta_e3")
+      .orderBy($"dim")
+  }
+
   // ---- #44e random-projection distortion audit ----------------------
 
   /** Sampled-pair stride for [[rpDistortion]] — pairs are (v, v+RpMod)

@@ -141,4 +141,34 @@ object WindowOps {
       .drop("total_gap_us")
       .orderBy($"event_type")
   }
+
+  /** #120b (SURVEY §2.7) Event-transition matrix: for every ordered
+    * pair of event types, how often a user's NEXT event is of the
+    * second type, with the e4 share of the first type's outgoing
+    * transitions — the first-order Markov picture of user behavior
+    * (navigation loops, dead ends, the edges a funnel definition
+    * should follow). #103's funnel asks about ONE fixed path; this
+    * reports every realized edge.
+    *
+    * Scale shape: the events scan is pruned to three columns and
+    * pays the standard per-user window sort shuffle (the same
+    * exchange family as #113's gap profile; a user's history bounds
+    * the partition), the pair agg is partial-agg'd to ≤ |types|²
+    * rows, and the outgoing-total window runs on that bounded frame
+    * only. Determinism: event order is (ts, event_id) — same-µs
+    * events tie-break on the id. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+    val wt = Window.partitionBy($"from_type")
+    Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum($"n").over(wt))
+      .withColumn("share_e4", expr("(10000 * n) div tot"))
+      .drop("tot")
+      .orderBy($"from_type", $"to_type")
+  }
 }

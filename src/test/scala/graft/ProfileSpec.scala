@@ -728,6 +728,35 @@ class ProfileSpec extends SparkTestBase {
       s"affinity drift: extra=${got.diff(model).take(2)} missing=${model.diff(got).take(2)}")
   }
 
+  test("event transitions equal a per-user sequential-scan model with exact shares") {
+    import graft.operators.WindowOps
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4)
+      }
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val model = counts.toSeq.sortBy(_._1).map { case ((a, b), n) =>
+      (a, b, n, 10000L * n / fromTot(a))
+    }
+    val got = WindowOps.eventTransitions(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == model,
+      s"transition drift: extra=${got.diff(model).take(2)} missing=${model.diff(got).take(2)}")
+    // shares of each from-type's outgoing edges sum to ~1e4 (floor div)
+    got.groupBy(_._1).foreach { case (a, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 10000L && s > 10000L - rows.size,
+        s"outgoing shares of $a must sum to 1e4 within floor-division slack")
+    }
+  }
+
   test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
     import graft.operators.JoinOps
     // clean production tables: all-zero violations

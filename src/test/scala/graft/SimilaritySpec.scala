@@ -443,6 +443,28 @@ class SimilaritySpec extends SparkTestBase {
       "every query label must report")
   }
 
+  test("embedding drift report equals a plain-JVM halves model and covers the corpus") {
+    import graft.functions.VectorFunctions.{quantizeJvm, roundHalfUp}
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> quantizeJvm(r.getSeq[Float](1).toArray))
+    val lo = emb.map(_._1).min
+    val hi = emb.map(_._1).max
+    val (ha, hb) = emb.partition { case (id, _) => id * 2 <= lo + hi }
+    val want = (0 until emb.head._2.length).map { dim =>
+      val (sa, sb) = (ha.map(_._2(dim)).sum, hb.map(_._2(dim)).sum)
+      val (ma, mb) = (roundHalfUp(sa.toDouble / ha.length),
+        roundHalfUp(sb.toDouble / hb.length))
+      (dim.toLong, ha.length.toLong, hb.length.toLong, ma, mb, mb - ma)
+    }
+    val got = SparkEntry.queries("q_embed_drift")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, "drift report diverges from the JVM halves model")
+    // both halves cover the corpus on every dimension
+    val total = emb.length.toLong
+    assert(got.forall(r => r._2 + r._3 == total && r._2 > 0 && r._3 > 0))
+  }
+
   test("random-projection distortion audit equals a plain-BigInt model") {
     import graft.functions.VectorFunctions.{quantizeJvm, nPlanes, planes}
     import graft.operators.SimilarityOps.RpMod
