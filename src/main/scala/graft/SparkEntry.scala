@@ -149,6 +149,8 @@ object SparkEntry {
     "q_rp_distortion" -> (SimilarityOps.rpDistortion _),
     "q_pq_cells" -> (SimilarityOps.pqCells _),
     "q_event_transitions" -> (WindowOps.eventTransitions _),
+    "q_rate_profile" -> (WindowOps.rateProfile _),
+    "q_rfm_segments" -> (JoinOps.rfmSegments _),
     "q_embed_drift" -> (SimilarityOps.embedDrift _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
@@ -2338,6 +2340,31 @@ object SparkEntry {
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM gaps WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rate_profile" ->
+      """WITH pm AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pu AS (SELECT user_id, max(n) AS peak FROM pm GROUP BY 1)
+        |SELECT CAST(length(bin(peak)) - 1 AS BIGINT) AS log2_peak,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(max(peak) AS BIGINT) AS max_peak
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS m_e2
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT max(o_orderdate) AS ref FROM orders),
+        |b AS (SELECT
+        |    CAST(length(bin(CAST(date_diff('day', last_order, ref) AS BIGINT) + 1)) - 1 AS BIGINT) AS r_bucket,
+        |    CAST(length(bin(f)) - 1 AS BIGINT) AS f_bucket,
+        |    CAST(length(bin(m_e2)) - 1 AS BIGINT) AS m_bucket,
+        |    m_e2
+        |  FROM per CROSS JOIN ref)
+        |SELECT r_bucket, f_bucket, m_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(m_e2) AS BIGINT) AS total_spend_e2
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_event_transitions" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
         |p AS (SELECT event_type AS from_type,

@@ -634,6 +634,39 @@ object JoinOps {
         sum($"spend_e2").as("total_spend_e2"))
       .orderBy($"log2_spend")
 
+  /** #144b (SURVEY §2.6) RFM segmentation: customers bucketed on the
+    * three classic behavioral axes — Recency (days since last order,
+    * vs the corpus's latest order date), Frequency (order count),
+    * Monetary (lifetime spend) — with customer count and spend per
+    * (r, f, m) cell; the segmentation marketing prices campaigns
+    * against (recent-frequent-big spenders vs lapsed whales).
+    * Buckets are log2 bin-lengths (the #144 idiom) rather than
+    * rank-quantiles: deterministic, engine-exact, and — decisive at
+    * 100 TB — no global customer-frame sort to find quantile bars.
+    *
+    * Scale shape: one uniform custkey partial-agg shuffle builds the
+    * per-customer frame, the reference date broadcasts as a 1-row
+    * agg, bucket math is narrow, the cell agg is bounded (≤ a few
+    * hundred realized cells). */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderdate", $"o_totalprice")
+    val ref = o.agg(max($"o_orderdate").as("ref"))
+    o.groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"), count(lit(1)).as("f"),
+        Det.sumFixed($"o_totalprice", 2).as("m_e2"))
+      .crossJoin(broadcast(ref))
+      .select(
+        (length(bin(datediff($"ref", $"last_order") + 1)) - 1)
+          .cast("long").as("r_bucket"),
+        (length(bin($"f")) - 1).cast("long").as("f_bucket"),
+        (length(bin($"m_e2")) - 1).cast("long").as("m_bucket"),
+        $"m_e2")
+      .groupBy($"r_bucket", $"f_bucket", $"m_bucket")
+      .agg(count(lit(1)).as("n_customers"), sum($"m_e2").as("total_spend_e2"))
+      .orderBy($"r_bucket", $"f_bucket", $"m_bucket")
+  }
+
   /** #140 (SURVEY §2.6) discount elasticity profile: per discount
     * level (e2): line count, quantity, revenue — the "does a deeper
     * discount move more units" curve pricing teams read; one narrow

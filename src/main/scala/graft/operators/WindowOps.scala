@@ -171,4 +171,24 @@ object WindowOps {
       .drop("tot")
       .orderBy($"from_type", $"to_type")
   }
+
+  /** #120c (SURVEY §2.7) Peak event-rate profile: users histogrammed
+    * by their burstiest minute (max events within any UTC minute) —
+    * the bot/abuse screen the hourly rhythm (#120) can't give: a
+    * scraper shows as a fat log2 tail while its daily volume still
+    * looks human. Exact, not windowed-approximate: minutes are fixed
+    * UTC grid cells, so the count is a plain partial agg.
+    *
+    * Scale shape: one (user, minute) partial-agg'd shuffle (uniform
+    * composite key — a hot user's rows still spread over its
+    * minutes), a per-user max on the collapsed frame, a ≤64-bucket
+    * readout. */
+  def rateProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select($"user_id", expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy($"user_id", $"minute").agg(count(lit(1)).as("n"))
+      .groupBy($"user_id").agg(max($"n").as("peak"))
+      .groupBy((length(bin($"peak")) - 1).cast("long").as("log2_peak"))
+      .agg(count(lit(1)).as("n_users"), max($"peak").as("max_peak"))
+      .orderBy($"log2_peak")
 }

@@ -757,6 +757,50 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("peak-rate profile equals a per-user minute-grid model") {
+    import graft.operators.WindowOps
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect()
+    val peaks = ev.groupBy(_._1).values.map { rows =>
+      rows.groupBy(r => r._2 / 60000000L).values.map(_.size.toLong).max
+    }
+    def log2len(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val model = peaks.groupBy(p => log2len(p).toLong).toSeq.sorted.map {
+      case (b, ps) => (b, ps.size.toLong, ps.max)
+    }
+    val got = WindowOps.rateProfile(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == model, s"rate profile diverges: $got vs $model")
+    assert(got.map(_._2).sum == ev.map(_._1).distinct.length.toLong,
+      "every user lands in exactly one bucket")
+  }
+
+  test("RFM segmentation equals a per-customer recompute") {
+    import graft.operators.JoinOps
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").cast("string"),
+        expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT)"))
+      .as[(Long, String, Long)].collect()
+    val ref = java.time.LocalDate.parse(orders.map(_._2).max)
+    def log2len(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val cells = orders.groupBy(_._1).values.map { os =>
+      val last = java.time.LocalDate.parse(os.map(_._2).max)
+      val rDays = java.time.temporal.ChronoUnit.DAYS.between(last, ref)
+      (log2len(rDays + 1), log2len(os.size.toLong), log2len(os.map(_._3).sum),
+        os.map(_._3).sum)
+    }.toSeq
+    val model = cells.groupBy(c => (c._1, c._2, c._3)).toSeq.sortBy(_._1)
+      .map { case ((r, f, m), cs) =>
+        (r, f, m, cs.size.toLong, cs.map(_._4).sum)
+      }
+    val got = JoinOps.rfmSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == model, s"RFM diverges: extra=${got.diff(model).take(2)} " +
+      s"missing=${model.diff(got).take(2)}")
+  }
+
   test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
     import graft.operators.JoinOps
     // clean production tables: all-zero violations
