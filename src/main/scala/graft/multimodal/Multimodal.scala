@@ -465,6 +465,49 @@ object Multimodal {
       }
     }
 
+  /** 64-bit perceptual AUDIO fingerprint: the clip's loudness
+    * envelope pooled to 64 time slots via the real PCM codec
+    * ([[AudioWavCodec]]), bit i set iff slot i is louder than the
+    * clip mean — the energy-envelope hash (stable under re-encode,
+    * gain changes that preserve shape, and trailing-silence trims
+    * that keep the envelope; Hamming distance counts rhythmic
+    * difference). Same flat-signal guard as [[imageAHash]]: silence
+    * or constant tone has no envelope structure, so every flat clip
+    * would collide at hash 0 — None instead. */
+  def audioAHash(bytes: Array[Byte]): Option[Long] =
+    AudioWavCodec.decode(bytes, 64).flatMap { f =>
+      var mn = Float.MaxValue; var mx = Float.MinValue; var s = 0.0
+      var i = 0
+      while (i < 64) { s += f(i); if (f(i) < mn) mn = f(i); if (f(i) > mx) mx = f(i); i += 1 }
+      if (mx - mn < 1e-6f) None
+      else {
+        val mean = s / 64
+        var h = 0L
+        i = 0
+        while (i < 64) { if (f(i) > mean) h |= 1L << i; i += 1 }
+        Some(h)
+      }
+    }
+
+  /** Audio near-dup pairs over PCM assets — the audio twin of
+    * [[visualNearDup]] and the missing piece of the per-modality
+    * dedup family (text MinHash/SimHash, image aHash, audio
+    * envelope): [[audioAHash]] per clip in the per-partition decode
+    * stage (bytes never shuffle; only (doc_id, hash) longs do), then
+    * the SHARED exact-recall pigeonhole blocking with the same
+    * block-frequency quadratic guard. Undecodable and flat clips are
+    * skipped (nothing rhythmic to match). */
+  def audioNearDup(assets: Dataset[MediaAsset], maxHamming: Int = 3,
+                   maxBlockDf: Int = 1000): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashed = assets.filter(_.kind == "audio")
+      .mapPartitions(it => it.flatMap(a => audioAHash(a.bytes).map(h => (a.doc_id, h))))
+      .toDF("doc_id", "ahash")
+    graft.operators.DedupOps.blockedHammingPairs(
+      hashed, "ahash", blocks = 4, blockBits = 16, maxHamming, maxBlockDf)
+  }
+
   /** Visual near-dup pairs over image assets — the multimodal
     * counterpart of SimHash text dedup: aHash per image in the
     * per-partition decode stage (bytes never shuffle; only

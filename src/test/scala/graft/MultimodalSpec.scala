@@ -425,4 +425,51 @@ class MultimodalSpec extends SparkTestBase {
       .agg(sum(col("sum_norm2"))).head().getDouble(0)
     assert(math.abs(s1 - s2) < 1e-9)
   }
+
+  test("audio near-dup pairs close envelope hashes and excludes dissimilar clips") {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled._
+    // 6400 frames mono 16-bit LE = 100 frames per 64-slot envelope
+    // cell; amplitude chosen per slot
+    def wav(amp: Int => Int): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val nFrames = 6400
+      val raw = new Array[Byte](nFrames * 2)
+      for (f <- 0 until nFrames) {
+        val a = amp(f * 64 / nFrames)
+        val v: Short = (if (f % 2 == 0) a else -a).toShort
+        raw(2 * f) = (v & 0xff).toByte
+        raw(2 * f + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new ByteArrayInputStream(raw), fmt, nFrames),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // A: loud first half; B: same rhythm, one loud slot re-gained
+    // (perceptually the same clip); C: loud second half (opposite)
+    val a = wav(s => if (s < 32) 30000 else 0)
+    val b = wav(s => if (s == 5) 28000 else if (s < 32) 30000 else 0)
+    val c = wav(s => if (s >= 32) 30000 else 0)
+    val ha = Multimodal.audioAHash(a).get
+    val hb = Multimodal.audioAHash(b).get
+    val hc = Multimodal.audioAHash(c).get
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 3, "re-gained clip must hash close")
+    assert(java.lang.Long.bitCount(ha ^ hc) > 3, "opposite rhythm must hash far")
+    assert(Multimodal.audioAHash(wav(_ => 20000)).isEmpty,
+      "flat signal has no envelope structure to fingerprint")
+    assert(Multimodal.audioAHash("junk".getBytes).isEmpty)
+
+    val assets = Seq(
+      MediaAsset(1L, "audio", a, 0, 0, 800),
+      MediaAsset(2L, "audio", b, 0, 0, 800),
+      MediaAsset(3L, "audio", c, 0, 0, 800),
+      MediaAsset(4L, "image", "notaudio".getBytes, 0, 0, 0)).toDS()
+    val pairs = Multimodal.audioNearDup(assets)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the re-gained clip pair expected, got $pairs")
+    assert(pairs.head._3 <= 3)
+  }
 }
