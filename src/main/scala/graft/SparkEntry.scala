@@ -151,6 +151,8 @@ object SparkEntry {
     "q_event_transitions" -> (WindowOps.eventTransitions _),
     "q_rate_profile" -> (WindowOps.rateProfile _),
     "q_rfm_segments" -> (JoinOps.rfmSegments _),
+    "q_order_cohorts" -> (JoinOps.orderCohorts _),
+    "q_brand_basket" -> (JoinOps.brandBasket _),
     "q_embed_drift" -> (SimilarityOps.embedDrift _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
     "q_novelty_source" -> (CurationOps.noveltySource _),
@@ -2340,6 +2342,33 @@ object SparkEntry {
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM gaps WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_order_cohorts" ->
+      """WITH o AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
+        |f AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY 1),
+        |a AS (SELECT DISTINCT o_custkey, yr FROM o),
+        |cells AS (SELECT cohort, yr, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM a JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1)
+        |SELECT cohort, yr, n_active, n_cohort,
+        |  CAST((10000 * n_active) // n_cohort AS BIGINT) AS retention_e4
+        |FROM cells JOIN s USING (cohort) ORDER BY cohort, yr""".stripMargin,
+    "q_brand_basket" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pb AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_t FROM ob GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_tot FROM ob),
+        |pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_both, pa.n_t AS n_a, pb2.n_t AS n_b,
+        |  CAST((CAST(n_both AS HUGEINT) * n_orders_tot * 10000)
+        |    // (CAST(pa.n_t AS HUGEINT) * pb2.n_t) AS BIGINT) AS lift_e4
+        |FROM pairs
+        |JOIN pb pa ON pairs.brand_a = pa.p_brand
+        |JOIN pb pb2 ON pairs.brand_b = pb2.p_brand
+        |CROSS JOIN tot
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q_rate_profile" ->
       """WITH pm AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
         |    CAST(count(*) AS BIGINT) AS n

@@ -667,6 +667,72 @@ object JoinOps {
       .orderBy($"r_bucket", $"f_bucket", $"m_bucket")
   }
 
+  /** #135b (SURVEY §2.6) Order-cohort retention matrix: customers
+    * grouped by FIRST-order year, and for every (cohort, order year)
+    * cell the customers still ordering plus their e4 retention
+    * against the cohort's size — the classic cohort table behind
+    * "are newer customer vintages stickier", the purchase-side twin
+    * of #87's event retention. A flat mean churn rate hides exactly
+    * what this separates: vintage effects vs calendar effects.
+    *
+    * Scale shape: the orders scan prunes to (custkey, year); the
+    * first-order agg and the (custkey, year) distinct share the
+    * custkey exchange family; the join back is custkey-keyed on the
+    * reduced frames; cells and cohort sizes are ≤ |years|² rows with
+    * the sizes broadcast. The distinct frame means the cell count is
+    * a plain count(*) — no COUNT DISTINCT expand. */
+  def orderCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_custkey", year($"o_orderdate").cast("long").as("yr"))
+    val firsts = o.groupBy($"o_custkey").agg(min($"yr").as("cohort"))
+    val active = o.distinct()
+    val cells = active.join(firsts, "o_custkey")
+      .groupBy($"cohort", $"yr").agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy($"cohort").agg(count(lit(1)).as("n_cohort"))
+    cells.join(broadcast(sizes), "cohort")
+      .withColumn("retention_e4", expr("(10000 * n_active) div n_cohort"))
+      .select($"cohort", $"yr", $"n_active", $"n_cohort", $"retention_e4")
+      .orderBy($"cohort", $"yr")
+  }
+
+  /** #121b (SURVEY §2.6) Brand market-basket affinity: for every
+    * brand pair, the orders containing BOTH plus the e4 lift against
+    * independence — the cross-sell / co-purchase report (#121's
+    * user-type affinity shape applied to the order fact at brand
+    * granularity, where the pair space is |brands|² and bounded).
+    *
+    * Scale shape: the part dim broadcasts onto a 2-column lineitem
+    * scan, the (order, brand) frame dedups on one uniform orderkey
+    * shuffle, the pair self-join fans out ≤ |brands-per-order|² per
+    * order (never corpus-quadratic), per-brand counts + the 1-row
+    * order total broadcast back, lift multiplies in DECIMAL(38,0)
+    * (n_both·n_orders·10⁴ overflows BIGINT at 100 TB order counts). */
+  def brandBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
+    val ob = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val perBrand = ob.groupBy($"p_brand").agg(count(lit(1)).as("n_t"))
+    val totOrders = ob.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders_tot"))
+    ob.select($"l_orderkey", $"p_brand".as("brand_a"))
+      .join(ob.select($"l_orderkey", $"p_brand".as("brand_b")), Seq("l_orderkey"))
+      .filter($"brand_a" < $"brand_b")
+      .groupBy($"brand_a", $"brand_b")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perBrand.select($"p_brand".as("brand_a"),
+        $"n_t".as("n_a"))), Seq("brand_a"))
+      .join(broadcast(perBrand.select($"p_brand".as("brand_b"),
+        $"n_t".as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(totOrders))
+      .withColumn("lift_e4",
+        expr("""CAST((CAST(n_both AS DECIMAL(38,0)) * n_orders_tot * 10000)
+               |div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin))
+      .select($"brand_a", $"brand_b", $"n_both", $"n_a", $"n_b", $"lift_e4")
+      .orderBy($"brand_a", $"brand_b")
+  }
+
   /** #140 (SURVEY §2.6) discount elasticity profile: per discount
     * level (e2): line count, quantity, revenue — the "does a deeper
     * discount move more units" curve pricing teams read; one narrow

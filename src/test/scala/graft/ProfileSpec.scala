@@ -801,6 +801,54 @@ class ProfileSpec extends SparkTestBase {
       s"missing=${model.diff(got).take(2)}")
   }
 
+  test("order cohorts equal a per-customer recompute; diagonal is the cohort size") {
+    import graft.operators.JoinOps
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), expr("CAST(year(o_orderdate) AS BIGINT)"))
+      .as[(Long, Long)].collect()
+    val firstYr = o.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortSize = firstYr.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val model = o.distinct.map { case (c, y) => (firstYr(c), y) }
+      .groupBy(identity).toSeq.sortBy(_._1).map { case ((co, y), cells) =>
+        (co, y, cells.size.toLong, cohortSize(co),
+          10000L * cells.size / cohortSize(co))
+      }
+    val got = JoinOps.orderCohorts(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == model, s"cohorts diverge: extra=${got.diff(model).take(2)} " +
+      s"missing=${model.diff(got).take(2)}")
+    // the cohort's first year retains everyone by construction
+    got.filter(r => r._1 == r._2).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 10000L, s"diagonal cell $r")
+    }
+    assert(got.forall(_._5 <= 10000L))
+  }
+
+  test("brand basket equals a brute-force co-purchase model with exact lift") {
+    import graft.operators.JoinOps
+    val ob = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sf).select(col("p_partkey"), col("p_brand")),
+        expr("l_partkey = p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .as[(Long, String)].collect()
+    val byBrand = ob.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nOrders = BigInt(ob.map(_._1).distinct.length)
+    val brands = byBrand.keys.toSeq.sorted
+    val model = (for {
+      (a, i) <- brands.zipWithIndex; b <- brands.drop(i + 1)
+      both = (byBrand(a) & byBrand(b)).size.toLong if both > 0
+    } yield {
+      val (na, nb) = (byBrand(a).size.toLong, byBrand(b).size.toLong)
+      (a, b, both, na, nb,
+        ((BigInt(both) * nOrders * 10000) / (BigInt(na) * nb)).toLong)
+    }).toSet
+    val got = JoinOps.brandBasket(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == model, s"basket diverges: extra=${got.diff(model).take(2)} " +
+      s"missing=${model.diff(got).take(2)}")
+  }
+
   test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
     import graft.operators.JoinOps
     // clean production tables: all-zero violations
