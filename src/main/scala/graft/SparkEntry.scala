@@ -152,6 +152,8 @@ object SparkEntry {
     "q_rate_profile" -> (WindowOps.rateProfile _),
     "q_rfm_segments" -> (JoinOps.rfmSegments _),
     "q_order_cohorts" -> (JoinOps.orderCohorts _),
+    "q_session_conversion" -> (WindowOps.sessionConversion _),
+    "q_ship_delay" -> (JoinOps.shipDelay _),
     "q_brand_basket" -> (JoinOps.brandBasket _),
     "q_embed_drift" -> (SimilarityOps.embedDrift _),
     "q_user_reconcile" -> (JoinOps.userReconcile _),
@@ -2342,6 +2344,36 @@ object SparkEntry {
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM gaps WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_session_conversion" ->
+      """WITH lab AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |      CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) IS NULL
+        |             OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) > 1800000000
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events)),
+        |s AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM lab GROUP BY 1, 2),
+        |g AS (SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS log2_events,
+        |    CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted
+        |  FROM s GROUP BY 1)
+        |SELECT log2_events, n_sessions, n_converted,
+        |  CAST((10000 * n_converted) // n_sessions AS BIGINT) AS conv_e4
+        |FROM g ORDER BY log2_events""".stripMargin,
+    "q_ship_delay" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    greatest(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT), 0) // 7 AS delay_weeks
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |g AS (SELECT o_orderpriority, delay_weeks, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM d GROUP BY 1, 2)
+        |SELECT o_orderpriority, delay_weeks, n_lines,
+        |  CAST((10000 * n_lines) // sum(n_lines) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS share_e4
+        |FROM g ORDER BY o_orderpriority, delay_weeks""".stripMargin,
     "q_order_cohorts" ->
       """WITH o AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders),
         |f AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY 1),

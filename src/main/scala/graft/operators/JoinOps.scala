@@ -733,6 +733,36 @@ object JoinOps {
       .orderBy($"brand_a", $"brand_b")
   }
 
+  /** #33e-b (SURVEY §2.6) Shipping-delay distribution: lines
+    * histogrammed by whole WEEKS between order placement and line
+    * shipment, split by order priority, with each priority's e4 row
+    * share — the SLA distribution behind #33e's binary late-order
+    * count (the count says HOW MANY crossed the 60-day bar; this
+    * says where the whole mass sits, and whether urgent orders
+    * actually ship on a faster curve). One fact-fact shuffle on the
+    * uniform order key (the #33e join), bounded
+    * (|priorities| × weeks) partial agg, share window on the bounded
+    * frame only. */
+  def shipDelay(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
+    val w = Window.partitionBy($"o_orderpriority")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        // greatest(…, 0): a (dirty-data) ship-before-order line lands
+        // in week 0 instead of splitting engines on negative division
+        expr("greatest(CAST(datediff(l_shipdate, o_orderdate) AS BIGINT), 0) div 7")
+          .as("delay_weeks"))
+      .groupBy($"o_orderpriority", $"delay_weeks")
+      .agg(count(lit(1)).as("n_lines"))
+      .withColumn("tot", sum($"n_lines").over(w))
+      .withColumn("share_e4", expr("(10000 * n_lines) div tot"))
+      .drop("tot")
+      .orderBy($"o_orderpriority", $"delay_weeks")
+  }
+
   /** #140 (SURVEY §2.6) discount elasticity profile: per discount
     * level (e2): line count, quantity, revenue — the "does a deeper
     * discount move more units" curve pricing teams read; one narrow

@@ -71,7 +71,13 @@ object WindowOps {
     * [[sessionStats]] — ONE gap-detection definition (30-min
     * inactivity, lag + cumulative-sum ids over per-user windows) so
     * the two reports cannot disagree on session boundaries. */
-  private[operators] def sessionFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-event rows labeled with their session id — the ONE
+    * definition of the 30-minute-gap session RULE, shared by the
+    * session listing ([[sessionFrame]] → #15/#107) and the
+    * conversion report ([[sessionConversion]]) so no consumer can
+    * sessionize differently. Rides the per-user window sort
+    * shuffle. */
+  private[operators] def sessionLabeled(spark: SparkSession, sfDir: String): DataFrame = {
     val byKey = eventOrder
     val gapUs = 30L * 60 * 1000000
     Tables.events(spark, sfDir)
@@ -81,12 +87,31 @@ object WindowOps {
           .otherwise(0L))
       .withColumn("session_id",
         sum($"new_session").over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private[operators] def sessionFrame(spark: SparkSession, sfDir: String): DataFrame =
+    sessionLabeled(spark, sfDir)
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("cnt"),
         min($"ts_us").as("session_start_us"),
         max($"ts_us").as("session_end_us"),
         Det.sumFixed($"value", 6).as("sum_value_e6"))
-  }
+
+  /** #107b Session-conversion curve: sessions histogrammed by log2
+    * event count with the e4 share of sessions containing a purchase
+    * — the "does engagement depth convert" curve growth teams read
+    * before investing in session length; SAME session rule as the
+    * listing ([[sessionLabeled]]). Per-session flags ride the
+    * session agg; the readout is a ≤64-bucket partial agg. */
+  def sessionConversion(spark: SparkSession, sfDir: String): DataFrame =
+    sessionLabeled(spark, sfDir)
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("converted"))
+      .groupBy((length(bin($"n_events")) - 1).cast("long").as("log2_events"))
+      .agg(count(lit(1)).as("n_sessions"), sum($"converted").as("n_converted"))
+      .withColumn("conv_e4", expr("(10000 * n_converted) div n_sessions"))
+      .orderBy($"log2_events")
 
   def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
     sessionFrame(spark, sfDir).orderBy($"user_id", $"session_id")

@@ -849,6 +849,40 @@ class ProfileSpec extends SparkTestBase {
       s"missing=${model.diff(got).take(2)}")
   }
 
+  test("session conversion equals a sequential session model") {
+    import graft.operators.WindowOps
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val gap = 30L * 60 * 1000000
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      var prev = Long.MinValue
+      for (r <- sorted) {
+        if (prev != Long.MinValue && r._2 - prev > gap) { out += cur; cur = Nil }
+        cur = r._4 :: cur
+        prev = r._2
+      }
+      out += cur
+      out
+    }.toSeq
+    def log2len(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val model = sessions.map(s => (log2len(s.size.toLong),
+        if (s.contains("purchase")) 1L else 0L))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ss) =>
+        (b, ss.size.toLong, ss.map(_._2).sum,
+          10000L * ss.map(_._2).sum / ss.size)
+      }
+    val got = WindowOps.sessionConversion(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == model, s"conversion curve diverges: $got vs $model")
+    assert(got.forall(r => r._4 <= 10000L && r._3 <= r._2))
+  }
+
   test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
     import graft.operators.JoinOps
     // clean production tables: all-zero violations
