@@ -153,6 +153,9 @@ object SparkEntry {
     "q_rfm_segments" -> (JoinOps.rfmSegments _),
     "q_order_cohorts" -> (JoinOps.orderCohorts _),
     "q_session_conversion" -> (WindowOps.sessionConversion _),
+    "q_pack_sweep" -> (CurationOps.packSweep _),
+    "q_lang_diversity" -> (CurationOps.langDiversity _),
+    "q_supplier_delay" -> (JoinOps.supplierDelay _),
     "q_ship_delay" -> (JoinOps.shipDelay _),
     "q_brand_basket" -> (JoinOps.brandBasket _),
     "q_embed_drift" -> (SimilarityOps.embedDrift _),
@@ -2344,6 +2347,54 @@ object SparkEntry {
         |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
         |FROM gaps WHERE gap_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pack_sweep" -> {
+      import graft.operators.CurationOps.{PackBlock, PackSweepBudgets}
+      // PackBlock is irrelevant to the answer (the two-level split is
+      // a physical concern); the oracle uses the plain global prefix
+      // sum, which PackingSpec proves equivalent
+      s"""WITH $tkCte,
+         |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tkv),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+         |  FROM lens),
+         |e AS (SELECT n_tokens, cum_prev, CAST(b.budget AS BIGINT) AS budget
+         |  FROM c CROSS JOIN (VALUES (${PackSweepBudgets.mkString("), (")})) b(budget)),
+         |p AS (SELECT budget, n_tokens,
+         |    cum_prev // budget AS fp,
+         |    (cum_prev + greatest(n_tokens, 1) - 1) // budget AS lp
+         |  FROM e)
+         |SELECT budget, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+         |  CAST(max(lp) + 1 AS BIGINT) AS n_packs,
+         |  CAST(count(*) FILTER (lp > fp) AS BIGINT) AS n_straddling,
+         |  CAST((10000 * count(*) FILTER (lp > fp)) // count(*) AS BIGINT) AS straddle_e4,
+         |  CAST((max(lp) + 1) * budget - sum(n_tokens) AS BIGINT) AS waste_tokens
+         |FROM p GROUP BY budget ORDER BY budget""".stripMargin
+    },
+    "q_lang_diversity" ->
+      """WITH cl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_langs,
+        |    sum(CAST(c AS HUGEINT) * c) AS sq
+        |  FROM cl GROUP BY 1)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(((CAST(n_docs AS HUGEINT) * n_docs - sq) * 1000000)
+        |    // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS simpson_e6
+        |FROM g ORDER BY source""".stripMargin,
+    "q_supplier_delay" -> {
+      import graft.operators.JoinOps.DelayMinLines
+      s"""WITH per AS (SELECT l_suppkey,
+         |    CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(count(*) FILTER (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS BIGINT) AS n_late
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1
+         |  HAVING count(*) >= $DelayMinLines)
+         |SELECT s_suppkey, s_name, n_lines, n_late,
+         |  CAST((10000 * n_late) // n_lines AS BIGINT) AS late_e4
+         |FROM per JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY late_e4 DESC, s_suppkey ASC LIMIT 20""".stripMargin
+    },
     "q_session_conversion" ->
       """WITH lab AS (
         |  SELECT user_id, event_type,

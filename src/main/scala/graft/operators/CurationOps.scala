@@ -1114,6 +1114,57 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** Budgets swept by [[packSweep]]. */
+  val PackSweepBudgets = Seq(128L, 256L, 512L)
+
+  /** #68c Pack-budget sweep: the #68/#68b packing outcome priced at
+    * several candidate sequence lengths in ONE report — per budget:
+    * allocated packs, boundary-straddling docs (+e4 share — the
+    * attention-mask contamination exposure), and wasted capacity
+    * (only the final pack can waste, so waste = packs·B − tokens) —
+    * the table that PICKS a training sequence length before a 100 TB
+    * packing run, the #138-style sweep for the packing knob. The
+    * prefix-sum placement (cum_prev) is budget-INDEPENDENT, so the
+    * sweep reuses the SAME two-level #68 frame and only the
+    * first/last-pack arithmetic varies: one bounded ×|budgets|
+    * explode, one |budgets|-group partial agg. */
+  def packSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val budgets = PackSweepBudgets.map(lit(_))
+    packFrame(Tables.documents(spark, sfDir))
+      .select($"n_tokens", $"cum_prev", explode(array(budgets: _*)).as("budget"))
+      .withColumn("fp", expr("cum_prev div budget"))
+      .withColumn("lp", expr("(cum_prev + greatest(n_tokens, 1) - 1) div budget"))
+      .groupBy($"budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens_total"),
+        (max($"lp") + 1L).as("n_packs"),
+        sum(when($"lp" > $"fp", 1L).otherwise(0L)).as("n_straddling"))
+      .withColumn("straddle_e4", expr("(10000 * n_straddling) div n_docs"))
+      .withColumn("waste_tokens", expr("n_packs * budget - n_tokens_total"))
+      .orderBy($"budget")
+  }
+
+  /** #54b Language-diversity profile: per source, the exact Simpson
+    * index over its declared-language mix — (n²−Σc²)·10⁶ div n², the
+    * probability two sampled docs carry DIFFERENT lang tags (the #92
+    * token-diversity rule lifted to metadata). 0 = monolingual
+    * source; a high value on a supposedly-monolingual feed means the
+    * metadata (or the feed) is mixed and per-language gating can't
+    * be trusted. Squares run DECIMAL(38,0) ≡ HUGEINT (n² overflows
+    * BIGINT at 100 TB per-source doc counts). Two bounded partial
+    * aggs — (source, lang) then source. */
+  def langDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_docs"), count(lit(1)).as("n_langs"),
+        sum($"c".cast("decimal(38,0)") * $"c").as("sq"))
+      .select($"source", $"n_docs", $"n_langs",
+        expr("""CAST(((CAST(n_docs AS DECIMAL(38,0)) * n_docs - sq) * 1000000)
+               |div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"""
+          .stripMargin).as("simpson_e6"))
+      .orderBy($"source")
+
   /** Output shard count for [[shardAssign]]. */
   val NumShards = 16L
 

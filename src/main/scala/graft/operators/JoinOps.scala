@@ -763,6 +763,37 @@ object JoinOps {
       .orderBy($"o_orderpriority", $"delay_weeks")
   }
 
+  /** Volume floor for [[supplierDelay]] — a supplier must have shipped
+    * at least this many lines before its late RATE is ranked (a
+    * 1-line supplier would otherwise top the list at rate 0 or 1e4). */
+  val DelayMinLines = 20L
+
+  /** #33p-b (SURVEY §2.6) Supplier late-rate report: the top-20
+    * suppliers by SHARE of lines shipped late (> 60 days after order,
+    * the #33e/#33p lateness proxy), with a [[DelayMinLines]] volume
+    * floor — the rate complement of #33p's sole-blame count: a
+    * supplier can dodge sole-late blame on multi-supplier orders and
+    * still run a terrible late rate. One fact-fact shuffle on the
+    * uniform order key, per-supplier partial agg, names broadcast,
+    * top-20 TakeOrdered; keyed by s_suppkey (clone-name-safe). */
+  def supplierDelay(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+          1L).otherwise(0L)).as("n_late"))
+      .filter($"n_lines" >= DelayMinLines)
+      .withColumn("late_e4", expr("(10000 * n_late) div n_lines"))
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_lines", $"n_late", $"late_e4")
+      .orderBy($"late_e4".desc, $"s_suppkey".asc)
+      .limit(20)
+  }
+
   /** #140 (SURVEY §2.6) discount elasticity profile: per discount
     * level (e2): line count, quantity, revenue — the "does a deeper
     * discount move more units" curve pricing teams read; one narrow

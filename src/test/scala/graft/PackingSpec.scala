@@ -121,6 +121,27 @@ class PackingSpec extends SparkTestBase {
     assert(stats.map(_._4).sum == totalTokens)
   }
 
+  test("pack sweep reconciles with the gated packing at the shared budget and is monotone") {
+    val sweep = CurationOps.packSweep(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(sweep.map(_._1) == CurationOps.PackSweepBudgets, "one row per budget, ordered")
+    val placement = CurationOps.packSequences(spark, sf)
+      .select(col("n_tokens"), col("n_packs"), col("last_pack"))
+      .as[(Long, Long, Long)].collect()
+    // the swept column at the #68 budget must equal the gated operator
+    val at = sweep.find(_._1 == CurationOps.PackBudget).get
+    assert(at._2 == placement.length.toLong)
+    assert(at._3 == placement.map(_._1).sum)
+    assert(at._4 == placement.map(_._3).max + 1, "pack count ≡ #68 placement")
+    assert(at._5 == placement.count(_._2 > 1L).toLong, "straddlers ≡ #68 n_packs>1")
+    // a bigger budget never needs more packs and never straddles more docs
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 <= a._4 && b._5 <= a._5, s"monotone in budget: $a vs $b")
+    case _ => }
+    // waste is only ever final-pack slack: less than one budget's worth
+    sweep.foreach(r => assert(r._7 >= 0L && r._7 < r._1, s"waste bound: $r"))
+  }
+
   test("shard assignment covers the corpus and balances to within two documents") {
     import spark.implicits.{newLongEncoder, newProductEncoder}
     val shards = CurationOps.shardAssign(spark, sf)
