@@ -19,10 +19,18 @@ object JoinOps {
 
   /** Daily global totals (OrderAnalysy TotalDataFun, reference :719). */
   def orderDaily(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
+    orderDailyAgg(Tables.orders(spark, sfDir)).orderBy($"order_day")
+
+  /** The #30 daily aggregation over any orders frame — ONE definition
+    * shared by the gated report above and the incremental-maintenance
+    * path ([[Maintenance.applyOrdersDelta]]), so a delta-maintained
+    * dashboard can never drift from the from-scratch aggregation
+    * rule. */
+  private[graft] def orderDailyAgg(orders: DataFrame): DataFrame =
+    orders
       .groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"))
-      .agg(count(lit(1)).as("total_num"), Det.sumFixed($"o_totalprice", 2).as("total_money_e2"))
-      .orderBy($"order_day")
+      .agg(count(lit(1)).as("total_num"),
+        Det.sumFixed($"o_totalprice", 2).as("total_money_e2"))
 
   /** Per-nation totals (OrderAnalysy GroupDataFuc, reference :686 —
     * "province" → nation via the customer dimension). */

@@ -97,6 +97,44 @@ class LayoutSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("hive-partitioned write prunes non-matching partitions at plan time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val out = tmpDir("parted")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      col("source"))
+    LayoutOps.partitionedWrite(docs, "lang", out)
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(langs.length > 1, "test needs several partitions to prune")
+    // directory layout: one subdir per lang value
+    val subdirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(subdirs.toSeq == langs.map("lang=" + _).toSeq, subdirs.toSeq)
+
+    val read = spark.read.parquet(out).filter(col("lang") === langs.head)
+    // materialize THIS plan (a separate count() would execute a fresh
+    // plan instance and leave these scan metrics untouched)
+    assert(read.collect().length.toLong ==
+      docs.filter(col("lang") === langs.head).count())
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val scan = scans(read.queryExecution.executedPlan).head
+    assert(scan.toString.contains("PartitionFilters"), scan.toString)
+    // the scan must open ONLY the matching partition's files —
+    // planning-time directory pruning, not row filtering
+    val partFiles = new java.io.File(s"$out/lang=${langs.head}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value == partFiles.toLong,
+      s"scan read ${scan.metrics("numFiles").value} files, partition has $partFiles")
+    // content round-trips across the partitioned layout
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("zorderWrite on empty input writes empty output instead of NPE-ing") {
     val outDir = tmpDir("layout-empty")
     LayoutOps.zorderWrite(grid.filter(col("x") < -1), "x", "y", outDir, 4)
