@@ -155,6 +155,7 @@ object SparkEntry {
     "q_session_conversion" -> (WindowOps.sessionConversion _),
     "q_pack_sweep" -> (CurationOps.packSweep _),
     "q_lang_diversity" -> (CurationOps.langDiversity _),
+    "q_vocab_coverage" -> (TextOps.vocabCoverage _),
     "q_supplier_delay" -> (JoinOps.supplierDelay _),
     "q_ship_delay" -> (JoinOps.shipDelay _),
     "q_brand_basket" -> (JoinOps.brandBasket _),
@@ -2371,6 +2372,21 @@ object SparkEntry {
          |  CAST((max(lp) + 1) * budget - sum(n_tokens) AS BIGINT) AS waste_tokens
          |FROM p GROUP BY budget ORDER BY budget""".stripMargin
     },
+    "q_vocab_coverage" ->
+      s"""WITH $tkCte,
+         |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(tk) AS w1 FROM tkv) GROUP BY 1),
+         |t AS (SELECT CAST(length(bin(c1)) - 1 AS BIGINT) AS log2_count,
+         |    CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(c1) AS BIGINT) AS n_occ
+         |  FROM uni GROUP BY 1),
+         |c AS (SELECT log2_count, n_terms, n_occ,
+         |    CAST(sum(n_terms) OVER (ORDER BY log2_count DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_terms,
+         |    CAST(sum(n_occ) OVER (ORDER BY log2_count DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_occ
+         |  FROM t),
+         |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot FROM t)
+         |SELECT log2_count, n_terms, n_occ, cum_terms, cum_occ,
+         |  CAST((CAST(cum_occ AS HUGEINT) * 1000000) // tot AS BIGINT) AS coverage_e6
+         |FROM c CROSS JOIN tot ORDER BY log2_count DESC""".stripMargin,
     "q_lang_diversity" ->
       """WITH cl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
         |  FROM documents GROUP BY 1, 2),

@@ -530,6 +530,36 @@ object TextOps {
       spark.read.schema(bigSchema).parquet(bigPath))
   }
 
+  /** #114c Vocabulary-coverage curve: word types bucketed by
+    * log2(count) tier with cumulative-from-the-top type counts and
+    * e6 share of all token occurrences — "a vocab of the
+    * cum_terms most frequent types covers coverage_e6 of the
+    * corpus", the vocab-size pricing table behind the OOV gate
+    * (#114) and BPE sizing (#151). Count-threshold tiers rather than
+    * exact top-k bars on purpose: an exact-k curve needs a global
+    * vocab sort (single-partition at a 10⁹-type corpus), while tiers
+    * are one vocab-bounded partial agg + a cumulative window over
+    * ≤64 rows. Reads the materialized LM unigram artifact; shares
+    * run DECIMAL(38,0) ≡ HUGEINT (cum_occ·10⁶ overflows BIGINT at
+    * 100 TB token totals). */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"log2_count".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tiers = lmCountsShared(spark, sfDir)._1
+      .groupBy((length(bin($"c1")) - 1).cast("long").as("log2_count"))
+      .agg(count(lit(1)).as("n_terms"), sum($"c1").as("n_occ"))
+    tiers
+      .withColumn("cum_terms", sum($"n_terms").over(w))
+      .withColumn("cum_occ", sum($"n_occ").over(w))
+      .crossJoin(broadcast(tiers.agg(sum($"n_occ").as("tot"))))
+      .select($"log2_count", $"n_terms", $"n_occ", $"cum_terms", $"cum_occ",
+        expr("""CAST((CAST(cum_occ AS DECIMAL(38,0)) * 1000000)
+               |div CAST(tot AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("coverage_e6"))
+      .orderBy($"log2_count".desc)
+  }
+
   /** [[pmiTopk]] parameters: report the [[PmiTopK]] strongest
     * collocations among bigrams seen at least [[PmiMinCount]] times
     * (the floor kills hapax noise, where one co-occurrence of two

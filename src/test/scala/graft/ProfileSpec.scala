@@ -883,6 +883,29 @@ class ProfileSpec extends SparkTestBase {
     assert(got.forall(r => r._4 <= 10000L && r._3 <= r._2))
   }
 
+  test("vocab coverage equals a plain token-count model and ends at full coverage") {
+    import graft.operators.TextOps
+    import graft.functions.TextFunctions.tokens
+    val counts = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).count()
+      .as[(String, Long)].collect()
+    def log2len(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val tiers = counts.groupBy(c => log2len(c._2)).toSeq.sortBy(-_._1)
+    val tot = counts.map(_._2).sum
+    var (cumT, cumO) = (0L, 0L)
+    val model = tiers.map { case (b, cs) =>
+      cumT += cs.size; cumO += cs.map(_._2).sum
+      (b, cs.size.toLong, cs.map(_._2).sum, cumT, cumO,
+        (BigInt(cumO) * 1000000 / BigInt(tot)).toLong)
+    }
+    val got = TextOps.vocabCoverage(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == model, s"coverage curve diverges: $got vs $model")
+    assert(got.last._6 == 1000000L, "the full vocab covers everything")
+    assert(got.map(_._6) == got.map(_._6).sorted, "coverage is monotone down the tiers")
+  }
+
   test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
     import graft.operators.JoinOps
     // clean production tables: all-zero violations
