@@ -526,6 +526,22 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(planOf("q_ann_pq")) <= 2)
   }
 
+  test("session report family: no cartesian, map-side combine everywhere") {
+    for (q <- Seq("q_rfm_segments", "q_order_cohorts", "q_brand_basket",
+        "q_ship_delay", "q_supplier_delay", "q_event_transitions",
+        "q_rate_profile", "q_session_conversion", "q_pack_sweep",
+        "q_lang_diversity", "q_vocab_coverage", "q_embed_drift")) {
+      val plan = fullPlanString(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(plan.contains("partial_count") || plan.contains("partial_sum") ||
+        plan.contains("partial_min"), s"$q must combine map-side")
+    }
+    // the cohort rewrite holds: no row-granularity join survives —
+    // sizes ride a broadcast, never a sort-merge join
+    assert(!fullPlanString("q_order_cohorts").contains("SortMergeJoin"),
+      "cohort sizes must broadcast")
+  }
+
   test("q_oov_rate broadcasts the vocab; tokens never shuffle by token") {
     // force the unigram artifact first so steady state is observed
     SparkEntry.queries("q_oov_rate")(spark, sf).queryExecution.executedPlan
