@@ -156,6 +156,7 @@ object SparkEntry {
     "q_pack_sweep" -> (CurationOps.packSweep _),
     "q_lang_diversity" -> (CurationOps.langDiversity _),
     "q_vocab_coverage" -> (TextOps.vocabCoverage _),
+    "q_quality_trend" -> (CurationOps.qualityTrend _),
     "q_supplier_delay" -> (JoinOps.supplierDelay _),
     "q_ship_delay" -> (JoinOps.shipDelay _),
     "q_brand_basket" -> (JoinOps.brandBasket _),
@@ -1899,6 +1900,23 @@ object SparkEntry {
          |$qualityCtes
          |SELECT doc_id, lm_pct_e4, div_pct_e4, rep_pct_e4, composite_e4
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_quality_trend" -> {
+      import graft.operators.CurationOps.NoveltyBuckets
+      s"""WITH $tkCte,
+         |$lmCtes,
+         |$qualityCtes,
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |s AS (SELECT least(${NoveltyBuckets - 1L},
+         |    (doc_id - lo) * $NoveltyBuckets // (hi - lo + 1)) AS bucket,
+         |    composite_e4
+         |  FROM comp CROSS JOIN b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(composite_e4) // count(*) AS BIGINT) AS mean_composite_e4,
+         |  CAST(min(composite_e4) AS BIGINT) AS min_composite_e4,
+         |  CAST(max(composite_e4) AS BIGINT) AS max_composite_e4
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_cluster_quality" ->
       s"""WITH RECURSIVE $tkCte, ${gramsCte(graft.operators.DedupOps.VerifyGram)},
          |$mhCtes,

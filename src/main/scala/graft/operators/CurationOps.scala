@@ -831,6 +831,33 @@ object CurationOps {
     spark.read.schema(schema).parquet(path).orderBy($"doc_id")
   }
 
+  /** #95b Quality-by-ingestion trend: the #95 composite percentile
+    * aggregated over [[NoveltyBuckets]] equal doc_id RANGE slices of
+    * the corpus (the #104 slicing rule — never ntile/global sort) —
+    * "is crawl quality degrading as ingestion proceeds", the quality
+    * twin of the novelty curve; a falling mean across slices says
+    * the next crawl batch is worth less BEFORE a budget buys it.
+    * Reads the materialized per-doc #95 artifact (scored docs), one
+    * bounded-bucket partial agg, doc_id bounds broadcast as a 1-row
+    * frame; the mean is §4-exact integer division. */
+  def qualityTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val bounds = Tables.documents(spark, sfDir).select($"doc_id")
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    qualityPercentile(spark, sfDir).select($"doc_id", $"composite_e4")
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(lit(NoveltyBuckets - 1L),
+          expr(s"(doc_id - lo) * $NoveltyBuckets div (hi - lo + 1)"))
+          .as("bucket"),
+        $"composite_e4")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(composite_e4) div count(1)").as("mean_composite_e4"),
+        min($"composite_e4").as("min_composite_e4"),
+        max($"composite_e4").as("max_composite_e4"))
+      .orderBy($"bucket")
+  }
+
   /** Gram widths [[deconWidthSweep]] prices. */
   val DeconWidths: Seq[Int] = Seq(2, 3, 5, 8)
 

@@ -575,6 +575,45 @@ object StreamingJobs {
       }
   }
 
+  /** Per-user buffered (us, event_id, type) for [[transitionGate]] —
+    * the same CEP-style partial-match buffer as [[funnelGate]] and
+    * [[gapGate]]: transition edges depend on the time-SORTED
+    * sequence, so the buffer keeps the events and re-sorts per
+    * arrival. */
+  case class TransBuf(events: Seq[(Long, Long, String)])
+
+  /** Streaming form of WindowOps.eventTransitions (#120b streaming):
+    * per user, the (from, to, n) next-event edge counts over the
+    * events seen SO FAR, recomputed per arrival from the buffered
+    * sorted sequence — late/out-of-order arrivals are EXACT (an
+    * event landing between seen neighbors SPLITS their edge into two
+    * different edges; running last-event state would weld it to
+    * arrival order). Update-mode rows: the last row per user carries
+    * that user's full current edge list; a global reduction of those
+    * lists equals the batch matrix. State is O(user's events),
+    * production-bounded via the #29f event-time-TTL pattern. Input
+    * contract: (user_id, us, event_id, event_type). */
+  def transitionGate(events: DataFrame): Dataset[(Long, Seq[(String, String, Long)])] = {
+    val spark = events.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder, newProductSeqEncoder}
+    events.select($"user_id", $"us", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Long, Long, String)],
+         state: GroupState[TransBuf]) =>
+          val evs = state.getOption.map(_.events).getOrElse(Nil) ++
+            batch.map(e => (e._2, e._3, e._4))
+          state.update(TransBuf(evs))
+          val sorted = evs.sortBy(e => (e._1, e._2))
+          val counts = sorted.iterator.sliding(2).withPartial(false)
+            .map { case Seq(a, b) => (a._3, b._3) }.toSeq
+            .groupBy(identity).toSeq.sortBy(_._1)
+            .map { case ((f, t), ps) => (f, t, ps.size.toLong) }
+          (user, counts)
+      }
+  }
+
   /** Double-11 dashboard, per-province half (reference
     * orderTest/OrderAnalysy.scala:465 GroupDataFuc): per-day
     * per-province totals over an order stream, update mode, fed to an

@@ -906,6 +906,28 @@ class ProfileSpec extends SparkTestBase {
     assert(got.map(_._6) == got.map(_._6).sorted, "coverage is monotone down the tiers")
   }
 
+  test("quality trend equals a slice recompute from the composite artifact") {
+    import graft.operators.CurationOps
+    val comp = CurationOps.qualityPercentile(spark, sf)
+      .select(col("doc_id"), col("composite_e4"))
+      .as[(Long, Long)].collect()
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .as[Long].collect()
+    val (lo, hi) = (ids.min, ids.max)
+    val nb = CurationOps.NoveltyBuckets
+    val model = comp.groupBy { case (id, _) =>
+        math.min(nb - 1, (id - lo) * nb / (hi - lo + 1))
+      }.toSeq.sortBy(_._1).map { case (b, cs) =>
+        val vs = cs.map(_._2)
+        (b, cs.size.toLong, vs.sum / vs.size, vs.min, vs.max)
+      }
+    val got = SparkEntry.queries("q_quality_trend")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == model, s"trend diverges: $got vs $model")
+    assert(got.map(_._2).sum == comp.length.toLong,
+      "slices cover exactly the scored docs")
+  }
+
   test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
     import graft.operators.JoinOps
     // clean production tables: all-zero violations

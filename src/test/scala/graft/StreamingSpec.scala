@@ -343,6 +343,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming transition gate reaches the batch edge matrix under reverse-time arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.WindowOps
+    // batch side: the oracle-gated matrix's (from, to, n) cells
+    val batch = WindowOps.eventTransitions(spark, sf)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    // ADVERSARIAL arrival: reverse time order across two micro-batches —
+    // every edge is assembled from late arrivals that running
+    // last-event state would weld backwards
+    val shuffled = rows.sortBy(-_._2)
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamingJobs.transitionGate(
+        in.toDF().toDF("user_id", "us", "event_id", "event_type"))
+      .toDF("user_id", "edges")
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = shuffled.splitAt(shuffled.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      // update mode: the LAST row per user (most edges — the buffer
+      // only grows) is that user's final edge list
+      val perUser = spark.table("trans")
+        .as[(Long, Seq[(String, String, Long)])].collect()
+        .groupBy(_._1).map { case (_, vs) =>
+          vs.maxBy(_._2.map(_._3).sum)._2
+        }
+      val streamed = perUser.flatten
+        .groupBy(e => (e._1, e._2)).map { case ((f, t), es) =>
+          (f, t, es.map(_._3).sum)
+        }.toSet
+      assert(streamed == batch,
+        s"edge drift: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming gap gate equals the batch gap profile under out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sf)
