@@ -157,6 +157,8 @@ object SparkEntry {
     "q_lang_diversity" -> (CurationOps.langDiversity _),
     "q_vocab_coverage" -> (TextOps.vocabCoverage _),
     "q_quality_trend" -> (CurationOps.qualityTrend _),
+    "q_dup_trend" -> (CurationOps.dupTrend _),
+    "q_decon_trend" -> (CurationOps.deconTrend _),
     "q_supplier_delay" -> (JoinOps.supplierDelay _),
     "q_ship_delay" -> (JoinOps.shipDelay _),
     "q_brand_basket" -> (JoinOps.brandBasket _),
@@ -1900,6 +1902,43 @@ object SparkEntry {
          |$qualityCtes
          |SELECT doc_id, lm_pct_e4, div_pct_e4, rep_pct_e4, composite_e4
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_dup_trend" -> {
+      import graft.operators.CurationOps.NoveltyBuckets
+      s"""WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+         |f AS (SELECT h, min(doc_id) AS first_id FROM d GROUP BY 1),
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |s AS (SELECT least(${NoveltyBuckets - 1L},
+         |    (doc_id - lo) * $NoveltyBuckets // (hi - lo + 1)) AS bucket,
+         |    CASE WHEN doc_id > first_id THEN 1 ELSE 0 END AS refetch
+         |  FROM d JOIN f USING (h) CROSS JOIN b)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(refetch) AS BIGINT) AS n_refetch,
+         |  CAST((10000 * sum(refetch)) // count(*) AS BIGINT) AS refetch_e4
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_decon_trend" -> {
+      import graft.operators.CurationOps.{DecontGram, DecontMod, NoveltyBuckets}
+      s"""WITH $tkCte, ${gramsCte(DecontGram)},
+         |bg AS (SELECT DISTINCT unnest(gs) AS h FROM g3 WHERE doc_id % $DecontMod = 0),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM (SELECT doc_id, unnest(gs) AS h FROM g3 WHERE doc_id % $DecontMod <> 0)
+         |  JOIN bg USING (h) GROUP BY doc_id),
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |s AS (SELECT least(${NoveltyBuckets - 1L},
+         |    (d.doc_id - lo) * $NoveltyBuckets // (hi - lo + 1)) AS bucket,
+         |    CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dirty,
+         |    coalesce(hits.n_hit, 0) AS n_hit
+         |  FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |  CROSS JOIN b
+         |  WHERE d.doc_id % $DecontMod <> 0)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dirty) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(n_hit) AS BIGINT) AS n_gram_hits,
+         |  CAST((10000 * sum(dirty)) // count(*) AS BIGINT) AS contaminated_e4
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_quality_trend" -> {
       import graft.operators.CurationOps.NoveltyBuckets
       s"""WITH $tkCte,

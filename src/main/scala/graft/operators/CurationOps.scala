@@ -858,6 +858,61 @@ object CurationOps {
       .orderBy($"bucket")
   }
 
+  /** #37b Exact-duplication trend: per #104 ingestion slice, the
+    * docs whose exact text class already had an EARLIER member (a
+    * re-fetch) and their e4 rate — the third leg of the
+    * ingestion-health triptych (novelty #104 at shingle granularity,
+    * quality #95b, duplication here at whole-doc granularity): a
+    * rising refetch rate says the crawler started re-crawling its own
+    * head. The #37 class rule (md5 of normalized text, min-id first
+    * member), one uniform hash shuffle + same-key join back, bounded
+    * slice agg, id bounds broadcast. */
+  def dupTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", md5(lower(trim($"text"))).as("h"))
+    val firsts = docs.groupBy($"h").agg(min($"doc_id").as("first_id"))
+    val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    docs.join(firsts, "h")
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(lit(NoveltyBuckets - 1L),
+          expr(s"(doc_id - lo) * $NoveltyBuckets div (hi - lo + 1)"))
+          .as("bucket"),
+        when($"doc_id" > $"first_id", 1L).otherwise(0L).as("refetch"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"refetch").as("n_refetch"))
+      .withColumn("refetch_e4", expr("(10000 * n_refetch) div n_docs"))
+      .orderBy($"bucket")
+  }
+
+  /** #51d Contamination-entry trend: the #51 decontamination hits
+    * re-keyed by #104 ingestion slice — WHEN the benchmark overlap
+    * entered the corpus (one poisoned batch vs a steady leak decides
+    * whether to drop a drop or fix a pipeline); shared [[gramHits]] /
+    * [[benchGramSet]] scoring (one definition with #51/#51b), LEFT
+    * side is every non-benchmark doc so clean slices report zero;
+    * bounded slice agg, id bounds broadcast. */
+  def deconTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter($"doc_id" % DecontMod =!= 0L)
+    val hits = gramHits(corpus, benchGramSet(docs))
+    val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+    corpus.select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(lit(NoveltyBuckets - 1L),
+          expr(s"(doc_id - lo) * $NoveltyBuckets div (hi - lo + 1)"))
+          .as("bucket"),
+        when($"n_hit".isNotNull, 1L).otherwise(0L).as("dirty"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"dirty").as("n_contaminated"),
+        sum($"n_hit").as("n_gram_hits"))
+      .withColumn("contaminated_e4", expr("(10000 * n_contaminated) div n_docs"))
+      .orderBy($"bucket")
+  }
+
   /** Gram widths [[deconWidthSweep]] prices. */
   val DeconWidths: Seq[Int] = Seq(2, 3, 5, 8)
 

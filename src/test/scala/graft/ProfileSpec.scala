@@ -928,6 +928,42 @@ class ProfileSpec extends SparkTestBase {
       "slices cover exactly the scored docs")
   }
 
+  test("duplication trend equals a first-member model and reconciles with exact dedup") {
+    import graft.operators.CurationOps
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(lower(trim(col("text")))))
+      .as[(Long, String)].collect()
+    val firstOf = docs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val (lo, hi) = (docs.map(_._1).min, docs.map(_._1).max)
+    val nb = CurationOps.NoveltyBuckets
+    val model = docs.groupBy { case (id, _) =>
+        math.min(nb - 1, (id - lo) * nb / (hi - lo + 1))
+      }.toSeq.sortBy(_._1).map { case (b, ds) =>
+        val re = ds.count { case (id, h) => id > firstOf(h) }.toLong
+        (b, ds.size.toLong, re, 10000L * re / ds.size)
+      }
+    val got = SparkEntry.queries("q_dup_trend")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == model, s"dup trend diverges: $got vs $model")
+    // total refetches = docs − exact classes (the #37 reconciliation)
+    assert(got.map(_._3).sum == docs.length - firstOf.size)
+  }
+
+  test("contamination trend reconciles with the decontamination hit listing") {
+    import graft.operators.CurationOps
+    val hits = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .as[(Long, Long)].collect()
+    val got = SparkEntry.queries("q_decon_trend")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._3).sum == hits.length.toLong,
+      "contaminated-doc total must equal the hit listing")
+    assert(got.map(_._4).sum == hits.map(_._2).sum,
+      "gram-hit total must equal the hit listing digit-for-digit")
+    val corpusN = Tables.documents(spark, sf)
+      .filter(col("doc_id") % CurationOps.DecontMod =!= 0L).count()
+    assert(got.map(_._2).sum == corpusN, "slices cover the non-benchmark corpus")
+  }
+
   test("integrity audit: every constraint fires on crafted dirty frames and is silent on clean ones") {
     import graft.operators.JoinOps
     // clean production tables: all-zero violations
