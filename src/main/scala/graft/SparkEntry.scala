@@ -158,6 +158,8 @@ object SparkEntry {
     "q_vocab_coverage" -> (TextOps.vocabCoverage _),
     "q_quality_trend" -> (CurationOps.qualityTrend _),
     "q_dup_trend" -> (CurationOps.dupTrend _),
+    "q_order_aging" -> (JoinOps.orderAging _),
+    "q_dead_parts" -> (JoinOps.deadParts _),
     "q_decon_trend" -> (CurationOps.deconTrend _),
     "q_supplier_delay" -> (JoinOps.supplierDelay _),
     "q_ship_delay" -> (JoinOps.shipDelay _),
@@ -1902,6 +1904,26 @@ object SparkEntry {
          |$qualityCtes
          |SELECT doc_id, lm_pct_e4, div_pct_e4, rep_pct_e4, composite_e4
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "q_order_aging" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS ref FROM orders)
+        |SELECT o_orderstatus,
+        |  greatest(CAST(date_diff('day', o_orderdate, ref) AS BIGINT), 0) // 7 AS age_weeks,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS value_e2
+        |FROM orders CROSS JOIN ref
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dead_parts" ->
+      """WITH shipped AS (SELECT DISTINCT l_partkey FROM lineitem),
+        |dead AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_dead
+        |  FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM shipped)
+        |  GROUP BY 1),
+        |cat AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1)
+        |SELECT cat.p_brand, n_parts, coalesce(n_dead, 0) AS n_dead,
+        |  CAST((10000 * coalesce(n_dead, 0)) // n_parts AS BIGINT) AS dead_e4
+        |FROM cat LEFT JOIN dead ON cat.p_brand = dead.p_brand
+        |ORDER BY cat.p_brand""".stripMargin,
     "q_dup_trend" -> {
       import graft.operators.CurationOps.NoveltyBuckets
       s"""WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),

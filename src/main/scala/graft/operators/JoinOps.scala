@@ -806,6 +806,52 @@ object JoinOps {
       .limit(20)
   }
 
+  /** #33e-c (SURVEY §2.6) Open-order aging report: non-finished
+    * orders (status ≠ 'F') bucketed by whole weeks of age against
+    * the corpus's latest order date, per status, with order counts
+    * and value — the WIP backlog report operations reads daily (an
+    * old 'O' order is a stuck order; the tail of this histogram is
+    * the escalation queue). One narrow scan into a bounded
+    * (|statuses| × weeks) partial agg; the reference date broadcasts
+    * as a 1-row agg. */
+  def orderAging(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select($"o_orderstatus", $"o_orderdate", $"o_totalprice")
+    val ref = o.agg(max($"o_orderdate").as("ref"))
+    o.filter($"o_orderstatus" =!= "F")
+      .crossJoin(broadcast(ref))
+      .select($"o_orderstatus",
+        expr("greatest(CAST(datediff(ref, o_orderdate) AS BIGINT), 0) div 7")
+          .as("age_weeks"),
+        $"o_totalprice")
+      .groupBy($"o_orderstatus", $"age_weeks")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.sumFixed($"o_totalprice", 2).as("value_e2"))
+      .orderBy($"o_orderstatus", $"age_weeks")
+  }
+
+  /** #33q-b (SURVEY §2.6) Dead-part audit: per brand, catalog parts
+    * that have NEVER shipped (no lineitem references them) and their
+    * e4 share of the brand's catalog — the dead-inventory screen
+    * behind the #33q diversity report (a part no one ever shipped is
+    * listed capacity, not real supply). The fact side reduces to
+    * DISTINCT shipped partkeys first (one uniform partkey shuffle of
+    * a shrinking frame), the catalog left-antis against it, and the
+    * readout is a |brands| partial agg — the fact table is never
+    * joined at row granularity. */
+  def deadParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val shipped = Tables.lineitem(spark, sfDir)
+      .select($"l_partkey").distinct()
+    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
+    val dead = p.join(shipped, $"p_partkey" === $"l_partkey", "left_anti")
+      .groupBy($"p_brand").agg(count(lit(1)).as("n_dead"))
+    p.groupBy($"p_brand").agg(count(lit(1)).as("n_parts"))
+      .join(dead, Seq("p_brand"), "left")
+      .na.fill(0L, Seq("n_dead"))
+      .withColumn("dead_e4", expr("(10000 * n_dead) div n_parts"))
+      .orderBy($"p_brand")
+  }
+
   /** #140 (SURVEY §2.6) discount elasticity profile: per discount
     * level (e2): line count, quantity, revenue — the "does a deeper
     * discount move more units" curve pricing teams read; one narrow
