@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CountInSetExpr, GramHashesExpr, GramStringsExpr, MaxTokenCountExpr, MinhashSigExpr, OrderedPairsExpr, RollingHashExpr, ZValueExpr}
+import graft.functions.{CountInSetExpr, DotLongExpr, GramHashesExpr, GramStringsExpr, MaxTokenCountExpr, MinhashSigExpr, Norm2LongExpr, OrderedPairsExpr, QuantizeE3Expr, RollingHashExpr, ZValueExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -22,6 +22,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   graft_max_token_count(arr)     — top element multiplicity
   *   graft_zvalue(x, y, bits)       — Morton z-order interleave
   *   graft_ordered_pairs(ids)       — C(n,2) (min,max) id pairs
+  *   graft_quantize(emb)            — e3 integer quantization of a
+  *                                    float embedding (the §4 vector
+  *                                    determinism contract)
+  *   graft_dot(a, b)                — BIGINT dot of two long arrays
+  *   graft_norm2(a)                 — BIGINT squared norm
   *
   * without touching the Scala API. Shape parameters must be integer
   * literals; arity and literal-ness are validated when the analyzer
@@ -110,6 +115,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(args(1),
             org.apache.spark.sql.types.LongType),
           litInt(args(2), "graft_zvalue", "bits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeE3Expr].getName, "graft_quantize"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_quantize", "(emb)", args, 1)
+        QuantizeE3Expr(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotLongExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_dot", "(a, b)", args, 2)
+        DotLongExpr(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[Norm2LongExpr].getName, "graft_norm2"),
+      (args: Seq[Expression]) => {
+        checkArity("graft_norm2", "(a)", args, 1)
+        Norm2LongExpr(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_ordered_pairs"),

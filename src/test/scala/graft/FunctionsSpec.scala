@@ -112,6 +112,23 @@ class FunctionsSpec extends SparkTestBase {
         s2.sql("SELECT graft_gram_hashes('a b', CAST(rand()*2 AS INT))").collect())
       assert(err.getMessage.contains("integer literal") ||
         err.getMessage.contains("graft_gram_hashes"))
+      // vector kernels: e3 quantization (HALF_UP — the §4 contract),
+      // integer dot, squared norm
+      val qz = s2.sql("SELECT graft_quantize(array(0.5F, -0.0015F)) AS q")
+        .collect()(0).getSeq[Long](0)
+      assert(qz == Seq(500L, -2L), qz)
+      val dot = s2.sql("SELECT graft_dot(array(2L, 3L), array(4L, -1L)) AS d")
+        .collect()(0).getLong(0)
+      assert(dot == 5L)
+      val n2 = s2.sql("SELECT graft_norm2(array(3L, -4L)) AS n")
+        .collect()(0).getLong(0)
+      assert(n2 == 25L)
+      // the composed cosine numerator matches the Scala kernel path
+      val cos = s2.sql(
+        """SELECT graft_dot(graft_quantize(array(1.0F, 0.0F)),
+          |                 graft_quantize(array(1.0F, 0.0F))) AS d""".stripMargin)
+        .collect()(0).getLong(0)
+      assert(cos == 1000000L)
     } finally {
       // do NOT stop s2 — it shares the test SparkContext; just restore
       // the shared session as active/default for the remaining suites
