@@ -273,7 +273,8 @@ object TextHash {
     * objects (the table is bounded, ≤ [[graft.operators.DedupOps.HotGramK]]
     * entries — a few KB in the task closure, never a shuffle). */
   def dfPrefix(gs: Column, hot: Array[Long], rank: Array[Int]): Column =
-    ColumnBridge.column(DfPrefixExpr(ColumnBridge.expression(gs), hot, rank))
+    ColumnBridge.column(DfPrefixExpr(ColumnBridge.expression(gs),
+      hot.toIndexedSeq, rank.toIndexedSeq))
 }
 
 case class GramHashesExpr(child: Expression, n: Int)
@@ -337,15 +338,22 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 /** [[TextHash.dfPrefixJvm]] as a codegen'd unary expression; the hot
   * table and its order ranks are plan-time constants shipped as
   * codegen reference objects (same pattern as [[MinhashSigExpr]]'s
-  * permutation tables). */
-case class DfPrefixExpr(child: Expression, hot: Array[Long], rank: Array[Int])
+  * permutation tables). The tables are held as IndexedSeq, NOT bare
+  * arrays: case-class equality over arrays is reference-based, so two
+  * semantically identical expressions would never compare equal and
+  * plan canonicalization / subexpression reuse would silently stop
+  * working for this node. Arrays are materialized once, lazily, for
+  * the eval/codegen hot path. */
+case class DfPrefixExpr(child: Expression, hot: IndexedSeq[Long], rank: IndexedSeq[Int])
     extends UnaryExpression {
+  private lazy val hotArr: Array[Long] = hot.toArray
+  private lazy val rankArr: Array[Int] = rank.toArray
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(gs: Any): Any =
-    TextHash.dfPrefixData(gs.asInstanceOf[ArrayData], hot, rank)
+    TextHash.dfPrefixData(gs.asInstanceOf[ArrayData], hotArr, rankArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val hotRef = ctx.addReferenceObj("dfPrefixHot", hot, "long[]")
-    val rankRef = ctx.addReferenceObj("dfPrefixRank", rank, "int[]")
+    val hotRef = ctx.addReferenceObj("dfPrefixHot", hotArr, "long[]")
+    val rankRef = ctx.addReferenceObj("dfPrefixRank", rankArr, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.dfPrefixData($c, $hotRef, $rankRef);")
   }

@@ -45,7 +45,7 @@ object VectorIngest {
     * Returns restarts used. */
   def run(spark: SparkSession, sourceDir: String, schema: StructType,
           index: DocStore, quarantine: DocStore, checkpoint: String,
-          bench: DataFrame, books: Array[Array[Array[Long]]],
+          bench: DataFrame, books: SimilarityOps.PqBooks,
           maxRestarts: Int = 3, restartDelayMs: Long = 1000): Int = {
     def vecs: DataFrame = Readers.fileStream(spark, sourceDir, schema)
 

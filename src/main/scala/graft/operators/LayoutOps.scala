@@ -178,7 +178,13 @@ object LayoutOps {
       }
       s
     }
-    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // clamp before the Int cast: a bytes/targetBytes ratio past
+    // Int.MaxValue would wrap negative and fail inside coalesce with
+    // an unrelated error instead of a meaningful file count (a 2 B
+    // target over a 100 TB table is a misconfiguration, but it should
+    // read as "too many files", not a crash)
+    val n = math.min(Int.MaxValue.toLong,
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
     spark.read.parquet(inDir).coalesce(n)
       .write.mode("overwrite").parquet(outDir)
     n

@@ -52,6 +52,19 @@ object Maintenance {
           .as("total_num"),
         (coalesce($"total_money_e2", lit(0L)) + coalesce($"d_money", lit(0L)))
           .as("total_money_e2"))
-      .filter($"total_num" > 0L)
+      // == 0 is a legitimate drop (every order of the day deleted,
+      // exactly as a recompute would drop it); < 0 means the delta
+      // deleted rows the base never absorbed — upstream corruption
+      // that silently masking as a clean disappearance would hide, so
+      // it FAILS the job instead (the raise_error lives inside the
+      // keep-rule itself, where no plan rewrite can skip it)
+      .filter(
+        when($"total_num" > 0L, lit(true))
+          .when($"total_num" === 0L, lit(false))
+          .otherwise(raise_error(concat(
+            lit("applyOrdersDelta: maintained count went negative ("),
+            $"total_num".cast("string"), lit(") for "),
+            $"order_day".cast("string"),
+            lit(" — delete delta not present in the base")))))
   }
 }

@@ -881,28 +881,38 @@ object SimilarityOps {
   val PqK = 4
   val PqTopK = 5
 
-  /** Nearest codebook row by integer squared L2 plus its distance,
-    * ties keeping the FIRST minimum — the subspace analog of
+  /** One trained codebook per subspace; each entry carries its
+    * ORIGINAL seed-centroid id next to the centroid subvector,
+    * entries sorted by that id. The id — not the array position — is
+    * what [[encodeFrame]] emits as the code: if a seed cell empties
+    * during training (possible when two seed subvectors coincide),
+    * positional labels would shift relative to the oracle's kept seed
+    * ids and every downstream code would silently disagree. */
+  type PqBooks = Array[Array[(Int, Array[Long])]]
+
+  /** Nearest codebook entry's ORIGINAL centroid id by integer squared
+    * L2, plus its distance; ties keep the FIRST minimum, which over
+    * the id-sorted entries is the lowest id — the subspace analog of
     * [[nearestCluster]]'s (dist asc, c asc) total order. */
-  private def nearestSubD(book: Array[Array[Long]],
+  private def nearestSubD(book: Array[(Int, Array[Long])],
       sub: Array[Long]): (Int, Long) = {
     var best = -1; var bestD = Long.MaxValue
     var i = 0
     while (i < book.length) {
-      val b = book(i)
+      val b = book(i)._2
       var d = 0L; var j = 0
       while (j < b.length) { val t = sub(j) - b(j); d += t * t; j += 1 }
       if (d < bestD) { bestD = d; best = i }
       i += 1
     }
-    (best, bestD)
+    (book(best)._1, bestD)
   }
 
-  private def nearestSub(book: Array[Array[Long]], sub: Array[Long]): Int =
+  private def nearestSub(book: Array[(Int, Array[Long])], sub: Array[Long]): Int =
     nearestSubD(book, sub)._1
 
   private val pqBooks =
-    new graft.tools.Materialize.SupersedingCache[Array[Array[Array[Long]]]]
+    new graft.tools.Materialize.SupersedingCache[PqBooks]
 
   /** PQ codebook training — one deterministic Lloyd round PER
     * SUBSPACE, all [[PqM]] subspaces in a single corpus pass: seeds
@@ -913,15 +923,16 @@ object SimilarityOps {
     * [[lloydUpdate]]'s contract). A cell that loses all members drops
     * out, exactly as in k-means. Bounded driver traffic: PqK seed
     * vectors in, PqM·PqK·(d/PqM) = d·PqK centroid cells out. */
-  private def pqTrain(spark: SparkSession, sfDir: String): Array[Array[Array[Long]]] = {
+  private def pqTrain(spark: SparkSession, sfDir: String): PqBooks = {
     import spark.implicits.{newProductEncoder, newIntEncoder, newLongArrayEncoder}
     import graft.functions.VectorFunctions.quantized
     val seedVecs = quantized(
         Tables.embeddings(spark, sfDir).orderBy($"vec_id".asc).limit(PqK))
       .collect().sortBy(_._1).map(_._2)
     val sd = seedVecs(0).length / PqM
-    val seeds: Array[Array[Array[Long]]] =
-      Array.tabulate(PqM)(m => seedVecs.map(_.slice(m * sd, (m + 1) * sd)))
+    val seeds: PqBooks =
+      Array.tabulate(PqM)(m => seedVecs.zipWithIndex
+        .map { case (v, c) => (c, v.slice(m * sd, (m + 1) * sd)) })
     val cells = quantized(Tables.embeddings(spark, sfDir))
       .flatMap { case (_, q, _) =>
         (0 until PqM).iterator.map { m =>
@@ -935,9 +946,11 @@ object SimilarityOps {
       .agg(round(sum($"qv").cast("double") / count(lit(1))).cast(LongType).as("cv"))
       .collect()
     val byM = cells.groupBy(_.getInt(0))
+    // surviving cells keep their ORIGINAL seed id c (sortBy puts the
+    // entries in id order; emptied cells simply leave a gap)
     Array.tabulate(PqM) { m =>
-      byM(m).groupBy(_.getInt(1)).toArray.sortBy(_._1).map { case (_, rs) =>
-        rs.sortBy(_.getInt(2)).map(_.getLong(3))
+      byM(m).groupBy(_.getInt(1)).toArray.sortBy(_._1).map { case (c, rs) =>
+        (c, rs.sortBy(_.getInt(2)).map(_.getLong(3)))
       }
     }
   }
@@ -948,7 +961,7 @@ object SimilarityOps {
     * [[annPq]] and the streaming encode gate
     * ([[graft.streaming.StreamingJobs.pqEncodeGate]]). */
   private[graft] def pqCodebooksShared(spark: SparkSession,
-      sfDir: String): Array[Array[Array[Long]]] = {
+      sfDir: String): PqBooks = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/embeddings.parquet")
     pqBooks.getOrBuild(sfDir, fp)(pqTrain(spark, sfDir))
   }
@@ -959,11 +972,11 @@ object SimilarityOps {
     * narrow map with the codebooks in the task closure, emitting
     * (vec_id, codes) where codes(m) indexes subspace m's codebook. */
   private[graft] def encodeFrame(embeddings: DataFrame,
-      books: Array[Array[Array[Long]]]): DataFrame = {
+      books: PqBooks): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits.newProductEncoder
     import graft.functions.VectorFunctions.quantized
-    val sd = books(0)(0).length
+    val sd = books(0)(0)._2.length
     quantized(embeddings)
       .map { case (id, q, _) =>
         (id, Array.tabulate(PqM)(m =>
@@ -987,7 +1000,7 @@ object SimilarityOps {
   def pqCells(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newLongEncoder}
     val books = pqCodebooksShared(spark, sfDir)
-    val sd = books(0)(0).length
+    val sd = books(0)(0)._2.length
     import graft.functions.VectorFunctions.quantized
     val cells = quantized(Tables.embeddings(spark, sfDir).filter($"vec_id" >= 10))
       .flatMap { case (_, q, _) =>
@@ -1035,22 +1048,25 @@ object SimilarityOps {
     import spark.implicits.{newProductEncoder, newLongEncoder, newLongArrayEncoder}
     import graft.functions.VectorFunctions.quantized
     val books = pqCodebooksShared(spark, sfDir)
-    val sd = books(0)(0).length
+    val sd = books(0)(0)._2.length
     val queries = quantized(
         Tables.embeddings(spark, sfDir).filter($"vec_id" < 10))
       .collect().sortBy(_._1)
     val qids = queries.map(_._1)
-    // ADC lookup table: per query × subspace × code, the exact
-    // squared L2 between the query subvector and that centroid (e6
-    // units — e3 coordinates squared)
+    // ADC lookup table: per query × subspace × CODE (the original
+    // centroid id, always < PqK — emptied cells leave unused slots),
+    // the exact squared L2 between the query subvector and that
+    // centroid (e6 units — e3 coordinates squared)
     val lut: Array[Array[Array[Long]]] = queries.map { case (_, qv, _) =>
       Array.tabulate(PqM) { m =>
         val sub = qv.slice(m * sd, (m + 1) * sd)
-        books(m).map { b =>
+        val row = new Array[Long](PqK)
+        books(m).foreach { case (c, b) =>
           var s = 0L; var j = 0
           while (j < b.length) { val t = sub(j) - b(j); s += t * t; j += 1 }
-          s
+          row(c) = s
         }
+        row
       }
     }
     encodeFrame(Tables.embeddings(spark, sfDir).filter($"vec_id" >= 10), books)

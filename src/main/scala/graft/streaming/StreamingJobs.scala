@@ -493,7 +493,7 @@ object StreamingJobs {
     * ADC scorer (SimilarityOps.encodeFrame — one shared definition),
     * stateless with the ~d·PqK-long codebooks in the closure. */
   def pqEncodeGate(stream: DataFrame,
-      books: Array[Array[Array[Long]]]): DataFrame =
+      books: graft.operators.SimilarityOps.PqBooks): DataFrame =
     graft.operators.SimilarityOps.encodeFrame(stream, books)
 
   /** Per-user buffered funnel events for [[funnelGate]] — the
@@ -575,42 +575,74 @@ object StreamingJobs {
       }
   }
 
-  /** Per-user buffered (us, event_id, type) for [[transitionGate]] —
-    * the same CEP-style partial-match buffer as [[funnelGate]] and
-    * [[gapGate]]: transition edges depend on the time-SORTED
-    * sequence, so the buffer keeps the events and re-sorts per
-    * arrival. */
-  case class TransBuf(events: Seq[(Long, Long, String)])
+  /** Per-user state for [[transitionGate]]: already-FOLDED edge
+    * counts (events that aged past the TTL horizon contribute here
+    * and leave the buffer) plus the live CEP-style partial-match
+    * buffer of (us, event_id, type) — the same buffer discipline as
+    * [[funnelGate]] and [[gapGate]], but bounded: transition edges
+    * depend on the time-SORTED sequence only within the TTL horizon,
+    * so only that window's events are kept and re-sorted. */
+  case class TransState(frozen: Seq[(String, String, Long)],
+      buffer: Seq[(Long, Long, String)])
+
+  /** Default [[transitionGate]] TTL: 30 days in µs — wider than any
+    * plausible out-of-orderness, narrow enough that a continuously
+    * active user's buffer stays bounded. */
+  val TransitionTtlUs: Long = 30L * 24 * 3600 * 1000000L
 
   /** Streaming form of WindowOps.eventTransitions (#120b streaming):
     * per user, the (from, to, n) next-event edge counts over the
-    * events seen SO FAR, recomputed per arrival from the buffered
-    * sorted sequence — late/out-of-order arrivals are EXACT (an
-    * event landing between seen neighbors SPLITS their edge into two
-    * different edges; running last-event state would weld it to
-    * arrival order). Update-mode rows: the last row per user carries
-    * that user's full current edge list; a global reduction of those
-    * lists equals the batch matrix. State is O(user's events),
-    * production-bounded via the #29f event-time-TTL pattern. Input
-    * contract: (user_id, us, event_id, event_type). */
-  def transitionGate(events: DataFrame): Dataset[(Long, Seq[(String, String, Long)])] = {
+    * events seen SO FAR — recomputed per arrival from the buffered
+    * sorted sequence, so late/out-of-order arrivals WITHIN the TTL
+    * horizon are EXACT (an event landing between seen neighbors
+    * SPLITS their edge into two different edges; running last-event
+    * state would weld it to arrival order). Events that age more
+    * than `ttlUs` behind the user's max event time FOLD into frozen
+    * edge counts and leave the buffer (the last folded event stays
+    * as the boundary anchor, so the frozen→live edge is still
+    * counted and still splittable by in-horizon late arrivals) —
+    * state is O(events per TTL window), not O(user history), and the
+    * fold is LOSSLESS for event-time-ordered arrival; only a late
+    * arrival older than the horizon lands approximate, the same
+    * horizon contract as [[streamingNearDup]] (#29f). Update-mode
+    * rows: the last row per user carries that user's full current
+    * edge list; a global reduction of those lists equals the batch
+    * matrix. Input contract: (user_id, us, event_id, event_type). */
+  def transitionGate(events: DataFrame,
+      ttlUs: Long = TransitionTtlUs): Dataset[(Long, Seq[(String, String, Long)])] = {
     val spark = events.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder, newProductSeqEncoder}
+    def edgesOf(evs: Seq[(Long, Long, String)]): Seq[(String, String, Long)] =
+      evs.iterator.sliding(2).withPartial(false)
+        .map { case Seq(a, b) => (a._3, b._3) }.toSeq
+        .groupBy(identity).toSeq
+        .map { case ((f, t), ps) => (f, t, ps.size.toLong) }
+    def merge(a: Seq[(String, String, Long)],
+        b: Seq[(String, String, Long)]): Seq[(String, String, Long)] =
+      (a ++ b).groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1)
+        .map { case ((f, t), es) => (f, t, es.map(_._3).sum) }
     events.select($"user_id", $"us", $"event_id", $"event_type")
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[(Long, Long, Long, String)],
-         state: GroupState[TransBuf]) =>
-          val evs = state.getOption.map(_.events).getOrElse(Nil) ++
-            batch.map(e => (e._2, e._3, e._4))
-          state.update(TransBuf(evs))
-          val sorted = evs.sortBy(e => (e._1, e._2))
-          val counts = sorted.iterator.sliding(2).withPartial(false)
-            .map { case Seq(a, b) => (a._3, b._3) }.toSeq
-            .groupBy(identity).toSeq.sortBy(_._1)
-            .map { case ((f, t), ps) => (f, t, ps.size.toLong) }
-          (user, counts)
+         state: GroupState[TransState]) =>
+          val prev = state.getOption.getOrElse(TransState(Nil, Nil))
+          val sorted = (prev.buffer ++ batch.map(e => (e._2, e._3, e._4)))
+            .sortBy(e => (e._1, e._2))
+          val horizon = sorted.last._1 - ttlUs
+          // first retained index; everything before it folds (> 0
+          // guards both the all-live case and ttl overflow to < 0)
+          val cut = sorted.indexWhere(_._1 >= horizon)
+          val (frozen, buffer) =
+            if (cut <= 0) (prev.frozen, sorted)
+            // fold edges STRICTLY inside the expired prefix; keep its
+            // last event as the anchor so the prefix→live edge is
+            // counted (and re-split) from the live buffer
+            else (merge(prev.frozen, edgesOf(sorted.take(cut))),
+              sorted.drop(cut - 1))
+          state.update(TransState(frozen, buffer))
+          (user, merge(frozen, edgesOf(buffer)))
       }
   }
 

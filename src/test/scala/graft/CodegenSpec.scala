@@ -82,6 +82,24 @@ class CodegenSpec extends SparkTestBase {
     tt.crossJoin(e)
   }
 
+  test("DfPrefixExpr compares by table VALUES, not array reference") {
+    // reference-equality here would defeat plan canonicalization and
+    // subexpression reuse: two builds of the same hot table are
+    // different array objects every time
+    import graft.functions.DfPrefixExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val child = Literal.create(Array(1L, 2L), ArrayType(LongType, containsNull = false))
+    // two separately-built table copies (distinct objects, equal values)
+    val a = DfPrefixExpr(child, Array(3L, 17L, 40L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq)
+    val b = DfPrefixExpr(child, Array(3L, 17L, 40L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq)
+    val c = DfPrefixExpr(child, Array(3L, 17L, 41L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq)
+    assert(a == b, "equal tables must compare equal")
+    assert(a.hashCode == b.hashCode, "equal expressions must hash equal")
+    assert(a.semanticEquals(b), "equal tables must be semantically equal")
+    assert(a != c, "different tables must not compare equal")
+  }
+
   test("native expressions compile under CODEGEN_ONLY and match interpreted eval") {
     val gen = collectUnder("CODEGEN_ONLY")(exprFrame)
     val interp = collectUnder("NO_CODEGEN")(exprFrame)

@@ -51,4 +51,24 @@ class MaintenanceSpec extends SparkTestBase {
     assert(!after.exists(_._1 == firstDay), "emptied day must drop out")
     assert(after == baseAgg.tail, "all other days untouched")
   }
+
+  test("a delta deleting rows the base never absorbed FAILS instead of vanishing") {
+    // deleting the same day twice drives its maintained count
+    // negative — a contract violation (RF2 deletes rows known to be
+    // present); masking it as a clean disappearance would hide
+    // upstream corruption, so the apply must throw
+    val orders = Tables.orders(spark, sf)
+    val baseAgg = JoinOps.orderDailyAgg(orders)
+    val firstDay = daily(orders).head._1
+    val dayOrders = orders.filter(
+      date_format(col("o_orderdate"), "yyyy-MM-dd") === firstDay)
+    val doubled = dayOrders.unionByName(dayOrders)
+    val ex = intercept[Exception] {
+      Maintenance.applyOrdersDelta(baseAgg, orders.limit(0), doubled).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative")),
+      s"expected the negative-count raise_error, got: $ex")
+  }
 }

@@ -498,7 +498,7 @@ class SimilaritySpec extends SparkTestBase {
     * vectors, trained codebooks (one Lloyd round per subspace), and
     * the slice/distance/code helpers — an independent reimplementation
     * of the operator's training + coding rule. */
-  private def pqModel(): (Seq[(Long, Array[Long])], Array[Array[Array[Long]]], Int) = {
+  private def pqModel(): (Seq[(Long, Array[Long])], Array[Array[(Int, Array[Long])]], Int) = {
     import graft.functions.VectorFunctions.{quantizeJvm, roundHalfUp}
     import graft.operators.SimilarityOps.{PqK, PqM}
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
@@ -510,14 +510,16 @@ class SimilaritySpec extends SparkTestBase {
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
     val seeds = Array.tabulate(PqM)(m => emb.take(PqK).map(e => sub(e._2, m)).toArray)
-    val books: Array[Array[Array[Long]]] = Array.tabulate(PqM) { m =>
+    // surviving cells KEEP their original seed id (gaps allowed) —
+    // the same labeling contract as the operator's pqTrain
+    val books: Array[Array[(Int, Array[Long])]] = Array.tabulate(PqM) { m =>
       emb.map { case (_, q) =>
         val s = sub(q, m)
         (seeds(m).zipWithIndex.minBy { case (c, i) => (d2(s, c), i) }._2, s)
-      }.groupBy(_._1).toArray.sortBy(_._1).map { case (_, members) =>
-        Array.tabulate(sd) { dim =>
+      }.groupBy(_._1).toArray.sortBy(_._1).map { case (c, members) =>
+        (c, Array.tabulate(sd) { dim =>
           roundHalfUp(members.map(_._2(dim)).sum.toDouble / members.length)
-        }
+        })
       }
     }
     (emb, books, sd)
@@ -532,10 +534,12 @@ class SimilaritySpec extends SparkTestBase {
     val queries = emb.filter(_._1 < 10)
     val corpus = emb.filter(_._1 >= 10)
     def code(q: Array[Long], m: Int): Int =
-      books(m).zipWithIndex.minBy { case (c, i) => (d2(sub(q, m), c), i) }._2
+      books(m).minBy { case (c, b) => (d2(sub(q, m), b), c) }._1
+    def centroid(m: Int, c: Int): Array[Long] =
+      books(m).find(_._1 == c).get._2
     val want = queries.flatMap { case (qid, qv) =>
       corpus.map { case (vid, cv) =>
-        (qid, vid, (0 until PqM).map(m => d2(sub(qv, m), books(m)(code(cv, m)))).sum)
+        (qid, vid, (0 until PqM).map(m => d2(sub(qv, m), centroid(m, code(cv, m)))).sum)
       }.sortBy { case (_, vid, ad) => (ad, vid) }.take(PqTopK)
         .zipWithIndex.map { case ((_, vid, ad), i) => (qid, (i + 1).toLong, vid, ad) }
     }
@@ -554,8 +558,8 @@ class SimilaritySpec extends SparkTestBase {
     val corpus = emb.filter(_._1 >= 10)
     val cells = corpus.flatMap { case (_, q) =>
       (0 until PqM).map { m =>
-        val (c, d) = books(m).zipWithIndex
-          .map { case (b, i) => (i, d2(sub(q, m), b)) }
+        val (c, d) = books(m)
+          .map { case (i, b) => (i, d2(sub(q, m), b)) }
           .minBy { case (i, d) => (d, i) }
         ((m.toLong, c.toLong), d)
       }
@@ -573,5 +577,31 @@ class SimilaritySpec extends SparkTestBase {
     for (m <- 0L until PqM.toLong)
       assert(got.filter(_._1 == m).map(_._3).sum == corpus.size.toLong,
         s"subspace $m cells must cover the corpus exactly once")
+  }
+
+  test("PQ codes keep ORIGINAL centroid ids when a cell is absent from the book") {
+    // the emptied-seed-cell scenario (two identical seed subvectors):
+    // surviving entries must keep their seed ids, never re-compact
+    // positionally — otherwise codes silently shift against the
+    // oracle's id labeling
+    import graft.operators.SimilarityOps
+    import graft.operators.SimilarityOps.PqM
+    val (emb, books0, sd) = pqModel()
+    val books: SimilarityOps.PqBooks = books0.map(_.drop(1)) // gap at each book's first id
+    def sub(q: Array[Long], m: Int) = q.slice(m * sd, (m + 1) * sd)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val want = emb.map { case (id, q) =>
+      id -> Array.tabulate(PqM)(m =>
+        books(m).minBy { case (c, b) => (d2(sub(q, m), b), c) }._1)
+    }.toMap
+    val got = SimilarityOps.encodeFrame(Tables.embeddings(spark, sf), books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, codes) <- got) {
+      assert(codes.sameElements(want(id)), s"codes for vec $id diverge from the id-labeled model")
+      for (m <- 0 until PqM)
+        assert(codes(m) != books0(m).head._1, "a dropped cell id must never be emitted")
+    }
   }
 }

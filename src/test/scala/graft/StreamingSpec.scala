@@ -385,6 +385,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transition gate TTL fold is lossless for event-time-ordered arrival") {
+    // state boundedness contract: with a TTL far smaller than the
+    // corpus span (2 days vs 30), events continuously age out of the
+    // buffer into frozen counts — and for in-order arrival the fold
+    // must be LOSSLESS, so the final reduction still equals the batch
+    // matrix while the live buffer never holds more than the horizon
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.WindowOps
+    val batch = WindowOps.eventTransitions(spark, sf)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(e => (e._2, e._3)) // event-time order
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = StreamingJobs.transitionGate(
+        in.toDF().toDF("user_id", "us", "event_id", "event_type"),
+        ttlUs = 2L * 24 * 3600 * 1000000L)
+      .toDF("user_id", "edges")
+      .writeStream.format("memory").queryName("trans_ttl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val perUser = spark.table("trans_ttl")
+        .as[(Long, Seq[(String, String, Long)])].collect()
+        .groupBy(_._1).map { case (_, vs) =>
+          vs.maxBy(_._2.map(_._3).sum)._2
+        }
+      val streamed = perUser.flatten
+        .groupBy(e => (e._1, e._2)).map { case ((f, t), es) =>
+          (f, t, es.map(_._3).sum)
+        }.toSet
+      assert(streamed == batch,
+        s"TTL fold lost edges: extra=${streamed.diff(batch).take(3)} " +
+          s"missing=${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming gap gate equals the batch gap profile under out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sf)
