@@ -165,28 +165,68 @@ object TextHash {
   def simhashData(text: UTF8String, bits: Int): Long =
     simhashJvm(text.toString, bits)
 
+  /** Single-pass equivalent of the #85 normalization pipeline
+    * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]",
+    * " "), " +", " "))`: ASCII bytes are lowercased and folded
+    * in one scan (each non-[a-z0-9 ] code point becomes a space,
+    * space runs collapse, ends trim) — the regex form was measured at
+    * ~38 s of a 40 s sf10 query (java.util.regex match/append per
+    * replaced char). Any NON-ASCII input falls back to the literal
+    * legacy pipeline (UTF8String.toLowerCase = what Spark's `lower`
+    * calls, then the same two java.util.regex replaceAll passes Spark's
+    * `regexp_replace` runs), so the bit-level §4 oracle contract is
+    * preserved on every input, not just the corpus's. */
+  def normTextData(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < b.length) { if (b(i) < 0) ascii = false; i += 1 }
+    if (!ascii) {
+      val t = s.toLowerCase.toString
+        .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+      return UTF8String.fromString(t)
+    }
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pending = false // a space is owed before the next kept char
+    i = 0
+    while (i < b.length) {
+      var c = b(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pending && n > 0) { out(n) = ' '; n += 1 }
+        pending = false
+        out(n) = c; n += 1
+      } else pending = true
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
   def intersectCountData(a: ArrayData, b: ArrayData): Long =
     intersectCountJvm(a.toLongArray(), b.toLongArray()).toLong
 
-  /** The floor(n/2)+1 SMALLEST grams of a hash-SORTED gram set under
-    * the df-aware total order (rank(g), g), where rank(g) = the gram's
-    * slot in the bounded hot-gram table (1..K ascending by document
-    * frequency) and 0 for every gram outside it. Any fixed total order
-    * preserves the AllPairs J ≥ 1/2 prefix-recall lemma
-    * ([[graft.operators.DedupOps.dedupNgram]]); ordering hot
-    * boilerplate grams LAST pushes them out of every prefix, so the
-    * candidate join's biggest groups (group size = gram df) vanish.
-    * The hot table is a pure performance hint — a wrong/stale/sampled
-    * df estimate can only change candidate COUNT, never the verified
-    * output.
+  /** The min(floor(n/2)+k, n) SMALLEST grams of a hash-SORTED gram
+    * set under the df-aware total order (rank(g), g), where rank(g) =
+    * the gram's slot in the bounded hot-gram table (1..K ascending by
+    * document frequency) and 0 for every gram outside it. Any fixed
+    * total order preserves the k-EXTENDED AllPairs J ≥ 1/2
+    * prefix-recall lemma ([[graft.operators.DedupOps.dedupNgram]]:
+    * a J ≥ 1/2 pair shares ≥ min(k, ceil((n_a+n_b)/3)) grams between
+    * the two extended prefixes); ordering hot boilerplate grams LAST
+    * pushes them out of every prefix, so the candidate join's biggest
+    * groups (group size = gram df) vanish. The hot table is a pure
+    * performance hint — a wrong/stale/sampled df estimate can only
+    * change candidate COUNT, never the verified output.
     *
     * One pass: non-hot grams stream out in existing (hash) order; hot
     * grams collect into a ≤K side buffer appended in (rank, hash)
     * order only when the non-hot stream runs short of the prefix
     * length. `hot` must be sorted ascending (binary-searched). */
-  def dfPrefixJvm(gs: Array[Long], hot: Array[Long], rank: Array[Int]): Array[Long] = {
+  def dfPrefixJvm(gs: Array[Long], hot: Array[Long], rank: Array[Int],
+      k: Int): Array[Long] = {
     val n = gs.length
-    val pLen = n / 2 + 1
+    val pLen = math.min(n / 2 + k, n)
     val out = new Array[Long](pLen)
     var oi = 0
     var hotN = 0
@@ -208,29 +248,30 @@ object TextHash {
     // does NOT fit a packed key safely, so sort (rank, g) pairs via
     // indices on a boxed-free two-array insertion (hotN is small: it
     // is bounded by the doc's HOT gram count, itself ≤ K).
-    var k = 0
-    while (k < hotN) {
-      hotKeys(k) = rank(java.util.Arrays.binarySearch(hot, hotGs(k))).toLong
-      k += 1
+    var m = 0
+    while (m < hotN) {
+      hotKeys(m) = rank(java.util.Arrays.binarySearch(hot, hotGs(m))).toLong
+      m += 1
     }
     // insertion sort by (key, gram) — hotN is tiny in practice
-    k = 1
-    while (k < hotN) {
-      val kk = hotKeys(k); val gg = hotGs(k)
-      var j = k - 1
+    m = 1
+    while (m < hotN) {
+      val kk = hotKeys(m); val gg = hotGs(m)
+      var j = m - 1
       while (j >= 0 && (hotKeys(j) > kk || (hotKeys(j) == kk && hotGs(j) > gg))) {
         hotKeys(j + 1) = hotKeys(j); hotGs(j + 1) = hotGs(j); j -= 1
       }
       hotKeys(j + 1) = kk; hotGs(j + 1) = gg
-      k += 1
+      m += 1
     }
-    k = 0
-    while (oi < pLen && k < hotN) { out(oi) = hotGs(k); oi += 1; k += 1 }
+    m = 0
+    while (oi < pLen && m < hotN) { out(oi) = hotGs(m); oi += 1; m += 1 }
     if (oi == pLen) out else java.util.Arrays.copyOf(out, oi)
   }
 
-  def dfPrefixData(gs: ArrayData, hot: Array[Long], rank: Array[Int]): ArrayData =
-    new GenericArrayData(dfPrefixJvm(gs.toLongArray(), hot, rank))
+  def dfPrefixData(gs: ArrayData, hot: Array[Long], rank: Array[Int],
+      k: Int): ArrayData =
+    new GenericArrayData(dfPrefixJvm(gs.toLongArray(), hot, rank, k))
 
   def minhashSigData(text: UTF8String, n: Int, pa: Array[Long], pb: Array[Long]): ArrayData = {
     val gs = gramHashesJvm(text.toString, n)
@@ -272,9 +313,14 @@ object TextHash {
     * [[dfPrefixJvm]]. `hot`/`rank` ride into codegen as reference
     * objects (the table is bounded, ≤ [[graft.operators.DedupOps.HotGramK]]
     * entries — a few KB in the task closure, never a shuffle). */
-  def dfPrefix(gs: Column, hot: Array[Long], rank: Array[Int]): Column =
+  def dfPrefix(gs: Column, hot: Array[Long], rank: Array[Int],
+      k: Int = 1): Column =
     ColumnBridge.column(DfPrefixExpr(ColumnBridge.expression(gs),
-      hot.toIndexedSeq, rank.toIndexedSeq))
+      hot.toIndexedSeq, rank.toIndexedSeq, k))
+
+  /** The #85 normalization fold — see [[normTextData]]. */
+  def normText(text: Column): Column =
+    ColumnBridge.column(NormTextExpr(ColumnBridge.expression(text)))
 }
 
 case class GramHashesExpr(child: Expression, n: Int)
@@ -302,6 +348,20 @@ case class GramStringsExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): GramStringsExpr =
     copy(child = c)
   override def prettyName: String = "gram_strings"
+}
+
+/** [[TextHash.normTextData]] as a codegen'd unary expression — the
+  * lowercase/strip/collapse/trim normalization of #85 in one pass. */
+case class NormTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(t: Any): Any =
+    TextHash.normTextData(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.normTextData($c);")
+  override protected def withNewChildInternal(c: Expression): NormTextExpr =
+    copy(child = c)
+  override def prettyName: String = "norm_text"
 }
 
 case class SimhashExpr(child: Expression, bits: Int)
@@ -344,18 +404,19 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   * plan canonicalization / subexpression reuse would silently stop
   * working for this node. Arrays are materialized once, lazily, for
   * the eval/codegen hot path. */
-case class DfPrefixExpr(child: Expression, hot: IndexedSeq[Long], rank: IndexedSeq[Int])
+case class DfPrefixExpr(child: Expression, hot: IndexedSeq[Long],
+    rank: IndexedSeq[Int], k: Int)
     extends UnaryExpression {
   private lazy val hotArr: Array[Long] = hot.toArray
   private lazy val rankArr: Array[Int] = rank.toArray
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(gs: Any): Any =
-    TextHash.dfPrefixData(gs.asInstanceOf[ArrayData], hotArr, rankArr)
+    TextHash.dfPrefixData(gs.asInstanceOf[ArrayData], hotArr, rankArr, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val hotRef = ctx.addReferenceObj("dfPrefixHot", hotArr, "long[]")
     val rankRef = ctx.addReferenceObj("dfPrefixRank", rankArr, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.TextHash.dfPrefixData($c, $hotRef, $rankRef);")
+      s"${ev.value} = graft.functions.TextHash.dfPrefixData($c, $hotRef, $rankRef, $k);")
   }
   override protected def withNewChildInternal(c: Expression): DfPrefixExpr =
     copy(child = c)

@@ -45,14 +45,17 @@ object DedupOps {
     * how many #37 exact classes each normalized class absorbs (> 1 ⇔
     * normalization did work). Same physical shape as #37: narrow
     * codegen'd normalization, ONE partial-agg'd shuffle on the
-    * uniform md5 key; the char-class regexes behave identically in
-    * Java and RE2, part of the §4 determinism contract. */
+    * uniform md5 key. The normalization itself is the native
+    * single-pass [[graft.functions.TextHash.normTextData]] fold —
+    * value-identical to the oracle's two-regex pipeline (the regex
+    * form cost ~38 s of a 40 s sf10 run in per-replaced-char
+    * java.util.regex machinery and was the whole ×21/decade
+    * "anomaly"; the fold restores linear scaling), still part of the
+    * §4 determinism contract. */
   def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select($"doc_id",
-        md5(trim(regexp_replace(
-          regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
-          .as("norm_hash"),
+        md5(graft.functions.TextHash.normText($"text")).as("norm_hash"),
         md5(lower(trim($"text"))).as("raw_hash"))
       .groupBy($"norm_hash")
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("cnt"),
@@ -380,9 +383,7 @@ object DedupOps {
         size(graft.functions.TextFunctions.tokens($"text")).cast(LongType)
           .as("n_tokens"),
         md5(lower(trim($"text"))).as("raw_hash"),
-        md5(trim(regexp_replace(
-          regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")))
-          .as("norm_hash"),
+        md5(graft.functions.TextHash.normText($"text")).as("norm_hash"),
         when(size(ltk) >= PrefixTok,
           md5(array_join(slice(ltk, 1, PrefixTok), " "))).as("prefix_hash"))
       (graft.tools.Materialize.writeParquet(b, "gain-base-"), b.schema)
@@ -723,13 +724,26 @@ object DedupOps {
     * 100 TB the profile can come from a document SAMPLE: the order
     * only needs to be shared, not exact, so profile error costs
     * candidates, never recall. */
+  /** Target document-sample size for the [[hotGrams]] profile pass —
+    * the df ORDER only needs to be approximately right (it is a
+    * candidate-count hint, never a recall input), so profiling ~50k
+    * docs is as good as profiling the corpus and turns the profile
+    * from a second full-corpus scan into a constant-cost one
+    * (measured 43.7 s of the 171 s sf10 query before sampling). */
+  val HotSampleDocs = 50000L
+
   private[operators] def hotGrams(spark: SparkSession, sfDir: String): (Array[Long], Array[Int]) = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     hotGramIndex.getOrBuild(sfDir, fp) {
-      val rows = gramSets(spark, sfDir, 3)
+      // deterministic doc_id-keyed sample (≈ HotSampleDocs docs);
+      // parquet count() is metadata-only, so sizing the modulus is free
+      val nDocs = Tables.documents(spark, sfDir).count()
+      val every = math.max(1L, nDocs / HotSampleDocs)
+      val rows = gramSetsOf(Tables.documents(spark, sfDir)
+          .filter(pmod($"doc_id", lit(every)) === 0L), 3)
         .select(explode($"gs").as("h"))
         .groupBy($"h").agg(count(lit(1)).as("df"))
-        .filter($"df" >= HotDfMin)
+        .filter($"df" >= math.max(1L, HotDfMin.toLong / every))
         .orderBy($"df".desc, $"h".asc)
         .limit(HotGramK)
         .collect()
@@ -769,22 +783,54 @@ object DedupOps {
     * sampled, or empty profiles change candidate count, never the
     * verified output — which is also why the ORACLE keeps its plain
     * hash-ordered prefix and still matches exactly. Verify = the
-    * shared exact-Jaccard bar ([[verifyJaccard]]). */
+    * shared exact-Jaccard bar ([[verifyJaccard]]).
+    *
+    * The candidate rule is the k-EXTENDED lemma (round 9): with each
+    * prefix widened to min(floor(n/2)+k, n), a J ≥ 1/2 pair must
+    * share ≥ min(k, ceil((n_a+n_b)/3)) grams BETWEEN the extended
+    * prefixes (proof: if the j-th smallest common gram, j ≤ that
+    * bound, escaped A's prefix, the ≥ floor(n_a/2)+1 grams below it
+    * would be A-only except < j commons — forcing n_common < n_a/2,
+    * contradicting n_common ≥ (n_a+n_b)/3 ≥ n_a/2; PropertySpec
+    * drives it over random sets, orders, and k). Requiring that
+    * match COUNT — computed by the same groupBy that used to be the
+    * `.distinct()` — kills the share-one-medium-df-gram noise pairs
+    * that were 99.95%% of candidates (sf10: 56.5M → the verified set
+    * is 25.6k), and with it the all-pairs verify join's array drag
+    * (measured 387 s of the 171 s+ sf10 run: every candidate row
+    * shuffled two ~90-long gram arrays). Doc sizes ride the group
+    * stream packed into the id (doc_id·4096 + min(n, 4095); the cap
+    * only ever LOWERS the required count — recall-safe), so the
+    * count filter needs no extra join. */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val gs = gramSets(spark, sfDir, 3)
     val (hot, rank) = hotGrams(spark, sfDir)
+    val pk = NgramPrefixK
     val cand = gs
-      .select($"doc_id",
-        explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank)).as("h"))
-      .groupBy($"h").agg(collect_list($"doc_id").as("ids"))
+      .select(($"doc_id" * PackN + least(size($"gs").cast(LongType), lit(PackN - 1)))
+          .as("pid"),
+        explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank, pk)).as("h"))
+      .groupBy($"h").agg(collect_list($"pid").as("ids"))
       .filter(size($"ids") > 1)
       .select(explode(
         graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
-      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
-      .distinct()
+      .select($"p.doc_a".as("pa"), $"p.doc_b".as("pb"))
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= least(lit(pk.toLong),
+        expr(s"(pmod(pa, $PackN) + pmod(pb, $PackN) + 2) div 3")))
+      .select(expr(s"pa div $PackN").as("doc_a"),
+        expr(s"pb div $PackN").as("doc_b"))
     verifyJaccard(cand, gs, gs, "doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Prefix extension k of the #41 candidate rule — the required
+    * shared-prefix-gram count. Higher k = wider prefixes (more rows
+    * into the group stage) but a far stronger candidate filter. */
+  val NgramPrefixK = 8
+
+  /** Packing modulus for (doc_id, gram-set size) candidate rows. */
+  val PackN = 4096L
 
   /** SimHash geometry: hash60 supplies 60 entropy bits. The 4 × 15
     * single-block split (exact pigeonhole recall for Hamming ≤ 3 with

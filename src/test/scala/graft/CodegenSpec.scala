@@ -91,13 +91,42 @@ class CodegenSpec extends SparkTestBase {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val child = Literal.create(Array(1L, 2L), ArrayType(LongType, containsNull = false))
     // two separately-built table copies (distinct objects, equal values)
-    val a = DfPrefixExpr(child, Array(3L, 17L, 40L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq)
-    val b = DfPrefixExpr(child, Array(3L, 17L, 40L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq)
-    val c = DfPrefixExpr(child, Array(3L, 17L, 41L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq)
+    val a = DfPrefixExpr(child, Array(3L, 17L, 40L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq, 1)
+    val b = DfPrefixExpr(child, Array(3L, 17L, 40L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq, 1)
+    val c = DfPrefixExpr(child, Array(3L, 17L, 41L).toIndexedSeq, Array(2, 1, 3).toIndexedSeq, 1)
     assert(a == b, "equal tables must compare equal")
     assert(a.hashCode == b.hashCode, "equal expressions must hash equal")
     assert(a.semanticEquals(b), "equal tables must be semantically equal")
     assert(a != c, "different tables must not compare equal")
+  }
+
+  test("normText equals the two-regex normalization pipeline in both codegen modes") {
+    import spark.implicits._
+    val rows = Seq(
+      "The QUICK  brown   Fox!!",
+      "  leading and trailing   ",
+      "punct,;:!?~#$%^&*()[]{}mix3d CASE 42",
+      "",
+      "   ",
+      "---",
+      "a",
+      "Z9",
+      "tab\tand\nnewline chars",
+      "emoji 😀 and ümlauts Übel ÀÉÎ", // non-ASCII: exercises the fallback path
+      "ÀB c", "下雨天 mixed ascii 后",
+      "double  space~123 suffix~456 tokens"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text").select(
+      col("id"),
+      TextHash.normText(col("text")).as("fold"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("rx"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val got = collectUnder(mode)(df)
+      assert(got.nonEmpty)
+      val bad = collectUnder(mode)(df.filter(col("fold") =!= col("rx")))
+      assert(bad.isEmpty, s"normText diverges from the regex pipeline under $mode: $bad")
+    }
   }
 
   test("native expressions compile under CODEGEN_ONLY and match interpreted eval") {

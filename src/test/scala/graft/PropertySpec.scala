@@ -88,32 +88,38 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("df-ordered prefix: kernel matches the order model and keeps exact recall") {
-    // dfPrefixJvm under ADVERSARIAL hot tables: any (rank, gram)
-    // total order must (a) be what the kernel computes and (b)
-    // preserve the AllPairs J >= 1/2 recall lemma — the property that
-    // makes the df table a pure performance hint
+    // dfPrefixJvm under ADVERSARIAL hot tables AND extensions k ≥ 1:
+    // any (rank, gram) total order must (a) be what the kernel
+    // computes and (b) preserve the k-EXTENDED AllPairs J >= 1/2
+    // recall lemma — a true pair shares at least
+    // min(k, ceil((|a|+|b|)/3)) grams BETWEEN the two extended
+    // prefixes (k = 1 is the classic shares-one-gram lemma). The
+    // count bound is what dedupNgram's candidate filter keys on, so
+    // this property IS the operator's recall proof.
     val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 60L)).map(_.distinct.sorted)
     val hotGen = for {
       hot <- Gen.listOf(Gen.choose(0L, 60L)).map(_.distinct.sorted)
       ranks <- Gen.listOfN(hot.size, Gen.choose(1, 9))
     } yield (hot.toArray, ranks.toArray)
-    forSamples(Gen.zip(setGen, setGen, hotGen)) { case (a, b, (hot, rank)) =>
+    val kGen = Gen.choose(1, 8)
+    forSamples(Gen.zip(setGen, setGen, hotGen, kGen)) { case (a, b, (hot, rank), k) =>
       def rankOf(g: Long): Int = {
         val i = java.util.Arrays.binarySearch(hot, g)
         if (i >= 0) rank(i) else 0
       }
       def model(s: List[Long]): List[Long] =
-        s.sortBy(g => (rankOf(g), g)).take(s.size / 2 + 1)
-      val ka = TextHash.dfPrefixJvm(a.toArray, hot, rank).toList
+        s.sortBy(g => (rankOf(g), g)).take(math.min(s.size / 2 + k, s.size))
+      val ka = TextHash.dfPrefixJvm(a.toArray, hot, rank, k).toList
       // the kernel returns the model prefix AS A SET (emission order
       // differs: non-hot stream first); candidates join on membership
-      assert(ka.toSet == model(a).toSet && ka.size == a.size / 2 + 1,
-        s"a=$a hot=${hot.toList} rank=${rank.toList}")
+      assert(ka.toSet == model(a).toSet && ka.size == math.min(a.size / 2 + k, a.size),
+        s"a=$a hot=${hot.toList} rank=${rank.toList} k=$k")
       val inter = a.toSet.intersect(b.toSet).size
       if (inter * 2 >= a.size + b.size - inter) {
-        val kb = TextHash.dfPrefixJvm(b.toArray, hot, rank).toSet
-        assert(ka.toSet.intersect(kb).nonEmpty,
-          s"recall lost: a=$a b=$b hot=${hot.toList} rank=${rank.toList}")
+        val kb = TextHash.dfPrefixJvm(b.toArray, hot, rank, k).toSet
+        val needed = math.min(k, (a.size + b.size + 2) / 3)
+        assert(ka.toSet.intersect(kb).size >= needed,
+          s"recall lost: a=$a b=$b hot=${hot.toList} rank=${rank.toList} k=$k needed=$needed")
       }
     }
   }
