@@ -59,4 +59,38 @@ object OrderDashboard {
     }
     r1 + r2
   }
+
+  /** The same dashboard fed by the GENERATED order stream — the
+    * reference's own topology (custom `SourceFunction` → windowed
+    * totals → upsert sink, OrderAnalysy.scala:338,400-580) with the
+    * source realized as the DataSourceV2 micro-batch generator
+    * ([[graft.sources.OrderGen]]) instead of file drops. Same
+    * transforms, same sink, same checkpoint/restart discipline; the
+    * deterministic generator keeps replay exactly-once and gives the
+    * spec a batch oracle over the identical rows. */
+  def runGenerated(spark: SparkSession, store: KvStore, checkpoint: String,
+          maxOrders: Long = graft.sources.OrderGen.DefaultMaxOrders,
+          rowsPerBatch: Long = 500L,
+          watermarkDelay: String = "1 day",
+          maxRestarts: Int = 3, restartDelayMs: Long = 1000): Int = {
+    def orders: DataFrame =
+      Readers.orderStream(spark, maxOrders, rowsPerBatch)
+    def startQuery(df: DataFrame, keys: Seq[String], ckSubdir: String) =
+      df.writeStream
+        .option("checkpointLocation", s"$checkpoint/$ckSubdir")
+        .outputMode(OutputMode.Update)
+        .foreachBatch(Sinks.mergeUpsertWriter(store, keys,
+          Seq("total_num", "total_money_e2")))
+        .trigger(Trigger.AvailableNow())
+        .start()
+    val r1 = Restarts.fixedDelay(maxRestarts, restartDelayMs) { () =>
+      startQuery(StreamingJobs.orderTotals(orders, watermarkDelay),
+        Seq("order_day"), "totals")
+    }
+    val r2 = Restarts.fixedDelay(maxRestarts, restartDelayMs) { () =>
+      startQuery(StreamingJobs.orderDashboard(orders, watermarkDelay),
+        Seq("order_day", "province"), "province")
+    }
+    r1 + r2
+  }
 }

@@ -36,6 +36,21 @@ object Readers {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The in-process generated order stream (reference
+    * orderTest/OrderAnalysy.scala:338 `OrderSource extends
+    * SourceFunction`) as a DataSourceV2 micro-batch source — see
+    * [[OrderGen]]. Deterministic and replayable: the same offset
+    * range always yields the same rows. */
+  def orderStream(spark: SparkSession,
+      maxOrders: Long = OrderGen.DefaultMaxOrders,
+      rowsPerBatch: Long = 500L,
+      startEpochMs: Long = OrderGen.DefaultStartEpochMs): DataFrame =
+    spark.readStream.format(classOf[OrderSourceProvider].getName)
+      .option("maxOrders", maxOrders)
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startEpochMs", startEpochMs)
+      .load()
+
   /** Kafka consumer options (reference SourceFromKafka.scala:22-28
     * builds Properties with bootstrap.servers/group.id/deserializers;
     * Spark's kafka source replaces deserializers with `CAST(value AS

@@ -38,6 +38,53 @@ class DashboardJobSpec extends SparkTestBase {
     StoreRegistry.clear("dashjob")
   }
 
+  test("generated-source dashboard equals a batch aggregation of the same rows") {
+    // the reference's own topology end to end: custom source
+    // (OrderAnalysy.scala:338 OrderSource, here the DataSourceV2
+    // micro-batch generator) → windowed totals → upsert store. The
+    // generator is a pure function of the order index, so the batch
+    // frame over the same index range is an exact oracle.
+    import graft.sources.OrderGen
+    val ck = tmpDir("gendashck")
+    val store = StoreRegistry.kv("gendash")
+    val n = 1000L
+    // rowsPerBatch 300 < n forces a multi-batch AvailableNow drain —
+    // the admission-control path, not a single-batch special case
+    assert(OrderDashboard.runGenerated(spark, store, ck,
+      maxOrders = n, rowsPerBatch = 300L) == 0)
+
+    val batch = OrderGen.frame(spark, n)
+    val wantProv = batch
+      .groupBy(window(col("ts"), "1 day")("start").as("order_day"), col("province"))
+      .agg(count(lit(1)).as("n"), graft.Det.sumFixed(col("amount"), 2).as("m"))
+      .collect()
+      .map(r => s"${r.get(0)}|${r.getString(1)}" -> s"${r.getLong(2)}|${r.getLong(3)}")
+      .toMap
+    val wantTotal = batch
+      .groupBy(window(col("ts"), "1 day")("start").as("order_day"))
+      .agg(count(lit(1)).as("n"), graft.Det.sumFixed(col("amount"), 2).as("m"))
+      .collect()
+      .map(r => s"${r.get(0)}" -> s"${r.getLong(1)}|${r.getLong(2)}")
+      .toMap
+    assert(wantProv.nonEmpty && wantTotal.nonEmpty)
+    for ((k, v) <- wantProv)
+      assert(store.get(k).contains(v), s"province key $k: ${store.get(k)} vs $v")
+    for ((k, v) <- wantTotal)
+      assert(store.get(k).contains(v), s"total key $k: ${store.get(k)} vs $v")
+    // the six reference provinces all appear (北京 double-weighted)
+    val provs = wantProv.keySet.map(_.split('|').last)
+    assert(provs == OrderGen.Provinces.toSet,
+      s"generated provinces $provs must cover the reference list")
+
+    // replay idempotence: a fresh run over the SAME checkpoint adds
+    // nothing (the source is fully drained and replay-stable)
+    assert(OrderDashboard.runGenerated(spark, store, ck,
+      maxOrders = n, rowsPerBatch = 300L) == 0)
+    for ((k, v) <- wantTotal)
+      assert(store.get(k).contains(v), s"replay must not double-count $k")
+    StoreRegistry.clear("gendash")
+  }
+
   test("kafka sink options carry broker/topic and idempotence") {
     val opts = Sinks.kafkaSinkOptions("broker:9092", "dashboard")
     assert(opts("kafka.bootstrap.servers") == "broker:9092")
