@@ -461,14 +461,20 @@ object TextOps {
     * quadratic. */
   def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val (uni, big) = lmCountsShared(spark, sfDir)
-    val docBg = lmBigrams(Tables.documents(spark, sfDir))
-      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
-    docBg.join(big, Seq("w1", "w2"))
+    // join the raw bigram OCCURRENCE stream — no per-doc (w1, w2)
+    // pre-group: the readout is occurrence-distributive
+    // (sum(k·r)/sum(k) over grouped rows ≡ sum(r)/count over
+    // occurrences, integer-exact), and duplicate bigrams within one
+    // doc are rare in practice, so the pre-group bought almost no
+    // compression while paying a FULL extra (doc_id, w1, w2)-keyed
+    // exchange of the fattest (string-keyed) frame in the plan
+    lmBigrams(Tables.documents(spark, sfDir))
+      .join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
-      .select($"doc_id", $"k", expr("c2 * 1000000 div c1").as("r"))
+      .select($"doc_id", expr("c2 * 1000000 div c1").as("r"))
       .groupBy($"doc_id")
-      .agg(sum($"k").as("n_bigrams"),
-        expr("sum(k * r) div sum(k)").as("lm_score_e6"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(r) div count(1)").as("lm_score_e6"))
       .orderBy($"doc_id")
   }
 
