@@ -78,6 +78,8 @@ object SparkEntry {
     "q_decon_bloom" -> (CurationOps.decontaminateBloom _),
     "q_quality_gate" -> (TextOps.qualityGate _),
     "q_bm25_topk" -> (TextOps.bm25Topk _),
+    "q_hybrid_rrf" -> (TextOps.hybridRrf _),
+    "q_ab_funnel" -> (CoreOps.abFunnel _),
     "q_sample_stratified" -> (CurationOps.stratifiedSample _),
     "q_mixture_sample" -> (CurationOps.mixtureSample _),
     "q_sample_uniform" -> (CurationOps.uniformSample _),
@@ -1128,6 +1130,49 @@ object SparkEntry {
          |  FROM sc)
          |WHERE rnk <= $Bm25TopK ORDER BY qid, rnk""".stripMargin
     },
+    "q_hybrid_rrf" -> {
+      import graft.operators.TextOps.{Bm25BE3, Bm25K1E3, Bm25Queries, Bm25TopK, RrfKE, RrfTopK}
+      val qvals = Bm25Queries.flatMap { case (qid, qs) =>
+        qs.split(" ").toSeq.distinct.map(t => s"('$qid', '$t')")
+      }.mkString(", ")
+      s"""WITH qs(qid, term) AS (SELECT * FROM (VALUES $qvals)),
+         |$tkCte,
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tkv),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS total_tokens FROM tkv),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS term FROM tkv)
+         |  WHERE term IN (SELECT DISTINCT term FROM qs)
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT qid, doc_id, CAST(sum(
+         |      ((1000 * n_docs) // df) *
+         |      ((tf * ${Bm25K1E3 + 1000L} * 1000) // (tf * 1000 +
+         |        ($Bm25K1E3 * (1000 - $Bm25BE3 +
+         |          ($Bm25BE3 * dl * 1000) // ((total_tokens * 1000) // n_docs))) // 1000))
+         |    ) AS BIGINT) AS score_e6
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         |    JOIN qs USING (term) CROSS JOIN st
+         |  GROUP BY qid, doc_id),
+         |sc2 AS (SELECT qid, doc_id,
+         |    CAST(sum(tf * ((1000000 * n_docs) // df)) AS BIGINT) AS score_e6
+         |  FROM tf JOIN df USING (term) JOIN qs USING (term) CROSS JOIN st
+         |  GROUP BY qid, doc_id),
+         |r1 AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk FROM sc),
+         |r2 AS (SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rnk FROM sc2),
+         |fu AS (SELECT qid, doc_id, CAST(sum(1000000 // ($RrfKE + rnk)) AS BIGINT) AS rrf_e6
+         |  FROM (SELECT * FROM r1 WHERE rnk <= $Bm25TopK
+         |        UNION ALL SELECT * FROM r2 WHERE rnk <= $Bm25TopK)
+         |  GROUP BY qid, doc_id)
+         |SELECT qid, rnk, doc_id, rrf_e6 FROM (
+         |  SELECT qid, doc_id, rrf_e6,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fu)
+         |WHERE rnk <= $RrfTopK ORDER BY qid, rnk""".stripMargin
+    },
     "q_sample_stratified" -> {
       val rateCase = CurationOps.SampleRates
         .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
@@ -2027,6 +2072,35 @@ object SparkEntry {
          |    ELSE n_users * 10000 // lag(n_users) OVER (ORDER BY stage)
          |  END AS BIGINT) AS conv_e4
          |FROM st ORDER BY stage""".stripMargin
+    },
+    "q_ab_funnel" -> {
+      val steps = graft.operators.CoreOps.FunnelSteps
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM ev
+         |  WHERE event_type = '${steps(0)}' GROUP BY 1),
+         |s2 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s1 USING (user_id)
+         |  WHERE event_type = '${steps(1)}' AND us > s1.t GROUP BY 1),
+         |s3 AS (SELECT ev.user_id, min(us) AS t FROM ev JOIN s2 USING (user_id)
+         |  WHERE event_type = '${steps(2)}' AND us > s2.t GROUP BY 1),
+         |st AS (
+         |  SELECT user_id % 2 AS variant, CAST(0 AS BIGINT) AS stage,
+         |    'all' AS step, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM ev GROUP BY 1
+         |  UNION ALL SELECT user_id % 2, 1, '${steps(0)}', CAST(count(*) AS BIGINT) FROM s1 GROUP BY 1
+         |  UNION ALL SELECT user_id % 2, 2, '${steps(1)}', CAST(count(*) AS BIGINT) FROM s2 GROUP BY 1
+         |  UNION ALL SELECT user_id % 2, 3, '${steps(2)}', CAST(count(*) AS BIGINT) FROM s3 GROUP BY 1),
+         |cv AS (SELECT variant, stage, step, n_users,
+         |  CAST(CASE WHEN stage = 0 THEN 10000
+         |    WHEN lag(n_users) OVER (PARTITION BY variant ORDER BY stage) = 0 THEN 0
+         |    ELSE n_users * 10000 // lag(n_users) OVER (PARTITION BY variant ORDER BY stage)
+         |  END AS BIGINT) AS conv_e4 FROM st)
+         |SELECT a.stage, a.step, a.n_users AS n_a, b.n_users AS n_b,
+         |  a.conv_e4 AS conv_a_e4, b.conv_e4 AS conv_b_e4,
+         |  CAST(CASE WHEN a.conv_e4 = 0 THEN 0
+         |    ELSE b.conv_e4 * 10000 // a.conv_e4 END AS BIGINT) AS lift_e4
+         |FROM cv a JOIN cv b ON a.stage = b.stage AND a.step = b.step
+         |  AND a.variant = 0 AND b.variant = 1
+         |ORDER BY a.stage""".stripMargin
     },
     "q_novelty" ->
       s"""WITH $tkCte, ${gramsCte(graft.operators.CurationOps.ProfGram)},

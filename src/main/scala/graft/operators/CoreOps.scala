@@ -490,6 +490,53 @@ object CoreOps {
       .orderBy($"stage")
   }
 
+  /** #103e A/B funnel comparison: the #103 greedy earliest-entry
+    * funnel split by experiment variant (variant = user_id mod 2 —
+    * the standard deterministic hash bucketing an experimentation
+    * system assigns; any user-keyed variant column drops in), with
+    * per-variant stage counts, per-variant step conversion vs the
+    * previous stage, and the e4 LIFT of variant 1 over variant 0 per
+    * stage — the "did the treatment move the funnel" readout run on
+    * every experiment. The chain is the SHARED [[stageTimes]]
+    * definition (one greedy-entry rule with #103/#103c/#103d, so the
+    * A/B readout can never disagree with the funnel it claims to
+    * split), and the variant is derived at the COUNT stage from the
+    * per-user frames — the event stream is never re-scanned or
+    * re-shuffled per variant.
+    *
+    * Scale shape: identical to #103 (k chained user-keyed partial
+    * aggs) plus a 2-group readout agg; the lift join touches
+    * |stages| rows. */
+  def abFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventTimes(spark, sfDir)
+    val stageFrames = stageTimes(ev, None)
+    def cnt(df: DataFrame, stage: Long, step: String): DataFrame =
+      df.select(pmod($"user_id", lit(2L)).as("variant"))
+        .groupBy($"variant").agg(count(lit(1)).as("n_users"))
+        .select($"variant", lit(stage).as("stage"), lit(step).as("step"),
+          $"n_users")
+    val all = cnt(ev.select($"user_id").distinct(), 0L, "all")
+    val stages = stageFrames.zipWithIndex.foldLeft(all) { case (u, (df, i)) =>
+      u.union(cnt(df.select($"user_id"), i + 1L, FunnelSteps(i)))
+    }
+    val conv = stages
+      .join(stages.select($"variant", ($"stage" + 1L).as("stage"),
+        $"n_users".as("prev")), Seq("variant", "stage"), "left")
+      .select($"variant", $"stage", $"step", $"n_users",
+        when($"stage" === 0L, lit(10000L))
+          .when($"prev".isNull || $"prev" === 0L, lit(0L))
+          .otherwise(expr("n_users * 10000 div prev")).as("conv_e4"))
+    conv.filter($"variant" === 0L)
+      .select($"stage", $"step", $"n_users".as("n_a"), $"conv_e4".as("conv_a_e4"))
+      .join(conv.filter($"variant" === 1L)
+        .select($"stage", $"step", $"n_users".as("n_b"), $"conv_e4".as("conv_b_e4")),
+        Seq("stage", "step"))
+      .select($"stage", $"step", $"n_a", $"n_b", $"conv_a_e4", $"conv_b_e4",
+        when($"conv_a_e4" === 0L, lit(0L))
+          .otherwise(expr("conv_b_e4 * 10000 div conv_a_e4")).as("lift_e4"))
+      .orderBy($"stage")
+  }
+
   /** #120 (SURVEY §2.6) hour-of-day seasonality profile: events and
     * distinct users per (UTC hour-of-day × event type) — the
     * daily-rhythm table behind load shaping and anomaly baselines

@@ -386,8 +386,16 @@ object TextOps {
     * [[BoundedTopK]] (O(K) state per partition), not a Window sort —
     * the oracle's row_number is the same total order (score desc,
     * doc_id asc). */
-  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits.{newProductEncoder, newStringEncoder}
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame =
+    retrievalTopk(bm25Scored(spark, sfDir), Bm25TopK)
+      .orderBy($"qid", $"rnk")
+
+  /** The posting-list frames every lexical ranker shares — ONE
+    * definition of tf / df / query table / doc length / corpus
+    * stats, so [[bm25Scored]] and [[tfidfScored]] can never disagree
+    * on what a term count is. */
+  private def postingFrames(spark: SparkSession, sfDir: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val qterms = Bm25Queries.flatMap { case (qid, qs) =>
       qs.split(" ").toSeq.distinct.map(t => (qid, t))
     }
@@ -406,7 +414,14 @@ object TextOps {
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val qdf = spark.createDataFrame(qterms).toDF("qid", "term")
-    val scored = tf
+    (tf, df, qdf, dl, stats)
+  }
+
+  /** BM25-scored (qid, doc_id, score_e6) — the pre-ranking subtree
+    * shared by [[bm25Topk]] and [[hybridRrf]]. */
+  private def bm25Scored(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tf, df, qdf, dl, stats) = postingFrames(spark, sfDir)
+    tf
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -420,11 +435,35 @@ object TextOps {
       .select($"qid", $"doc_id",
         (expr("(1000 * n_docs) div df") * $"sat_e3").as("c"))
       .groupBy($"qid", $"doc_id").agg(sum($"c").as("score_e6"))
-    import spark.implicits.newLongEncoder
+  }
+
+  /** Plain TF·IDF-scored (qid, doc_id, score_e6) — no saturation, no
+    * length norm: score = Σ_t tf · ((10⁶·N) div df). Deliberately a
+    * DIFFERENT ranking function from BM25 over the same postings
+    * (long docs and repeated terms rank differently), which is what
+    * makes fusing the two informative. */
+  private def tfidfScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val (tf, df, qdf, _, stats) = postingFrames(spark, sfDir)
+    tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qdf), "term")
+      .select($"qid", $"doc_id",
+        ($"tf" * expr("(1000000 * n_docs) div df")).as("c"))
+      .groupBy($"qid", $"doc_id").agg(sum($"c").as("score_e6"))
+  }
+
+  /** Bounded-heap per-query top-K by (score desc, doc_id asc) — the
+    * ranking reduction shared by all three retrieval rankers (O(K)
+    * state per partition, no Window sort; the oracle's row_number is
+    * the same total order). Input columns: (qid, doc_id, score_e6). */
+  private def retrievalTopk(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits.{newProductEncoder, newStringEncoder, newLongEncoder}
     scored.as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._3, r._2))
-      .agg(new BoundedTopK[(Long, Long)](Bm25TopK,
+      .agg(new BoundedTopK[(Long, Long)](k,
         (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
         .toColumn.name("top"))
       .flatMap { case (qid, top) =>
@@ -433,6 +472,38 @@ object TextOps {
         }
       }
       .toDF("qid", "rnk", "doc_id", "score_e6")
+  }
+
+  /** RRF constant k = 60 (the standard Cormack/Clarke/Buettcher
+    * value) and the fused depth. */
+  val RrfKE = 60L
+  val RrfTopK = 10
+
+  /** #78c Reciprocal-rank-fusion hybrid retrieval: fuse the BM25 and
+    * TF·IDF top-[[Bm25TopK]] rankings per query by
+    * Σ_rankers 10⁶ div (60 + rank) — the standard RRF rule in e6
+    * fixed point (a doc absent from one ranker's top-K contributes 0
+    * from it). Rank fusion is how production retrieval combines
+    * rankers with incomparable score scales (lexical + dense, or —
+    * as here, where the corpus embeddings index a different id
+    * space — two lexical scorers with different saturation
+    * behavior); RRF needs only RANKS, so it composes any pair of
+    * [[retrievalTopk]] outputs unchanged.
+    *
+    * Scale shape: both rankers are the shared bounded-heap reduction
+    * over broadcast-joined posting lists; the fusion itself touches
+    * only 2·K·|queries| rows — a |queries|-bounded partial agg, then
+    * one more bounded-heap ranking. Nothing new shuffles at corpus
+    * scale. */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    def contrib(r: DataFrame): DataFrame =
+      r.select($"qid", $"doc_id",
+        expr(s"1000000 div ($RrfKE + rnk)").as("c"))
+    val fused = contrib(retrievalTopk(bm25Scored(spark, sfDir), Bm25TopK))
+      .unionByName(contrib(retrievalTopk(tfidfScored(spark, sfDir), Bm25TopK)))
+      .groupBy($"qid", $"doc_id").agg(sum($"c").as("score_e6"))
+    retrievalTopk(fused, RrfTopK)
+      .withColumnRenamed("score_e6", "rrf_e6")
       .orderBy($"qid", $"rnk")
   }
 
@@ -449,16 +520,18 @@ object TextOps {
     * hash-exact cross-engine.
     *
     * Physical shape at 100 TB: the count tables are vocab-bounded
-    * (≪ corpus) partial-agg shuffles. Scoring first collapses
-    * repeated bigrams WITHIN each doc to (doc, bigram, k) — a
-    * partial-agg'd shuffle that typically shrinks the join input
-    * several-fold, and value-identical because r depends only on the
-    * bigram (Σ_occurrences r = Σ k·r, n = Σ k). The ratio joins are
-    * equi-joins on term keys; natural-language bigrams are heavily
-    * skewed ("of the" is in every doc), which is exactly the shape
-    * AQE's skew-join split handles — the count side is one row per
-    * key, trivially replicable. Nothing driver-side, nothing
-    * quadratic. */
+    * (≪ corpus) partial-agg shuffles. Scoring joins the raw bigram
+    * OCCURRENCE stream directly — the readout is
+    * occurrence-distributive (Σ_occurrences r = Σ k·r and n = Σ k
+    * for any per-doc grouping), so a per-doc (doc, bigram, k)
+    * pre-group is value-identical but pays a FULL extra
+    * string-keyed exchange for the little compression duplicate
+    * in-doc bigrams buy (removing it measured 48 → 16 s at sf10).
+    * The ratio joins are equi-joins on term keys; natural-language
+    * bigrams are heavily skewed ("of the" is in every doc), which is
+    * exactly the shape AQE's skew-join split handles — the count
+    * side is one row per key, trivially replicable. Nothing
+    * driver-side, nothing quadratic. */
   def lmQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val (uni, big) = lmCountsShared(spark, sfDir)
     // join the raw bigram OCCURRENCE stream — no per-doc (w1, w2)

@@ -57,6 +57,36 @@ class ProfileSpec extends SparkTestBase {
     assert(got.head._4 == 10000L)
   }
 
+  test("A/B funnel reconciles with the pooled funnel and splits users disjointly") {
+    import graft.operators.CoreOps
+    val ab = CoreOps.abFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val pooled = CoreOps.eventFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ab.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // variants partition the users: per stage, n_a + n_b = pooled count
+    // (the same shared stageTimes chain, so the split must reconcile
+    // digit for digit)
+    ab.foreach { case (stage, _, na, nb, _, _, _) =>
+      assert(na + nb == pooled(stage), s"stage $stage: $na + $nb != ${pooled(stage)}")
+    }
+    // per-variant conversions recompute from the counts
+    ab.sliding(2).foreach {
+      case Array(prev, cur) =>
+        val wantA = if (prev._3 == 0L) 0L else cur._3 * 10000L / prev._3
+        val wantB = if (prev._4 == 0L) 0L else cur._4 * 10000L / prev._4
+        assert(cur._5 == wantA && cur._6 == wantB, s"stage ${cur._1} conv")
+      case _ =>
+    }
+    // lift recomputes from the conversions; stage 0 lift is 10000
+    ab.foreach { case (stage, _, _, _, ca, cb, lift) =>
+      val want = if (ca == 0L) 0L else cb * 10000L / ca
+      assert(lift == want, s"stage $stage lift")
+      if (stage == 0L) assert(lift == 10000L, "both variants fully present at stage 0")
+    }
+  }
+
   test("session stats reconcile exactly with the session-window listing") {
     import graft.operators.WindowOps
     val sessions = WindowOps.sessionWindow(spark, sf).collect()

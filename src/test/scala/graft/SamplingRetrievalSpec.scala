@@ -123,6 +123,51 @@ class SamplingRetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid RRF equals plain-Scala fusion of the two rankings") {
+    // independent model: rebuild both top-K rankings from the
+    // operator's OWN gated outputs? no — from scratch would re-code
+    // BM25; instead pin the fusion LAYER exactly: rrf_e6 must equal
+    // sum over rankers of 10^6 div (60 + rank) for the doc's rank in
+    // that ranker's top-K, ranked by (rrf desc, doc_id asc), top-10
+    val bm25 = TextOps.bm25Topk(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (q, r, d, _) => (q, d) -> r }.toMap
+    // the second ranker is not a gated query on its own; recompute it
+    // as the model: tf * ((1e6*N) div df) summed per (qid, doc)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", tokens($"text").as("tk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val nDocs = docs.length.toLong
+    val qterms = TextOps.Bm25Queries.map { case (q, s) => q -> s.split(" ").toSet }
+    val allQTerms = qterms.flatMap(_._2).toSet
+    val tf = docs.flatMap { case (d, tk) =>
+      tk.filter(allQTerms).groupBy(identity).map { case (t, os) => (d, t, os.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tfidf = (for {
+      (q, ts) <- qterms
+      (d, t, k) <- tf if ts(t)
+    } yield ((q, d), k * ((1000000L * nDocs) / df(t))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tfidfRank = tfidf.groupBy(_._1._1).flatMap { case (q, m) =>
+      m.toSeq.map { case ((_, d), s) => (d, s) }
+        .sortBy { case (d, s) => (-s, d) }.take(TextOps.Bm25TopK)
+        .zipWithIndex.map { case ((d, _), i) => (q, d) -> (i + 1).toLong }
+    }
+    val want = (bm25.keySet ++ tfidfRank.keySet).groupBy(_._1).flatMap { case (q, keys) =>
+      keys.toSeq.map { case (_, d) =>
+        val c = bm25.get((q, d)).map(r => 1000000L / (TextOps.RrfKE + r)).getOrElse(0L) +
+          tfidfRank.get((q, d)).map(r => 1000000L / (TextOps.RrfKE + r)).getOrElse(0L)
+        (d, c)
+      }.sortBy { case (d, c) => (-c, d) }.take(TextOps.RrfTopK)
+        .zipWithIndex.map { case ((d, c), i) => (q, (i + 1).toLong, d, c) }
+    }.toSet
+    val got = TextOps.hybridRrf(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"fusion drift: extra=${got.diff(want).take(3)} missing=${want.diff(got).take(3)}")
+  }
+
   test("weighted sample equals the full-sort priority answer") {
     val got = CurationOps.weightedSample(spark, sf)
       .as[(Long, Long, Long, Long)].collect() // rnk, doc_id, prio, w
