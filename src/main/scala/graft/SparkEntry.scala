@@ -80,6 +80,7 @@ object SparkEntry {
     "q_bm25_topk" -> (TextOps.bm25Topk _),
     "q_hybrid_rrf" -> (TextOps.hybridRrf _),
     "q_ab_funnel" -> (CoreOps.abFunnel _),
+    "q_corpus_diff" -> (CurationOps.corpusDiff _),
     "q_sample_stratified" -> (CurationOps.stratifiedSample _),
     "q_mixture_sample" -> (CurationOps.mixtureSample _),
     "q_sample_uniform" -> (CurationOps.uniformSample _),
@@ -2102,6 +2103,24 @@ object SparkEntry {
          |  AND a.variant = 0 AND b.variant = 1
          |ORDER BY a.stage""".stripMargin
     },
+    "q_corpus_diff" ->
+      s"""WITH oldd AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 5 THEN text || ' v1' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2),
+         |o AS (SELECT doc_id, md5(text) AS oh,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS ot FROM oldd),
+         |n AS (SELECT doc_id, md5(text) AS nh,
+         |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS nt FROM nw),
+         |j AS (SELECT CASE WHEN oh IS NULL THEN 'added'
+         |    WHEN nh IS NULL THEN 'removed'
+         |    WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS change,
+         |  coalesce(ot, 0) AS ot, coalesce(nt, 0) AS nt
+         |  FROM o FULL OUTER JOIN n USING (doc_id))
+         |SELECT change, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ot) AS BIGINT) AS old_tokens,
+         |  CAST(sum(nt) AS BIGINT) AS new_tokens
+         |FROM j GROUP BY 1 ORDER BY change""".stripMargin,
     "q_novelty" ->
       s"""WITH $tkCte, ${gramsCte(graft.operators.CurationOps.ProfGram)},
          |dg AS (SELECT doc_id, unnest(gs) AS h FROM g3),

@@ -1831,4 +1831,52 @@ object CurationOps {
         $"n_flagged")
       .orderBy($"source")
   }
+
+  /** #153 Corpus snapshot diff: given two corpus snapshots keyed by
+    * doc_id, classify every document as added / removed / changed /
+    * unchanged (change = exact text hash inequality — crawl-diff
+    * semantics; run the #85 normalized tier separately if casing
+    * noise should not count) and report per class: document count and
+    * the token mass on each side. The crawl-over-crawl readout run
+    * before pricing a re-ingest — "the new snapshot is 3% new pages
+    * and 9% re-rendered boilerplate" decides whether the pipeline
+    * reprocesses or patches.
+    *
+    * Scale shape: two narrow scans (doc_id, md5(text), token count),
+    * ONE doc_id-keyed full-outer merge (uniform key — doc ids never
+    * skew), and a 4-row class agg. Nothing corpus-sized survives the
+    * join output but the class rows. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(df: DataFrame, pre: String): DataFrame =
+      df.select($"doc_id", md5($"text").as(s"${pre}_hash"),
+        size(tokens($"text")).cast(LongType).as(s"${pre}_tokens"))
+    side(oldDocs, "old")
+      .join(side(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(
+        when($"old_hash".isNull, "added")
+          .when($"new_hash".isNull, "removed")
+          .when($"old_hash" =!= $"new_hash", "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce($"old_tokens", lit(0L)).as("ot"),
+        coalesce($"new_tokens", lit(0L)).as("nt"))
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ot").as("old_tokens"), sum($"nt").as("new_tokens"))
+      .orderBy($"change")
+  }
+
+  /** The [[snapshotDiff]] gate: two snapshots derived deterministically
+    * from the documents table — "old" misses doc_id ≡ 3 (mod 7) (those
+    * read as added) and carries a ` v1` text suffix for doc_id ≡ 5
+    * (mod 11) (those read as changed); "new" misses doc_id ≡ 2 (mod 5)
+    * (removed). */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter(pmod($"doc_id", lit(7L)) =!= 3L)
+      .withColumn("text",
+        when(pmod($"doc_id", lit(11L)) === 5L, concat($"text", lit(" v1")))
+          .otherwise($"text"))
+    val nw = docs.filter(pmod($"doc_id", lit(5L)) =!= 2L)
+    snapshotDiff(old, nw)
+  }
 }

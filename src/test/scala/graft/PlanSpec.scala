@@ -304,6 +304,31 @@ class PlanSpec extends SparkTestBase {
       "count tables must partial-aggregate map-side")
   }
 
+  test("q_dedup_ngram candidates are count-filtered partial aggs — no cartesian, no window") {
+    val plan = fullPlanString("q_dedup_ngram")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"), "pair counting must be an aggregate")
+    assert(plan.contains("partial_count"),
+      "the shared-prefix-gram count (the candidate filter) must combine map-side")
+    assert(plan.contains("df_prefix"), "candidates must come from the df-aware prefix")
+  }
+
+  test("q_hybrid_rrf fuses two bounded-heap rankings — broadcast postings, no window sort") {
+    val plan = fullPlanString("q_hybrid_rrf")
+    assert(!plan.contains("Window"), "rankings must be the bounded aggregator, not row_number")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastExchange"),
+      "df/query/stats frames must broadcast — posting lists never sort-merge-join")
+  }
+
+  test("q_ab_funnel splits at the count stage — no window, no cartesian, partial aggs") {
+    val plan = fullPlanString("q_ab_funnel")
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "stage chaining must partial-aggregate user-keyed mins map-side")
+  }
+
   test("q_vocab_growth reduces through two vocab-bounded aggregations") {
     val plan = fullPlanString("q_vocab_growth")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),

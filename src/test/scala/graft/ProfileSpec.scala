@@ -87,6 +87,41 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot diff classifies crafted docs exactly and partitions both snapshots") {
+    import graft.operators.CurationOps
+    import spark.implicits.newProductEncoder
+    // old: docs 1-4; new: 1 unchanged, 2 changed, 3 missing (removed),
+    // 5 appears (added)
+    val old = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"), (4L, "g h i j"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "a b c"), (2L, "d e CHANGED"), (4L, "g h i j"), (5L, "new doc"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.snapshotDiff(old, nw).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "added" -> ((1L, 0L, 2L)),       // doc 5: 2 new tokens, nothing old
+      "removed" -> ((1L, 1L, 0L)),     // doc 3: 1 old token, nothing new
+      "changed" -> ((1L, 2L, 3L)),     // doc 2: 2 -> 3 tokens
+      "unchanged" -> ((2L, 7L, 7L))),  // docs 1 & 4
+      s"got $got")
+    // the classes partition the union of both snapshots
+    assert(got.values.map(_._1).sum == 5L)
+    // the gated instantiation covers every documents row exactly once
+    // on each side it belongs to
+    val diff = SparkEntry.queries("q_corpus_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sf).count()
+    val nOld = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 =!= 3L).count()
+    val nNew = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 2L).count()
+    assert(diff.getOrElse("added", 0L) + diff.getOrElse("changed", 0L) +
+      diff.getOrElse("unchanged", 0L) == nNew, "new side covered")
+    assert(diff.getOrElse("removed", 0L) + diff.getOrElse("changed", 0L) +
+      diff.getOrElse("unchanged", 0L) == nOld, "old side covered")
+    assert(diff.values.sum >= n / 2, "diff must cover the corpus scale")
+  }
+
   test("session stats reconcile exactly with the session-window listing") {
     import graft.operators.WindowOps
     val sessions = WindowOps.sessionWindow(spark, sf).collect()
