@@ -81,6 +81,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> (TextOps.hybridRrf _),
     "q_ab_funnel" -> (CoreOps.abFunnel _),
     "q_corpus_diff" -> (CurationOps.corpusDiff _),
+    "q_diff_severity" -> (CurationOps.diffSeverityGate _),
     "q_sample_stratified" -> (CurationOps.stratifiedSample _),
     "q_mixture_sample" -> (CurationOps.mixtureSample _),
     "q_sample_uniform" -> (CurationOps.uniformSample _),
@@ -2105,8 +2106,12 @@ object SparkEntry {
     },
     "q_corpus_diff" ->
       s"""WITH oldd AS (SELECT doc_id,
-         |    CASE WHEN doc_id % 11 = 5 THEN text || ' v1' ELSE text END AS text
-         |  FROM documents WHERE doc_id % 7 <> 3),
+         |    CASE WHEN doc_id % 11 = 5 THEN text || ' v1'
+         |      WHEN doc_id % 11 = 6 THEN array_to_string(tk[1:CAST((len(tk)*7+9)//10 AS INTEGER)], ' ')
+         |      WHEN doc_id % 11 = 7 THEN array_to_string(list_reverse(tk), ' ')
+         |      ELSE text END AS text
+         |  FROM (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS tk
+         |        FROM documents) WHERE doc_id % 7 <> 3),
          |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2),
          |o AS (SELECT doc_id, md5(text) AS oh,
          |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS ot FROM oldd),
@@ -2121,6 +2126,38 @@ object SparkEntry {
          |  CAST(sum(ot) AS BIGINT) AS old_tokens,
          |  CAST(sum(nt) AS BIGINT) AS new_tokens
          |FROM j GROUP BY 1 ORDER BY change""".stripMargin,
+    "q_diff_severity" -> {
+      def g2(src: String): String =
+        s"""SELECT doc_id, md5(text) AS h,
+           |  list_transform(list_distinct(list_transform(
+           |    generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])),
+           |    g -> ${graft.functions.TextFunctions.hash60Sql("g")}) AS gs
+           |FROM (SELECT doc_id, text,
+           |  list_filter(string_split(text,' '), t -> t <> '') AS tk FROM $src)""".stripMargin
+      s"""WITH oldd AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 5 THEN text || ' v1'
+         |      WHEN doc_id % 11 = 6 THEN array_to_string(tk[1:CAST((len(tk)*7+9)//10 AS INTEGER)], ' ')
+         |      WHEN doc_id % 11 = 7 THEN array_to_string(list_reverse(tk), ' ')
+         |      ELSE text END AS text
+         |  FROM (SELECT doc_id, text, list_filter(string_split(text,' '), t -> t <> '') AS tk
+         |        FROM documents) WHERE doc_id % 7 <> 3),
+         |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2),
+         |o AS (${g2("oldd")}),
+         |n AS (${g2("nw")}),
+         |ch AS (SELECT CAST(len(list_intersect(o.gs, n.gs)) AS BIGINT) AS n_common,
+         |    CAST(len(o.gs) + len(n.gs) - len(list_intersect(o.gs, n.gs)) AS BIGINT) AS n_union
+         |  FROM o JOIN n USING (doc_id) WHERE o.h <> n.h),
+         |cl AS (SELECT
+         |  CASE WHEN n_union = 0 THEN 'rewritten'
+         |    WHEN n_common * 10 >= n_union * 9 THEN 'cosmetic'
+         |    WHEN n_common * 2 >= n_union THEN 'revised'
+         |    ELSE 'rewritten' END AS severity,
+         |  CASE WHEN n_union = 0 THEN 0
+         |    ELSE n_common * 10000 // n_union END AS j_e4 FROM ch)
+         |SELECT severity, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(j_e4) // count(*) AS BIGINT) AS mean_j_e4
+         |FROM cl GROUP BY 1 ORDER BY severity""".stripMargin
+    },
     "q_novelty" ->
       s"""WITH $tkCte, ${gramsCte(graft.operators.CurationOps.ProfGram)},
          |dg AS (SELECT doc_id, unnest(gs) AS h FROM g3),

@@ -1865,18 +1865,77 @@ object CurationOps {
       .orderBy($"change")
   }
 
+  /** #153b Snapshot change severity: for every CHANGED doc of the
+    * #153 diff, the exact 2-gram Jaccard between its old and new
+    * text, bucketed cosmetic (J ≥ 9/10) / revised (J ≥ 1/2) /
+    * rewritten — HOW different the re-crawl is, the per-doc
+    * patch-vs-reprocess decision the class counts of #153 cannot
+    * make. A changed doc whose both sides have no 2-grams (single
+    * tokens) carries no gram evidence and classes `rewritten` with
+    * j_e4 = 0 — defined identically in the oracle. Narrow per-side
+    * gram sets (the shared [[graft.functions.TextHash]] kernels),
+    * ONE doc_id-keyed join, merge-walk intersections, ≤3-row agg. */
+  def diffSeverity(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    import graft.functions.TextHash
+    def side(df: DataFrame, pre: String): DataFrame =
+      df.select($"doc_id", md5($"text").as(s"${pre}_hash"),
+        sort_array(TextHash.gramHashes($"text", 2)).as(s"${pre}_gs"))
+    side(oldDocs, "old").join(side(newDocs, "new"), "doc_id")
+      .filter($"old_hash" =!= $"new_hash")
+      .select(
+        TextHash.sortedIntersectCount($"old_gs", $"new_gs").as("n_common"),
+        (size($"old_gs") + size($"new_gs")).cast(LongType).as("sz"))
+      .select($"n_common", ($"sz" - $"n_common").as("n_union"))
+      .select(
+        when($"n_union" === 0L, "rewritten")
+          .when($"n_common" * 10L >= $"n_union" * 9L, "cosmetic")
+          .when($"n_common" * 2L >= $"n_union", "revised")
+          .otherwise("rewritten").as("severity"),
+        when($"n_union" === 0L, 0L)
+          .otherwise(expr("n_common * 10000 div n_union")).as("j_e4"))
+      .groupBy($"severity")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(j_e4) div count(1)").as("mean_j_e4"))
+      .orderBy($"severity")
+  }
+
+  /** The [[diffSeverity]] gate over the same two deterministic
+    * snapshots as [[corpusDiff]] — one snapshot-derivation rule. */
+  def diffSeverityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val (old, nw) = diffSnapshots(spark, sfDir)
+    diffSeverity(old, nw)
+  }
+
+  /** The #153 deterministic two-snapshot derivation — ONE definition
+    * shared by [[corpusDiff]] and [[diffSeverityGate]] so the two
+    * reports describe the same pair of snapshots by construction.
+    * Three mutation tiers exercise the three #153b severity classes:
+    * doc_id ≡ 5 (mod 11) gets a ` v1` suffix (cosmetic), ≡ 6 keeps
+    * only its first ⌈7n/10⌉ tokens (revised — a truncated re-render),
+    * ≡ 7 reverses its token order (rewritten — same vocabulary, no
+    * shared 2-grams). */
+  private def diffSnapshots(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, sfDir)
+    val tk = tokens($"text")
+    val m = pmod($"doc_id", lit(11L))
+    val old = docs.filter(pmod($"doc_id", lit(7L)) =!= 3L)
+      .withColumn("text",
+        when(m === 5L, concat($"text", lit(" v1")))
+          .when(m === 6L,
+            array_join(slice(tk, lit(1), floor((size(tk) * 7 + 9) / 10).cast("int")), " "))
+          .when(m === 7L, array_join(reverse(tk), " "))
+          .otherwise($"text"))
+    val nw = docs.filter(pmod($"doc_id", lit(5L)) =!= 2L)
+    (old, nw)
+  }
+
   /** The [[snapshotDiff]] gate: two snapshots derived deterministically
     * from the documents table — "old" misses doc_id ≡ 3 (mod 7) (those
     * read as added) and carries a ` v1` text suffix for doc_id ≡ 5
     * (mod 11) (those read as changed); "new" misses doc_id ≡ 2 (mod 5)
     * (removed). */
   def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val old = docs.filter(pmod($"doc_id", lit(7L)) =!= 3L)
-      .withColumn("text",
-        when(pmod($"doc_id", lit(11L)) === 5L, concat($"text", lit(" v1")))
-          .otherwise($"text"))
-    val nw = docs.filter(pmod($"doc_id", lit(5L)) =!= 2L)
+    val (old, nw) = diffSnapshots(spark, sfDir)
     snapshotDiff(old, nw)
   }
 }

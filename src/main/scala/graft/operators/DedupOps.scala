@@ -802,8 +802,28 @@ object DedupOps {
     * stream packed into the id (doc_id·4096 + min(n, 4095); the cap
     * only ever LOWERS the required count — recall-safe), so the
     * count filter needs no extra join. */
+  private val gram3Cache =
+    new graft.tools.Materialize.SupersedingCache[(String, org.apache.spark.sql.types.StructType)]
+
+  /** The 3-gram set frame as a build-once artifact keyed by the
+    * corpus fingerprint — [[dedupNgram]]'s plan reads it THREE times
+    * (candidate explode + both verify sides), and recomputing the
+    * tokenize+hash scan per read was ~3 × 11 s of the sf10 run. Same
+    * amortize-to-first-consumer discipline as the band/pairs and
+    * gain-base artifacts; at 100 TB this is the "tokenized shingle
+    * table" a production dedup pipeline materializes once per crawl
+    * snapshot anyway. */
+  private def gramSets3Shared(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
+    val (path, schema) = gram3Cache.getOrBuild(sfDir, fp) {
+      val b = gramSets(spark, sfDir, 3)
+      (graft.tools.Materialize.writeParquet(b, "gram3-"), b.schema)
+    }
+    spark.read.schema(schema).parquet(path)
+  }
+
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val gs = gramSets(spark, sfDir, 3)
+    val gs = gramSets3Shared(spark, sfDir)
     val (hot, rank) = hotGrams(spark, sfDir)
     val pk = NgramPrefixK
     val cand = gs

@@ -122,6 +122,31 @@ class ProfileSpec extends SparkTestBase {
     assert(diff.values.sum >= n / 2, "diff must cover the corpus scale")
   }
 
+  test("diff severity classes crafted changes exactly — including the no-gram edge") {
+    import graft.operators.CurationOps
+    import spark.implicits.newProductEncoder
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val old = Seq(
+      (1L, base),                 // unchanged — must not appear
+      (2L, base + " v1"),         // cosmetic: 1 of 10 grams differs
+      (3L, "w1 w2 w3 w4 w5 w6"),  // revised: 5 shared of 9+5... J in [1/2, 9/10)
+      (4L, "w10 w9 w8 w7 w6 w5 w4 w3 w2 w1"), // rewritten: reversed, J = 0
+      (5L, "solo"),               // no grams either side: rewritten, j = 0
+      (6L, base)).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, base), (2L, base), (3L, base), (4L, base), (5L, "other"),
+      (6L, base)).toDF("doc_id", "text")
+    val got = CurationOps.diffSeverity(old, nw).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 2: common 9, union 10 -> 9000 >= 9/10 -> cosmetic
+    // doc 3: common 5, union 9+5-5=9 -> j_e4 = 5555 -> revised
+    // doc 4: common 0 -> rewritten, j 0; doc 5: union 0 -> rewritten, j 0
+    assert(got("cosmetic") == ((1L, 9000L)), got)
+    assert(got("revised") == ((1L, 5555L)), got)
+    assert(got("rewritten") == ((2L, 0L)), got)
+    assert(got.values.map(_._1).sum == 4L, "only changed docs are classed")
+  }
+
   test("session stats reconcile exactly with the session-window listing") {
     import graft.operators.WindowOps
     val sessions = WindowOps.sessionWindow(spark, sf).collect()
