@@ -510,8 +510,12 @@ object CoreOps {
   def abFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = eventTimes(spark, sfDir)
     val stageFrames = stageTimes(ev, None)
+    // signed remainder (% not pmod) so the variant matches the oracle's
+    // DuckDB `user_id % 2` EXACTLY even for negative ids — pmod and %
+    // agree on the generators' non-negative id domain, but the gate
+    // must not depend on that contract (r9 ADVICE)
     def cnt(df: DataFrame, stage: Long, step: String): DataFrame =
-      df.select(pmod($"user_id", lit(2L)).as("variant"))
+      df.select(($"user_id" % 2L).as("variant"))
         .groupBy($"variant").agg(count(lit(1)).as("n_users"))
         .select($"variant", lit(stage).as("stage"), lit(step).as("step"),
           $"n_users")

@@ -732,7 +732,7 @@ object DedupOps {
     * (measured 43.7 s of the 171 s sf10 query before sampling). */
   val HotSampleDocs = 50000L
 
-  private[operators] def hotGrams(spark: SparkSession, sfDir: String): (Array[Long], Array[Int]) = {
+  private[graft] def hotGrams(spark: SparkSession, sfDir: String): (Array[Long], Array[Int]) = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     hotGramIndex.getOrBuild(sfDir, fp) {
       // deterministic doc_id-keyed sample (≈ HotSampleDocs docs);
@@ -826,8 +826,16 @@ object DedupOps {
     val gs = gramSets3Shared(spark, sfDir)
     val (hot, rank) = hotGrams(spark, sfDir)
     val pk = NgramPrefixK
+    // pid packs (doc_id, clamped set size) into one Long; doc_id must
+    // stay below Long.MaxValue / PackN (2^51) or the packing silently
+    // corrupts pair ordering and the size term. Guarded structurally:
+    // an out-of-domain id raises at scan time instead (r9 ADVICE).
+    val pidSafe = when($"doc_id" >= Long.MaxValue / PackN,
+        raise_error(concat(lit(s"doc_id out of pid-packing domain (>= ${Long.MaxValue / PackN}): "),
+          $"doc_id".cast("string"))).cast(LongType))
+      .otherwise($"doc_id")
     val cand = gs
-      .select(($"doc_id" * PackN + least(size($"gs").cast(LongType), lit(PackN - 1)))
+      .select((pidSafe * PackN + least(size($"gs").cast(LongType), lit(PackN - 1)))
           .as("pid"),
         explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank, pk)).as("h"))
       .groupBy($"h").agg(collect_list($"pid").as("ids"))

@@ -28,13 +28,7 @@ object ProfileNgram {
       .filter(size($"gs") > 0)
     time("gramSets")(gramSets.count())
     val t0 = System.nanoTime()
-    val (hot, rank) = {
-      val m = graft.operators.DedupOps.getClass.getDeclaredMethods
-        .find(_.getName == "hotGrams").get
-      m.setAccessible(true)
-      m.invoke(graft.operators.DedupOps, spark, sfDir)
-        .asInstanceOf[(Array[Long], Array[Int])]
-    }
+    val (hot, rank) = graft.operators.DedupOps.hotGrams(spark, sfDir)
     println(f"[prof] hotGrams build                     ${(System.nanoTime() - t0) / 1e9}%8.2f s  (${hot.length} grams)")
     val prefixed = gramSets.select($"doc_id",
       explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank)).as("h"))
