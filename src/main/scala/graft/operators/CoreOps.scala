@@ -4,7 +4,7 @@ import graft.{ColumnInterpolator, Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Core relational / per-record transforms (SURVEY.md §2.1, §2.6).
   *
@@ -76,14 +76,33 @@ object CoreOps {
       .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
       .orderBy($"user_id")
 
-  /** Hierarchical totals via ROLLUP (per (type, user), per type,
-    * grand total) — one pass, Expand + single shuffle; integer sums
-    * keep every level oracle-exact. */
-  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .rollup($"event_type", $"user_id")
+  /** Hierarchical totals (per (type, user), per type, grand total) —
+    * ROLLUP semantics, levels re-rolled from the finest partial;
+    * integer sums keep every level oracle-exact. */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    // ROLLUP without Expand: the built-in rollup duplicates every
+    // input row per grouping level (Expand), so the aggregate eats
+    // 2× the events — measured ×12.4/decade at sf1→sf10 where the
+    // plain (type, user) agg is ×7.1. The levels are re-rolled from
+    // the finest partial instead (count rolls up as sum-of-counts,
+    // the fixed-point money sum is an associative integer), so the
+    // full stream is aggregated ONCE and the coarser levels cost
+    // |type×user| ≈ nothing. Same rows as rollup(): NULL-filled
+    // grouping columns at the coarser levels.
+    val base = Tables.events(spark, sfDir)
+      .groupBy($"event_type", $"user_id")
       .agg(count(lit(1)).as("cnt"), Det.sumFixed($"value", 6).as("sum_value_e6"))
+    val byType = base.groupBy($"event_type")
+      .agg(sum($"cnt").as("cnt"), sum($"sum_value_e6").as("sum_value_e6"))
+      .select($"event_type", lit(null).cast(LongType).as("user_id"),
+        $"cnt", $"sum_value_e6")
+    val grand = byType
+      .agg(sum($"cnt").as("cnt"), sum($"sum_value_e6").as("sum_value_e6"))
+      .select(lit(null).cast(StringType).as("event_type"),
+        lit(null).cast(LongType).as("user_id"), $"cnt", $"sum_value_e6")
+    base.unionByName(byType).unionByName(grand)
       .orderBy($"event_type".asc_nulls_first, $"user_id".asc_nulls_first)
+  }
 
   /** Wide per-type totals via PIVOT: one row per user, one integer
     * total column per event type (explicit value list → static
@@ -354,6 +373,31 @@ object CoreOps {
     * DEFINITION there, not an optimization: first-touch-then-window
     * is what the funnel means (a user who converted off a later
     * view did not convert off their first interest). */
+  /** [[chainStage]] (no conversion window) resumable from a partial
+    * state (stage0, after0) — the TTL-fold kernel of
+    * [[graft.streaming.StreamingJobs.funnelGate]]. Split-equivalence:
+    * for event sets P, L with every P time < every L time,
+    * chainStateFrom(P ++ L, 0, -inf) == chainStateFrom(L,
+    * chainStateFrom(P, 0, -inf)) — each level the P-scan reached took
+    * the level's minimum eligible time over P, which is below every L
+    * time and hence the minimum over P ++ L; the first level the
+    * P-scan failed has no eligible P event at all, so the union scan
+    * continues on L alone, which is exactly the resumed scan. */
+  private[graft] def chainStateFrom(evs: Seq[(Int, Long)], nSteps: Int,
+      stage0: Long, after0: Long): (Long, Long) = {
+    var after = after0
+    var stage = stage0
+    var open = true
+    (stage0.toInt until nSteps).foreach { k =>
+      if (open) {
+        val ts = evs.collect { case (s, us) if s == k && us > after => us }
+        if (ts.isEmpty) open = false
+        else { after = ts.min; stage = k + 1L }
+      }
+    }
+    (stage, after)
+  }
+
   private[graft] def chainStage(evs: Seq[(Int, Long)], nSteps: Int,
       gapUs: Long = Long.MaxValue): Long = {
     var after = Long.MinValue

@@ -732,6 +732,15 @@ object DedupOps {
     * (measured 43.7 s of the 171 s sf10 query before sampling). */
   val HotSampleDocs = 50000L
 
+  /** Heavy-gram demotion ceiling divisor: every gram present in more
+    * than nDocs/[[HeavyDocShare]] documents is demoted into the hot
+    * table by an EXACT full-stream pass, independent of the sampled
+    * profile. The heavy set is STRUCTURALLY bounded: Σ df = total
+    * gram occurrences, so at most [[HeavyDocShare]] × (average grams
+    * per doc) grams can clear the ceiling — a few thousand at any
+    * corpus shape, never a closure hazard. */
+  val HeavyDocShare = 64L
+
   private[graft] def hotGrams(spark: SparkSession, sfDir: String): (Array[Long], Array[Int]) = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     hotGramIndex.getOrBuild(sfDir, fp) {
@@ -747,9 +756,30 @@ object DedupOps {
         .orderBy($"df".desc, $"h".asc)
         .limit(HotGramK)
         .collect()
-      val rankOf = rows.map(r => (r.getLong(1), r.getLong(0))).sorted
+      // EXACT heavy pass (round-10): the sampled profile is a
+      // probabilistic bound — a gram correlated with the sampling
+      // pattern (or losing the top-K race) could stay out of the hot
+      // table and build its whole candidate bucket on one row. Every
+      // gram with FULL-stream df above the ceiling is demoted
+      // unconditionally; the pass reads the materialized 3-gram
+      // artifact (no re-tokenize), runs once per corpus fingerprint,
+      // and its result size is structurally bounded (see
+      // [[HeavyDocShare]]). Demotion is always recall-safe: the
+      // prefix lemma holds for ANY shared global gram order.
+      val ceiling = math.max(HotDfMin.toLong, nDocs / HeavyDocShare)
+      val heavy = gramSets3Shared(spark, sfDir)
+        .select(explode($"gs").as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" >= ceiling)
+        .collect()
+      // merge on comparable (estimated-full-df, hash) keys: sampled
+      // dfs scale by the sampling modulus; the exact df wins when a
+      // gram appears in both. Rank 1..K ascending df — hottest last.
+      val est = rows.map(r => r.getLong(0) -> r.getLong(1) * every).toMap
+      val merged = (est ++ heavy.map(r => r.getLong(0) -> r.getLong(1))).toSeq
+      val rankOf = merged.map { case (h, df) => (df, h) }.sorted
         .iterator.zipWithIndex.map { case ((_, h), i) => h -> (i + 1) }.toMap
-      val hotSorted = rows.map(_.getLong(0)).sorted
+      val hotSorted = merged.map(_._1).sorted.toArray
       (hotSorted, hotSorted.map(rankOf))
     }
   }

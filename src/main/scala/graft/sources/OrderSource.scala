@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -119,15 +119,20 @@ class OrderTable extends Table with SupportsRead {
     val rowsPerBatch = options.getLong("rowsPerBatch", 500L)
     val numPartitions = options.getInt("numPartitions", 4)
     val startEpochMs = options.getLong("startEpochMs", OrderGen.DefaultStartEpochMs)
-    () => new OrderScan(maxOrders, rowsPerBatch, numPartitions, startEpochMs)
+    val minRowsPerBatch = options.getLong("minRowsPerBatch", 0L)
+    val maxTriggerDelayMs = options.getLong("maxTriggerDelayMs", 60000L)
+    () => new OrderScan(maxOrders, rowsPerBatch, numPartitions, startEpochMs,
+      minRowsPerBatch, maxTriggerDelayMs)
   }
 }
 
 class OrderScan(maxOrders: Long, rowsPerBatch: Long, numPartitions: Int,
-    startEpochMs: Long) extends Scan {
+    startEpochMs: Long, minRowsPerBatch: Long = 0L,
+    maxTriggerDelayMs: Long = 60000L) extends Scan {
   override def readSchema(): StructType = OrderGen.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OrderMicroBatchStream(maxOrders, rowsPerBatch, numPartitions, startEpochMs)
+    new OrderMicroBatchStream(maxOrders, rowsPerBatch, numPartitions,
+      startEpochMs, minRowsPerBatch, maxTriggerDelayMs)
 }
 
 /** Offset = count of orders emitted so far (a single long cursor —
@@ -138,7 +143,8 @@ case class OrderOffset(n: Long) extends Offset {
 }
 
 class OrderMicroBatchStream(maxOrders: Long, rowsPerBatch: Long,
-    numPartitions: Int, startEpochMs: Long) extends MicroBatchStream
+    numPartitions: Int, startEpochMs: Long, minRowsPerBatch: Long = 0L,
+    maxTriggerDelayMs: Long = 60000L) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   // STATELESS between triggers: the next end is a pure function of
   // the engine-supplied start offset, so checkpoint recovery and
@@ -146,17 +152,43 @@ class OrderMicroBatchStream(maxOrders: Long, rowsPerBatch: Long,
   override def initialOffset(): Offset = OrderOffset(0L)
   override def deserializeOffset(json: String): Offset =
     OrderOffset(json.trim.toLong)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  /** Default admission: a per-batch row cap; with `minRowsPerBatch`
+    * set, a COMPOSITE of min-rows (don't fire a near-empty batch
+    * before `maxTriggerDelayMs`) and max-rows (bound state growth) —
+    * the rate-limited continuous shape Spark's own rate/kafka sources
+    * expose. The engine hands whichever limit the trigger implies
+    * back into [[latestOffset(start:*]], where [[admittedCap]] folds
+    * the composite. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (minRowsPerBatch > 0L)
+      ReadLimit.compositeLimit(Array(
+        ReadLimit.minRows(minRowsPerBatch, maxTriggerDelayMs),
+        ReadLimit.maxRows(rowsPerBatch)))
+    else ReadLimit.maxRows(rowsPerBatch)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: use latestOffset(start, limit)")
+  /** Rows admitted under a limit: max-rows caps, all-available lifts
+    * the cap, min-rows floors (the generator always has backlog up to
+    * maxOrders, so a min-rows floor is satisfiable immediately), and
+    * a composite folds member caps — the tightest max wins, matching
+    * the engine's semantics (a composite is the conjunction of its
+    * members). */
+  private def admittedCap(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows => math.max(1L, r.maxRows())
+    case r: ReadMinRows => math.max(1L, r.minRows())
+    case _: ReadAllAvailable => maxOrders
+    case c: CompositeReadLimit =>
+      val caps = c.getReadLimits.toSeq.collect {
+        case r: ReadMaxRows => math.max(1L, r.maxRows())
+        case _: ReadAllAvailable => maxOrders
+      }
+      if (caps.isEmpty) rowsPerBatch else caps.min
+    case _ => rowsPerBatch
+  }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[OrderOffset].n
-    val cap = limit match {
-      case r: ReadMaxRows => r.maxRows()
-      case _ => rowsPerBatch
-    }
-    OrderOffset(math.min(maxOrders, s + math.max(1L, cap)))
+    OrderOffset(math.min(maxOrders, s + admittedCap(limit)))
   }
   override def reportLatestOffset(): Offset = OrderOffset(maxOrders)
   override def prepareForTriggerAvailableNow(): Unit = ()

@@ -44,11 +44,15 @@ object Readers {
   def orderStream(spark: SparkSession,
       maxOrders: Long = OrderGen.DefaultMaxOrders,
       rowsPerBatch: Long = 500L,
-      startEpochMs: Long = OrderGen.DefaultStartEpochMs): DataFrame =
+      startEpochMs: Long = OrderGen.DefaultStartEpochMs,
+      numPartitions: Int = 4,
+      minRowsPerBatch: Long = 0L): DataFrame =
     spark.readStream.format(classOf[OrderSourceProvider].getName)
       .option("maxOrders", maxOrders)
       .option("rowsPerBatch", rowsPerBatch)
       .option("startEpochMs", startEpochMs)
+      .option("numPartitions", numPartitions)
+      .option("minRowsPerBatch", minRowsPerBatch)
       .load()
 
   /** Kafka consumer options (reference SourceFromKafka.scala:22-28

@@ -496,82 +496,157 @@ object StreamingJobs {
       books: graft.operators.SimilarityOps.PqBooks): DataFrame =
     graft.operators.SimilarityOps.encodeFrame(stream, books)
 
-  /** Per-user buffered funnel events for [[funnelGate]] — the
-    * CEP-style partial-match buffer: only funnel-STEP events are held
-    * (step index + epoch-µs), everything else is filtered before the
-    * shuffle. */
-  case class FunnelBuf(events: Seq[(Int, Long)])
+  /** Per-user state for [[funnelGate]]: the already-FOLDED chain
+    * state (stage reached + entry time of that stage) over events
+    * that aged past the TTL horizon, plus the live CEP-style
+    * partial-match buffer of (step index, epoch-µs) still inside the
+    * horizon — the same frozen-prefix + live-buffer discipline as
+    * [[TransState]]. */
+  case class FunnelState(frozenStage: Long, frozenAfter: Long,
+      buffer: Seq[(Int, Long)])
 
   /** Streaming form of CoreOps.eventFunnel (#103b): per user, the
     * furthest view → click → purchase stage reachable from the events
     * seen SO FAR, re-evaluated on every arrival — the live funnel
     * dashboard. Exactly the batch operator's greedy earliest-entry
     * chain over the buffered multiset, so late/out-of-order arrivals
-    * are handled exactly: a late 'view' that lowers t1 re-opens
-    * earlier clicks, which buffered state can honor and a
-    * running-min could not. Update-mode rows are MONOTONE per user
-    * (growing the event set can only extend the chain), so the last
-    * row per user is the answer at any point.
+    * WITHIN the TTL horizon are handled exactly: a late 'view' that
+    * lowers t1 re-opens earlier clicks, which buffered state can
+    * honor and a running-min could not. Update-mode rows are MONOTONE
+    * per user (growing the event set can only extend the chain), so
+    * the last row per user is the answer at any point.
     *
-    * State is O(user's funnel events) — the same partial-match bound
-    * as Flink CEP's NFA buffer; a production deployment bounds the
-    * horizon with the #29f event-time-TTL pattern. Input contract:
-    * (user_id, event_type, us) — epoch-µs like the batch operator. */
-  def funnelGate(events: DataFrame): Dataset[(Long, Long)] = {
+    * State is O(events per TTL window), not O(user history): events
+    * that age more than `ttlUs` behind the user's max event time FOLD
+    * into a frozen (stage, entry-time) chain state and leave the
+    * buffer (CoreOps.chainStateFrom documents the split-equivalence
+    * proof), the #29f event-time-TTL pattern [[transitionGate]]
+    * already carries. The fold is LOSSLESS for event-time-ordered
+    * arrival; only a late arrival older than the horizon lands
+    * approximate — the same horizon contract as [[streamingNearDup]].
+    * Input contract: (user_id, event_type, us) — epoch-µs like the
+    * batch operator. */
+  def funnelGate(events: DataFrame,
+      ttlUs: Long = TransitionTtlUs): Dataset[(Long, Long)] = {
     val spark = events.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder}
     val steps = graft.operators.CoreOps.FunnelSteps
+    val nSteps = steps.length
     val typed = events.select($"user_id", $"event_type", $"us")
       .filter($"event_type".isin(steps: _*)).as[(Long, String, Long)]
     typed.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[(Long, String, Long)],
-         state: GroupState[FunnelBuf]) =>
-          val evs = state.getOption.map(_.events).getOrElse(Nil) ++
-            batch.map(e => (steps.indexOf(e._2), e._3))
-          state.update(FunnelBuf(evs))
-          (user, graft.operators.CoreOps.chainStage(evs, steps.length))
+         state: GroupState[FunnelState]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelState(0L, Long.MinValue, Nil))
+          val sorted = (prev.buffer ++
+            batch.map(e => (steps.indexOf(e._2), e._3))).sortBy(_._2)
+          val horizon = sorted.last._2 - ttlUs
+          // first retained index; everything before it folds (> 0
+          // guards both the all-live case and ttl overflow to < 0)
+          val cut = sorted.indexWhere(_._2 >= horizon)
+          val (fs, fa, buffer) =
+            if (cut <= 0) (prev.frozenStage, prev.frozenAfter, sorted)
+            else {
+              val (s, a) = graft.operators.CoreOps.chainStateFrom(
+                sorted.take(cut), nSteps, prev.frozenStage, prev.frozenAfter)
+              (s, a, sorted.drop(cut))
+            }
+          state.update(FunnelState(fs, fa, buffer))
+          (user, graft.operators.CoreOps
+            .chainStateFrom(buffer, nSteps, fs, fa)._1)
       }
   }
 
-  /** Per-(user, type) buffered timestamps for [[gapGate]]. The gap
-    * multiset of a time-sorted sequence depends only on the sorted
-    * timestamp MULTISET, so the buffer needs no event ids. */
-  case class GapBuf(ts: Seq[Long])
+  /** Per-(user, type) state for [[gapGate]]: already-FOLDED gap
+    * statistics (count / min / max / SUM — sum, not mean, so the
+    * merged integer mean divides the exact global sum) over gaps
+    * whose BOTH endpoints aged past the TTL horizon, plus the live
+    * buffer of in-horizon timestamps. The buffer's first element is
+    * the expired prefix's last timestamp (the boundary ANCHOR), so
+    * the frozen→live gap is still computed live and re-splittable by
+    * in-horizon late arrivals — the same anchor discipline as
+    * [[TransState]]. */
+  case class GapState(frozenN: Long, frozenMin: Long, frozenMax: Long,
+      frozenSum: Long, buffer: Seq[Long])
 
   /** Streaming form of WindowOps.eventGaps (#113b): per (user, type)
     * key, the count / min / max / integer-mean µs gap between the
     * key's consecutive events seen SO FAR — the live cadence monitor
     * (rate-limit and bot alarms fire on mean/min collapsing, without
     * waiting for a batch profile). Recomputed per arrival from the
-    * buffered sorted timestamps, so late/out-of-order arrivals are
-    * EXACT: an event landing between two already-seen neighbors
-    * replaces their gap with two smaller ones — running last-ts state
-    * would have welded it to whatever happened to arrive last.
-    * Update-mode rows: the last row per key is the answer at any
-    * point; keys with one event report n_gaps = 0.
+    * buffered sorted timestamps, so late/out-of-order arrivals WITHIN
+    * the TTL horizon are EXACT: an event landing between two
+    * already-seen neighbors replaces their gap with two smaller ones —
+    * running last-ts state would have welded it to whatever happened
+    * to arrive last. Update-mode rows: the last row per key is the
+    * answer at any point; keys with one event report n_gaps = 0.
     *
-    * State is O(key's events) — the same partial-match bound as
-    * [[funnelGate]]'s CEP buffer; a production deployment bounds the
-    * horizon with the #29f event-time-TTL pattern. Input contract:
+    * State is O(events per TTL window), not O(key history):
+    * timestamps that age more than `ttlUs` behind the key's max event
+    * time FOLD their prefix-internal gaps into frozen (n, min, max,
+    * sum) counters and leave the buffer, with the prefix's last
+    * timestamp kept as the boundary anchor — the #29f event-time-TTL
+    * pattern [[transitionGate]] and [[funnelGate]] carry. The gap
+    * multiset of a sorted sequence splits exactly at any element into
+    * prefix-internal gaps + anchor-crossing gaps, so the fold is
+    * LOSSLESS for event-time-ordered arrival; only a late arrival
+    * older than the horizon lands approximate. Input contract:
     * (user_id, event_type, us). */
-  def gapGate(events: DataFrame): Dataset[(Long, String, Long, Long, Long, Long)] = {
+  def gapGate(events: DataFrame,
+      ttlUs: Long = TransitionTtlUs): Dataset[(Long, String, Long, Long, Long, Long)] = {
     val spark = events.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
     val typed = events.select($"user_id", $"event_type", $"us")
       .as[(Long, String, Long)]
+    def gapsOf(ts: Seq[Long]): Seq[Long] =
+      ts.iterator.sliding(2).withPartial(false)
+        .map { case Seq(a, b) => b - a }.toSeq
     typed.groupByKey(e => (e._1, e._2))
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (key: (Long, String), batch: Iterator[(Long, String, Long)],
-         state: GroupState[GapBuf]) =>
-          val ts = state.getOption.map(_.ts).getOrElse(Nil) ++ batch.map(_._3)
-          state.update(GapBuf(ts))
-          val sorted = ts.sorted
-          val gaps = sorted.iterator.sliding(2).withPartial(false)
-            .map { case Seq(a, b) => b - a }.toSeq
-          if (gaps.isEmpty) (key._1, key._2, 0L, 0L, 0L, 0L)
-          else (key._1, key._2, gaps.size.toLong, gaps.min, gaps.max,
-            gaps.sum / gaps.size)
+         state: GroupState[GapState]) =>
+          val prev = state.getOption.getOrElse(GapState(0L, 0L, 0L, 0L, Nil))
+          val sorted = (prev.buffer ++ batch.map(_._3)).sorted
+          val horizon = sorted.last - ttlUs
+          // first retained index; everything before it folds (> 0
+          // guards both the all-live case and ttl overflow to < 0)
+          val cut = sorted.indexWhere(_ >= horizon)
+          val (fz, buffer) =
+            if (cut <= 0) (prev, sorted)
+            else {
+              val pGaps = gapsOf(sorted.take(cut))
+              val merged =
+                if (pGaps.isEmpty) prev
+                else GapState(
+                  prev.frozenN + pGaps.size,
+                  if (prev.frozenN == 0L) pGaps.min
+                  else math.min(prev.frozenMin, pGaps.min),
+                  if (prev.frozenN == 0L) pGaps.max
+                  else math.max(prev.frozenMax, pGaps.max),
+                  prev.frozenSum + pGaps.sum, Nil)
+              // keep the prefix's last ts as the anchor so the
+              // prefix→live gap is counted (and re-split) live
+              (merged, sorted.drop(cut - 1))
+            }
+          val lGaps = gapsOf(buffer)
+          state.update(GapState(fz.frozenN, fz.frozenMin, fz.frozenMax,
+            fz.frozenSum, buffer))
+          val n = fz.frozenN + lGaps.size
+          if (n == 0L) (key._1, key._2, 0L, 0L, 0L, 0L)
+          else {
+            val mn =
+              if (fz.frozenN == 0L) lGaps.min
+              else if (lGaps.isEmpty) fz.frozenMin
+              else math.min(fz.frozenMin, lGaps.min)
+            val mx =
+              if (fz.frozenN == 0L) lGaps.max
+              else if (lGaps.isEmpty) fz.frozenMax
+              else math.max(fz.frozenMax, lGaps.max)
+            val sm = fz.frozenSum + lGaps.sum
+            (key._1, key._2, n, mn, mx, sm / n)
+          }
       }
   }
 

@@ -85,6 +85,54 @@ class DashboardJobSpec extends SparkTestBase {
     StoreRegistry.clear("gendash")
   }
 
+  test("admission control drains a 2000-order backlog in bounded batches at 8 partitions") {
+    // the DataSourceV2 generator under backlog: 2000 rows behind a
+    // 600-row admission cap at 8 partitions must drain under
+    // Trigger.AvailableNow in ceil(2000/600) = 4 micro-batches, every
+    // batch within the cap and planned 8 ways — admission control
+    // (bounded state growth) and partition fan-out observed together
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Readers
+    val ck = tmpDir("admission8ck")
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val q = Readers.orderStream(spark, maxOrders = 2000L,
+        rowsPerBatch = 600L, numPartitions = 8)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += ((df.count(), df.rdd.getNumPartitions))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.map(_._1).sum == 2000L, s"drain must be complete: $batches")
+    assert(batches.size >= 3, s"backlog must drain across batches: $batches")
+    assert(batches.forall(_._1 <= 600L),
+      s"every batch must respect the admission cap: $batches")
+    assert(batches.forall(b => b._1 == 0L || b._2 == 8),
+      s"every non-empty batch must plan 8 partitions: $batches")
+
+    // ReadLimit composition folds to the tightest max (the engine's
+    // conjunction semantics), all-available lifts the cap, and the
+    // default limit composes min+max when minRowsPerBatch is set
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{OrderMicroBatchStream, OrderOffset}
+    val s = new OrderMicroBatchStream(2000L, 500L, 8, 0L,
+      minRowsPerBatch = 100L, maxTriggerDelayMs = 1000L)
+    def end(from: Long, lim: ReadLimit): Long =
+      s.latestOffset(OrderOffset(from), lim).asInstanceOf[OrderOffset].n
+    assert(end(0L, ReadLimit.allAvailable()) == 2000L)
+    assert(end(0L, ReadLimit.maxRows(300L)) == 300L)
+    assert(end(1900L, ReadLimit.maxRows(300L)) == 2000L)
+    assert(end(0L, ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(100L, 1000L), ReadLimit.maxRows(300L)))) == 300L)
+    assert(end(0L, ReadLimit.minRows(100L, 1000L)) == 100L)
+    assert(s.getDefaultReadLimit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.CompositeReadLimit])
+    assert(s.planInputPartitions(OrderOffset(0L), OrderOffset(600L)).length == 8)
+  }
+
   test("kafka sink options carry broker/topic and idempotence") {
     val opts = Sinks.kafkaSinkOptions("broker:9092", "dashboard")
     assert(opts("kafka.bootstrap.servers") == "broker:9092")

@@ -44,6 +44,55 @@ class DedupSpec extends SparkTestBase {
     assert(graft.operators.CurationOps.decontaminateSubstr(spark, dir).count() == 0L)
   }
 
+  test("ultra-hot gram outside the sampled profile is demoted by the exact heavy pass") {
+    // ADVERSARIAL: a gram correlated with the hotGrams sampling
+    // pattern — present in every ODD doc_id while the profile samples
+    // doc_id % every == 0 (even ids at this corpus size) — so the
+    // SAMPLED table can never see it. Without the exact full-stream
+    // heavy pass it would sit inside ~half the prefixes and build a
+    // ~50k-id candidate bucket (≈10⁹ pair rows); with it the gram is
+    // demoted out of every long doc's prefix, buckets stay tiny, and
+    // the output is UNCHANGED (= the brute-force J ≥ 1/2 pair set,
+    // demotion being recall-safe under any shared global order).
+    import graft.operators.DedupOps
+    val dir = tmpDir("graft-hotgram-")
+    val n = 100002L // > 2×HotSampleDocs so the sample modulus is 2
+    val base = (0L until n).map { i =>
+      val uniq = (0 until 21).map(j => s"w${i}x$j").mkString(" ")
+      (i, if (i % 2 == 1) s"$uniq zz yy xx" else uniq)
+    }
+    // two true near-dup pairs, one of them THROUGH the hot gram
+    val extra = Seq(
+      (n + 1L, (0 until 21).map(j => s"p$j").mkString(" ") + " zz yy xx"),
+      (n + 3L, (0 until 21).map(j => s"p$j").mkString(" ") + " zz yy xx"),
+      (n + 2L, (0 until 21).map(j => s"q$j").mkString(" ") + " q21 q22 q23"),
+      (n + 4L, (0 until 21).map(j => s"q$j").mkString(" ") + " q21 q22 q99"))
+    (base ++ extra).toDF("doc_id", "text")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // 1) the exact pass caught the sample-invisible gram
+    val hotHash = TextHash.hash60Jvm("zz yy xx")
+    val (hot, rank) = DedupOps.hotGrams(spark, dir)
+    assert(java.util.Arrays.binarySearch(hot, hotHash) >= 0,
+      "full-stream heavy pass must demote the sample-invisible gram")
+
+    // 2) demoted out of every long doc's prefix (prefix = n/2 + k
+    // smallest in the df order; the hot gram ranks last)
+    val oddDoc = base(101)._2
+    val gs = TextHash.gramHashesJvm(oddDoc, 3).sorted
+    val prefix = TextHash.dfPrefixJvm(gs, hot, rank, DedupOps.NgramPrefixK)
+    assert(!prefix.contains(hotHash),
+      "a 22-gram doc's prefix must exclude the demoted gram")
+
+    // 3) output unchanged: exactly the brute-force J >= 1/2 pairs
+    val pairs = DedupOps.dedupNgram(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((n + 1L, n + 3L), (n + 2L, n + 4L)),
+      s"got $pairs")
+  }
+
   test("combination blocking equals single-block pigeonhole blocking") {
     import graft.operators.DedupOps.{SimhashBits, SimhashBlockBits, SimhashBlocks}
     // both schemes have EXACT recall at Hamming ≤ 3, so they must

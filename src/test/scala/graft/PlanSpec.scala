@@ -268,11 +268,15 @@ class PlanSpec extends SparkTestBase {
     val plan = fullPlanString("q_bm25_topk")
     assert(!plan.contains("Window"), "per-query ranking must be the bounded heap")
     assert(plan.contains("ObjectHashAggregate"))
-    // the term explode is filtered to the query vocabulary before any
-    // aggregation (IN/INSET over the literal term set) — only posting
-    // lists of query terms ever reach a shuffle
-    assert(plan.contains("INSET") || plan.contains(" IN ("),
-      "query-term filter must precede the tf aggregation")
+    // the ranker serves from the materialized query-term posting
+    // artifact (round-10: tf/dl are build-once per corpus
+    // fingerprint, shared by BM25 / TF·IDF / RRF) — the serving plan
+    // must scan post-tf, never re-tokenize the corpus (no Generate =
+    // no explode anywhere in the plan)
+    assert(plan.contains("post-tf"),
+      "tf must serve from the posting artifact")
+    assert(!plan.contains("Generate"),
+      "the serving plan must not re-explode the corpus")
   }
 
   test("q_decon_bloom probes constant bloom bits and verifies without a raw-set broadcast") {

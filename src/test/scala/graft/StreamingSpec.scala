@@ -427,6 +427,84 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnel gate TTL fold is lossless for event-time-ordered arrival") {
+    // state boundedness contract: with a TTL far smaller than the
+    // corpus span (2 days vs 30), funnel events continuously age out
+    // of the buffer into the frozen (stage, entry-time) chain state —
+    // and for in-order arrival the fold must be LOSSLESS
+    // (CoreOps.chainStateFrom split-equivalence), so the final stage
+    // counts still equal the batch funnel's
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CoreOps
+    val batch = CoreOps.eventFunnel(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+      .sortBy(_._3) // event-time order
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingJobs.funnelGate(
+        in.toDF().toDF("user_id", "event_type", "us"),
+        ttlUs = 2L * 24 * 3600 * 1000000L)
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val finalStage = spark.table("funnel_ttl").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+      val streamedCounts = (1L to 3L).map(k =>
+        k -> finalStage.values.count(_ >= k).toLong).toMap
+      val batchCounts = (1L to 3L).map(k => k -> batch(k)).toMap
+      assert(streamedCounts == batchCounts,
+        s"TTL fold lost stages: streamed=$streamedCounts batch=$batchCounts")
+    } finally q.stop()
+  }
+
+  test("gap gate TTL fold is lossless for event-time-ordered arrival") {
+    // with a TTL far smaller than the corpus span, timestamps
+    // continuously age out of the buffer into frozen (n, min, max,
+    // sum) counters behind a boundary anchor — and for in-order
+    // arrival the fold must be LOSSLESS (the gap multiset of a sorted
+    // sequence splits exactly at any element), so the final per-key
+    // stats still equal the unbounded model
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val model = rows.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val gaps = es.map(_._3).sorted.toSeq.sliding(2)
+        .collect { case Seq(a, b) => b - a }.toSeq
+      k -> (if (gaps.isEmpty) (0L, 0L, 0L, 0L)
+        else (gaps.size.toLong, gaps.min, gaps.max, gaps.sum / gaps.size))
+    }
+    val ordered = rows.sortBy(_._3) // event-time order
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamingJobs.gapGate(
+        in.toDF().toDF("user_id", "event_type", "us"),
+        ttlUs = 2L * 24 * 3600 * 1000000L)
+      .toDF("user_id", "event_type", "n_gaps", "min_gap_us", "max_gap_us", "mean_gap_us")
+      .writeStream.format("memory").queryName("gaps_ttl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ordered.grouped(math.max(1, ordered.length / 4)).foreach { chunk =>
+        in.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val finalRows = spark.table("gaps_ttl")
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, xs) => k -> xs.maxBy(_._3) }
+      assert(finalRows.keySet == model.keySet)
+      finalRows.foreach { case (k, (_, _, n, mn, mx, mean)) =>
+        assert((n, mn, mx, mean) == model(k),
+          s"TTL fold drifts from the unbounded model at key $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming gap gate equals the batch gap profile under out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sf)
