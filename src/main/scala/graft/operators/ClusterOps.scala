@@ -214,17 +214,24 @@ object ClusterOps {
     * transitive clusters (same [[connectedComponents]] over the
     * materialized pairs artifact); only the keep choice differs.
     * Scale shape: cluster labels cover only docs in near-dup pairs
-    * (the small LSH output) — the token-length lookup is an equi-join
-    * on the corpus with AQE free to broadcast the label side, and the
+    * (the small LSH output, bounded by the same edge-volume contract
+    * every ClusterOps consumer already relies on) — so the label side
+    * is BROADCAST explicitly and the corpus streams through the probe
+    * with tokenization AFTER the join, i.e. only cluster members ever
+    * tokenize. (Left to AQE this planned as a SortMergeJoin at sf100
+    * with the full 5.6 B-char tokenize below the sort: 34.1 s,
+    * ×37.6/decade; the probe-then-tokenize form is scan-bound.) The
     * per-cluster ranking windows over cluster-sized partitions. */
   def clusterBest(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = clusterLabels(spark, sfDir)
-    val lens = Tables.documents(spark, sfDir)
-      .select($"doc_id", size(tokens($"text")).cast(LongType).as("n_tokens"))
     val w = Window.partitionBy($"cluster_id")
       .orderBy($"n_tokens".desc, $"doc_id".asc)
-    labels.join(lens, "doc_id")
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .join(broadcast(labels), "doc_id")
+      .select($"doc_id", $"cluster_id",
+        size(tokens($"text")).cast(LongType).as("n_tokens"))
       .withColumn("keep",
         when(row_number().over(w) === 1, 1L).otherwise(0L))
       .select($"doc_id", $"cluster_id", $"n_tokens", $"keep")

@@ -719,18 +719,44 @@ object JoinOps {
     * order (never corpus-quadratic), per-brand counts + the 1-row
     * order total broadcast back, lift multiplies in DECIMAL(38,0)
     * (n_both·n_orders·10⁴ overflows BIGINT at 100 TB order counts). */
+  private val basketCache =
+    new graft.tools.Materialize.SupersedingCache[String]
+  private val basketSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("l_orderkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+
   def brandBasket(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
-    val ob = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_partkey")
-      .join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .select($"l_orderkey", $"p_brand").distinct()
-    val perBrand = ob.groupBy($"p_brand").agg(count(lit(1)).as("n_t"))
-    val totOrders = ob.select($"l_orderkey").distinct()
-      .agg(count(lit(1)).as("n_orders_tot"))
-    ob.select($"l_orderkey", $"p_brand".as("brand_a"))
-      .join(ob.select($"l_orderkey", $"p_brand".as("brand_b")), Seq("l_orderkey"))
-      .filter($"brand_a" < $"brand_b")
+    // ONE fact pass: per-order sorted brand SET via a single
+    // map-side-combined collect_set shuffle, materialized once per
+    // corpus fingerprint (the gram3/lmCounts artifact pattern). The
+    // previous form referenced the 600 M-row distinct subtree FOUR
+    // times (self-join both sides + per-brand totals + order total),
+    // so the fact scan+shuffle executed four times per run — measured
+    // 634.8 s at sf100 (×16.3/decade). Pairs now explode locally from
+    // each order's sorted set (ascending ⇒ brand_a < brand_b for
+    // free); the totals explode/count the same tiny artifact.
+    val fp = graft.tools.Materialize.fingerprint(
+      spark, s"$sfDir/lineitem.parquet")
+    val setsPath = basketCache.getOrBuild(sfDir, fp) {
+      val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
+      val b = Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_partkey")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"p_brand")).as("bs"))
+      graft.tools.Materialize.writeParquet(b, "basket-")
+    }
+    val sets = spark.read.schema(basketSchema).parquet(setsPath)
+    val perBrand = sets.select(explode($"bs").as("p_brand"))
+      .groupBy($"p_brand").agg(count(lit(1)).as("n_t"))
+    val totOrders = sets.agg(count(lit(1)).as("n_orders_tot"))
+    sets
+      .select(posexplode($"bs").as(Seq("i", "brand_a")), $"bs")
+      .select($"brand_a",
+        explode(slice($"bs", $"i" + 2, size($"bs"))).as("brand_b"))
       .groupBy($"brand_a", $"brand_b")
       .agg(count(lit(1)).as("n_both"))
       .join(broadcast(perBrand.select($"p_brand".as("brand_a"),
@@ -1184,7 +1210,7 @@ object JoinOps {
       .select($"o_orderkey", $"o_orderdate")
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-    val perSupp = li.join(o, $"l_orderkey" === $"o_orderkey")
+    val perSupp = li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
         1L).otherwise(0L)).as("late"))
