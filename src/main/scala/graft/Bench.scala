@@ -87,17 +87,22 @@ object Bench {
     // millisecond precision: full double repr doubled the line length
     // and overflowed the driver's stdout tail buffer (BENCH_r08.json
     // landed with "parsed": null) — 3 decimals is already below the
-    // host-noise floor
+    // host-noise floor. Round ONCE per value (HALF_UP, the same mode
+    // the Formatter prints with) and both print and sum the rounded
+    // value, so the printed total is exactly the sum of the printed
+    // queries map at every tie — r10 ADVICE: math.rint (half-even)
+    // disagreed with %.3f (half-up) on .xxx5 ties by 0.001.
+    def round3(v: Double): Double =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     def fmt(v: Double): String =
       if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(round3(v)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // total = sum of the ROUNDED per-query values, so the printed JSON
     // is internally consistent: tooling re-deriving the total from the
     // queries map sees zero drift (r9 ADVICE)
-    val total = results.map(_._2).filter(_ >= 0)
-      .map(v => math.rint(v * 1000) / 1000).sum
+    val total = results.map(_._2).filter(_ >= 0).map(round3).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Canonical contract line FIRST. The driver keeps only a bounded

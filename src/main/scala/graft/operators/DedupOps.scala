@@ -741,6 +741,14 @@ object DedupOps {
     * corpus shape, never a closure hazard. */
   val HeavyDocShare = 64L
 
+  /** Hard ceiling on the MERGED hot table (sampled top-K ∪ exact
+    * heavy set): keeps the DfPrefixExpr task closure tens-of-KB and
+    * the rank width < 2^16 by construction. [[hotGrams]] fails
+    * loudly if a corpus shape ever exceeds it (it cannot truncate —
+    * dropping a heavy gram would reopen the one-row candidate-bucket
+    * hazard the exact pass exists to close). */
+  val HotTableCeiling = 1 << 16
+
   private[graft] def hotGrams(spark: SparkSession, sfDir: String): (Array[Long], Array[Int]) = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     hotGramIndex.getOrBuild(sfDir, fp) {
@@ -777,6 +785,19 @@ object DedupOps {
       // gram appears in both. Rank 1..K ascending df — hottest last.
       val est = rows.map(r => r.getLong(0) -> r.getLong(1) * every).toMap
       val merged = (est ++ heavy.map(r => r.getLong(0) -> r.getLong(1))).toSeq
+      // ENFORCE (not argue) the closure-size and rank-width contracts
+      // (r10 ADVICE): the heavy pass makes the merged table bounded by
+      // HeavyDocShare × avg grams/doc rather than HotGramK, so a
+      // pathological long-doc corpus could in principle blow past the
+      // "few KB task closure" the consumers were sized for. Fail
+      // loudly at build time instead of silently shipping a megabyte
+      // closure with >2^16 ranks — truncating instead would reopen the
+      // round-10 sample-invisible-gram hole for the dropped grams.
+      require(merged.size <= HotTableCeiling,
+        s"hot-gram table ${merged.size} exceeds ceiling $HotTableCeiling " +
+          s"(HotGramK=$HotGramK sampled + ${heavy.length} heavy grams >= " +
+          s"df ceiling $ceiling); raise HeavyDocShare or HotTableCeiling " +
+          "after re-auditing DfPrefixExpr closure size")
       val rankOf = merged.map { case (h, df) => (df, h) }.sorted
         .iterator.zipWithIndex.map { case ((_, h), i) => h -> (i + 1) }.toMap
       val hotSorted = merged.map(_._1).sorted.toArray

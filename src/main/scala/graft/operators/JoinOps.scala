@@ -738,8 +738,12 @@ object JoinOps {
     // 634.8 s at sf100 (×16.3/decade). Pairs now explode locally from
     // each order's sorted set (ascending ⇒ brand_a < brand_b for
     // free); the totals explode/count the same tiny artifact.
+    // the artifact derives from BOTH tables (brands come off the part
+    // join), so both fingerprints key the cache — a part.parquet
+    // rewrite with lineitem unchanged must rebuild (r10 ADVICE)
     val fp = graft.tools.Materialize.fingerprint(
-      spark, s"$sfDir/lineitem.parquet")
+        spark, s"$sfDir/lineitem.parquet") + "|" +
+      graft.tools.Materialize.fingerprint(spark, s"$sfDir/part.parquet")
     val setsPath = basketCache.getOrBuild(sfDir, fp) {
       val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
       val b = Tables.lineitem(spark, sfDir)

@@ -597,11 +597,23 @@ object TextOps {
     // tokenization), so only a hash collision WITHIN the table could
     // alias two r values — detected driver-side on the ~|bigrams|
     // table and answered with the string-keyed join fallback.
-    val rTab = big.join(broadcast(uni), Seq("w1"))
-      .select(xxhash64($"w1", $"w2").as("bh"),
-        expr("c2 * 1000000 div c1").as("r"))
-    val collided = rTab.groupBy($"bh").agg(count(lit(1)).as("n"))
-      .filter($"n" > 1).limit(1).count() > 0
+    // The rTab AND the collision verdict are a build-once artifact
+    // keyed by the corpus fingerprint (r10 ADVICE): the first call
+    // per corpus pays the check job once; repeated calls — and
+    // plan-only consumers (explain, specs) — get the cached verdict
+    // with no eager job and broadcast the materialized parquet.
+    val fp = graft.tools.Materialize.fingerprint(
+      spark, s"$sfDir/documents.parquet")
+    val (rTabPath, collided) = lmRTabCache.getOrBuild(sfDir, fp) {
+      val rTab = big.join(broadcast(uni), Seq("w1"))
+        .select(xxhash64($"w1", $"w2").as("bh"),
+          expr("c2 * 1000000 div c1").as("r"))
+      val path = graft.tools.Materialize.writeParquet(rTab, "lm-rtab-")
+      val col = spark.read.schema(rTabSchema).parquet(path)
+        .groupBy($"bh").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).limit(1).count() > 0
+      (path, col)
+    }
     val stream = lmBigrams(Tables.documents(spark, sfDir))
     val scored =
       if (collided)
@@ -610,7 +622,8 @@ object TextOps {
           .select($"doc_id", expr("c2 * 1000000 div c1").as("r"))
       else
         stream.select($"doc_id", xxhash64($"w1", $"w2").as("bh"))
-          .join(broadcast(rTab), "bh")
+          .join(broadcast(
+            spark.read.schema(rTabSchema).parquet(rTabPath)), "bh")
           .select($"doc_id", $"r")
     scored.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -645,6 +658,13 @@ object TextOps {
 
   private val lmCache =
     new graft.tools.Materialize.SupersedingCache[(String, String)]
+  /** (rTab parquet path, xxhash64-collision verdict) per corpus
+    * fingerprint — see [[lmQuality]]. */
+  private val lmRTabCache =
+    new graft.tools.Materialize.SupersedingCache[(String, Boolean)]
+  private val rTabSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bh", LongType),
+    org.apache.spark.sql.types.StructField("r", LongType)))
   private val uniSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("w1",
       org.apache.spark.sql.types.StringType),

@@ -169,14 +169,19 @@ class OrderMicroBatchStream(maxOrders: Long, rowsPerBatch: Long,
     throw new UnsupportedOperationException(
       "admission-controlled source: use latestOffset(start, limit)")
   /** Rows admitted under a limit: max-rows caps, all-available lifts
-    * the cap, min-rows floors (the generator always has backlog up to
-    * maxOrders, so a min-rows floor is satisfiable immediately), and
-    * a composite folds member caps — the tightest max wins, matching
-    * the engine's semantics (a composite is the conjunction of its
-    * members). */
+    * the cap, min-rows is a trigger FLOOR, not a cap (the generator
+    * always has backlog up to maxOrders, so the floor is satisfiable
+    * immediately and the batch admits the source's own per-batch
+    * default — or the floor itself when it exceeds that default),
+    * and a composite folds member caps — the tightest max wins,
+    * matching the engine's semantics (a composite is the conjunction
+    * of its members). */
   private def admittedCap(limit: ReadLimit): Long = limit match {
     case r: ReadMaxRows => math.max(1L, r.maxRows())
-    case r: ReadMinRows => math.max(1L, r.minRows())
+    // bare min-rows carries no cap: admit the per-batch default once
+    // the floor is met, never exactly the floor (r10 ADVICE — Spark's
+    // min-rows semantics are "don't trigger before N", not "read N")
+    case r: ReadMinRows => math.max(math.max(1L, r.minRows()), rowsPerBatch)
     case _: ReadAllAvailable => maxOrders
     case c: CompositeReadLimit =>
       val caps = c.getReadLimits.toSeq.collect {

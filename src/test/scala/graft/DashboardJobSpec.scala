@@ -127,7 +127,11 @@ class DashboardJobSpec extends SparkTestBase {
     assert(end(1900L, ReadLimit.maxRows(300L)) == 2000L)
     assert(end(0L, ReadLimit.compositeLimit(Array(
       ReadLimit.minRows(100L, 1000L), ReadLimit.maxRows(300L)))) == 300L)
-    assert(end(0L, ReadLimit.minRows(100L, 1000L)) == 100L)
+    // bare min-rows is a trigger floor, not a cap: once satisfiable
+    // the batch admits the per-batch default (500), or the floor
+    // itself when the floor exceeds the default
+    assert(end(0L, ReadLimit.minRows(100L, 1000L)) == 500L)
+    assert(end(0L, ReadLimit.minRows(800L, 1000L)) == 800L)
     assert(s.getDefaultReadLimit.isInstanceOf[
       org.apache.spark.sql.connector.read.streaming.CompositeReadLimit])
     assert(s.planInputPartitions(OrderOffset(0L), OrderOffset(600L)).length == 8)

@@ -196,6 +196,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_cluster_best label join: counted broadcast gate, shuffle-hash above the bound, never SMJ") {
+    // default path (labels tiny at test sf): the counted gate takes
+    // the broadcast — but it is GATED, not unconditional, which the
+    // forced-over-bound case below proves
+    val dflt = fullPlanString("q_cluster_best")
+    assert(!dflt.contains("SortMergeJoin"),
+      s"label probe must never SMJ (the 5.6 B-char tokenize regression):\n$dflt")
+    assert(dflt.contains("BroadcastHashJoin"),
+      s"in-bound labels must broadcast:\n$dflt")
+    // labels over the bound: shuffle-hash fallback — no driver-side
+    // size hazard, the corpus pays one doc_id exchange, tokenize
+    // stays above the join in both shapes
+    val over = graft.operators.ClusterOps
+      .clusterBestWithBound(spark, sf, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!over.contains("SortMergeJoin"),
+      s"over-bound labels must not SMJ:\n$over")
+    assert(!over.contains("BroadcastHashJoin"),
+      s"over-bound labels must not broadcast:\n$over")
+    assert(over.contains("ShuffledHashJoin"),
+      s"over-bound labels must take the shuffle-hash hint:\n$over")
+  }
+
   test("q_ngram_topk partial-aggregates and takes top-k without a global sort") {
     val plan = fullPlanString("q_ngram_topk")
     assert(plan.contains("partial_count"), "doc-frequency count must map-side combine")
