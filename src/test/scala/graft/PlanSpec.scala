@@ -366,13 +366,17 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(planOf("q_vocab_growth")) <= 3)
   }
 
-  test("q_embed_cov partial-aggregates the product stream and broadcasts dim sums") {
+  test("q_embed_cov folds per partition — no per-vector Generate, no joins, bounded shuffle") {
     val plan = fullPlanString("q_embed_cov")
-    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
-      "the d²/2-per-vector product stream must combine map-side")
-    assert(plan.contains("BroadcastHashJoin"), "d-row dim-sum tables must broadcast")
-    assert(!plan.contains("SortMergeJoin"), "the O(d²) frame must not shuffle to meet d rows")
-    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Generate"),
+      "the d²/2-per-vector posexplode stream must not come back (r10 perf-weak)")
+    assert(plan.contains("partial_sum"),
+      "the 2080-rows-per-partition partials must combine map-side")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the single-pass kernel needs no joins at all")
+    // one exchange for the (i, j) fold + the output range sort
+    assert(countShuffles(planOf("q_embed_cov")) <= 2)
   }
 
   test("q_token_diversity is a narrow scan — no explode, no (doc, token) aggregate") {
