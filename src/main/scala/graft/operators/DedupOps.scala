@@ -703,7 +703,12 @@ object DedupOps {
   /** Bounded size of the df-hot gram table feeding [[dedupNgram]]'s
     * prefix order (a few KB of task closure via a codegen reference
     * object — same driver-bounded contract as ClusterOps's edge
-    * limit). */
+    * limit). Round 11 measured widening to 32768 at sf100: a NULL
+    * result — this corpus's gram dfs are low (max ~25; candidate
+    * volume is low-df random collisions, not hot boilerplate), so
+    * demotion depth left the 747.8M-row pair volume unchanged and the
+    * wider binary search cost +9 s of prefix explode. 4096 stays; the
+    * table earns its keep only on boilerplate-heavy corpora. */
   val HotGramK = 4096
 
   /** Minimum document frequency for a gram to enter the hot table —
@@ -864,7 +869,7 @@ object DedupOps {
     * gain-base artifacts; at 100 TB this is the "tokenized shingle
     * table" a production dedup pipeline materializes once per crawl
     * snapshot anyway. */
-  private def gramSets3Shared(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def gramSets3Shared(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     val (path, schema) = gram3Cache.getOrBuild(sfDir, fp) {
       val b = gramSets(spark, sfDir, 3)
@@ -894,6 +899,30 @@ object DedupOps {
       .select(explode(
         graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
       .select($"p.doc_a".as("pa"), $"p.doc_b".as("pb"))
+      // size-compatibility cut BEFORE the pair exchange (round 11):
+      // J >= 1/2 forces max(n_a,n_b) <= 2*min(n_a,n_b) (|A∩B| <= min
+      // and |A∩B| >= (n_a+n_b)/3 give 3*min >= n_a+n_b = min+max), so
+      // a size-incompatible pair can never verify — dropping its rows
+      // map-side is exact. Sizes ride the pid packing; the 4095 clamp
+      // only ever shrinks the apparent max, so clamped sizes KEEP
+      // more, never less — recall-safe. Measured at sf100: 748.1M →
+      // 567.2M pair rows (−24% through the widest exchange in the
+      // plan).
+      .filter(greatest(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) <=
+        least(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) * 2)
+      // The pair stream is the widest stream in the plan (~4.5x the
+      // prefix rows at sf100) and nearly every key is distinct, so a
+      // default-width reduce side holds ~n/shufflePartitions live
+      // entries per task — at sf100 x 32 that is ~18M keys/task, the
+      // sort-spill regime (and the 100 TB failure mode: per-task
+      // memory on a real cluster is far tighter than this driver).
+      // Pre-partitioning by the group key at PairAggWidth x the
+      // session default satisfies the agg's ClusteredDistribution, so
+      // the count runs at that width with no extra exchange. The lost
+      // map-side combine is noise here: only true pairs repeat within
+      // a map partition (~2% of rows).
+      .repartition(spark.sessionState.conf.numShufflePartitions * PairAggWidth,
+        $"pa", $"pb")
       .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= least(lit(pk.toLong),
         expr(s"(pmod(pa, $PackN) + pmod(pb, $PackN) + 2) div 3")))
@@ -907,6 +936,13 @@ object DedupOps {
     * shared-prefix-gram count. Higher k = wider prefixes (more rows
     * into the group stage) but a far stronger candidate filter. */
   val NgramPrefixK = 8
+
+  /** Reduce-side width multiplier (x the session shuffle-partition
+    * default) for [[dedupNgram]]'s pair-count aggregation — its input
+    * is the plan's widest stream with near-distinct keys, so it needs
+    * proportionally more reducers than the narrow joins the session
+    * default is sized for. */
+  val PairAggWidth = 8
 
   /** Packing modulus for (doc_id, gram-set size) candidate rows. */
   val PackN = 4096L

@@ -3,9 +3,12 @@ package graft.tools
 import graft.{ColumnInterpolator, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-/** Stage attribution for the #41 prefix-filter AllPairs plan:
-  * `sbt "runMain graft.tools.ProfileNgram <sfDir>"`. */
+/** Stage attribution for the #41 prefix-filter AllPairs plan, kept in
+  * sync with the CURRENT [[graft.operators.DedupOps.dedupNgram]] shape
+  * (k-extended prefixes, pid-packed sizes, shared gram3 artifact):
+  * `tools/run_main.sh graft.tools.ProfileNgram <sfDir>`. */
 object ProfileNgram {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/.sfgen/sf10")
@@ -22,37 +25,66 @@ object ProfileNgram {
       println(f"[prof] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     spark.range(1 << 20).selectExpr("sum(id)").collect()
-    val docs = Tables.documents(spark, sfDir)
-    def gramSets = docs.select($"doc_id",
-      sort_array(graft.functions.TextHash.gramHashes($"text", 3)).as("gs"))
-      .filter(size($"gs") > 0)
-    time("gramSets")(gramSets.count())
+
+    import graft.operators.DedupOps
+    // stage 0: the build-once gram3 artifact (tokenize+hash+sort+write)
     val t0 = System.nanoTime()
-    val (hot, rank) = graft.operators.DedupOps.hotGrams(spark, sfDir)
-    println(f"[prof] hotGrams build                     ${(System.nanoTime() - t0) / 1e9}%8.2f s  (${hot.length} grams)")
-    val prefixed = gramSets.select($"doc_id",
-      explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank)).as("h"))
+    val gs = DedupOps.gramSets3Shared(spark, sfDir)
+    println(f"[prof] gram3 artifact build               ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    time("gram3 artifact scan")(gs.count())
+
+    // stage 1: hot-gram profile (sampled top-K + exact heavy pass)
+    val t1 = System.nanoTime()
+    val (hot, rank) = DedupOps.hotGrams(spark, sfDir)
+    println(f"[prof] hotGrams build (sample+heavy)      ${(System.nanoTime() - t1) / 1e9}%8.2f s  (${hot.length} grams)")
+
+    val pk = DedupOps.NgramPrefixK
+    val PackN = DedupOps.PackN
+    val pidSafe = $"doc_id" // profiling only; domain guard lives in the operator
+    val prefixed = gs.select(
+      (pidSafe * PackN + least(size($"gs").cast(LongType), lit(PackN - 1))).as("pid"),
+      explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank, pk)).as("h"))
     time("prefix explode")(prefixed.count())
-    val grouped = prefixed.groupBy($"h").agg(collect_list($"doc_id").as("ids"))
+
+    val grouped = prefixed.groupBy($"h").agg(collect_list($"pid").as("ids"))
       .filter(size($"ids") > 1)
-    time("group>1")(grouped.count())
-    val pairs = grouped.select(explode(
-      graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
-      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
-    time("pairs (pre-distinct)")(pairs.count())
-    val cand = pairs.distinct()
-    time("pairs distinct")(cand.count())
-    val gs = gramSets
-    val ver = cand
-      .join(gs.select($"doc_id".as("doc_a"), $"gs".as("gs_a")), "doc_a")
-      .join(gs.select($"doc_id".as("doc_b"), $"gs".as("gs_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        graft.functions.TextHash.sortedIntersectCount($"gs_a", $"gs_b").as("n_common"),
-        (size($"gs_a") + size($"gs_b")).cast("long").as("sz"))
-      .select($"doc_a", $"doc_b", $"n_common", ($"sz" - $"n_common").as("n_union"))
-      .filter($"n_common" * 2 >= $"n_union")
-    time("verify join")(ver.count())
-    time("full query")(graft.operators.DedupOps.dedupNgram(spark, sfDir).count())
+    time("bucket groupBy (>1)")(grouped.count())
+
+    val counted = grouped.select(explode(
+        graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
+      .select($"p.doc_a".as("pa"), $"p.doc_b".as("pb"))
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= least(lit(pk.toLong),
+        expr(s"(pmod(pa, $PackN) + pmod(pb, $PackN) + 2) div 3")))
+    time("pair count+filter")(counted.count())
+
+    // candidate volume PRE-count — the metric the hot-table width
+    // controls (Σ C(bucket,2); the pair exchange and count agg scale
+    // with exactly this). NOTE a repartition+sorted-run mapPartitions
+    // variant of the pair stage was A/B'd here and measured 2x WORSE
+    // at sf100 (532 s vs 246 s — per-row Vector allocation + tuple
+    // encoding lose to the codegen'd orderedPairs explode; the sf10
+    // "win" was cache-ordering bias), so the declarative shape stays.
+    time("pair volume (pre-count)")(grouped.select(explode(
+        graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
+      .count())
+
+    // size-compatibility cut (J >= 1/2 forces max <= 2*min; sizes ride
+    // the pid packing, clamped sizes only ever KEEP more — recall-safe)
+    val pairsSized = grouped.select(explode(
+        graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
+      .select($"p.doc_a".as("pa"), $"p.doc_b".as("pb"))
+      .filter(greatest(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) <=
+        least(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) * 2)
+    time("pair volume (size-filtered)")(pairsSized.count())
+    val countedSized = pairsSized
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= least(lit(pk.toLong),
+        expr(s"(pmod(pa, $PackN) + pmod(pb, $PackN) + 2) div 3")))
+    time("pair count+filter (size-pref)")(countedSized.count())
+
+    time("full query (steady)")(DedupOps.dedupNgram(spark, sfDir).count())
+    time("full query (steady 2)")(DedupOps.dedupNgram(spark, sfDir).count())
     spark.stop()
   }
 }
