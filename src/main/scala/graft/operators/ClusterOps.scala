@@ -116,6 +116,11 @@ object ClusterOps {
       .toDF("id", "label")
   }
 
+  /** Rounds between plan-state resets in [[pointerJump]] — the
+    * inherited-stats bit length doubles per round from ~63 bits, so a
+    * period of 8 bounds it at ~16k bits (overflow needs ~2^31). */
+  val CcStatsResetRounds = 8
+
   /** Distributed path: min-label propagation with pointer jumping,
     * one job per round, zero resident blocks after the call. */
   private def pointerJump(edges: DataFrame): DataFrame = {
@@ -151,7 +156,25 @@ object ClusterOps {
           .first().getLong(0)
         rounds += 1
         val prev = labels
-        labels = jumped.select($"id", $"label")
+        val next = jumped.select($"id", $"label")
+        // Plan-stats reset (round 11): a LAZY local checkpoint
+        // inherits the child plan's STATISTICS, and each round's two
+        // joins roughly SQUARE the inherited sizeInBytes — the BigInt
+        // estimate doubles its bit length per round and
+        // BigInteger.multiply inside stats estimation overflows
+        // ("BigInteger would overflow supported range") near round 28
+        // (tools.ReproStats reproduces it on 100 rows; q_embed_cluster
+        // hit it live at sf100, where the OR-LSH graph's diameter
+        // needs that many rounds). Every [[CcStatsResetRounds]] rounds
+        // the labels frame takes a real parquet round trip: a fresh
+        // scan with FILE-based stats, flat lineage, and no block-
+        // manager state — growth restarts from ~file-size bits, so no
+        // round count can overflow.
+        labels = if (rounds % CcStatsResetRounds == 0) {
+          val rt = Materialize.parquetRoundTrip(next, "cc-round-")
+          Materialize.freeCheckpoint(next) // copied to disk; free now
+          rt
+        } else next
         // frees the PREVIOUS round's checkpoint blocks (unpersist on
         // the Dataset only drops the SQL-cache entry, not these)
         Materialize.freeCheckpoint(prev)

@@ -817,13 +817,19 @@ object JoinOps {
     * supplier can dodge sole-late blame on multi-supplier orders and
     * still run a terrible late rate. One fact-fact shuffle on the
     * uniform order key, per-supplier partial agg, names broadcast,
-    * top-20 TakeOrdered; keyed by s_suppkey (clone-name-safe). */
+    * top-20 TakeOrdered; keyed by s_suppkey (clone-name-safe).
+    * SHUFFLE_HASH on the 4x-narrower orders side (round 11): the
+    * default SMJ sorted BOTH fact exchanges — the same two-fact-sort
+    * shape q_waiting_supplier shed in round 10 — and measured x22.4
+    * per decade at sf100 (174 s); hashing 2-column order rows per
+    * task costs O(rows/partitions) memory with NO sort of the 600M
+    * lineitem stream. */
   def supplierDelay(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate")
     val li = Tables.lineitem(spark, sfDir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
     val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("n_lines"),
         sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),

@@ -113,6 +113,31 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("propagation survives a plan-stats reset boundary (sf100 BigInteger overflow regression)") {
+    // A lazy localCheckpoint INHERITS the child plan's statistics and
+    // each round's two joins square the inherited sizeInBytes — the
+    // BigInt doubles its bit length per round until stats estimation
+    // overflows ("BigInteger would overflow supported range", round
+    // ~28; tools.ReproStats reproduces it on 100 rows, q_embed_cluster
+    // hit it live at sf100). pointerJump resets plan state with a
+    // parquet round trip every CcStatsResetRounds rounds; this chain's
+    // diameter forces the round count PAST that boundary, so the test
+    // proves labels stay exact and blocks stay freed ACROSS a reset.
+    import spark.implicits._
+    val n = 700L // diameter ~700 → ~10 propagation rounds
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = ClusterOps.connectedComponents(pairs, "a", "b", driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rounds = ClusterOps.lastRounds.get()
+    assert(rounds > ClusterOps.CcStatsResetRounds,
+      s"chain-$n must cross the reset boundary (${ClusterOps.CcStatsResetRounds}), took $rounds rounds")
+    assert(labels.size == n && (1L to n).forall(labels(_) == 1L),
+      "labels must be exact across the reset")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"reset rounds must free their blocks too; leaked: $leaked")
+  }
+
   test("clusterBest keeps exactly the longest doc per cluster, same clusters as dedupCluster") {
     val best = ClusterOps.clusterBest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
