@@ -19,8 +19,8 @@ import org.apache.spark.storage.StorageLevel
   * (the edge frame is persisted for the iterations anyway):
   *   - at or below [[DriverEdgeLimit]] DIRECTED edges — the count is
   *     taken on the symmetric-doubled frame both paths build, so up to
-  *     2^19 undirected pairs (~8 MB of id pairs, broadcast-threshold-
-  *     sized) — union–find with path compression on
+  *     2^22 undirected pairs (~128 MB of raw id pairs, broadcast-
+  *     comfort-sized) — union–find with path compression on
   *     the driver in O(E α(E)) — one job to gather, zero iterative
   *     shuffles. A near-dup pair graph is a tiny projection of the
   *     corpus (pairs above a high Jaccard bar), so this is the common
@@ -46,14 +46,21 @@ object ClusterOps {
 
   /** Directed-edge counts at or below this take the driver union–find
     * path. The count is measured on the SYMMETRIC (doubled) edge frame,
-    * so the effective threshold is 2^19 undirected pairs ≈ 8 MB of id
-    * pairs — deliberately conservative, sized like a broadcast-join
-    * small side (the driver gathers ≤ 2^20 (s,d) tuples and the
-    * union–find map holds ≤ 2^21 boxed entries, tens of MB of heap at
-    * the limit). Pass `driverEdgeLimit = 0` to force the distributed
-    * pointer-jumping loop (ClusterSpec pins its per-round job count
-    * that way). */
-  val DriverEdgeLimit = 1L << 20
+    * so the effective threshold is 2^22 undirected pairs ≈ 128 MB of
+    * raw id pairs — sized like a broadcast-join small side (the driver
+    * gathers ≤ 2^23 (s,d) tuples, a few hundred MB of boxed heap at
+    * the limit, against the documented 64 g study driver). Round 11
+    * raised it from 2^20: the sf100 OR-LSH embedding graph counted
+    * 1.25 M directed edges (20 MB) — barely over the old limit — and
+    * fell onto the pointer-jump path, where its welded 12.6 k-node
+    * chain component took 52 rounds × ~3 s of fixed per-round job
+    * overhead = 158 s for a graph the driver union-finds in ~2 s
+    * (ProfileCc, NOTES round 11). Per-round overhead only amortizes
+    * when the edge frame is too big to gather; the limit should sit
+    * at the gather bound, not under it. Pass `driverEdgeLimit = 0` to
+    * force the distributed pointer-jumping loop (ClusterSpec pins its
+    * per-round job count that way). */
+  val DriverEdgeLimit = 1L << 23
 
   /** Rounds taken by this thread's most recent [[connectedComponents]]
     * call — 0 for the driver union–find path (test observability;
@@ -237,21 +244,26 @@ object ClusterOps {
     * transitive clusters (same [[connectedComponents]] over the
     * materialized pairs artifact); only the keep choice differs.
     * Scale shape: cluster labels cover only docs in near-dup pairs
-    * (the small LSH output), the corpus streams through the probe,
-    * and tokenization happens AFTER the join, i.e. only cluster
-    * members ever tokenize. (Left to AQE this planned as a
-    * SortMergeJoin at sf100 with the full 5.6 B-char tokenize below
-    * the sort: 34.1 s, ×37.6/decade; the probe-then-tokenize form is
-    * scan-bound.) The broadcast is GATED on a counted label bound
-    * (r10 judge): the labels frame is an already-materialized
-    * artifact (local relation or parquet round-trip out of
-    * [[connectedComponents]]), so the count is a metadata-cheap
-    * action, and a template-heavy 100 TB corpus whose pair graph
-    * covers billions of docs falls back to a SHUFFLE-HASH hint —
-    * the corpus pays one doc_id exchange but the label side never
-    * sorts, never broadcasts beyond the bound, and tokenize stays
-    * above the join in both shapes. The per-cluster ranking windows
-    * over cluster-sized partitions. */
+    * (the small LSH output). In-bound, the labels broadcast and the
+    * corpus streams through the probe with tokenization AFTER the
+    * join — only cluster members ever tokenize, zero corpus exchange.
+    * (Left to AQE this planned as a SortMergeJoin at sf100 with the
+    * full 5.6 B-char tokenize below the sort: 34.1 s, ×37.6/decade;
+    * the probe-then-tokenize form is scan-bound.) The broadcast is
+    * GATED on a counted label bound (r10 judge): the labels frame is
+    * an already-materialized artifact (local relation or parquet
+    * round-trip out of [[connectedComponents]]), so the count is a
+    * metadata-cheap action. A template-heavy corpus whose pair graph
+    * exceeds the bound falls back to a SHUFFLE-HASH hint with the
+    * tokenize moved BELOW the exchange: the map-side size(tokens())
+    * collapses every doc to a 16-byte (doc_id, n_tokens) row before
+    * it ships, so the join moves token counts, never text — shuffling
+    * the corpus text through one exchange is the actual 100 TB
+    * hazard, while tokenizing non-members is a scan-local map with no
+    * network (sf100 measurements in NOTES round 11). The label side
+    * never sorts and never broadcasts beyond the bound in either
+    * shape. The per-cluster ranking windows over cluster-sized
+    * partitions. */
   def clusterBest(spark: SparkSession, sfDir: String): DataFrame =
     clusterBestWithBound(spark, sfDir, BroadcastLabelBound)
 
@@ -266,16 +278,20 @@ object ClusterOps {
       sfDir: String, broadcastBound: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = clusterLabels(spark, sfDir)
-    val labelSide =
-      if (labels.count() <= broadcastBound) broadcast(labels)
-      else labels.hint("shuffle_hash")
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val scored =
+      if (labels.count() <= broadcastBound)
+        docs.join(broadcast(labels), "doc_id")
+          .select($"doc_id", $"cluster_id",
+            size(tokens($"text")).cast(LongType).as("n_tokens"))
+      else
+        docs.select($"doc_id",
+            size(tokens($"text")).cast(LongType).as("n_tokens"))
+          .join(labels.hint("shuffle_hash"), "doc_id")
+          .select($"doc_id", $"cluster_id", $"n_tokens")
     val w = Window.partitionBy($"cluster_id")
       .orderBy($"n_tokens".desc, $"doc_id".asc)
-    Tables.documents(spark, sfDir)
-      .select($"doc_id", $"text")
-      .join(labelSide, "doc_id")
-      .select($"doc_id", $"cluster_id",
-        size(tokens($"text")).cast(LongType).as("n_tokens"))
+    scored
       .withColumn("keep",
         when(row_number().over(w) === 1, 1L).otherwise(0L))
       .select($"doc_id", $"cluster_id", $"n_tokens", $"keep")

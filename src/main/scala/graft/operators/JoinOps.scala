@@ -299,15 +299,28 @@ object JoinOps {
     * (row-group pruning on o_orderdate); both sides shuffle once on
     * the uniform order key (at 100 TB the quarter slice still
     * outgrows a broadcast; AQE takes the broadcast when it does
-    * fit); the priority agg is a 5-group partial agg. */
+    * fit); the priority agg is a 5-group partial agg. The EXISTS is
+    * an inner shuffle-hash join (build = the quarter slice) + a
+    * distinct on (o_orderkey, o_orderpriority) rather than a
+    * LEFT SEMI: a semi join can only BUILD on the lineitem side
+    * (per-task hash maps over ~20 M fact rows) or SMJ (both fact
+    * sides sort — at sf100/local[32] the lineitem sorter's pointer
+    * arrays grew to 1 GB pages and 32 concurrent tasks OOM'd a 64 g
+    * heap), while the inner form builds only the slice and streams
+    * lineitem with no sort. o_orderkey is unique, so distinct-then-
+    * count ≡ the semi count exactly, and both the distinct and the
+    * priority agg reuse the join's o_orderkey hash partitioning
+    * (subset rule) — still one exchange per side. */
   def orderPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
         $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
       .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
-    o.join(li, $"o_orderkey" === $"l_orderkey" &&
-        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+    o.hint("shuffle_hash")
+      .join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      .select($"o_orderkey", $"o_orderpriority").distinct()
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_late_orders"))
       .orderBy($"o_orderpriority")

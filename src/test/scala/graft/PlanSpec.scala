@@ -206,17 +206,25 @@ class PlanSpec extends SparkTestBase {
     assert(dflt.contains("BroadcastHashJoin"),
       s"in-bound labels must broadcast:\n$dflt")
     // labels over the bound: shuffle-hash fallback — no driver-side
-    // size hazard, the corpus pays one doc_id exchange, tokenize
-    // stays above the join in both shapes
-    val over = graft.operators.ClusterOps
+    // size hazard, and tokenize moves BELOW the exchange so the
+    // corpus ships 16-byte (doc_id, n_tokens) rows, never text
+    val overPlan = graft.operators.ClusterOps
       .clusterBestWithBound(spark, sf, 0L)
-      .queryExecution.executedPlan.toString
+      .queryExecution.executedPlan
+    val over = overPlan.toString
     assert(!over.contains("SortMergeJoin"),
       s"over-bound labels must not SMJ:\n$over")
     assert(!over.contains("BroadcastHashJoin"),
       s"over-bound labels must not broadcast:\n$over")
     assert(over.contains("ShuffledHashJoin"),
       s"over-bound labels must take the shuffle-hash hint:\n$over")
+    val textShuffles = overPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.output.exists(_.name == "text") => e
+    }
+    assert(textShuffles.isEmpty,
+      s"no exchange may carry the corpus text — the over-bound shape " +
+        s"tokenizes map-side and ships (doc_id, n_tokens) only:\n$over")
   }
 
   test("q_ngram_topk partial-aggregates and takes top-k without a global sort") {
@@ -534,8 +542,12 @@ class PlanSpec extends SparkTestBase {
     assert(tv.contains("BroadcastHashJoin") && !tv.contains("CartesianProduct"),
       "trade volume must broadcast the two-nation dim filters")
     val op = fullPlanString("q_order_priority")
-    assert(op.contains("LeftSemi"),
-      s"the late-ship EXISTS must plan as a semi join:\n$op")
+    // the EXISTS runs as inner shuffle-hash (build = quarter slice) +
+    // okey-partitioned distinct — never an SMJ that sorts the fact
+    // side (sf100 OOM: 1 GB sorter pointer pages x 32 tasks), and
+    // never a semi SHJ (which could only build on the fact side)
+    assert(op.contains("ShuffledHashJoin") && !op.contains("SortMergeJoin"),
+      s"the late-ship EXISTS must shuffle-hash-build the quarter slice:\n$op")
     assert(!op.contains("CartesianProduct"))
     // the quarter slice must reach the orders scan
     assert(op.linesIterator.exists(l => l.contains("PushedFilters") &&
