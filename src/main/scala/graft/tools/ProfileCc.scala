@@ -30,9 +30,14 @@ object ProfileCc {
     val tPairs = (System.nanoTime() - t0) / 1e9
     println(f"[cc] or-lsh pairs: $nPairs%d rows in $tPairs%.1f s")
 
+    // arg2 "force": drive the distributed pointer-jump path even
+    // under the driver bound, to measure ITS rounds/wall in isolation
+    val limit =
+      if (args.lift(1).contains("force")) 0L
+      else graft.operators.ClusterOps.DriverEdgeLimit
     val t1 = System.nanoTime()
     val labels = graft.operators.ClusterOps
-      .connectedComponents(pairs, "vec_a", "vec_b")
+      .connectedComponents(pairs, "vec_a", "vec_b", limit)
     val nNodes = labels.count()
     val tCc = (System.nanoTime() - t1) / 1e9
     val rounds = graft.operators.ClusterOps.lastRounds.get()
