@@ -46,21 +46,33 @@ object ClusterOps {
 
   /** Directed-edge counts at or below this take the driver union–find
     * path. The count is measured on the SYMMETRIC (doubled) edge frame,
-    * so the effective threshold is 2^22 undirected pairs ≈ 128 MB of
-    * raw id pairs — sized like a broadcast-join small side (the driver
-    * gathers ≤ 2^23 (s,d) tuples, a few hundred MB of boxed heap at
-    * the limit, against the documented 64 g study driver). Round 11
-    * raised it from 2^20: the sf100 OR-LSH embedding graph counted
-    * 1.25 M directed edges (20 MB) — barely over the old limit — and
-    * fell onto the pointer-jump path, where its welded 12.6 k-node
-    * chain component took 52 rounds × ~3 s of fixed per-round job
-    * overhead = 158 s for a graph the driver union-finds in ~2 s
-    * (ProfileCc, NOTES round 11). Per-round overhead only amortizes
-    * when the edge frame is too big to gather; the limit should sit
-    * at the gather bound, not under it. Pass `driverEdgeLimit = 0` to
-    * force the distributed pointer-jumping loop (ClusterSpec pins its
-    * per-round job count that way). */
-  val DriverEdgeLimit = 1L << 23
+    * so the effective threshold is half this many undirected pairs —
+    * sized like a broadcast-join small side. Honest heap math (r11
+    * ADVICE): the gather materializes one boxed `(Long, Long)` per
+    * directed edge (~80 B with the array slot) and the union–find
+    * HashMap holds up to two boxed `Long→Long` entries per edge
+    * (~100 B each), so ~280 B/edge — at the 2^23 cap that is ~2.3 GB
+    * of driver heap, NOT "a few hundred MB". The default therefore
+    * DERIVES from this JVM's max heap — edges until ~1/8 of it —
+    * clamped to [2^20, 2^23]: the 64 g study driver reaches the 2^23
+    * cap, a default 8 g driver gets ~2^21·1.8 rather than an OOM, and
+    * the floor keeps the sub-second small-graph path. (The gather is
+    * also subject to spark.driver.maxResultSize; callers with a known
+    * graph override per call via the `driverEdgeLimit` parameter.)
+    * Round 11 raised the cap from 2^20: the sf100 OR-LSH embedding
+    * graph counted 1.25 M directed edges (20 MB) — barely over the
+    * old limit — and fell onto the distributed path, where its welded
+    * 12.6 k-node chain component took 52 rounds × ~3 s of fixed
+    * per-round job overhead = 158 s for a graph the driver
+    * union-finds in ~2 s (ProfileCc, NOTES round 11). Per-round
+    * overhead only amortizes when the edge frame is too big to
+    * gather; the limit should sit at the gather bound, not under it.
+    * Pass `driverEdgeLimit = 0` to force the distributed loop
+    * (ClusterSpec pins its per-round job count that way). */
+  val DriverEdgeLimit: Long = {
+    val heapEighth = Runtime.getRuntime.maxMemory() / 8
+    math.min(1L << 23, math.max(1L << 20, heapEighth / 280L))
+  }
 
   /** Rounds taken by this thread's most recent [[connectedComponents]]
     * call — 0 for the driver union–find path (test observability;

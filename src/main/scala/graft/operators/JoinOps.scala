@@ -297,9 +297,12 @@ object JoinOps {
     *
     * Scale shape: the quarter slice pushes to the orders scan
     * (row-group pruning on o_orderdate); both sides shuffle once on
-    * the uniform order key (at 100 TB the quarter slice still
-    * outgrows a broadcast; AQE takes the broadcast when it does
-    * fit); the priority agg is a 5-group partial agg. The EXISTS is
+    * the uniform order key. The shuffle_hash hint persists through
+    * AQE's logical re-optimization, so it deliberately PINS a
+    * ShuffledHashJoin at every scale — forfeiting the small-scale
+    * broadcast on purpose (PlanSpec asserts SHJ at test sf), because
+    * the plan this query exists to forbid is the fact-side SMJ sort;
+    * the priority agg is a 5-group partial agg. The EXISTS is
     * an inner shuffle-hash join (build = the quarter slice) + a
     * distinct on (o_orderkey, o_orderpriority) rather than a
     * LEFT SEMI: a semi join can only BUILD on the lineitem side

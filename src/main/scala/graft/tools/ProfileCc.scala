@@ -23,9 +23,15 @@ object ProfileCc {
     import org.apache.spark.sql.functions._
     spark.range(1 << 20).selectExpr("sum(id)").collect()
 
+    // persist BEFORE timing the CC leg: connectedComponents only
+    // persists its own symmetric-doubled frame, so an un-persisted
+    // pairs subtree would recompute inside tCc and conflate pair-build
+    // cost into the CC number this tool exists to separate (r11
+    // ADVICE)
     val t0 = System.nanoTime()
     val pairs = graft.operators.DedupOps.dedupEmbeddingLshOr(spark, sfDir)
       .select($"vec_a", $"vec_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count()
     val tPairs = (System.nanoTime() - t0) / 1e9
     println(f"[cc] or-lsh pairs: $nPairs%d rows in $tPairs%.1f s")
@@ -48,6 +54,7 @@ object ProfileCc {
         sum($"sz").as("n_nodes")).head()
     println(s"[cc] components=${comp.getLong(0)} largest=${comp.getLong(1)} " +
       s"nodes=${comp.getLong(2)}")
+    pairs.unpersist()
     spark.stop()
   }
 }

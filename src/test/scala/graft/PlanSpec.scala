@@ -18,21 +18,28 @@ class PlanSpec extends SparkTestBase {
   private def fullPlanString(name: String): String =
     planOf(name).toString
 
-  private def countShuffles(p: SparkPlan): Int = {
-    def strip(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    var n = 0
+  /** Every node of the plan with AdaptiveSparkPlanExec wrappers
+    * unwrapped (including in subqueries) — `plan.collect` alone sees
+    * an AQE plan as a single leaf, so any node-type assertion made
+    * without this walk is vacuous under the session default
+    * (adaptive on). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
     def walk(p: SparkPlan): Unit = {
-      val s = strip(p)
-      if (s.isInstanceOf[ShuffleExchangeLike]) n += 1
+      val s = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      out += s
       s.children.foreach(walk)
       s.subqueries.foreach(walk)
     }
     walk(p)
-    n
+    out.toSeq
   }
+
+  private def countShuffles(p: SparkPlan): Int =
+    allNodes(p).count(_.isInstanceOf[ShuffleExchangeLike])
 
   test("q_map_filter pushes both predicates into the parquet scan") {
     val plan = fullPlanString("q_map_filter")
@@ -218,7 +225,10 @@ class PlanSpec extends SparkTestBase {
       s"over-bound labels must not broadcast:\n$over")
     assert(over.contains("ShuffledHashJoin"),
       s"over-bound labels must take the shuffle-hash hint:\n$over")
-    val textShuffles = overPlan.collect {
+    // allNodes, not overPlan.collect: with AQE on, the executed plan
+    // is an AdaptiveSparkPlanExec LEAF and a bare collect would find
+    // zero exchanges no matter what they carry (r11 ADVICE)
+    val textShuffles = allNodes(overPlan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
         if e.output.exists(_.name == "text") => e
     }
