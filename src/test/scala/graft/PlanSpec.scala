@@ -282,6 +282,35 @@ class PlanSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("exact-ANN readouts serve from the materialized ranking artifact — no per-call corpus scan") {
+    // first touch builds the fingerprint-keyed exact ranking (the one
+    // corpus scan all five exact-tier readouts share)
+    SparkEntry.queries("q_ann_topk")(spark, sf).queryExecution.executedPlan
+    def scansOf(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    // the four pure exact readouts must read ONLY the artifact: a
+    // FileScan over embeddings.parquet here means the broadcast ×
+    // corpus ranking re-executed per call (the 238 s / 5× redundancy
+    // the artifact exists to remove)
+    for (q <- Seq("q_ann_topk", "q_ann_negatives", "q_ann_margin",
+        "q_ann_purity")) {
+      val scans = scansOf(q)
+      assert(scans.exists(_.contains("ann-exact")),
+        s"$q must read the exact-ranking artifact; scans: $scans")
+      assert(!scans.exists(_.contains("embeddings")),
+        s"$q must not re-scan the embedding corpus; scans: $scans")
+    }
+    // the recall report's approximate legs legitimately scan the
+    // corpus (they ARE the production probes), but its exact baseline
+    // must come from the artifact
+    val recallScans = scansOf("q_ann_recall")
+    assert(recallScans.exists(_.contains("ann-exact")),
+      s"q_ann_recall's exact leg must read the artifact; scans: $recallScans")
+  }
+
   test("q_cluster_best steady state is lazy — constructing the frame runs zero data-scanning jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
     // first touch builds the fingerprint-keyed labels artifact (CC
