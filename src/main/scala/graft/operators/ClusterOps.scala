@@ -26,21 +26,23 @@ import org.apache.spark.storage.StorageLevel
   *     corpus (pairs above a high Jaccard bar), so this is the common
   *     case even at large SF, exactly like a dim table staying
   *     broadcastable while the fact table grows.
-  *   - above the limit, min-label propagation with POINTER JUMPING
-  *     (label := label of label, the Shiloach–Vishkin / large-star
-  *     move), which converges in O(log d) rounds instead of O(d) for
-  *     diameter-d components. Each round is two equi shuffles on
-  *     uniform ids and exactly ONE Spark job: the convergence check
-  *     rides along as a `sum(label < old)` aggregate on the round's
-  *     own output. The label frame is `localCheckpoint`ed each round
-  *     to truncate lineage (on a real cluster: `checkpoint` to durable
+  *   - above the limit, alternating LARGE-STAR / SMALL-STAR
+  *     contraction (Kiveris et al., SoCC 2014), which converges in
+  *     O(log n) rounds regardless of component hop-diameter — the
+  *     round-11 ProfileCc measurements proved the previous
+  *     min-propagation + pointer-jump loop was O(diameter) in
+  *     practice (52 rounds on a welded 12.6 k-node chain), and long
+  *     near-miss chains are exactly what LSH banding produces at the
+  *     threshold. Each round is a handful of equi shuffles on uniform
+  *     ids; convergence is exact edge-set equality with the previous
+  *     round. The edge frame is `localCheckpoint`ed each round to
+  *     truncate lineage (on a real cluster: `checkpoint` to durable
   *     storage); each round's blocks are freed the moment the next
   *     round lands, and the FINAL labels are copied out of the block
   *     manager with a parquet round-trip (the production write-out
   *     step) so a call leaves ZERO resident blocks behind — the
   *     BENCH_r03 lesson, where leaked checkpoint blocks taxed every
-  *     later query in the session. Near-dup graphs are dense blobs
-  *     with tiny diameters, so rounds ≈ 2-4 regardless of corpus size.
+  *     later query in the session.
   */
 object ClusterOps {
 
@@ -98,7 +100,7 @@ object ClusterOps {
       // materializes the persisted edges — the count both paths need
       val edgeCount = edges.count()
       if (edgeCount <= driverEdgeLimit) driverUnionFind(spark, edges)
-      else pointerJump(edges)
+      else starContract(edges)
     } finally edges.unpersist()
   }
 
@@ -135,75 +137,122 @@ object ClusterOps {
       .toDF("id", "label")
   }
 
-  /** Rounds between plan-state resets in [[pointerJump]] — the
-    * inherited-stats bit length doubles per round from ~63 bits, so a
-    * period of 8 bounds it at ~16k bits (overflow needs ~2^31). */
-  val CcStatsResetRounds = 8
+  /** Rounds between plan-state resets in [[starContract]] — a lazy
+    * localCheckpoint INHERITS the child plan's statistics and each
+    * round's joins roughly SQUARE the inherited sizeInBytes, so the
+    * BigInt estimate doubles its bit length per round until stats
+    * estimation overflows ("BigInteger would overflow supported
+    * range"; tools.ReproStats reproduces it on 100 rows —
+    * q_embed_cluster hit it live at sf100 under the old
+    * min-propagation loop near round 28). A period of 4 bounds growth
+    * at ~1k bits while costing one small parquet round trip per 4
+    * rounds — and star contraction takes O(log n) rounds total, so at
+    * most a handful of resets ever run. */
+  val CcStatsResetRounds = 4
 
-  /** Distributed path: min-label propagation with pointer jumping,
-    * one job per round, zero resident blocks after the call. */
-  private def pointerJump(edges: DataFrame): DataFrame = {
-    var labels = edges.select($"s".as("id")).distinct()
-      .select($"id", $"id".as("label"))
-      .localCheckpoint(true)
+  /** Distributed path: alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 —
+    * public literature), which converges in O(log n) rounds
+    * REGARDLESS of component hop-diameter. The previous
+    * min-propagation + pointer-jump loop was MEASURED walking ~one
+    * edge-hop per round (ProfileCc, round 11: 52 rounds on a welded
+    * 12.6 k-node sf100 chain, ~3 s fixed job overhead each; forcing
+    * pointer-jump compression twice per round did not reduce rounds —
+    * the recorded NULL result), i.e. O(diameter) Spark jobs on
+    * exactly the long near-miss chains LSH banding produces at the
+    * threshold. Star contraction is the literature's fix.
+    *
+    * Edges live in canonical directed form: one (larger → smaller)
+    * row per undirected pair, kept DISTINCT so the edge frame is a
+    * set. Per round:
+    *  - large-star(u): every neighbor v > u connects to
+    *    min(Γ(u) ∪ {u}) — computed on the symmetric view (one union,
+    *    one groupBy-min, one equi join); output rows keep a > b.
+    *  - small-star(u): u and all its smaller neighbors connect to
+    *    the smallest of them — computed directly on the directed
+    *    form (one groupBy-min, one equi join, one union).
+    * Both operations preserve connectivity and only ever point nodes
+    * at SMALLER nodes, so the fixpoint is a star forest whose centers
+    * are the component minima (a min labeled by anything smaller
+    * would contradict minimality) — which is exactly the (id, label =
+    * component min) contract the driver path also meets.
+    *
+    * Convergence = exact edge-set equality with the previous round
+    * (equal counts + empty one-direction exceptAll; both frames are
+    * distinct sets, so that IS set equality). That costs a second
+    * small action on equal-count rounds — the price of an exact
+    * fixpoint test — but rounds are now logarithmic, so total job
+    * count still collapses (52 → ~10 on the measured chain graph).
+    *
+    * Block-manager hygiene is unchanged from round 3's lesson: each
+    * round's frame is lazily checkpointed and materialized by its
+    * count, the previous round's blocks are freed the moment the next
+    * lands, plan stats reset via a parquet round trip every
+    * [[CcStatsResetRounds]] rounds, and the final labels are copied
+    * out of the block manager — a call leaves ZERO resident blocks. */
+  private def starContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    // canonical (larger → smaller) edge set; self-loops carry no
+    // connectivity (their nodes are re-attached as singletons below)
+    var e = edges.filter($"s" =!= $"d")
+      .select(greatest($"s", $"d").as("a"), least($"s", $"d").as("b"))
+      .distinct()
+      .localCheckpoint(false)
     var rounds = 0
     try {
-      var changed = 1L
-      while (changed > 0) {
-        // min over self ∪ neighbours' labels. Symmetric edges mean
-        // every node occurs as a destination, so the join is inner.
-        // (A union of the two sides would share attribute ids across
-        // branches — Spark's Union constraint rewrite rejects that.)
-        // `old` rides along so convergence needs no second join.
-        val neighborMin = edges.join(labels, edges("s") === labels("id"))
-          .groupBy($"d").agg(min($"label").as("nmin"))
-        val folded = labels.join(neighborMin, labels("id") === neighborMin("d"))
-          .select(labels("id"), labels("label").as("old"),
-            least(labels("label"), $"nmin").as("label"))
-        // pointer jump: follow label -> that node's label (labels are
-        // node ids, so the equi join always matches) — O(log d) rounds.
-        // lazy checkpoint: the convergence aggregate below materializes
-        // it, so each round is ONE job (checkpoint + changed-count).
-        val jumped = folded.as("x")
-          .join(folded.select($"id".as("lid"), $"label".as("llabel")).as("y"),
-            col("x.label") === col("y.lid"))
-          .select(col("x.id").as("id"), col("x.old").as("old"),
-            least(col("x.label"), col("y.llabel")).as("label"))
+      var prevCnt = e.count() // materializes the lazy checkpoint
+      var done = prevCnt == 0L
+      while (!done) {
+        val sym = e.select($"a".as("u"), $"b".as("v"))
+          .union(e.select($"b".as("u"), $"a".as("v")))
+        val lsMins = sym.groupBy($"u").agg(min($"v").as("mv"))
+        val ls = sym.join(lsMins, "u")
+          .filter($"v" > $"u")
+          .select($"v".as("a"), least($"u", $"mv").as("b"))
+          .distinct()
+        val ssMins = ls.groupBy($"a").agg(min($"b").as("mb"))
+        val ss = ls.join(ssMins, "a")
+          .select($"b".as("x"), $"mb")
+          .union(ssMins.select($"a".as("x"), $"mb"))
+          .filter($"x" =!= $"mb")
+          .select($"x".as("a"), $"mb".as("b"))
+          .distinct()
           .localCheckpoint(false)
-        changed = jumped
-          .agg(coalesce(sum(when($"label" < $"old", 1L).otherwise(0L)), lit(0L)))
-          .first().getLong(0)
+        val cnt = ss.count()
         rounds += 1
-        val prev = labels
-        val next = jumped.select($"id", $"label")
-        // Plan-stats reset (round 11): a LAZY local checkpoint
-        // inherits the child plan's STATISTICS, and each round's two
-        // joins roughly SQUARE the inherited sizeInBytes — the BigInt
-        // estimate doubles its bit length per round and
-        // BigInteger.multiply inside stats estimation overflows
-        // ("BigInteger would overflow supported range") near round 28
-        // (tools.ReproStats reproduces it on 100 rows; q_embed_cluster
-        // hit it live at sf100, where the OR-LSH graph's diameter
-        // needs that many rounds). Every [[CcStatsResetRounds]] rounds
-        // the labels frame takes a real parquet round trip: a fresh
-        // scan with FILE-based stats, flat lineage, and no block-
-        // manager state — growth restarts from ~file-size bits, so no
-        // round count can overflow.
-        labels = if (rounds % CcStatsResetRounds == 0) {
-          val rt = Materialize.parquetRoundTrip(next, "cc-round-")
-          Materialize.freeCheckpoint(next) // copied to disk; free now
+        // exact set equality (both sides distinct): same count and
+        // new ⊆ old ⇒ identical — the star-forest fixpoint
+        done = cnt == prevCnt && ss.exceptAll(e).isEmpty
+        prevCnt = cnt
+        val prev = e
+        e = if (!done && rounds % CcStatsResetRounds == 0) {
+          val rt = Materialize.parquetRoundTrip(ss, "cc-round-")
+          Materialize.freeCheckpoint(ss) // copied to disk; free now
           rt
-        } else next
+        } else ss
         // frees the PREVIOUS round's checkpoint blocks (unpersist on
         // the Dataset only drops the SQL-cache entry, not these)
         Materialize.freeCheckpoint(prev)
       }
-      // copy the converged labels out of the block manager, then free
-      // the last round's checkpoint too — the caller gets a frame that
-      // holds no session state at all
-      Materialize.parquetRoundTrip(labels, "cc_labels")
+      // labels from the star forest: leaves point at their center,
+      // centers label themselves; nodes whose only edges were
+      // self-loops never entered the contraction and re-attach as
+      // their own singleton cluster (same contract as the driver
+      // path). `edges` is the caller's persisted symmetric frame, so
+      // the id scan is a cache read, not a recompute.
+      val ids = edges.select($"s".as("id")).distinct()
+      val lab = e.select($"a".as("id"), $"b".as("label"))
+        .union(e.select($"b".as("id"), $"b".as("label")))
+        .distinct()
+      val out = lab.unionByName(
+        ids.join(lab.select($"id"), Seq("id"), "left_anti")
+          .select($"id", $"id".as("label")))
+      // copy the result out of the block manager — the caller gets a
+      // frame that holds no session state at all
+      Materialize.parquetRoundTrip(out, "cc_labels")
     } finally {
-      Materialize.freeCheckpoint(labels)
+      Materialize.freeCheckpoint(e)
       lastRounds.set(rounds)
     }
   }

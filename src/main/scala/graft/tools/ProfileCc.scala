@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Attribution for [[graft.operators.ClusterOps.embedCluster]]'s
   * decade curve: how much of the wall is the OR-LSH pair subtree vs
-  * the connected-components rounds, how many rounds the pointer jump
+  * the connected-components rounds, how many rounds the star contraction
   * takes, and how big/welded the edge graph is (components + largest
   * component) — the numbers that tell a chain-diameter story apart
   * from a pair-volume story.
@@ -36,7 +36,7 @@ object ProfileCc {
     val tPairs = (System.nanoTime() - t0) / 1e9
     println(f"[cc] or-lsh pairs: $nPairs%d rows in $tPairs%.1f s")
 
-    // arg2 "force": drive the distributed pointer-jump path even
+    // arg2 "force": drive the distributed star-contraction path even
     // under the driver bound, to measure ITS rounds/wall in isolation
     val limit =
       if (args.lift(1).contains("force")) 0L

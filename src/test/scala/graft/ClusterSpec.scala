@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Connected-components clustering (ClusterOps): label = min id in
   * the component, only paired nodes returned, both execution paths —
-  * driver union–find under the broadcast-sized edge limit, O(log d)
-  * pointer-jump propagation above it (exercised by forcing
-  * `driverEdgeLimit = 0`; the chain graph's diameter forces multiple
-  * rounds). */
+  * driver union–find under the broadcast-sized edge limit,
+  * diameter-insensitive large-star/small-star contraction above it
+  * (exercised by forcing `driverEdgeLimit = 0`; the chain graphs
+  * force multiple rounds). */
 class ClusterSpec extends SparkTestBase {
 
   private def cc(pairs: Seq[(Long, Long)], limit: Long): Map[Long, Long] = {
@@ -18,7 +18,7 @@ class ClusterSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  // chain 1-2-3-4-5-6-7-8 (diameter 7 → needs >1 pointer-jump round),
+  // chain 1-2-3-4-5-6-7-8 (diameter 7 → needs >1 contraction round),
   // triangle {100,101,102}, pair {200,201}
   private val chainTrianglePair = (1L to 7L).map(i => (i, i + 1)) ++
     Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
@@ -35,7 +35,7 @@ class ClusterSpec extends SparkTestBase {
     val distributed = cc(chainTrianglePair, limit = 0)
     assertChainTrianglePair(driver)
     assert(driver == distributed,
-      "driver union–find and pointer-jump propagation must produce identical labels")
+      "driver union–find and star contraction must produce identical labels")
   }
 
   test("edge direction does not matter (both paths)") {
@@ -77,19 +77,23 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
-  test("each propagation round is ONE Spark job (convergence rides the round's aggregate)") {
+  test("star contraction: rounds are logarithmic in chain length, ≤2 jobs per round") {
     import spark.implicits._
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
     }
-    // chain of 16 → diameter 15 → multiple pointer-jump rounds
+    // chain of 16 → diameter 15. The r11 loop walked ~one edge-hop
+    // per round (ProfileCc: 52 rounds on a 12.6 k chain); star
+    // contraction must stay logarithmic here AND on the 700-chain in
+    // the stats-reset test below — diameter-insensitivity is the
+    // whole point of the algorithm swap.
     val pairs = (1L to 15L).map(i => (i, i + 1)).toDF("a", "b")
     // AQE turns every query stage into its own job and broadcast
     // joins add broadcast-collect jobs — both would drown the claim
-    // under test (no SEPARATE convergence action per round), so pin
-    // plain one-job-per-action execution for the duration
+    // under test (bounded actions per round), so pin plain
+    // one-job-per-action execution for the duration
     val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -100,12 +104,16 @@ class ClusterSpec extends SparkTestBase {
       org.apache.spark.sql.graftbridge.SparkInternals.flushListenerBus(spark.sparkContext)
       val rounds = ClusterOps.lastRounds.get()
       assert(rounds >= 2, s"chain-16 must take multiple rounds, took $rounds")
-      // per call: 1 edge-count job + 1 eager-init job + 1 job/round +
-      // parquet write + read-back + the count above ≈ rounds + 5. The
-      // old separate join+count convergence job would cost 2·rounds.
+      assert(rounds <= 8, s"chain-16 must contract in O(log n) rounds, took $rounds")
+      // per round: the materializing count + (on equal-count rounds)
+      // the exact set-equality check — ≤2 jobs; plus constants: the
+      // init count, reset-round parquet writes (≤ rounds/4), the
+      // final label write + the count above. Trading ≤2 jobs/round
+      // for LOGARITHMIC rounds is the round-12 swap: the old loop ran
+      // 1 job/round × O(diameter) rounds.
       val total = jobs.get()
-      assert(total <= rounds + 6,
-        s"expected ≈1 job/round (+constant), saw $total jobs for $rounds rounds")
+      assert(total <= 2 * rounds + rounds / ClusterOps.CcStatsResetRounds + 7,
+        s"expected ≤2 jobs/round (+constant), saw $total jobs for $rounds rounds")
     } finally {
       spark.sparkContext.removeSparkListener(l)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -115,16 +123,16 @@ class ClusterSpec extends SparkTestBase {
 
   test("propagation survives a plan-stats reset boundary (sf100 BigInteger overflow regression)") {
     // A lazy localCheckpoint INHERITS the child plan's statistics and
-    // each round's two joins square the inherited sizeInBytes — the
+    // each round's joins square the inherited sizeInBytes — the
     // BigInt doubles its bit length per round until stats estimation
     // overflows ("BigInteger would overflow supported range", round
     // ~28; tools.ReproStats reproduces it on 100 rows, q_embed_cluster
-    // hit it live at sf100). pointerJump resets plan state with a
+    // hit it live at sf100). starContract resets plan state with a
     // parquet round trip every CcStatsResetRounds rounds; this chain's
-    // diameter forces the round count PAST that boundary, so the test
+    // length forces the round count PAST that boundary, so the test
     // proves labels stay exact and blocks stay freed ACROSS a reset.
     import spark.implicits._
-    val n = 700L // diameter ~700 → ~10 propagation rounds
+    val n = 700L // log-round contraction still crosses the period-4 boundary
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
     val labels = ClusterOps.connectedComponents(pairs, "a", "b", driverEdgeLimit = 0)
@@ -132,6 +140,10 @@ class ClusterSpec extends SparkTestBase {
     val rounds = ClusterOps.lastRounds.get()
     assert(rounds > ClusterOps.CcStatsResetRounds,
       s"chain-$n must cross the reset boundary (${ClusterOps.CcStatsResetRounds}), took $rounds rounds")
+    // the diameter-insensitivity pin on a long chain: the r11
+    // min-propagation loop needed rounds proportional to hop count
+    assert(rounds <= 16,
+      s"chain-$n must contract in O(log n) rounds, took $rounds")
     assert(labels.size == n && (1L to n).forall(labels(_) == 1L),
       "labels must be exact across the reset")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
