@@ -859,7 +859,8 @@ object DedupOps {
     * only ever LOWERS the required count — recall-safe), so the
     * count filter needs no extra join. */
   private val gram3Cache =
-    new graft.tools.Materialize.SupersedingCache[(String, org.apache.spark.sql.types.StructType)]
+    new graft.tools.Materialize.SupersedingCache[
+      (String, org.apache.spark.sql.types.StructType, Long)]
 
   /** The 3-gram set frame as a build-once artifact keyed by the
     * corpus fingerprint — [[dedupNgram]]'s plan reads it THREE times
@@ -869,17 +870,30 @@ object DedupOps {
     * gain-base artifacts; at 100 TB this is the "tokenized shingle
     * table" a production dedup pipeline materializes once per crawl
     * snapshot anyway. */
-  private[graft] def gramSets3Shared(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def gramSets3Shared(spark: SparkSession, sfDir: String): DataFrame =
+    gramSets3WithMaxId(spark, sfDir)._1
+
+  /** [[gramSets3Shared]] plus the corpus max doc_id, taken once per
+    * fingerprint on the compact artifact at build time — the domain
+    * guard for [[dedupNgram]]'s packed pair-agg key (a bounded agg on
+    * the artifact, amortized with the build; steady-state calls read
+    * the cached long). */
+  private[operators] def gramSets3WithMaxId(spark: SparkSession,
+      sfDir: String): (DataFrame, Long) = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
-    val (path, schema) = gram3Cache.getOrBuild(sfDir, fp) {
+    val (path, schema, maxId) = gram3Cache.getOrBuild(sfDir, fp) {
       val b = gramSets(spark, sfDir, 3)
-      (graft.tools.Materialize.writeParquet(b, "gram3-"), b.schema)
+      val p = graft.tools.Materialize.writeParquet(b, "gram3-")
+      val mx = Option(spark.read.schema(b.schema).parquet(p)
+        .agg(max(col("doc_id"))).first().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (p, b.schema, mx)
     }
-    spark.read.schema(schema).parquet(path)
+    (spark.read.schema(schema).parquet(path), maxId)
   }
 
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val gs = gramSets3Shared(spark, sfDir)
+    val (gs, maxDocId) = gramSets3WithMaxId(spark, sfDir)
     val (hot, rank) = hotGrams(spark, sfDir)
     val pk = NgramPrefixK
     // pid packs (doc_id, clamped set size) into one Long; doc_id must
@@ -910,27 +924,62 @@ object DedupOps {
       // plan).
       .filter(greatest(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) <=
         least(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) * 2)
-      // The pair stream is the widest stream in the plan (~4.5x the
-      // prefix rows at sf100) and nearly every key is distinct, so a
-      // default-width reduce side holds ~n/shufflePartitions live
-      // entries per task — at sf100 x 32 that is ~18M keys/task, the
-      // sort-spill regime (and the 100 TB failure mode: per-task
-      // memory on a real cluster is far tighter than this driver).
-      // Pre-partitioning by the group key at PairAggWidth x the
-      // session default satisfies the agg's ClusteredDistribution, so
-      // the count runs at that width with no extra exchange. The lost
-      // map-side combine is noise here: only true pairs repeat within
-      // a map partition (~2% of rows).
-      .repartition(spark.sessionState.conf.numShufflePartitions * PairAggWidth,
-        $"pa", $"pb")
-      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= least(lit(pk.toLong),
-        expr(s"(pmod(pa, $PackN) + pmod(pb, $PackN) + 2) div 3")))
-      .select(expr(s"pa div $PackN").as("doc_a"),
-        expr(s"pb div $PackN").as("doc_b"))
-    verifyJaccard(cand, gs, gs, "doc_a", "doc_b")
+    // The pair stream is the widest stream in the plan (~4.5x the
+    // prefix rows at sf100) and nearly every key is distinct, so a
+    // default-width reduce side holds ~n/shufflePartitions live
+    // entries per task — at sf100 x 32 that is ~18M keys/task, the
+    // sort-spill regime (and the 100 TB failure mode: per-task
+    // memory on a real cluster is far tighter than this driver).
+    // Pre-partitioning by the group key at PairAggWidth x the
+    // session default satisfies the agg's ClusteredDistribution, so
+    // the count runs at that width with no extra exchange. The lost
+    // map-side combine is noise here: only true pairs repeat within
+    // a map partition (~2% of rows).
+    //
+    // Pair-key packing (round 12): through this widest exchange the
+    // agg key is ONE long instead of two — (doc, size) per side
+    // re-packed at 5 size bits, halving per-row key bytes and hashing
+    // one column. The 31-clamp is EXACT, not just recall-safe: the
+    // required count min(k=8, ceil((sa+sb)/3)) saturates at 8 once
+    // sa+sb ≥ 22, and whenever a clamp binds (sa > 31) both the
+    // clamped and true expressions are already 8 (31+1+2 ≥ 33 ⇒
+    // div 3 ≥ 11 ≥ 8). In domain while doc_id < 2^26 (ka = id·32+31
+    // must stay under 2^31 so the packed key stays positive); the
+    // guard reads the artifact's cached max doc_id, and an
+    // out-of-domain corpus keeps the identical two-column agg.
+    val width = spark.sessionState.conf.numShufflePartitions * PairAggWidth
+    val counted =
+      if (maxDocId < PairPackMaxDocId)
+        cand
+          .select((
+            (expr(s"pa div $PackN") * 32L +
+              least(pmod($"pa", lit(PackN)), lit(31L))) * lit(1L << 32) +
+            (expr(s"pb div $PackN") * 32L +
+              least(pmod($"pb", lit(PackN)), lit(31L)))).as("pp"))
+          .repartition(width, $"pp")
+          .groupBy($"pp").agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= least(lit(pk.toLong),
+            expr("(pmod(pp div 4294967296, 32) + pmod(pp, 32) + 2) div 3")))
+          .select(expr("(pp div 4294967296) div 32").as("doc_a"),
+            expr("pmod(pp, 4294967296) div 32").as("doc_b"))
+      else
+        cand
+          .repartition(width, $"pa", $"pb")
+          .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= least(lit(pk.toLong),
+            expr(s"(pmod(pa, $PackN) + pmod(pb, $PackN) + 2) div 3")))
+          .select(expr(s"pa div $PackN").as("doc_a"),
+            expr(s"pb div $PackN").as("doc_b"))
+    verifyJaccard(counted, gs, gs, "doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Domain bound for [[dedupNgram]]'s packed pair-agg key: with 5
+    * size bits per side, ids below 2^26 keep each packed side under
+    * 2^31 and the combined key inside a positive signed 64-bit long.
+    * Corpora beyond it (ids ≥ ~67 M) fall back to the two-column agg
+    * — same result, wider exchange rows. */
+  val PairPackMaxDocId = 1L << 26
 
   /** Prefix extension k of the #41 candidate rule — the required
     * shared-prefix-gram count. Higher k = wider prefixes (more rows
