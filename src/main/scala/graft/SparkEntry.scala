@@ -55,7 +55,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (DedupOps.dedupSimhash _),
     "q_dedup_ngram" -> (DedupOps.dedupNgram _),
     "q_dedup_cluster" -> (ClusterOps.dedupCluster _),
-    "q_dedup_embedding" -> (DedupOps.dedupEmbedding _),
+    "q_dedup_embedding" -> ((s, d) => DedupOps.dedupEmbedding(s, d)),
     "q_dedup_embedding_lsh" -> (DedupOps.dedupEmbeddingLsh _),
     "q_dedup_embedding_or" -> (DedupOps.dedupEmbeddingLshOr _),
     "q_embed_cluster" -> (ClusterOps.embedCluster _),

@@ -860,7 +860,7 @@ object DedupOps {
     * count filter needs no extra join. */
   private val gram3Cache =
     new graft.tools.Materialize.SupersedingCache[
-      (String, org.apache.spark.sql.types.StructType, Long)]
+      (String, org.apache.spark.sql.types.StructType, Long, Long)]
 
   /** The 3-gram set frame as a build-once artifact keyed by the
     * corpus fingerprint — [[dedupNgram]]'s plan reads it THREE times
@@ -871,37 +871,43 @@ object DedupOps {
     * table" a production dedup pipeline materializes once per crawl
     * snapshot anyway. */
   private[graft] def gramSets3Shared(spark: SparkSession, sfDir: String): DataFrame =
-    gramSets3WithMaxId(spark, sfDir)._1
+    gramSets3WithIdRange(spark, sfDir)._1
 
-  /** [[gramSets3Shared]] plus the corpus max doc_id, taken once per
-    * fingerprint on the compact artifact at build time — the domain
-    * guard for [[dedupNgram]]'s packed pair-agg key (a bounded agg on
-    * the artifact, amortized with the build; steady-state calls read
-    * the cached long). */
-  private[operators] def gramSets3WithMaxId(spark: SparkSession,
-      sfDir: String): (DataFrame, Long) = {
+  /** [[gramSets3Shared]] plus the corpus (max, min) doc_id, taken once
+    * per fingerprint on the compact artifact at build time — the
+    * domain guard for [[dedupNgram]]'s packed pair-agg key (a bounded
+    * agg on the artifact, amortized with the build; steady-state calls
+    * read the cached longs). The MIN rides along since r13 (r12
+    * ADVICE): the packed key's positivity proof needs ids ≥ 0, not
+    * just < 2^26, so the guard checks both ends of the id range. */
+  private[operators] def gramSets3WithIdRange(spark: SparkSession,
+      sfDir: String): (DataFrame, Long, Long) = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
-    val (path, schema, maxId) = gram3Cache.getOrBuild(sfDir, fp) {
+    val (path, schema, maxId, minId) = gram3Cache.getOrBuild(sfDir, fp) {
       val b = gramSets(spark, sfDir, 3)
       val p = graft.tools.Materialize.writeParquet(b, "gram3-")
-      val mx = Option(spark.read.schema(b.schema).parquet(p)
-        .agg(max(col("doc_id"))).first().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      (p, b.schema, mx)
+      val r = spark.read.schema(b.schema).parquet(p)
+        .agg(max(col("doc_id")), min(col("doc_id"))).first()
+      val mx = Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val mn = Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (p, b.schema, mx, mn)
     }
-    (spark.read.schema(schema).parquet(path), maxId)
+    (spark.read.schema(schema).parquet(path), maxId, minId)
   }
 
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val (gs, maxDocId) = gramSets3WithMaxId(spark, sfDir)
+    val (gs, maxDocId, minDocId) = gramSets3WithIdRange(spark, sfDir)
     val (hot, rank) = hotGrams(spark, sfDir)
     val pk = NgramPrefixK
     // pid packs (doc_id, clamped set size) into one Long; doc_id must
-    // stay below Long.MaxValue / PackN (2^51) or the packing silently
-    // corrupts pair ordering and the size term. Guarded structurally:
-    // an out-of-domain id raises at scan time instead (r9 ADVICE).
-    val pidSafe = when($"doc_id" >= Long.MaxValue / PackN,
-        raise_error(concat(lit(s"doc_id out of pid-packing domain (>= ${Long.MaxValue / PackN}): "),
+    // stay in [0, Long.MaxValue / PackN = 2^51) or the packing silently
+    // corrupts pair ordering and the size term (a NEGATIVE id breaks
+    // truncating div/pmod unpacking in BOTH agg branches, r12 ADVICE —
+    // falling back to the two-column agg would not help, so it raises
+    // here too). Guarded structurally: an out-of-domain id raises at
+    // scan time instead of corrupting (r9 ADVICE).
+    val pidSafe = when($"doc_id" >= Long.MaxValue / PackN || $"doc_id" < 0L,
+        raise_error(concat(lit(s"doc_id out of pid-packing domain [0, ${Long.MaxValue / PackN}): "),
           $"doc_id".cast("string"))).cast(LongType))
       .otherwise($"doc_id")
     val cand = gs
@@ -943,13 +949,15 @@ object DedupOps {
     // required count min(k=8, ceil((sa+sb)/3)) saturates at 8 once
     // sa+sb ≥ 22, and whenever a clamp binds (sa > 31) both the
     // clamped and true expressions are already 8 (31+1+2 ≥ 33 ⇒
-    // div 3 ≥ 11 ≥ 8). In domain while doc_id < 2^26 (ka = id·32+31
-    // must stay under 2^31 so the packed key stays positive); the
-    // guard reads the artifact's cached max doc_id, and an
-    // out-of-domain corpus keeps the identical two-column agg.
+    // div 3 ≥ 11 ≥ 8). In domain while 0 ≤ doc_id < 2^26 (ka = id·32+31
+    // must stay inside [0, 2^31) so the packed key stays positive and
+    // div/pmod unpack exactly); the guard reads the artifact's cached
+    // (max, min) doc_id, and an out-of-domain corpus keeps the
+    // identical two-column agg (negative ids raise at scan via
+    // pidSafe before either branch runs).
     val width = spark.sessionState.conf.numShufflePartitions * PairAggWidth
     val counted =
-      if (maxDocId < PairPackMaxDocId)
+      if (minDocId >= 0L && maxDocId < PairPackMaxDocId)
         cand
           .select((
             (expr(s"pa div $PackN") * 32L +
@@ -995,6 +1003,24 @@ object DedupOps {
 
   /** Packing modulus for (doc_id, gram-set size) candidate rows. */
   val PackN = 4096L
+
+  /** Driver-gather bound for [[dedupEmbedding]]'s exact all-pairs
+    * audit tier, derived from THIS JVM's max heap exactly like
+    * [[ClusterOps.DriverEdgeLimit]]. Steady-state cost of the gathered
+    * corpus is ~620 B/vector on-heap (a 64-long quantized array is
+    * 528 B with its header; the boxed (Long, Array, Long) tuple and
+    * the broadcast's array slot add ~90 B), and the collect's
+    * TRANSIENT serialized result buffers roughly double the peak —
+    * so the budget is 1/8 of max heap over a 2× 620 B estimate
+    * (≈ 1/16 heap steady): a 64 g driver admits ~6.9 M vectors (the
+    * sf100 corpus is ~2 M), an 8 g default driver ~860 k, and a 100×
+    * corpus fails loud toward [[dedupEmbeddingLsh]] instead of OOMing.
+    * The 2^14 floor keeps every correctness-gate corpus in bounds
+    * regardless of heap. */
+  val DedupEmbeddingMaxVectors: Long = {
+    val heapEighth = Runtime.getRuntime.maxMemory() / 8
+    math.max(1L << 14, heapEighth / (620L * 2))
+  }
 
   /** SimHash geometry: hash60 supplies 60 entropy bits. The 4 × 15
     * single-block split (exact pigeonhole recall for Hamming ≤ 3 with
@@ -1234,13 +1260,33 @@ object DedupOps {
     * products → ~0.5 s of primitive multiplies; no shuffle at all.
     * The 100 TB path is [[SimilarityOps.annLsh]]'s bucketed join
     * (same math, LSH-bounded candidates); all-pairs is inherently
-    * quadratic and only for broadcastable corpora. */
-  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    * quadratic and only for broadcastable corpora — and that clause is
+    * now ENFORCED, not just documented (r12 VERDICT): the corpus count
+    * (one cheap metadata-scale job, the same row the LSH sibling
+    * already reads for its plane scaling) is checked against the
+    * heap-derived [[DedupEmbeddingMaxVectors]] BEFORE anything is
+    * collected, and an over-bound corpus raises an actionable error
+    * naming [[dedupEmbeddingLsh]] instead of OOMing the driver.
+    * Failing loud rather than silently demoting is deliberate: the
+    * exact form is oracle-gated (`q_dedup_embedding`), so a silent
+    * route to the LSH tier could change a gated answer. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String,
+      maxVectors: Long = DedupEmbeddingMaxVectors): DataFrame = {
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.scalaLong)
-    val quant = VectorFunctions.quantized(Tables.embeddings(spark, sfDir))
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    require(n <= maxVectors,
+      s"dedupEmbedding is the exact all-pairs AUDIT tier: it collects the " +
+      s"whole quantized corpus to the driver, and this corpus ($n vectors) " +
+      s"is over the heap-derived bound of $maxVectors (~1/16 of max heap at " +
+      s"~620 B/vector, leaving headroom for the collect's transient " +
+      s"serialized buffers). Use the scale path instead: " +
+      s"DedupOps.dedupEmbeddingLsh (q_dedup_embedding_lsh) — identical " +
+      s"integer cosine math, LSH-bounded candidates, nothing collected.")
+    val quant = VectorFunctions.quantized(emb)
     val corpus = spark.sparkContext.broadcast(
       quant.collect().sortBy(_._1))
     quant.mapPartitions { it =>

@@ -106,9 +106,20 @@ object SimilarityOps {
   /** Per-query top-k of an [[exactRankShared]] projection by the
     * exact-tier total order (cos_e6 desc, vec_id asc) — the serve-side
     * re-rank every consumer shares. The window partitions a few
-    * hundred artifact rows, never the corpus. */
-  private def rankTop(a: DataFrame, k: Int,
+    * hundred artifact rows, never the corpus.
+    *
+    * The containment proof only holds for k ≤ [[AnnExactK]] (the
+    * artifact materializes exactly the top-[[AnnExactK]] per
+    * (query, label)); a deeper request would silently serve a
+    * truncated — i.e. WRONG — ranking, so it fails loud instead (r12
+    * ADVICE): deepen [[AnnExactK]] (a per-fingerprint artifact
+    * rebuild) to deepen the served ranking. */
+  private[graft] def rankTop(a: DataFrame, k: Int,
       carry: Seq[String] = Nil): DataFrame = {
+    require(k <= AnnExactK,
+      s"rankTop serves from the exactRankShared artifact, which holds only " +
+      s"the top-$AnnExactK per (query, label); k=$k would be a silently " +
+      s"truncated ranking. Raise AnnExactK (rebuilding the artifact) instead.")
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos_e6".desc, $"vec_id".asc)
     a.withColumn("rank", row_number().over(w).cast(LongType))

@@ -401,6 +401,29 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall { case (a, b, c) => a < b && c >= 400000L })
   }
 
+  test("exact embedding dedup fails loud toward the LSH path over the gather bound") {
+    // the audit tier collects the whole corpus to the driver; an
+    // over-bound corpus must raise an ACTIONABLE error (naming the
+    // gated LSH scale path) before anything is collected — never a
+    // driver OOM, never a silent demotion of an oracle-gated answer
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.dedupEmbedding(spark, sf, maxVectors = 1L)
+    }
+    assert(e.getMessage.contains("dedupEmbeddingLsh"),
+      s"guard error must name the scale path: ${e.getMessage}")
+    assert(e.getMessage.contains("q_dedup_embedding_lsh"),
+      s"guard error must name the gated scale-path query: ${e.getMessage}")
+    // an in-bound corpus is untouched by the guard: identical pairs
+    // whether the bound is the heap-derived default or effectively off
+    val guarded = DedupOps.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val unbounded = DedupOps.dedupEmbedding(spark, sf, maxVectors = Long.MaxValue)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(guarded == unbounded)
+    // the corpora this engine is correctness-gated on sit under the bound
+    assert(DedupOps.DedupEmbeddingMaxVectors >= (1L << 14))
+  }
+
   test("dup-source matrix is canonical and accounts for every pair") {
     val nPairs = DedupOps.dedupMinhash(spark, sf).count()
     val m = DedupOps.dupSourceMatrix(spark, sf)

@@ -21,6 +21,18 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("rankTop refuses k deeper than the exact-rank artifact materializes") {
+    // the artifact holds only the top-AnnExactK per (query, label), so
+    // a deeper serve would be a silently truncated ranking — it must
+    // fail loud before touching the input (r12 ADVICE)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.rankTop(spark.emptyDataFrame, SimilarityOps.AnnExactK + 1)
+    }
+    assert(e.getMessage.contains("AnnExactK"))
+    // the boundary k is fine: the flagship consumer serves at exactly K
+    assert(SimilarityOps.annTopk(spark, sf).count() > 0)
+  }
+
   test("IVF probes the materialized index — corpus cell assignment is not recomputed") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
