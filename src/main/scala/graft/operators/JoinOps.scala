@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{ColumnInterpolator, Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,7 +201,52 @@ object JoinOps {
     * when the event happened" join every feature/training pipeline
     * needs for point-in-time-correct features (no future leakage).
     * The right side is pre-aggregated to one row per (user, day), so
-    * the match is unambiguous and deterministic. */
+    * the match is unambiguous and deterministic.
+    *
+    * This flagship instance is the PACKED specialization of
+    * [[asofJoin]]'s union-window shape (same single user_id shuffle,
+    * same carry semantics; AsofJoinSpec pins row-for-row equality with
+    * the generic operator). The r11 ProfileShuffle attribution put
+    * 81 % of the sf100 cost in the window consume phase at ~54 B/row,
+    * so both levers here follow the dedupNgram packed-key precedent:
+    *
+    *  - ordering: `dt = day·2 + tag` — ONE long that is
+    *    order-isomorphic to (day asc, tag asc) (days are
+    *    microsecond-epoch-derived, so day·2 cannot overflow), with
+    *    dim rows (tag 0) sorting before event rows (tag 1) at equal
+    *    day, giving the ≤ match.
+    *  - carry: the whole dim payload in ONE long,
+    *    `p = (day·512 + n_orders)·2^40 + day_total_e2`, so
+    *    `last(p, ignoreNulls)` aggregates a PRIMITIVE instead of
+    *    building a struct per dim row — and the struct's
+    *    null-fuse-safety argument (asofJoin scaladoc) holds trivially
+    *    because the carried row is atomic in one value. Unpack is
+    *    exact integer div/pmod in the packed domain 0 ≤ day < 2^14,
+    *    n_orders < 512, 0 ≤ day_total_e2 < 2^40 (p < 2^63 stays
+    *    positive); an out-of-domain dim row RAISES at scan time
+    *    (the pidSafe precedent — zero extra guard jobs, and the
+    *    oracle-gated answer can never be silently corrupted). The
+    *    domain has wide real-data headroom: day < 2^14 covers order
+    *    dates to 2014 (TPC-H ends 1998), and a user-day needs > 2^9
+    *    orders or > ~10^10 e2 total to overflow. */
+  /** [[asofOrderEvents]]' single-long dim carry:
+    * `(day·512 + n_orders)·2^40 + day_total_e2`, exact in the domain
+    * 0 ≤ day < 2^14, n_orders < 512, 0 ≤ day_total_e2 < 2^40 (the
+    * packed value stays < 2^63); any out-of-domain row raises at scan
+    * time with the offending values. Shared with AsofJoinSpec so the
+    * guard under test is the guard the query runs. */
+  private[graft] def asofPackedCarry(day: Column, nOrders: Column,
+      totalE2: Column): Column =
+    when(
+      day < 0L || day >= (1L << 14) || nOrders >= 512L ||
+        totalE2 < 0L || totalE2 >= (1L << 40),
+      raise_error(concat(
+        lit("asofOrderEvents dim row out of packed domain (day in [0, 2^14), " +
+          "n_orders < 512, day_total_e2 in [0, 2^40)): "),
+        day.cast("string"), lit("/"), nOrders.cast("string"),
+        lit("/"), totalE2.cast("string"))).cast("long"))
+      .otherwise((day * 512L + nOrders) * (1L << 40) + totalE2)
+
   def asofOrderEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select($"event_id", $"user_id",
@@ -211,9 +256,28 @@ object JoinOps {
         datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("day"))
       .agg(count(lit(1)).as("n_orders"),
         Det.sumFixed($"o_totalprice", 2).as("day_total_e2"))
-    asofJoin(ev, dim, "user_id", "day", "order_day")
-      .select($"event_id", $"user_id", $"day".as("event_day"),
-        $"order_day", $"n_orders", $"day_total_e2")
+    val packed = asofPackedCarry($"day", $"n_orders", $"day_total_e2")
+    // event_day is recovered as `_dt div 2`, which is only exact for
+    // day ≥ 0 (truncating div rounds negative odd dts the wrong way) —
+    // a pre-1970 event raises at scan rather than silently shifting
+    val lDay = when($"day" < 0L,
+      raise_error(concat(lit("asofOrderEvents event day out of div-recovery " +
+        "domain (day >= 0): "), $"day".cast("string"))).cast("long"))
+      .otherwise($"day")
+    val l = ev.select($"user_id", (lDay * 2L + 1L).as("_dt"),
+      $"event_id", lit(null).cast("long").as("_p"))
+    val r = dim.select($"user_id", ($"day" * 2L).as("_dt"),
+      lit(null).cast("long").as("event_id"), packed.as("_p"))
+    val w = Window.partitionBy($"user_id").orderBy($"_dt".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_c", last($"_p", ignoreNulls = true).over(w))
+      .filter(pmod($"_dt", lit(2L)) === 1L && $"_c".isNotNull)
+      .select($"event_id", $"user_id",
+        expr("_dt div 2").as("event_day"),
+        expr("(_c div 1099511627776) div 512").as("order_day"),
+        expr("pmod(_c div 1099511627776, 512)").as("n_orders"),
+        expr("pmod(_c, 1099511627776)").as("day_total_e2"))
       .orderBy($"event_id")
   }
 

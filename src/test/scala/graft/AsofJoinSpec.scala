@@ -60,6 +60,57 @@ class AsofJoinSpec extends SparkTestBase {
       s"as-of must not fall back to a product join:\n$plan")
   }
 
+  test("packed asofOrderEvents equals the generic asofJoin build row for row") {
+    // the flagship query specializes the union-window shape with a
+    // single-long ordering key and a single-long packed dim carry —
+    // this pins that the packing is a pure plan optimization: the
+    // generic operator over the same inputs yields the identical rows
+    import graft.Tables
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val dim = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("user_id"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.sumFixed(col("o_totalprice"), 2).as("day_total_e2"))
+    val generic = JoinOps.asofJoin(ev, dim, "user_id", "day", "order_day")
+      .select(col("event_id"), col("user_id"), col("day").as("event_day"),
+        col("order_day"), col("n_orders"), col("day_total_e2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+    val packed = JoinOps.asofOrderEvents(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(packed.nonEmpty && packed == generic)
+  }
+
+  test("packed asof carry round-trips in domain and raises out of domain") {
+    // the SAME expression the query uses (JoinOps.asofPackedCarry):
+    // exact div/pmod round-trip across the domain corners, loud raise
+    // just past each edge — silent wrap would corrupt an oracle-gated
+    // answer
+    val inDomain = Seq(
+      (0L, 0L, 0L), (16383L, 511L, (1L << 40) - 1),
+      (10957L, 3L, 123456789L))
+    val df = inDomain.toDF("day", "n_orders", "day_total_e2")
+      .select(JoinOps.asofPackedCarry(col("day"), col("n_orders"),
+        col("day_total_e2")).as("p"))
+      .select(expr("(p div 1099511627776) div 512").as("day"),
+        expr("pmod(p div 1099511627776, 512)").as("n_orders"),
+        expr("pmod(p, 1099511627776)").as("day_total_e2"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted == inDomain.sorted)
+    for (bad <- Seq((1L << 14, 1L, 5L), (1L, 512L, 5L), (1L, 1L, 1L << 40), (-1L, 0L, 0L))) {
+      val e = intercept[Exception](Seq(bad).toDF("day", "n_orders", "day_total_e2")
+        .select(JoinOps.asofPackedCarry(col("day"), col("n_orders"),
+          col("day_total_e2"))).collect())
+      assert(e.getMessage.contains("packed domain") ||
+        Option(e.getCause).exists(_.getMessage.contains("packed domain")),
+        s"expected domain raise for $bad, got $e")
+    }
+  }
+
   test("rangeJoin pairs exactly the rows within the band, once each") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
       .toDF("k", "t", "lv")
