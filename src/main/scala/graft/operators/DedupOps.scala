@@ -1216,7 +1216,8 @@ object DedupOps {
 
   /** The content-defined sampled rolling-hash windows `(doc_id, h)`,
     * materialized ONCE per corpus fingerprint — the subtree is shared
-    * by [[overlapPairs]] (three consumers) and
+    * by [[overlapPairs]] (two consumers since the r13 single-exchange
+    * rewrite: the df gate and the join side) and
     * [[CurationOps.decontaminateSubstr]], so each query reads a plain
     * parquet scan instead of re-running the rolling-hash explode +
     * distinct shuffle. (Within one query ReuseExchange already
@@ -1239,14 +1240,31 @@ object DedupOps {
   }
 
   def overlapPairs(spark: SparkSession, sfDir: String, maxDf: Int = 10): DataFrame = {
+    // One wide exchange of the windows artifact instead of the old
+    // three (r13): the df gate keeps its own pre-pass (a COMPACT
+    // partial-aggregated count — the artifact is distinct on
+    // (doc_id, h), so plain count IS the window's document frequency;
+    // the old countDistinct paid a two-phase distinct agg for the
+    // same number), but the pair generation drops the a×b self-join:
+    // after win ⋈ rare the frame is already hash-partitioned by h, so
+    // the bucket grouping runs exchange-free and each ≤ maxDf bucket
+    // expands through the codegen'd C(n,2) kernel — the identical
+    // bucket-grouped pair-generator shape as dedupNgram's candidate
+    // stage and the MinHash band expansion. The df gate stays AHEAD
+    // of the grouping on purpose: collecting first and filtering on
+    // array size would materialize an unbounded id array for every
+    // boilerplate-hot window before dropping it — the 100 TB failure
+    // mode the bound exists to prevent — while after the join the
+    // collected buckets are ≤ maxDf by construction.
     val win = sampledWindowsShared(spark, sfDir)
-    val rare = win.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
+    val rare = win.groupBy($"h").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf && $"df" >= 2)
       .select($"h")
-    win.join(rare, "h").as("a")
-      .join(win.join(rare, "h").as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    win.join(rare, "h")
+      .groupBy($"h").agg(collect_list($"doc_id").as("ids"))
+      .select(explode(
+        graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
+      .groupBy($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .agg(count(lit(1)).cast(LongType).as("n_shared"))
       .filter($"n_shared" >= 2)
       .orderBy($"doc_a", $"doc_b")
