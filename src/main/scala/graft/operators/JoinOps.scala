@@ -314,17 +314,35 @@ object JoinOps {
     * events the same user produced within ±12 hours, and their
     * fixed-point value sum (the "activity around this event" feature;
     * a self band-join, the hardest range-join shape because both
-    * sides are the full stream). Inner: solitary events drop. */
+    * sides are the full stream). Inner: solitary events drop.
+    *
+    * Because this flagship instance needs only per-event AGGREGATES of
+    * the band (never the pair rows), it is served by a native
+    * RANGE-frame window instead of the generic [[rangeJoin]] (r13):
+    * one user_id shuffle + per-partition sort, a sliding value-range
+    * frame that Spark advances with two linear pointers — no 3×
+    * replication, no candidate pairs, no post-filter. Self-exclusion
+    * is exact arithmetic: the frame always contains the row itself, so
+    * neighbors = frame count − 1 and the neighbor sum subtracts the
+    * row's own pre-scaled e6 value (per-row rounding FIRST, identical
+    * to Det.sumFixed's round-then-sum). Ties in `t` are value-based in
+    * a RANGE frame, so co-timestamped events count each other exactly
+    * once each, matching the join form; AsofJoinSpec pins row-for-row
+    * equality with the generic rangeJoin build on the same inputs.
+    * [[rangeJoin]] remains the operator for banded joins that DO need
+    * pair rows (two-table enrichment), with its own brute-force and
+    * plan specs. */
   def rangeEventBursts(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select($"event_id", $"user_id", unix_micros($"ts").as("t"), $"value")
-    val left = ev.select($"event_id", $"user_id", $"t")
-    val right = ev.select($"user_id", $"t", $"event_id".as("nbr_id"), $"value")
-    rangeJoin(left, right, "user_id", "t", band = BurstBandUs)
-      .filter($"nbr_id" =!= $"event_id")
-      .groupBy($"event_id")
-      .agg(count(lit(1)).as("n_neighbors"),
-        Det.sumFixed($"value", 6).as("nbr_value_e6"))
+    val w = Window.partitionBy($"user_id").orderBy($"t")
+      .rangeBetween(-BurstBandUs, BurstBandUs)
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t"),
+        Det.toFixed($"value", 6).as("v6"))
+      .withColumn("n_band", count(lit(1)).over(w))
+      .withColumn("sum_band", sum($"v6").over(w))
+      .filter($"n_band" > 1L)
+      .select($"event_id", ($"n_band" - 1L).as("n_neighbors"),
+        ($"sum_band" - $"v6").as("nbr_value_e6"))
       .orderBy($"event_id")
   }
 

@@ -111,6 +111,29 @@ class AsofJoinSpec extends SparkTestBase {
     }
   }
 
+  test("window-form rangeEventBursts equals the generic rangeJoin build row for row") {
+    // the flagship burst query serves per-event band AGGREGATES from a
+    // native RANGE-frame window (one shuffle, no 3x replication); this
+    // pins that it answers exactly what the generic bucketed rangeJoin
+    // + self-filter + groupBy build answers on the same inputs
+    import graft.Tables
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+    val left = ev.select(col("event_id"), col("user_id"), col("t"))
+    val right = ev.select(col("user_id"), col("t"),
+      col("event_id").as("nbr_id"), col("value"))
+    val generic = JoinOps.rangeJoin(left, right, "user_id", "t", JoinOps.BurstBandUs)
+      .filter(col("nbr_id") =!= col("event_id"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        graft.Det.sumFixed(col("value"), 6).as("nbr_value_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val windowed = JoinOps.rangeEventBursts(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(windowed.nonEmpty && windowed == generic)
+  }
+
   test("rangeJoin pairs exactly the rows within the band, once each") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
       .toDF("k", "t", "lv")
