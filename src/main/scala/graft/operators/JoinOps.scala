@@ -459,7 +459,13 @@ object JoinOps {
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
     val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    // SHUFFLE_HASH on the year-sliced orders side (r13): ~1/7 of
+    // orders and 2 columns vs the full 4-column lineitem stream — the
+    // default SMJ sorted both exchanges (ProfileShuffle: the consume
+    // stage burned ~2000 CPU-s on top of its shuffle-fetch IO stall);
+    // hashing the sliced side per task is O(rows/partitions) memory
+    // with no sort of either fact stream (the r10 ledger shape).
+    li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(s), $"l_suppkey" === $"s_suppkey" &&
         $"c_nationkey" === $"s_nationkey")
@@ -889,7 +895,13 @@ object JoinOps {
       .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
     val w = Window.partitionBy($"o_orderpriority")
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    // SHUFFLE_HASH on the narrower orders side (r13): the default SMJ
+    // sorted BOTH fact exchanges — the identical two-fact-sort shape
+    // supplierDelay shed in r11 (and q_waiting_supplier in r10);
+    // hashing 3-column order rows per task is O(rows/partitions)
+    // memory with NO sort of the 600M-row lineitem stream, and is the
+    // sort-OOM-safe shape from the sf100 ledger (NOTES r10).
+    li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .select($"o_orderpriority",
         // greatest(…, 0): a (dirty-data) ship-before-order line lands
         // in week 0 instead of splitting engines on negative division
