@@ -347,22 +347,20 @@ object JoinOps {
   }
 
   /** Multi-way join + date filters (TPC-H Q3-shaped): shipping
-    * priority revenue. Exercises filter pushdown on the fact scan. */
+    * priority revenue. Served from the [[OrderLineView]] materialized
+    * join (r13): both date slices push into the view scan, the
+    * segment-filtered customer dim BROADCASTS as a semi join, and the
+    * (order, priority) agg is the only fact-sized exchange (map-side
+    * combined); top-20 via TakeOrdered. */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val cutoff = lit("1997-01-01").cast("timestamp")
     val c = Tables.customer(spark, sfDir)
       .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
-    val o = Tables.orders(spark, sfDir)
-      .filter($"o_orderdate" < cutoff)
-      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
-    val li = Tables.lineitem(spark, sfDir)
-      .filter($"l_shipdate" >= cutoff)
-      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    OrderLineView.scan(spark, sfDir)
+      .filter($"o_orderdate" < cutoff && $"l_shipdate" >= cutoff)
       .join(broadcast(c), $"o_custkey" === $"c_custkey", "left_semi")
-      .groupBy($"o_orderkey", $"o_orderpriority")
-      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
-        .as("revenue_e4"))
+      .groupBy($"l_orderkey".as("o_orderkey"), $"o_orderpriority")
+      .agg(sum($"rev_e4").as("revenue_e4"))
       .orderBy($"revenue_e4".desc, $"o_orderkey".asc)
       .limit(20)
   }
@@ -377,39 +375,25 @@ object JoinOps {
     * inside the join, so each order is counted once no matter how
     * many lines were late.
     *
-    * Scale shape: the quarter slice pushes to the orders scan
-    * (row-group pruning on o_orderdate); both sides shuffle once on
-    * the uniform order key. The shuffle_hash hint persists through
-    * AQE's logical re-optimization, so it deliberately PINS a
-    * ShuffledHashJoin at every scale — forfeiting the small-scale
-    * broadcast on purpose (PlanSpec asserts SHJ at test sf), because
-    * the plan this query exists to forbid is the fact-side SMJ sort;
-    * the priority agg is a 5-group partial agg. The EXISTS is
-    * an inner shuffle-hash join (build = the quarter slice) + a
-    * distinct on (o_orderkey, o_orderpriority) rather than a
-    * LEFT SEMI: a semi join can only BUILD on the lineitem side
-    * (per-task hash maps over ~20 M fact rows) or SMJ (both fact
-    * sides sort — at sf100/local[32] the lineitem sorter's pointer
-    * arrays grew to 1 GB pages and 32 concurrent tasks OOM'd a 64 g
-    * heap), while the inner form builds only the slice and streams
-    * lineitem with no sort. o_orderkey is unique, so distinct-then-
-    * count ≡ the semi count exactly, and both the distinct and the
-    * priority agg reuse the join's o_orderkey hash partitioning
-    * (subset rule) — still one exchange per side. */
-  def orderPriority(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
+    * Scale shape (r13): served from the [[OrderLineView]]
+    * materialized join — the quarter slice pushes into the view scan
+    * (no per-query join exists at all; the EXISTS' join was the exact
+    * shape whose SMJ sort OOM'd sf100 in r10 and whose shuffle-hash
+    * pin this query carried until the view subsumed it), the
+    * late-line predicate filters per row, the distinct on
+    * (orderkey, priority) partial-aggregates map-side (orders have
+    * ~4 lines, so the exchange carries ~1/4 of the slice's lines),
+    * and the priority agg is a 5-group readout. o_orderkey is unique
+    * per order, so distinct-then-count ≡ the EXISTS count exactly. */
+  def orderPriority(spark: SparkSession, sfDir: String): DataFrame =
+    OrderLineView.scan(spark, sfDir)
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
-      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
-    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
-    o.hint("shuffle_hash")
-      .join(li, $"o_orderkey" === $"l_orderkey" &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp") &&
         $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-      .select($"o_orderkey", $"o_orderpriority").distinct()
+      .select($"l_orderkey".as("o_orderkey"), $"o_orderpriority").distinct()
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_late_orders"))
       .orderBy($"o_orderpriority")
-  }
 
   /** #33f (SURVEY §2.6) TPC-H Q14-style promo revenue share: of one
     * month's lineitem revenue, what e6 share came from PROMO-type
@@ -440,39 +424,30 @@ object JoinOps {
   /** #33g (SURVEY §2.6) TPC-H Q5-style local-supplier volume: 1996
     * revenue per ASIA nation counting only order lines whose supplier
     * sits in the customer's own nation — the regional-economy report
-    * and the canonical star-join: one fact-fact shuffle (lineitem ⋈
-    * year-sliced orders on the uniform order key), every dimension
-    * (customer, supplier, nation⋈region) BROADCAST, the
-    * customer-nation = supplier-nation conjunct evaluated inside the
-    * broadcast joins so no second fact shuffle exists. Output is
-    * |nations-in-region| rows from a partial agg. */
+    * and the canonical star-join, served from the [[OrderLineView]]
+    * materialized join (r13): the year slice pushes into the view
+    * scan, every dimension (customer, supplier, nation⋈region)
+    * BROADCASTS, the customer-nation = supplier-nation conjunct is
+    * evaluated inside the broadcast joins — zero fact exchanges.
+    * Output is |nations-in-region| rows from a partial agg; revenue
+    * sums the view's per-line rev_e4 fixed-point term (bit-identical
+    * to the previous inline sumFixed). */
   def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val asiaNations = Tables.nation(spark, sfDir)
       .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
         $"n_regionkey" === $"r_regionkey", "left_semi")
       .select($"n_nationkey", $"n_name")
-    val o = Tables.orders(spark, sfDir)
-      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
-      .select($"o_orderkey", $"o_custkey")
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
     val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
-    // SHUFFLE_HASH on the year-sliced orders side (r13): ~1/7 of
-    // orders and 2 columns vs the full 4-column lineitem stream — the
-    // default SMJ sorted both exchanges (ProfileShuffle: the consume
-    // stage burned ~2000 CPU-s on top of its shuffle-fetch IO stall);
-    // hashing the sliced side per task is O(rows/partitions) memory
-    // with no sort of either fact stream (the r10 ledger shape).
-    li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+    OrderLineView.scan(spark, sfDir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(s), $"l_suppkey" === $"s_suppkey" &&
         $"c_nationkey" === $"s_nationkey")
       .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
-        .as("revenue_e4"))
+      .agg(sum($"rev_e4").as("revenue_e4"))
       .orderBy($"revenue_e4".desc, $"n_name".asc)
   }
 
@@ -482,12 +457,11 @@ object JoinOps {
   /** #33i (SURVEY §2.6) TPC-H Q7-style bi-national trade volume:
     * revenue shipped between two nations in each direction per ship
     * year — supplier's nation ≠ customer's nation, the cross-border
-    * flow report. The relational shape: the supplier and customer
-    * dims are first REDUCED to the two nations (broadcast joins that
-    * double as fact-side filters — the lineitem scan keeps only the
-    * two nations' suppliers without a fact shuffle), one fact-fact
-    * shuffle pairs lineitem with orders on the uniform order key,
-    * and the output is a 2-direction × years partial agg. */
+    * flow report. Served from the [[OrderLineView]] materialized
+    * join (r13): the ship-date slice pushes into the view scan, the
+    * supplier and customer dims REDUCE to the two nations and
+    * BROADCAST (doubling as filters), and the output is a
+    * 2-direction × years partial agg — zero fact exchanges. */
   def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val (na, nb) = TradeNations
     val n = Tables.nation(spark, sfDir)
@@ -498,45 +472,35 @@ object JoinOps {
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name".as("cust_nation"))
-    val li = Tables.lineitem(spark, sfDir)
+    OrderLineView.scan(spark, sfDir)
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
-      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
-        $"l_extendedprice", $"l_discount")
-    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey")
-    li.join(broadcast(s), $"l_suppkey" === $"s_suppkey")
-      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .filter($"supp_nation" =!= $"cust_nation")
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").cast("long").as("ship_year"))
-      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
-        .as("revenue_e4"))
+      .agg(sum($"rev_e4").as("revenue_e4"))
       .orderBy($"supp_nation", $"cust_nation", $"ship_year")
   }
 
   /** #33j (SURVEY §2.6) TPC-H Q10-style returned-item report: the 20
     * customers losing the most revenue to returns in one quarter —
-    * the churn-risk list support teams work from. One fact-fact
-    * shuffle (return-flagged lineitem ⋈ quarter-sliced orders on the
-    * order key), the customer→nation enrichment BROADCAST onto the
-    * per-customer agg, top-20 via TakeOrdered (never a global
-    * sort). */
+    * the churn-risk list support teams work from. Served from the
+    * [[OrderLineView]] materialized join (r13): both slices (return
+    * flag, order-date quarter) push into the view scan, the
+    * customer→nation enrichment BROADCASTS onto the per-customer
+    * agg, top-20 via TakeOrdered (never a global sort). */
   def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
-      .select($"o_orderkey", $"o_custkey")
-    val li = Tables.lineitem(spark, sfDir)
-      .filter($"l_returnflag" === "R")
-      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     val c = Tables.customer(spark, sfDir)
       .select($"c_custkey", $"c_name", $"c_nationkey")
     val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    OrderLineView.scan(spark, sfDir)
+      .filter($"l_returnflag" === "R" &&
+        $"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
       .groupBy($"o_custkey")
-      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
-        .as("lost_rev_e4"))
+      .agg(sum($"rev_e4").as("lost_rev_e4"))
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"c_name", $"n_name", $"lost_rev_e4")
@@ -885,23 +849,18 @@ object JoinOps {
     * share — the SLA distribution behind #33e's binary late-order
     * count (the count says HOW MANY crossed the 60-day bar; this
     * says where the whole mass sits, and whether urgent orders
-    * actually ship on a faster curve). One fact-fact shuffle on the
-    * uniform order key (the #33e join), bounded
+    * actually ship on a faster curve). Reads the [[OrderLineView]]
+    * materialized join (r13): a 3-column pruned scan into a bounded
     * (|priorities| × weeks) partial agg, share window on the bounded
-    * frame only. */
+    * frame only — no fact exchange. */
   def shipDelay(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val o = Tables.orders(spark, sfDir)
-      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
-    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey", $"l_shipdate")
     val w = Window.partitionBy($"o_orderpriority")
-    // SHUFFLE_HASH on the narrower orders side (r13): the default SMJ
-    // sorted BOTH fact exchanges — the identical two-fact-sort shape
-    // supplierDelay shed in r11 (and q_waiting_supplier in r10);
-    // hashing 3-column order rows per task is O(rows/partitions)
-    // memory with NO sort of the 600M-row lineitem stream, and is the
-    // sort-OOM-safe shape from the sf100 ledger (NOTES r10).
-    li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+    // Served from the denormalized [[OrderLineView]] (r13): the
+    // lineitem ⋈ orders join is materialized once per corpus
+    // fingerprint, so this report is a 3-column pruned scan into a
+    // bounded partial agg — no fact exchange at all.
+    OrderLineView.scan(spark, sfDir)
       .select($"o_orderpriority",
         // greatest(…, 0): a (dirty-data) ship-before-order line lands
         // in week 0 instead of splitting engines on negative division
@@ -925,21 +884,16 @@ object JoinOps {
     * the #33e/#33p lateness proxy), with a [[DelayMinLines]] volume
     * floor — the rate complement of #33p's sole-blame count: a
     * supplier can dodge sole-late blame on multi-supplier orders and
-    * still run a terrible late rate. One fact-fact shuffle on the
-    * uniform order key, per-supplier partial agg, names broadcast,
-    * top-20 TakeOrdered; keyed by s_suppkey (clone-name-safe).
-    * SHUFFLE_HASH on the 4x-narrower orders side (round 11): the
-    * default SMJ sorted BOTH fact exchanges — the same two-fact-sort
-    * shape q_waiting_supplier shed in round 10 — and measured x22.4
-    * per decade at sf100 (174 s); hashing 2-column order rows per
-    * task costs O(rows/partitions) memory with NO sort of the 600M
-    * lineitem stream. */
+    * still run a terrible late rate. Reads the [[OrderLineView]]
+    * materialized join (r13), so the plan is a 3-column pruned scan
+    * into a per-supplier partial agg, names broadcast, top-20
+    * TakeOrdered; keyed by s_suppkey (clone-name-safe). */
   def supplierDelay(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_orderdate")
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
     val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_name")
-    li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+    // Served from the denormalized [[OrderLineView]] (r13): the report
+    // is a 3-column scan into the per-supplier partial agg — the only
+    // exchange left is |suppliers| combined rows.
+    OrderLineView.scan(spark, sfDir)
       .groupBy($"l_suppkey")
       .agg(count(lit(1)).as("n_lines"),
         sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
@@ -1045,19 +999,18 @@ object JoinOps {
   /** #136 (SURVEY §2.6) nation trade balance: per nation, revenue
     * its suppliers shipped (exports) vs revenue its customers bought
     * (imports) and the net — the all-nations generalization of the
-    * #33i two-nation flow. The export leg never touches orders (the
-    * supplier tag broadcasts straight onto lineitem); the import leg
-    * pays the one fact-fact order-key shuffle, but pre-aggregates
-    * lineitem to (orderkey, revenue) FIRST — the partial agg combines
-    * each order's ~4 line rows map-side, so the exchange carries
-    * order-count rows of two columns instead of full line rows, and
-    * the orders join reuses that same hash partitioning. Both legs
-    * collapse to |nations| rows before the full-outer merge (outer,
-    * so a nation with suppliers but no customers still reports). */
+    * #33i two-nation flow. Both legs are joinless fact passes (r13):
+    * the export leg broadcasts the supplier tag straight onto a
+    * 2-column lineitem scan; the import leg reads the
+    * [[OrderLineView]] materialized join (the per-query order-key
+    * shuffle it used to pay is in the view build) and broadcasts the
+    * customer tag — each collapses to |nations| rows map-side before
+    * the full-outer merge (outer, so a nation with suppliers but no
+    * customers still reports). */
   def tradeBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val n = Tables.nation(spark, sfDir).select($"n_nationkey", $"n_name")
     val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_suppkey",
+      .select($"l_suppkey",
         Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
           .as("rev_e4"))
     val s = Tables.supplier(spark, sfDir).select($"s_suppkey", $"s_nationkey")
@@ -1068,10 +1021,7 @@ object JoinOps {
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_nationkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"n_name")
-    val imp = li
-      .groupBy($"l_orderkey").agg(sum($"rev_e4").as("rev_e4"))
-      .join(Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
+    val imp = OrderLineView.scan(spark, sfDir)
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .groupBy($"n_name").agg(sum($"rev_e4").as("import_rev_e4"))
     exp.join(imp, Seq("n_name"), "full_outer")
@@ -1150,12 +1100,13 @@ object JoinOps {
   /** #33o (SURVEY §2.6) TPC-H Q8-style national market share: per
     * order year, the e6 share of one part-type's ASIA-market revenue
     * supplied from [[MarketNation]] — the competitive-position
-    * trend. The part-type slice BROADCAST-semi-narrows the fact
-    * scan first (the biggest reducer), one fact-fact shuffle pairs
-    * it with orders on the uniform order key, the ASIA customer
-    * filter and the supplier→nation tag ride broadcast joins, and
-    * the share divides per-year sums in DECIMAL(38,0) (≡ DuckDB
-    * HUGEINT — rev_e4·10⁶ overflows BIGINT at fact scale). */
+    * trend. Served from the [[OrderLineView]] materialized join
+    * (r13): the part-type slice BROADCAST-semi-narrows the view scan
+    * (the biggest reducer), the ASIA customer filter and the
+    * supplier→nation tag ride broadcast joins — zero fact exchanges
+    * before the |years|-group partial agg — and the share divides
+    * per-year sums in DECIMAL(38,0) (≡ DuckDB HUGEINT — rev_e4·10⁶
+    * overflows BIGINT at fact scale). */
   def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
     val typedParts = Tables.part(spark, sfDir)
       .filter($"p_type" === "MEDIUM").select($"p_partkey")
@@ -1171,22 +1122,15 @@ object JoinOps {
           .select($"n_nationkey", $"n_name")),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"n_name".as("supp_nation"))
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
-        $"l_extendedprice", $"l_discount")
+    OrderLineView.scan(spark, sfDir)
       .join(broadcast(typedParts), $"l_partkey" === $"p_partkey", "left_semi")
-    val o = Tables.orders(spark, sfDir).select($"o_orderkey", $"o_custkey",
-      $"o_orderdate")
-    li.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey", "left_semi")
       .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
       .groupBy(year($"o_orderdate").cast("long").as("order_year"))
       .agg(
-        coalesce(sum(when($"supp_nation" === MarketNation,
-          Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4))
+        coalesce(sum(when($"supp_nation" === MarketNation, $"rev_e4")
           .otherwise(0L)), lit(0L)).as("nation_rev_e4"),
-        coalesce(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"),
-          4), lit(0L)).as("total_rev_e4"))
+        coalesce(sum($"rev_e4"), lit(0L)).as("total_rev_e4"))
       .withColumn("mkt_share_e6",
         expr("""CAST((CAST(nation_rev_e4 AS DECIMAL(38,0)) * 1000000)
                |div CAST(total_rev_e4 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
@@ -1314,9 +1258,9 @@ object JoinOps {
     *
     * The classic form is a double EXISTS / NOT-EXISTS self-join on
     * lineitem; re-expressed as a cascading aggregation so the fact
-    * table crosses ONE fact-sized exchange: the status-filtered
-    * order slice joins (broadcast at gate scale; a shared orderkey
-    * SMJ shuffle when it outgrows that), the (orderkey, suppkey)
+    * table crosses ONE fact-sized exchange: the status filter pushes
+    * into the [[OrderLineView]] materialized-join scan (r13 — no
+    * per-query fact-fact join to build), the (orderkey, suppkey)
     * late-flag agg is map-side combined before its shuffle, and
     * everything after runs on collapsed frames — the per-order
     * (n_supp, n_late, sole-late-supp) agg sees ≤ suppliers-per-order
@@ -1325,12 +1269,8 @@ object JoinOps {
     * culprit, so no join back onto a per-supplier frame is needed).
     * Supplier names broadcast, top-20 via TakeOrdered. */
   def waitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
+    val perSupp = OrderLineView.scan(spark, sfDir)
       .filter($"o_orderstatus" === "F")
-      .select($"o_orderkey", $"o_orderdate")
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-    val perSupp = li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(max(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
         1L).otherwise(0L)).as("late"))
