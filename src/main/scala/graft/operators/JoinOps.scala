@@ -61,18 +61,19 @@ object JoinOps {
       .orderBy($"order_day")
   }
 
-  /** Fact×dim enrichment join: revenue per brand. */
-  def joinEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select($"l_partkey", $"l_extendedprice", $"l_discount")
-    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
-    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+  /** Fact×dim enrichment join: revenue per brand. Served from the
+    * [[OrderLineView]] materialized view (r13), which carries the
+    * brand tag per line — a 2-column pruned scan into a \|brands\|
+    * partial agg, no per-query broadcast of the part dim
+    * (`p_brand.isNotNull` ≡ the previous inner part join: the view's
+    * part join is LEFT and brand is a non-null part attribute). */
+  def joinEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    OrderLineView.scan(spark, sfDir)
+      .filter($"p_brand".isNotNull)
       .groupBy($"p_brand")
-      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
-        .as("revenue_e4"),
+      .agg(sum($"rev_e4").as("revenue_e4"),
         count(lit(1)).as("cnt"))
       .orderBy($"p_brand")
-  }
 
   /** #33d (SURVEY §2.6) TPC-H Q13-style customer order-count
     * distribution: how many customers placed 0, 1, 2, … orders — the
@@ -404,18 +405,18 @@ object JoinOps {
     * exactly the regime a 100 TB fact table is in. One scan, one
     * 1-row agg, no shuffle beyond the partial-agg exchange. */
   def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // Served from the OrderLineView materialized view (r13): the
+    // month slice prunes the date-sorted view's row groups and the
+    // type tag rides the view — no per-query part broadcast
+    // (p_type.isNotNull ≡ the previous inner part join).
+    OrderLineView.scan(spark, sfDir)
       .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
-        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
-      .select($"l_partkey", $"l_extendedprice", $"l_discount")
-    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_type")
-    li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp") &&
+        $"p_type".isNotNull)
       .agg(
-        coalesce(sum(when($"p_type" === "PROMO",
-          Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4))
+        coalesce(sum(when($"p_type" === "PROMO", $"rev_e4")
           .otherwise(0L)), lit(0L)).as("promo_rev_e4"),
-        coalesce(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4),
-          lit(0L)).as("total_rev_e4"))
+        coalesce(sum($"rev_e4"), lit(0L)).as("total_rev_e4"))
       .withColumn("promo_share_e6",
         expr("""CAST((CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000)
                |div CAST(total_rev_e4 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin))
@@ -641,17 +642,15 @@ object JoinOps {
 
   /** #145 (SURVEY §2.6) brand return-rate report: per part brand,
     * line and revenue totals with the returned share (e4) — the
-    * defect/complaint screen merchandising reads weekly. Part dim
-    * BROADCAST onto one narrow fact scan, \|brands\|-row partial
+    * defect/complaint screen merchandising reads weekly. Served from
+    * the [[OrderLineView]] materialized view (r13): a 3-column
+    * pruned scan (brand tag rides the view; `p_brand.isNotNull` ≡
+    * the previous inner part join) into a \|brands\|-row partial
     * agg; the rate divides in DECIMAL(38,0) (returned·10⁴ passes
     * 2^63 at fact scale). */
   def brandReturns(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = Tables.part(spark, sfDir).select($"p_partkey", $"p_brand")
-    Tables.lineitem(spark, sfDir)
-      .select($"l_partkey", $"l_returnflag",
-        Det.toFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
-          .as("rev_e4"))
-      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+    OrderLineView.scan(spark, sfDir)
+      .filter($"p_brand".isNotNull)
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_lines"),
         sum(when($"l_returnflag" === "R", 1L).otherwise(0L))

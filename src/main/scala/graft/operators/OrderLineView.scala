@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.StructType
   * inner `lineitem ⋈ orders` equi-join and each paid its own
   * two-fact-exchange shuffle to build it — at sf100 those ten joins
   * were ~410 s of a 2300 s study, >80 % of it the one repeated
-  * exchange. This is the classic warehouse answer: flatten the star
-  * once (the materialized join view every serving layer keeps next to
-  * its fact table) and let every report run as a pruned columnar scan
-  * + bounded aggregation. The same build-once/probe-many pattern as
+  * exchange; three more (#145 brand returns, #33 brand enrichment,
+  * #33f promo share) each re-paid the same part-dim broadcast over a
+  * full fact scan, so the view carries `p_brand`/`p_type` too. This
+  * is the classic warehouse answer: flatten the star once (the
+  * materialized join view every serving layer keeps next to its fact
+  * table) and let every report run as a pruned columnar scan +
+  * bounded aggregation. The same build-once/probe-many pattern as
   * the ANN exact-ranking and cluster-label artifacts.
   *
   * Scale shape of the build: ONE uniform order-key shuffle
@@ -51,8 +54,25 @@ object OrderLineView {
 
   /** The view's defining join, directly over the source tables — the
     * build plan, and the spec-side equality reference for [[scan]].
-    * Inner join: every lineitem row joins its (unique) order row, so
-    * line granularity is preserved exactly. */
+    * Inner join with orders: every lineitem row joins its (unique)
+    * order row, so line granularity is preserved exactly (the spec
+    * pins |view| = |lineitem|). Part attributes ride a LEFT broadcast
+    * join — a part orphan could never silently drop a line from the
+    * ten order-attribute consumers; the three part-keyed consumers
+    * filter `p_brand.isNotNull`, which is ≡ their previous inner join
+    * because `p_brand`/`p_type` are non-null part attributes. (At
+    * corpus scales where the part dim outgrows a broadcast, the
+    * one-off build switches this to a partkey shuffle join; at TPC-H
+    * ratios part is ~1/30 of lineitem rows.)
+    *
+    * `sortWithinPartitions(o_orderdate)` orders rows inside each
+    * written file WITHOUT an extra exchange: parquet row-group
+    * min/max stats on o_orderdate become tight, so the many
+    * date-sliced consumers (year / quarter / month windows on order
+    * or — correlated — ship dates) prune most row groups at scan
+    * time instead of decoding the whole corpus, and the date columns
+    * delta-encode tightly. The same footer-stats lever as the
+    * z-order layout operator (#148), applied to the view. */
   private[graft] def direct(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select(
       $"l_orderkey", $"l_partkey", $"l_suppkey", $"l_shipdate",
@@ -62,8 +82,12 @@ object OrderLineView {
     val o = Tables.orders(spark, sfDir).select(
       $"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority",
       $"o_orderstatus")
+    val p = Tables.part(spark, sfDir)
+      .select($"p_partkey", $"p_brand", $"p_type")
     li.join(o.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
-      .drop("o_orderkey")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey", "left")
+      .drop("o_orderkey", "p_partkey")
+      .sortWithinPartitions($"o_orderdate")
   }
 
   /** The materialized view: built by [[direct]] once per (sfDir,

@@ -21,6 +21,16 @@ class OrderLineViewSpec extends SparkTestBase {
     assert(direct.exceptAll(scan).isEmpty, "direct has rows scan lacks")
   }
 
+  test("the view preserves line granularity exactly") {
+    // every lineitem row must survive the build joins: the orders FK
+    // is clean at every generated sf (inner join drops nothing) and
+    // the part join is LEFT by construction — if a future corpus
+    // carries order-orphan lines, this canary fails loudly instead of
+    // thirteen reports silently losing rows
+    assert(OrderLineView.scan(spark, sf).count() ===
+      Tables.lineitem(spark, sf).count())
+  }
+
   test("build-once: repeated scans serve the same artifact files") {
     val f1 = OrderLineView.scan(spark, sf).inputFiles.toSet
     val f2 = OrderLineView.scan(spark, sf).inputFiles.toSet
@@ -33,6 +43,7 @@ class OrderLineViewSpec extends SparkTestBase {
     val dir = tmpDir("olv-src-")
     Tables.lineitem(spark, sf).write.parquet(s"$dir/lineitem.parquet")
     Tables.orders(spark, sf).write.parquet(s"$dir/orders.parquet")
+    Tables.part(spark, sf).write.parquet(s"$dir/part.parquet")
     val before = OrderLineView.scan(spark, dir)
     val beforeFiles = before.inputFiles.toSet
     val beforeCount = before.count()

@@ -611,12 +611,17 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("TPC-H-style reports broadcast their dims and never go all-pairs") {
-    for (q <- Seq("q_local_supplier", "q_promo_share", "q_top_supplier")) {
+    for (q <- Seq("q_local_supplier", "q_top_supplier")) {
       val plan = fullPlanString(q)
       assert(plan.contains("BroadcastHashJoin"),
         s"$q must broadcast its dimension/1-row side:\n$plan")
       assert(!plan.contains("CartesianProduct"), q)
     }
+    // promo share serves from the OrderLineView (brand/type tags ride
+    // the view) — joinless month-sliced scan into a 1-row agg
+    val ps = fullPlanString("q_promo_share")
+    assert(!ps.contains("Join") && !ps.contains("CartesianProduct"),
+      s"q_promo_share must be a joinless view scan:\n$ps")
     val tv = fullPlanString("q_trade_volume")
     assert(tv.contains("BroadcastHashJoin") && !tv.contains("CartesianProduct"),
       "trade volume must broadcast the two-nation dim filters")
