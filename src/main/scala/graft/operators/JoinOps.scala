@@ -83,16 +83,18 @@ object JoinOps {
     * question. Left join keeps them (count(o_orderkey) skips the
     * null), then a second bounded histogram agg.
     *
-    * Scale shape: one customer-keyed equi-join (uniform key; AQE
-    * broadcasts the smaller side), a partial-agg'd shuffle to
-    * |customers| rows riding the same key partitioning (exchange
-    * reuse), and a |distinct-counts|-row histogram agg. */
+    * Scale shape (r13): the per-customer counts come from the
+    * RollupViews.customerStats view (the one custkey fact shuffle
+    * runs once per corpus fingerprint in its build); the customer
+    * dim LEFT-joins the |customers|-row view so zero-order customers
+    * surface as count 0 exactly as the outer join against raw orders
+    * did, and the histogram agg is |distinct-counts|-row. */
   def custOrderHist(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select($"c_custkey")
-      .join(Tables.orders(spark, sfDir).select($"o_custkey", $"o_orderkey"),
+      .join(RollupViews.customerStats(spark, sfDir)
+          .select($"o_custkey", $"n_orders".as("cnt")),
         $"c_custkey" === $"o_custkey", "left")
-      .groupBy($"c_custkey")
-      .agg(count($"o_orderkey").as("n_orders"))
+      .select(coalesce($"cnt", lit(0L)).as("n_orders"))
       .groupBy($"n_orders")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy($"n_orders")
@@ -539,13 +541,13 @@ object JoinOps {
   /** #33k (SURVEY §2.6) TPC-H Q18-style large-volume customers:
     * every order whose total quantity across its lines exceeds
     * [[BigOrderQtyE2]], with the buying customer — the
-    * bulk-buyer / fraud-screen list. The HAVING-subquery shape:
-    * lineitem partial-aggs once on the uniform order key, the
-    * (rare) survivors join orders on the SAME key — Catalyst reuses
-    * the aggregation's partitioning, so the order side is the only
-    * added exchange — and the customer name is a broadcast
-    * enrichment on the ~1%-of-orders result. Quantity compares in
-    * e2 fixed-point (never a double HAVING). */
+    * bulk-buyer / fraud-screen list. The HAVING-subquery shape over
+    * the per-order rollup view (r13): the full-fact quantity agg
+    * lives in the RollupViews.orderStats build (once per corpus
+    * fingerprint), the (rare) survivors equi-join orders, and the
+    * customer name is a broadcast enrichment on the ~1%-of-orders
+    * result. Quantity compares in e2 fixed-point (never a double
+    * HAVING). */
   /** Per-order e2 quantity totals over any (l_orderkey, l_quantity)
     * frame — ONE total definition shared by the batch report and the
     * streaming alarm gate (StreamingJobs.bigOrderGate), so the bar
@@ -557,7 +559,16 @@ object JoinOps {
       .agg(Det.sumFixed($"l_quantity", 2).as("total_qty_e2"))
 
   def bigOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    val qty = orderQtyTotals(Tables.lineitem(spark, sfDir))
+    // Served from the per-order rollup view (r13): the full-fact
+    // quantity agg runs once per corpus fingerprint in the
+    // RollupViews.orderStats build (same orderQtyTotals definition —
+    // the streaming alarm gate keeps sharing the inline form); the
+    // ~1%-of-orders survivors join orders, where AQE sees a
+    // megabytes-sized side and broadcasts it at study scale — at a
+    // scale where 1% of orders outgrows a broadcast, the equi-join
+    // falls back to the uniform order-key shuffle it is today.
+    val qty = RollupViews.orderStats(spark, sfDir)
+      .select($"l_orderkey", $"total_qty_e2")
       .filter($"total_qty_e2" > BigOrderQtyE2)
     val o = Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
@@ -574,12 +585,12 @@ object JoinOps {
   /** #130 (SURVEY §2.6) order fan-out histogram: orders per
     * line-count — the fact-table shape audit behind join sizing
     * (the order-key shuffle's skew ceiling IS this histogram's
-    * tail). One partial-agg'd shuffle on the uniform order key,
-    * then a ≤|max lines|-group agg; the second agg's input is
-    * |orders| rows but its output is bounded. */
+    * tail). Served from the per-order rollup view (r13): the
+    * |orders|-row artifact scans into a ≤|max lines|-group agg —
+    * the full-fact order-key shuffle runs once per corpus
+    * fingerprint in the RollupViews.orderStats build. */
   def orderLinesHist(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+    RollupViews.orderStats(spark, sfDir)
       .groupBy($"n_lines").agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_lines")
 
@@ -699,9 +710,10 @@ object JoinOps {
     * hides). One uniform-key fact partial agg to per-customer spend,
     * bin-length log2, ≤64-bucket readout. */
   def spendHist(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .groupBy($"o_custkey")
-      .agg(Det.sumFixed($"o_totalprice", 2).as("spend_e2"))
+    // Served from the per-customer rollup view (r13): the stored
+    // spend_e2 is the same fixed-point lifetime sum the inline
+    // custkey agg computed.
+    RollupViews.customerStats(spark, sfDir)
       .select((length(bin($"spend_e2")) - 1).cast("long").as("log2_spend"),
         $"spend_e2")
       .groupBy($"log2_spend")
@@ -724,12 +736,12 @@ object JoinOps {
     * agg, bucket math is narrow, the cell agg is bounded (≤ a few
     * hundred realized cells). */
   def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-      .select($"o_custkey", $"o_orderdate", $"o_totalprice")
-    val ref = o.agg(max($"o_orderdate").as("ref"))
-    o.groupBy($"o_custkey")
-      .agg(max($"o_orderdate").as("last_order"), count(lit(1)).as("f"),
-        Det.sumFixed($"o_totalprice", 2).as("m_e2"))
+    // Served from the per-customer rollup view (r13): last/count/spend
+    // are stored exactly as the inline agg computed them, and the
+    // corpus reference date is the max of per-customer maxima.
+    val cs = RollupViews.customerStats(spark, sfDir)
+    val ref = cs.agg(max($"last_order").as("ref"))
+    cs.select($"last_order", $"n_orders".as("f"), $"spend_e2".as("m_e2"))
       .crossJoin(broadcast(ref))
       .select(
         (length(bin(datediff($"ref", $"last_order") + 1)) - 1)
@@ -761,10 +773,11 @@ object JoinOps {
     * this form removed the join and the second row-granularity
     * shuffle. */
   def orderCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = Tables.orders(spark, sfDir)
-      .select($"o_custkey", year($"o_orderdate").cast("long").as("yr"))
-      .groupBy($"o_custkey")
-      .agg(min($"yr").as("cohort"), collect_set($"yr").as("yrs"))
+    // Served from the per-customer rollup view (r13): the one
+    // custkey-keyed fact shuffle that built (cohort, yrs) runs once
+    // per corpus fingerprint in RollupViews.customerStats.
+    val per = RollupViews.customerStats(spark, sfDir)
+      .select($"cohort", $"yrs")
     val cells = per.select($"cohort", explode($"yrs").as("yr"))
       .groupBy($"cohort", $"yr").agg(count(lit(1)).as("n_active"))
     val sizes = per.groupBy($"cohort").agg(count(lit(1)).as("n_cohort"))

@@ -755,9 +755,15 @@ class PlanSpec extends SparkTestBase {
     assert(countShuffles(planOf("q_small_qty_rev")) <= 2)
   }
 
-  test("q_big_orders partial-aggregates quantities before the order-key shuffle") {
+  test("q_big_orders filters the per-order rollup view and broadcasts its dims") {
+    // the quantity agg lives in the RollupViews.orderStats build
+    // (once per fingerprint); the served plan is a rollup scan whose
+    // HAVING bar pushes into the artifact parquet, joined to orders
+    // with the customer enrichment broadcast
     val plan = fullPlanString("q_big_orders")
-    assert(plan.contains("partial_sum"), "map-side combine on the quantity agg")
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("total_qty_e2")),
+      "the quantity bar must push into the rollup scan")
     assert(plan.contains("BroadcastHashJoin"), "customer enrichment must broadcast")
     assert(!plan.contains("CartesianProduct"))
   }
