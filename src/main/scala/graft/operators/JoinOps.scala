@@ -562,18 +562,20 @@ object JoinOps {
     // Served from the per-order rollup view (r13): the full-fact
     // quantity agg runs once per corpus fingerprint in the
     // RollupViews.orderStats build (same orderQtyTotals definition —
-    // the streaming alarm gate keeps sharing the inline form); the
-    // ~1%-of-orders survivors join orders, where AQE sees a
-    // megabytes-sized side and broadcasts it at study scale — at a
-    // scale where 1% of orders outgrows a broadcast, the equi-join
-    // falls back to the uniform order-key shuffle it is today.
+    // the streaming alarm gate keeps sharing the inline form). The
+    // ~1%-of-orders survivors join orders with a SHUFFLE_HASH pin,
+    // build = the survivors: without the inline agg's reusable
+    // partitioning the default plan SMJ-sorted the full orders
+    // stream (the sf100 sort-OOM-class shape; measured 63 s vs 15 s
+    // hashed), while hashing the rare survivors per task is O(1%/32)
+    // memory and streams orders sort-free at any scale.
     val qty = RollupViews.orderStats(spark, sfDir)
       .select($"l_orderkey", $"total_qty_e2")
       .filter($"total_qty_e2" > BigOrderQtyE2)
     val o = Tables.orders(spark, sfDir)
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
     val c = Tables.customer(spark, sfDir).select($"c_custkey", $"c_name")
-    qty.join(o, $"l_orderkey" === $"o_orderkey")
+    qty.hint("shuffle_hash").join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .select($"c_custkey", $"c_name", $"o_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"),

@@ -642,6 +642,25 @@ class PlanSpec extends SparkTestBase {
       "order-date slice must push to the view parquet scan")
   }
 
+  test("materialized-view consumers scan ONLY their artifact — source facts never re-scan") {
+    // steady state of the OrderLineView / RollupViews serves: once
+    // the artifact exists, these plans must not touch the raw fact
+    // parquet at all (the ANN-artifact discipline). Queries that
+    // legitimately keep a raw fact leg (q_trade_balance's export
+    // scan) or dim scans are not in this list.
+    val pure = Seq(
+      "q_ship_delay" -> "orderline-", "q_order_priority" -> "orderline-",
+      "q_promo_share" -> "orderline-", "q_order_lines" -> "orderstats-",
+      "q_spend_hist" -> "custstats-", "q_order_cohorts" -> "custstats-",
+      "q_rfm_segments" -> "custstats-")
+    for ((q, artifact) <- pure) {
+      val plan = fullPlanString(q)
+      assert(plan.contains(artifact), s"$q must serve from $artifact*:\n$plan")
+      assert(!plan.contains("lineitem.parquet") && !plan.contains("orders.parquet"),
+        s"$q must not re-scan a source fact table:\n$plan")
+    }
+  }
+
   test("q_waiting_supplier cascades partial aggs off one fact pass; dims broadcast") {
     val plan = fullPlanString("q_waiting_supplier")
     assert(plan.contains("BroadcastHashJoin"),
