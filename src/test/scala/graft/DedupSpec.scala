@@ -434,6 +434,18 @@ class DedupSpec extends SparkTestBase {
     assert(m.map(_._3).sum == nPairs)
   }
 
+  test("calibration artifact equals the defining computation and builds once") {
+    // #83b re-reads the same frame #83 serves — the artifact must be
+    // row-for-row the direct computation, and a second touch must not
+    // re-pay the corpus-scanning build
+    val direct = DedupOps.minhashCalibrationDirect(spark, sf)
+    val served = DedupOps.minhashCalibShared(spark, sf)
+    assert(served.count() === direct.count())
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
+    assert(DedupOps.minhashCalibShared(spark, sf).inputFiles.toSet ===
+      served.inputFiles.toSet, "second touch must serve the same files")
+  }
+
   test("minhash calibration covers the LSH candidates and agrees with the kept pairs") {
     val cal = DedupOps.minhashCalibration(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
