@@ -175,9 +175,6 @@ object DedupOps {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairsShared(spark, sfDir).orderBy($"doc_a", $"doc_b")
 
-  private val pairsIndex = new graft.tools.Materialize.SupersedingCache[
-    (String, org.apache.spark.sql.types.StructType)]
-
   private val bandsIndex = new graft.tools.Materialize.SupersedingCache[
     (String, org.apache.spark.sql.types.StructType)]
 
@@ -249,18 +246,17 @@ object DedupOps {
     * amortization (and supersede-eviction) as the IVF index; at 100 TB
     * the pairs frame is the production artifact a pipeline writes out
     * anyway before clustering. */
-  private[operators] def minhashPairsShared(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
-    // the schema rides the cache entry: explicit because a dedup-clean
-    // corpus writes an EMPTY frame (no part files → inference fails),
-    // cached because re-deriving it would analyze the whole candidate
-    // plan on every steady-state call
-    val (path, schema) = pairsIndex.getOrBuild(sfDir, fp) {
-      val pairs = minhashPairs(spark, sfDir)
-      (graft.tools.Materialize.writeParquet(pairs, "minhash-pairs"), pairs.schema)
-    }
-    spark.read.schema(schema).parquet(path)
-  }
+  /** The verified J ≥ 1/2 near-dup pairs, served as a FILTER over the
+    * [[minhashCalibShared]] artifact (which stores the unfiltered
+    * per-candidate n_common/n_union): the expensive candidate × gram
+    * verify join runs ONCE per corpus fingerprint for BOTH the dedup
+    * pipeline and the estimator-calibration reports, instead of once
+    * each. The filter is bit-for-bit [[verifyJaccard]]'s bar applied
+    * to the stored exact counts, so the pair set is unchanged. */
+  private[operators] def minhashPairsShared(spark: SparkSession, sfDir: String): DataFrame =
+    minhashCalibShared(spark, sfDir)
+      .filter($"n_common" * 2 >= $"n_union")
+      .select($"doc_a", $"doc_b", $"n_common", $"n_union")
 
   /** #69 Cross-source duplication matrix: for every near-dup pair,
     * which (source, source) combination produced it — the provenance
@@ -595,9 +591,10 @@ object DedupOps {
       .filter($"n_common" * 2 >= $"n_union")
 
   /** Band-collision candidate pairs (doc_a < doc_b, distinct) — the
-    * LSH output shared by [[minhashPairs]] and
-    * [[minhashCalibration]], so "candidate" means the same thing to
-    * the dedup pipeline and to the estimator audit of it. */
+    * LSH output behind the [[minhashCalibShared]] build, so
+    * "candidate" means the same thing to the dedup pipeline
+    * ([[minhashPairsShared]] filters the same table) and to the
+    * estimator audit of it. */
   private def minhashCands(spark: SparkSession, sfDir: String): DataFrame =
     // ONE pass over the signatures: group each band bucket, expand its
     // doc list to ordered pairs. Equivalent to the band self-join but
@@ -613,13 +610,6 @@ object DedupOps {
       .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
       .distinct()
 
-  /** [[dedupMinhash]] without the presentation sort — the edge-list
-    * subtree behind [[minhashPairsShared]]. */
-  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val gs = gramSets(spark, sfDir, VerifyGram)
-    verifyJaccard(minhashCands(spark, sfDir), gs, gs, "doc_a", "doc_b")
-  }
-
   /** #83 MinHash estimator calibration: for every LSH candidate pair,
     * the signature-estimated Jaccard (matching positions over
     * [[numHashes]], e4) next to the TRUE 2-gram Jaccard and their
@@ -633,21 +623,41 @@ object DedupOps {
     * higher-order function. */
   private[graft] def minhashCalibrationDirect(spark: SparkSession,
       sfDir: String): DataFrame = {
+    // Materialize the candidate pairs once: the subtree feeds the
+    // verify join AND the id-prune broadcasts below, and re-running
+    // the band groupBy + pair expansion three times would triple the
+    // candidate cost for nothing. Pairs-bounded by the parquetRoundTrip
+    // contract (the sublinear LSH output; #142's band-occupancy audit
+    // is the standing blowup alarm).
+    val cand = graft.tools.Materialize.parquetRoundTrip(
+      minhashCands(spark, sfDir), "minhash-cands")
+    // Semi-join prune BOTH corpus-wide verify inputs (gram sets and
+    // signatures) to docs that actually appear in a candidate pair
+    // before the equi joins: an inner join discards non-candidate
+    // docs anyway, but without the prune the sort-merge join sorts
+    // the ENTIRE corpus gram-array table (measured: tens of GB of
+    // sort spill at sf100 for a candidate set touching <20% of docs).
+    // The id list is 2·|cand| longs — broadcastable by the same
+    // sublinearity bound as the candidate frame itself.
+    val candIds = cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
     val sigs = Tables.documents(spark, sfDir)
       .withColumn("sig",
         graft.functions.TextHash.minhashSig($"text", VerifyGram, numHashes))
       .filter(element_at($"sig", 1) =!= Long.MaxValue)
       .select($"doc_id", $"sig")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val nMatch = (0 until numHashes).map { i =>
       when(element_at($"sig_a", i + 1) === element_at($"sig_b", i + 1), 1L)
         .otherwise(0L)
     }.reduce(_ + _)
     val gs = gramSets(spark, sfDir, VerifyGram)
-    jaccardCounts(minhashCands(spark, sfDir), gs, gs, "doc_a", "doc_b")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    jaccardCounts(cand, gs, gs, "doc_a", "doc_b")
       .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
       .withColumn("n_match", nMatch)
-      .select($"doc_a", $"doc_b",
+      .select($"doc_a", $"doc_b", $"n_common", $"n_union",
         expr(s"n_match * 10000 div $numHashes").as("est_e4"),
         expr("n_common * 10000 div n_union").as("exact_e4"))
       .withColumn("err_e4", $"est_e4" - $"exact_e4")
@@ -675,7 +685,12 @@ object DedupOps {
   }
 
   def minhashCalibration(spark: SparkSession, sfDir: String): DataFrame =
-    minhashCalibShared(spark, sfDir).orderBy($"doc_a", $"doc_b")
+    // project the report's 5 columns: the artifact additionally stores
+    // the raw n_common/n_union so [[minhashPairsShared]] can serve the
+    // dedup pair set from the same build
+    minhashCalibShared(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"est_e4", $"exact_e4", $"err_e4")
+      .orderBy($"doc_a", $"doc_b")
 
   /** #117 Near-dup pair degree histogram: for every doc appearing in
     * a near-dup pair, its partner count, bucketed into (degree →

@@ -281,8 +281,11 @@ class PlanSpec extends SparkTestBase {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.toString)
       }.flatten
-      assert(scanPaths.exists(_.contains("minhash-pairs")),
-        s"q_dedup_minhash must read the shared materialized pairs artifact; scans: $scanPaths")
+      // since r13 the pair set is a filter over the calibration
+      // artifact (one verify join per corpus for dedup AND the
+      // calibration reports) — the steady-state scan is minhash-calib
+      assert(scanPaths.exists(_.contains("minhash-calib")),
+        s"q_dedup_minhash must read the shared materialized calibration artifact; scans: $scanPaths")
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
