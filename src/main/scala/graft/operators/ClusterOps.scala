@@ -348,15 +348,15 @@ object ClusterOps {
     * — [[DedupOps.dedupEmbeddingLshOr]]'s OR-construction pairs
     * (cos ≥ 0.4) instead of the MinHash text pairs. Completes the
     * embedding dedup family the way #50 completed #39: pairs are only
-    * half the story, the pipeline drops docs per CLUSTER. No
-    * materialized artifact here (unlike the MinHash pairs): the
-    * embedding pair subtree has no text re-hash or verify join to
-    * amortize — it recomputes in seconds at sf10 — and the adaptive
-    * [[connectedComponents]] sees only the pair projection either
-    * way. */
+    * half the story, the pipeline drops docs per CLUSTER. Reads the
+    * [[DedupOps.embOrPairsShared]] artifact (r13: the subtree
+    * measured ~31 s at sf100 and two consumers paid it — same
+    * two-consumer justification as the MinHash pairs artifact); the
+    * adaptive [[connectedComponents]] sees only the pair
+    * projection. */
   def embedCluster(spark: SparkSession, sfDir: String): DataFrame =
     connectedComponents(
-      DedupOps.dedupEmbeddingLshOr(spark, sfDir).select($"vec_a", $"vec_b"),
+      DedupOps.embOrPairsShared(spark, sfDir).select($"vec_a", $"vec_b"),
       "vec_a", "vec_b")
       .select($"id".as("vec_id"), $"label".as("cluster_id"),
         when($"id" === $"label", 1L).otherwise(0L).as("keep"))

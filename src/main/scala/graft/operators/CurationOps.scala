@@ -210,16 +210,15 @@ object CurationOps {
     * lives. Train-side contamination biases training; VAL/TEST-side
     * contamination silently invalidates the eval itself, so the two
     * readings demand different responses (drop docs vs re-draw the
-    * benchmark). Pure composition: the broadcast-gated scoring
-    * subtree (shared `gramHits` / `benchGramSet` definitions) joined
-    * LEFT onto the split map so clean splits report a zero row, one
+    * benchmark). Pure composition: the [[deconHitsShared]] artifact
+    * (the one `gramHits`/`benchGramSet` scoring build) joined LEFT
+    * onto the split map so clean splits report a zero row, one
     * 3-group partial agg. */
   def deconBySplit(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val corpus = splitFrame(spark, sfDir)
       .filter($"doc_id" % DecontMod =!= 0L).select($"doc_id", $"split")
-    val hits = gramHits(docs.filter($"doc_id" % DecontMod =!= 0L),
-        benchGramSet(docs))
+    val hits = deconHitsShared(spark, sfDir)
       .select($"doc_id", lit(1L).as("hit"))
     corpus.join(hits, Seq("doc_id"), "left")
       .groupBy($"split")
@@ -253,10 +252,31 @@ object CurationOps {
     * the broadcast join; only contaminated grams reach the per-doc
     * count aggregation. Output: contaminated docs and how many
     * distinct benchmark grams they hit. */
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    gramHits(docs.filter($"doc_id" % DecontMod =!= 0L), benchGramSet(docs))
-      .orderBy($"doc_id")
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    deconHitsShared(spark, sfDir).orderBy($"doc_id")
+
+  private val deconHitsCache = new graft.tools.Materialize.SupersedingCache[
+    (String, org.apache.spark.sql.types.StructType)]
+
+  /** #51's per-doc contaminated-gram counts materialized ONCE per
+    * corpus fingerprint — hit-docs-bounded (only contaminated docs
+    * appear), but its build pays the full corpus gram explode +
+    * broadcast bench join, which FOUR batch reports otherwise re-ran
+    * independently (#51, #51c, #51d, #101's closure; sf100 ≈ 30 s of
+    * gram scan each). Same build-once/probe-many pattern as the
+    * bands/calibration artifacts; the streaming gate keeps the live
+    * [[gramHits]] definition (a stream has no fingerprint). */
+  private[graft] def deconHitsShared(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val fp = graft.tools.Materialize.fingerprint(
+      spark, s"$sfDir/documents.parquet")
+    val (path, schema) = deconHitsCache.getOrBuild(sfDir, fp) {
+      val docs = Tables.documents(spark, sfDir)
+      val h = gramHits(docs.filter($"doc_id" % DecontMod =!= 0L),
+        benchGramSet(docs))
+      (graft.tools.Materialize.writeParquet(h, "decon-hits"), h.schema)
+    }
+    spark.read.schema(schema).parquet(path)
   }
 
   /** The distinct benchmark gram set of [[decontaminate]] — shared by
@@ -343,7 +363,7 @@ object CurationOps {
     * the (pair-bounded) label frame. The corpus is never re-scanned
     * here beyond the two shared subtrees. */
   def decontaminateClosure(spark: SparkSession, sfDir: String): DataFrame = {
-    val hits = decontaminate(spark, sfDir).select($"doc_id", $"n_hit")
+    val hits = deconHitsShared(spark, sfDir).select($"doc_id", $"n_hit")
     val labels = ClusterOps.dedupCluster(spark, sfDir)
       .select($"doc_id", $"cluster_id")
     val dirty = labels.join(hits, Seq("doc_id"))
@@ -888,14 +908,15 @@ object CurationOps {
   /** #51d Contamination-entry trend: the #51 decontamination hits
     * re-keyed by #104 ingestion slice — WHEN the benchmark overlap
     * entered the corpus (one poisoned batch vs a steady leak decides
-    * whether to drop a drop or fix a pipeline); shared [[gramHits]] /
-    * [[benchGramSet]] scoring (one definition with #51/#51b), LEFT
-    * side is every non-benchmark doc so clean slices report zero;
-    * bounded slice agg, id bounds broadcast. */
+    * whether to drop a drop or fix a pipeline); reads the
+    * [[deconHitsShared]] artifact (ONE `gramHits`/`benchGramSet`
+    * scoring build shared with #51/#51c/#101), LEFT side is every
+    * non-benchmark doc so clean slices report zero; bounded slice
+    * agg, id bounds broadcast. */
   def deconTrend(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter($"doc_id" % DecontMod =!= 0L)
-    val hits = gramHits(corpus, benchGramSet(docs))
+    val hits = deconHitsShared(spark, sfDir)
     val bounds = docs.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
     corpus.select($"doc_id")
       .join(hits, Seq("doc_id"), "left")
@@ -926,7 +947,18 @@ object CurationOps {
     * stages THEMSELVES — [[benchGramSet]]/[[gramHits]] with the
     * width parameterized, one definition — reduced to a 1-row agg;
     * the sweep unions the bounded rows, and legs are independent (a
-    * calibration run schedules them in parallel). */
+    * calibration run schedules them in parallel).
+    *
+    * r13 measured two "one scan per side, all widths" rewrites and
+    * REJECTED both (numbers in NOTES): a higher-order
+    * transform-into-structs stream (258 s full-compute at sf100 —
+    * interpreted per element) and a codegen'd packed-long tag stream
+    * (142 s). The union-of-legs form runs the SAME work in ~46 s
+    * because Spark schedules the four independent legs' stages
+    * CONCURRENTLY, overlapping each leg's broadcast build with the
+    * other legs' scans — a single fused stream serializes behind one
+    * 4×-bigger broadcast build instead. The legs ARE the parallel
+    * schedule. */
   def deconWidthSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     DeconWidths.map { w =>
@@ -1320,13 +1352,25 @@ object CurationOps {
 
   /** #73b Chunk-level exact dedup stats: how many chunks repeat
     * verbatim across the corpus (boilerplate headers/footers show up
-    * here long before doc-level dedup sees them). One partial-agg'd
-    * shuffle on the uniform chunk hash. */
+    * here long before doc-level dedup sees them). ONE shuffle on the
+    * uniform chunk hash: the countDistinct(doc_id) would otherwise
+    * plan Spark's generic two-phase distinct — a second full exchange
+    * of the (chunk_hash, doc_id) pairs keyed (chunk_hash, doc_id) —
+    * but hash-partitioning by chunk_hash alone already satisfies BOTH
+    * aggregation levels (ClusteredDistribution on a superset key), so
+    * the explicit repartition + two-level agg computes the identical
+    * (count, distinct-doc count, min) with half the exchanges. The
+    * per-(hash, doc) level is exact: sum of its counts = total chunk
+    * occurrences, its row count = distinct docs. */
   def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
-    chunkDocs(spark, sfDir)
+    chunkFrame(Tables.documents(spark, sfDir))
+      .select($"doc_id", $"chunk_hash")
+      .repartition($"chunk_hash")
+      .groupBy($"chunk_hash", $"doc_id")
+      .agg(count(lit(1)).as("n"))
       .groupBy($"chunk_hash")
-      .agg(count(lit(1)).as("n_chunks"),
-        countDistinct($"doc_id").as("n_docs"),
+      .agg(sum($"n").as("n_chunks"),
+        count(lit(1)).as("n_docs"),
         min($"doc_id").as("first_doc"))
       .filter($"n_chunks" > 1)
       .orderBy($"chunk_hash")

@@ -213,8 +213,14 @@ object TextOps {
   def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val terms = docs.select($"doc_id", explode(tokens($"text")).as("term"))
-    val df = terms.distinct().groupBy($"term").agg(count(lit(1)).as("df"))
+    // per-doc term dedup is LOCAL (array_distinct before the explode)
+    // — the old explode-then-distinct shape shuffled the full
+    // (doc_id, term) occurrence stream just to drop within-doc
+    // repeats; same df by definition (docs containing the term), one
+    // vocab-bounded partial-agg exchange instead of a corpus-scale
+    // distinct exchange + a second agg exchange
+    val df = docs.select(explode(array_distinct(tokens($"text"))).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // filter BEFORE the explode: Catalyst does not push predicates
     // through Generate, so filtering `terms` would read+tokenize the

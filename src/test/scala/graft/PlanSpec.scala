@@ -70,8 +70,12 @@ class PlanSpec extends SparkTestBase {
 
   test("q_dedup_embedding_or joins on equi keys and reuses the keyed exchange") {
     // OR-construction must stay an equi-join on (t, bucket) — never a
-    // product — at any scale
-    val plan = fullPlanString("q_dedup_embedding_or")
+    // product — at any scale. Since r13 the query key serves from the
+    // emb-or-pairs artifact, so the pin inspects the DEFINING build
+    // subtree (the plan that actually runs once per corpus) directly.
+    def buildPlan: String = graft.operators.DedupOps
+      .embOrPairsDirect(spark, sf).queryExecution.executedPlan.toString
+    val plan = buildPlan
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       "OR-construction must never plan a product")
@@ -87,12 +91,15 @@ class PlanSpec extends SparkTestBase {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      assert(fullPlanString("q_dedup_embedding_or").contains("ReusedExchange"),
+      assert(buildPlan.contains("ReusedExchange"),
         "self-join sides must share one exchange in the shuffle regime")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
     }
+    // and the steady-state query key is a pure artifact scan
+    assert(fullPlanString("q_dedup_embedding_or").contains("emb-or-pairs"),
+      "q_dedup_embedding_or must serve from the materialized pair artifact")
   }
 
   test("q_order_nation broadcasts both dimension tables") {
