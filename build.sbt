@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r14 driver-contract fix: with the default LoggedOutput strategy sbt
+// relays the forked JVM's stdout through its logger, prefixing every
+// line with "[info] " — which is why the driver's bench parse came
+// back "parsed": null in ALL 13 prior rounds (BENCH_r01's 2000-char
+// stdout tail contains the COMPLETE canonical JSON line, prefixed,
+// unparsed). StdoutOutput inherits the process streams instead, so
+// graft.Bench's contract line lands on stdout RAW.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

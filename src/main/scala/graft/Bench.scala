@@ -62,12 +62,21 @@ object Bench {
     // BENCH_ONLY.
     val auditOnly = Set("q_dedup_embedding", "q_decon_embedding")
     val withAudit = sys.env.get("SPARK_GRAFT_BENCH_AUDIT").contains("1")
+    // SPARK_GRAFT_BENCH_COLD=1 (r14, VERDICT r13 #6): time a SINGLE
+    // attempt per query instead of best-of-2. In a fresh JVM that is
+    // the run-each-query-once COLD regime: every artifact family's
+    // build cost lands on its first consumer exactly once (best-of-2
+    // pays builds inside the discarded first attempt, so the default
+    // numbers are steady-state serves). Default behavior unchanged —
+    // the driver's bench stays best-of-2, methodology identical to
+    // every prior round.
+    val coldAttempts = if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")) 1 else 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) =>
         withAudit || only.exists(_.contains(name)) || !auditOnly.contains(name) }
       .map { case (name, fn) =>
-      val attempts = (1 to 2).map { _ =>
+      val attempts = (1 to coldAttempts).map { _ =>
         resetSession()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -105,14 +114,30 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).map(round3).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Canonical contract line FIRST. The driver keeps only a bounded
-    // (~2 KB) stdout TAIL and parses JSON lines found inside it; at
-    // 200+ queries this line is ~5.6 KB, so on its own the tail starts
-    // MID-LINE and "parsed" comes back empty (BENCH_r09.json). After
-    // it, re-emit the same data as small self-contained chunk lines so
-    // whatever window the tail lands on always contains complete,
-    // parseable JSON — and persist the full snapshot to bench_out.json
-    // as the artifact of record.
+    // Output layout (r14 analysis — every prior round's "parsed":
+    // null traces to sbt's "[info] " logger prefix, fixed by the
+    // build's StdoutOutput; the ordering below already dominates
+    // under every parser the driver could plausibly run):
+    //   1. canonical contract line (full queries map, ~5.6 KB) — a
+    //      whole-stream scan for the first/only total+queries line
+    //      gets complete per-query data;
+    //   2. small self-contained "part" chunk lines — whatever window
+    //      a bounded stdout TAIL lands on contains complete JSON;
+    //   3. a short totals line (no queries map, fits any tail) — a
+    //      last-JSON-line parser still recovers the total.
+    // Emitting the canonical line LAST instead would leave a
+    // 2000-char tail holding only its unparseable mid-line fragment.
+    // bench_out.json persists the canonical line as the artifact of
+    // record. All three prints run AFTER spark.stop(): if the caller
+    // merges stderr into stdout, Spark's shutdown messages must not
+    // land between (or after) the JSON lines.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_out.json write failed: $e") }
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: $e") }
     println(line)
     val chunked = results.grouped(20).toSeq
     chunked.zipWithIndex.foreach { case (c, i) =>
@@ -121,10 +146,5 @@ object Bench {
       println(s"""{"metric":"part","i":${i + 1},"n":${chunked.size},"queries":$cq}""")
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] bench_out.json write failed: $e") }
-    spark.stop()
   }
 }

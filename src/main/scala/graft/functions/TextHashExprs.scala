@@ -33,6 +33,239 @@ object TextHash {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Per-thread scratch state for the byte-level kernels below (r14,
+    * guide §4 "per-task work"): one MD5 instance with a reusable
+    * 16-byte output buffer, growable token-boundary arrays, and a
+    * generation-stamped open-address table for 128-bit gram dedup.
+    * Everything here exists to make the per-ROW cost of the hot text
+    * expressions allocation-free: the legacy `*Jvm` paths decode the
+    * UTF8String to a java String (full copy), allocate a String per
+    * token, RE-ENCODE each token/gram back to UTF-8 for md5, and
+    * allocate a fresh 16-byte digest array per hash — pure churn,
+    * since the UTF8String already holds the exact UTF-8 bytes md5
+    * needs. The byte kernels hash slices of the original buffer
+    * directly. Semantics are bit-identical on all VALID UTF-8 input
+    * (parquet string columns are valid UTF-8 by spec; the String
+    * round-trip would only differ by U+FFFD replacement on invalid
+    * bytes, which cannot occur here) — FunctionsSpec drives the
+    * byte kernels against the legacy string forms over random
+    * unicode/multi-space/empty inputs. */
+  private final class Scratch {
+    val md: MessageDigest = MessageDigest.getInstance("MD5")
+    val d16 = new Array[Byte](16)
+    var tokOff = new Array[Int](64)
+    var tokLen = new Array[Int](64)
+    // open-address dedup table keyed by the FULL 128-bit md5 (not the
+    // 60-bit output hash: a 60-bit birthday collision is plausible at
+    // corpus scale and dedup-by-output would silently drop the second
+    // gram; two DISTINCT grams sharing a full md5 do not occur outside
+    // crafted collisions). Generation stamps avoid an O(table) clear
+    // per document.
+    var tblHi = new Array[Long](0)
+    var tblLo = new Array[Long](0)
+    var tblStamp = new Array[Int](0)
+    var gen = 0
+    var mask = 0
+
+    /** Split `b[0,len)` on the space byte 0x20 (identical boundaries
+      * to String.split(" ") on valid UTF-8: 0x20 never occurs inside
+      * a multi-byte sequence), empties dropped. Fills tokOff/tokLen,
+      * returns the token count. */
+    def tokenize(b: Array[Byte], len: Int): Int = {
+      var n = 0
+      var i = 0
+      while (i < len) {
+        if (b(i) != ' ') {
+          val s = i
+          while (i < len && b(i) != ' ') i += 1
+          if (n == tokOff.length) {
+            tokOff = java.util.Arrays.copyOf(tokOff, n * 2)
+            tokLen = java.util.Arrays.copyOf(tokLen, n * 2)
+          }
+          tokOff(n) = s
+          tokLen(n) = i - s
+          n += 1
+        } else i += 1
+      }
+      n
+    }
+
+    /** Prepare the dedup table for ≤ `capacityHint` insertions. */
+    def resetTable(capacityHint: Int): Unit = {
+      var cap = 16
+      while (cap < capacityHint * 2) cap <<= 1
+      if (tblStamp.length < cap) {
+        tblHi = new Array[Long](cap)
+        tblLo = new Array[Long](cap)
+        tblStamp = new Array[Int](cap)
+        gen = 1
+      } else {
+        gen += 1
+        if (gen == 0) { java.util.Arrays.fill(tblStamp, 0); gen = 1 }
+      }
+      mask = tblStamp.length - 1
+    }
+
+    /** Insert (hi, lo); true iff newly inserted. */
+    def insert(hi: Long, lo: Long): Boolean = {
+      var i = (hi ^ (hi >>> 33)).toInt & mask
+      while (true) {
+        if (tblStamp(i) != gen) {
+          tblHi(i) = hi; tblLo(i) = lo; tblStamp(i) = gen
+          return true
+        }
+        if (tblHi(i) == hi && tblLo(i) == lo) return false
+        i = (i + 1) & mask
+      }
+      false
+    }
+
+    /** md5 of the n-gram starting at token `i` (tokens joined by one
+      * space), streamed straight from the document's byte buffer into
+      * [[d16]] — no gram string, no encode, no per-call allocation. */
+    def md5Gram(b: Array[Byte], i: Int, n: Int): Unit = {
+      md.update(b, tokOff(i), tokLen(i))
+      var o = 1
+      while (o < n) {
+        md.update(' '.toByte)
+        md.update(b, tokOff(i + o), tokLen(i + o))
+        o += 1
+      }
+      md.digest(d16, 0, 16)
+    }
+
+    def digestHi: Long =
+      ((d16(0) & 0xffL) << 56) | ((d16(1) & 0xffL) << 48) |
+        ((d16(2) & 0xffL) << 40) | ((d16(3) & 0xffL) << 32) |
+        ((d16(4) & 0xffL) << 24) | ((d16(5) & 0xffL) << 16) |
+        ((d16(6) & 0xffL) << 8) | (d16(7) & 0xffL)
+
+    def digestLo: Long =
+      ((d16(8) & 0xffL) << 56) | ((d16(9) & 0xffL) << 48) |
+        ((d16(10) & 0xffL) << 40) | ((d16(11) & 0xffL) << 32) |
+        ((d16(12) & 0xffL) << 24) | ((d16(13) & 0xffL) << 16) |
+        ((d16(14) & 0xffL) << 8) | (d16(15) & 0xffL)
+  }
+
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** Byte-level [[gramHashesJvm]]: distinct hashed word n-grams in
+    * first-occurrence order, md5-streamed from the UTF8String's bytes
+    * (dedup on the full 128-bit md5 — see [[Scratch]]). */
+  def gramHashesBytes(text: UTF8String, n: Int): Array[Long] = {
+    val s = scratch.get()
+    val b = text.getBytes
+    val nt = s.tokenize(b, b.length)
+    if (nt < n) return Array.emptyLongArray
+    val maxG = nt - n + 1
+    s.resetTable(maxG)
+    val out = new Array[Long](maxG)
+    var k = 0
+    var i = 0
+    while (i < maxG) {
+      s.md5Gram(b, i, n)
+      val hi = s.digestHi
+      if (s.insert(hi, s.digestLo)) { out(k) = hi >>> 4; k += 1 }
+      i += 1
+    }
+    if (k == maxG) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  // A byte-level gramStrings variant (md5-table dedup instead of the
+  // LinkedHashSet) was built and MEASURED SLOWER at sf10
+  // (q_ngram_topk 12.67 → 13.18 s): when the output is the gram
+  // STRING, dedup by string hash is cheaper than an md5 per gram —
+  // md5 only pays for itself when the hash itself is the output
+  // (gramHashesBytes) or feeds the signature math (minhashSigBytes).
+  // Reverted; the legacy gramsJvm path below stays the gramStrings
+  // implementation.
+
+  /** Byte-level chunk hashes (r14): hash60 of every overlapping
+    * `width`-token window starting at 0, stride, 2·stride, … < n_tokens
+    * (the [[graft.operators.CurationOps.chunkFrame]] grid — the final
+    * window is short when fewer than `width` tokens remain), each
+    * md5-streamed straight from the document's bytes. Replaces the
+    * `hash60(array_join(slice(tokens(text), …), " "))` chain for
+    * consumers that need ONLY the hashes: one tokenize pass and zero
+    * per-chunk string materialization instead of an array<string>
+    * build + slice + join + UTF-8 re-encode per chunk. Empty array for
+    * token-less docs (the chain's `filter(n_tokens >= 1)` +
+    * explode(sequence(..)) emits nothing for them). */
+  def chunkHashesBytes(text: UTF8String, width: Int, stride: Int): Array[Long] = {
+    val s = scratch.get()
+    val b = text.getBytes
+    val nt = s.tokenize(b, b.length)
+    if (nt == 0) return Array.emptyLongArray
+    val nChunks = (nt - 1) / stride + 1
+    val out = new Array[Long](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val w = if (width < nt - start) width else nt - start
+      s.md5Gram(b, start, w)
+      out(c) = s.digestHi >>> 4
+      c += 1
+    }
+    out
+  }
+
+  /** Byte-level [[simhashJvm]]: per-token md5 streamed from the
+    * document buffer, branchless per-bit counter update. */
+  def simhashBytes(text: UTF8String, bits: Int): Long = {
+    val s = scratch.get()
+    val b = text.getBytes
+    val nt = s.tokenize(b, b.length)
+    if (nt == 0) return -1L
+    val v = new Array[Int](bits)
+    var i = 0
+    while (i < nt) {
+      s.md.update(b, s.tokOff(i), s.tokLen(i))
+      s.md.digest(s.d16, 0, 16)
+      val h = s.digestHi >>> 4
+      var bb = 0
+      while (bb < bits) {
+        v(bb) += ((((h >>> bb) & 1L) << 1) - 1L).toInt
+        bb += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bb = 0
+    while (bb < bits) { if (v(bb) > 0) out |= (1L << bb); bb += 1 }
+    out
+  }
+
+  /** Byte-level [[minhashSigJvm]]. Gram DEDUP is intentionally
+    * skipped: sig_i = min over grams of a permuted hash, and the min
+    * of a multiset equals the min of its support — duplicate grams
+    * cannot change any signature slot, so the distinct pass the
+    * legacy form inherited from [[gramHashesJvm]] was pure cost. */
+  def minhashSigBytes(text: UTF8String, n: Int,
+      pa: Array[Long], pb: Array[Long]): Array[Long] = {
+    val s = scratch.get()
+    val b = text.getBytes
+    val nt = s.tokenize(b, b.length)
+    val k = pa.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (nt < n) return sig
+    val maxG = nt - n + 1
+    var gi = 0
+    while (gi < maxG) {
+      s.md5Gram(b, gi, n)
+      val hm = (s.digestHi >>> 4) % TextFunctions.MinhashP
+      var i = 0
+      while (i < k) {
+        val v = (pa(i) * hm + pb(i)) % TextFunctions.MinhashP
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      gi += 1
+    }
+    sig
+  }
+
   /** First 15 hex digits of md5(s) as a non-negative long. */
   def hash60Jvm(s: String): Long = {
     val d = digest.get().digest(s.getBytes("UTF-8"))
@@ -151,7 +384,7 @@ object TextHash {
   // ---- called from both generated Java and the interpreted evals ----
 
   def gramHashesData(text: UTF8String, n: Int): ArrayData =
-    new GenericArrayData(gramHashesJvm(text.toString, n))
+    new GenericArrayData(gramHashesBytes(text, n))
 
   def gramStringsData(text: UTF8String, n: Int): ArrayData = {
     val seen = gramsJvm(text.toString, n)
@@ -163,7 +396,7 @@ object TextHash {
   }
 
   def simhashData(text: UTF8String, bits: Int): Long =
-    simhashJvm(text.toString, bits)
+    simhashBytes(text, bits)
 
   /** Single-pass equivalent of the #85 normalization pipeline
     * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]",
@@ -273,23 +506,8 @@ object TextHash {
       k: Int): ArrayData =
     new GenericArrayData(dfPrefixJvm(gs.toLongArray(), hot, rank, k))
 
-  def minhashSigData(text: UTF8String, n: Int, pa: Array[Long], pb: Array[Long]): ArrayData = {
-    val gs = gramHashesJvm(text.toString, n)
-    val k = pa.length
-    val sig = Array.fill(k)(Long.MaxValue)
-    var gi = 0
-    while (gi < gs.length) {
-      val hm = gs(gi) % TextFunctions.MinhashP
-      var i = 0
-      while (i < k) {
-        val v = (pa(i) * hm + pb(i)) % TextFunctions.MinhashP
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-      gi += 1
-    }
-    new GenericArrayData(sig)
-  }
+  def minhashSigData(text: UTF8String, n: Int, pa: Array[Long], pb: Array[Long]): ArrayData =
+    new GenericArrayData(minhashSigBytes(text, n, pa, pb))
 
   def gramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(GramHashesExpr(ColumnBridge.expression(text), n))
@@ -298,6 +516,14 @@ object TextHash {
     * output is the human-readable gram, e.g. vocabulary profiling. */
   def gramStrings(text: Column, n: Int): Column =
     ColumnBridge.column(GramStringsExpr(ColumnBridge.expression(text), n))
+
+  def chunkHashesData(text: UTF8String, width: Int, stride: Int): ArrayData =
+    new GenericArrayData(chunkHashesBytes(text, width, stride))
+
+  /** hash60 of every width-token window at the given stride — see
+    * [[chunkHashesBytes]]. */
+  def chunkHashes(text: Column, width: Int, stride: Int): Column =
+    ColumnBridge.column(ChunkHashesExpr(ColumnBridge.expression(text), width, stride))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountExpr(
@@ -334,6 +560,19 @@ case class GramHashesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): GramHashesExpr =
     copy(child = c)
   override def prettyName: String = "gram_hashes"
+}
+
+case class ChunkHashesExpr(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(text: Any): Any =
+    TextHash.chunkHashesData(text.asInstanceOf[UTF8String], width, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.chunkHashesData($c, $width, $stride);")
+  override protected def withNewChildInternal(c: Expression): ChunkHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "chunk_hashes"
 }
 
 case class GramStringsExpr(child: Expression, n: Int)

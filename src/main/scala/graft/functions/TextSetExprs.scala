@@ -54,6 +54,62 @@ object TextSetExprs {
     ColumnBridge.column(OrderedPairsExpr(
       ColumnBridge.expression(ids.cast("array<bigint>"))))
 
+  /** r14 fusion of dedupNgram's packed candidate-pair stage (guide §4:
+    * kill per-row allocation in the hot path). Semantically identical
+    * to the chain it replaces —
+    * `explode(orderedPairs(ids))` → size-compatibility filter →
+    * re-pack both sides into one agg key — but emits the final packed
+    * longs directly as one primitive array per bucket, where the old
+    * chain allocated a struct row per candidate pair (2 boxed longs +
+    * a GenericInternalRow each) just to unpack, filter, and re-pack it
+    * in the next two operators. Inputs are pids = doc_id·packN + size
+    * (non-negative by the caller's scan guard); for each unordered
+    * pair with pidA < pidB it emits
+    * `((docA·32 + min(sa,31)) << 32) | (docB·32 + min(sb,31))`
+    * iff max(sa,sb) ≤ 2·min(sa,sb), exactly the old pipeline's
+    * arithmetic. */
+  def packedCandPairs(ids: Column, packN: Long): Column =
+    ColumnBridge.column(PackedCandPairsExpr(
+      ColumnBridge.expression(ids.cast("array<bigint>")), packN))
+
+  def packedCandPairsData(ids: ArrayData, packN: Long): ArrayData = {
+    val n = ids.numElements()
+    val cap = java.lang.Math.toIntExact(n.toLong * (n - 1) / 2)
+    val out = new Array[Long](cap)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      // NULL slots emit nothing (same contract as orderedPairs)
+      if (!ids.isNullAt(i)) {
+        val a = ids.getLong(i)
+        var j = i + 1
+        while (j < n) {
+          if (!ids.isNullAt(j)) {
+            val b = ids.getLong(j)
+            if (a != b) {
+              val lo = if (a < b) a else b
+              val hi = if (a < b) b else a
+              val sa = lo % packN
+              val sb = hi % packN
+              val mx = if (sa > sb) sa else sb
+              val mn = if (sa > sb) sb else sa
+              if (mx <= mn * 2) {
+                out(k) = (((lo / packN) * 32L +
+                    (if (sa < 31L) sa else 31L)) << 32) |
+                  ((hi / packN) * 32L + (if (sb < 31L) sb else 31L))
+                k += 1
+              }
+            }
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (k == cap) out else java.util.Arrays.copyOf(out, k))
+  }
+
   // codegen kernels (static forwarders; called from generated Java and
   // the interpreted eval paths)
   def orderedPairsData(ids: ArrayData): ArrayData = {
@@ -157,6 +213,23 @@ case class OrderedPairsExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): OrderedPairsExpr =
     copy(child = c)
   override def prettyName: String = "ordered_pairs"
+}
+
+/** [[TextSetExprs.packedCandPairs]] — input must already be
+  * array<bigint> of non-negative packed pids (the construction helper
+  * inserts the cast; dedupNgram's scan-time guard enforces the
+  * domain). */
+case class PackedCandPairsExpr(child: Expression, packN: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    TextSetExprs.packedCandPairsData(a.asInstanceOf[ArrayData], packN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSetExprs.packedCandPairsData($c, ${packN}L);")
+  override protected def withNewChildInternal(c: Expression): PackedCandPairsExpr =
+    copy(child = c)
+  override def prettyName: String = "packed_cand_pairs"
 }
 
 case class CountInSetExpr(child: Expression, markers: Seq[String])

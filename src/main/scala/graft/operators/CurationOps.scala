@@ -1112,10 +1112,26 @@ object CurationOps {
     * pattern; vocab is bounded, but O(k) beats O(vocab)). */
   def tokenDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, newStringEncoder}
+    // r14: the plan used to reference this subtree FOUR times
+    // (srcTot, tokTot, grand, and the final join) and ReuseExchange
+    // never fires across them — the join branches carry inferred
+    // isnotnull filters below the agg that the standalone branches
+    // lack, so the canonical subtrees differ and the corpus-wide
+    // tokenize+explode+agg ran four times (4 documents scans in
+    // plans/r14/q_token_drift_before.txt). A persist() of bySrc was
+    // measured WORSE at sf10 (7.23 → 8.88 s — caching serializes the
+    // four legs that otherwise schedule concurrently, the recorded
+    // q_decon_widths lesson). Instead srcTot/grand come from a
+    // CHEAP scan: per-source token totals are Σ size(tokens(text)) —
+    // no explode, no vocab-wide agg — which is identically Σa over
+    // the (source, token) counts. Two expensive subtrees remain
+    // (tokTot and the join's bySrc) and still overlap.
     val bySrc = Tables.documents(spark, sfDir)
       .select($"source", explode(tokens($"text")).as("token"))
       .groupBy($"source", $"token").agg(count(lit(1)).as("a"))
-    val srcTot = bySrc.groupBy($"source").agg(sum($"a").as("na"))
+    val srcTot = Tables.documents(spark, sfDir)
+      .groupBy($"source")
+      .agg(sum(size(tokens($"text")).cast(LongType)).as("na"))
     val tokTot = bySrc.groupBy($"token").agg(sum($"a").as("atot"))
     val grand = srcTot.agg(sum($"na").as("ntot"))
     // (token, a, rate_e3, rest_rate_e3, drift_e3) per source, kept
@@ -1363,8 +1379,17 @@ object CurationOps {
     * per-(hash, doc) level is exact: sum of its counts = total chunk
     * occurrences, its row count = distinct docs. */
   def chunkDedup(spark: SparkSession, sfDir: String): DataFrame =
-    chunkFrame(Tables.documents(spark, sfDir))
-      .select($"doc_id", $"chunk_hash")
+    // r14 (guide §4): the hash stream comes from the fused byte
+    // kernel — one tokenize pass per doc, md5 streamed straight from
+    // the document bytes at the same width/stride grid — instead of
+    // chunkFrame's tokens→slice→array_join→hash60 chain, which
+    // materializes an array<string> plus one joined string per chunk
+    // just to hash it. Bit-identical hashes (PropertySpec pins the
+    // kernel against the chain); chunkFrame itself is unchanged for
+    // the consumers that need chunk metadata (q_chunks, streaming).
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(graft.functions.TextHash
+        .chunkHashes($"text", ChunkWidth, ChunkStride)).as("chunk_hash"))
       .repartition($"chunk_hash")
       .groupBy($"chunk_hash", $"doc_id")
       .agg(count(lit(1)).as("n"))

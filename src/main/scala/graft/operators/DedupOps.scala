@@ -188,6 +188,14 @@ object DedupOps {
     * DriverEdgeLimit). */
   val IncrIdPushLimit = 1 << 14
 
+  /** Max distinct candidate-doc ids [[minhashCalibrationDirect]] will
+    * FORCE-broadcast for its corpus-side semi-join prunes (~160 MB of
+    * longs at the limit — well under the executor/driver budget);
+    * past it the prune degrades to an un-hinted semi join: same
+    * rows, no forced multi-GB broadcast at corpus scales where
+    * candidates approach ~20% of docs. */
+  val CalibIdBroadcastLimit = 20000000L
+
   /** The (doc_new, doc_old) candidate subtree [[dedupIncremental]]'s
     * artifact build executes: fresh drop bands BROADCAST against the
     * stored corpus band artifact. Exposed (not inlined) so DedupSpec
@@ -208,9 +216,10 @@ object DedupOps {
   /** Corpus banded signatures (doc_id, band, band_hash) materialized
     * ONCE per corpus fingerprint — the signature artifact a production
     * corpus stores alongside the text (16 longs/doc), so consumers
-    * ([[minhashPairs]]' build, every [[dedupIncremental]] drop) scan
-    * the compact band table instead of re-hashing 100 TB of text.
-    * Same supersede-eviction as the pairs/IVF artifacts. */
+    * (the [[minhashCalibShared]] build, every [[dedupIncremental]]
+    * drop) scan the compact band table instead of re-hashing 100 TB
+    * of text. Same supersede-eviction as the calibration/IVF
+    * artifacts. */
   private[graft] def minhashBandsShared(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = graft.tools.Materialize.fingerprint(spark, s"$sfDir/documents.parquet")
     val (path, schema) = bandsIndex.getOrBuild(sfDir, fp) {
@@ -238,14 +247,6 @@ object DedupOps {
       (path, schema)
     }.isDefined
 
-  /** [[minhashPairs]] materialized ONCE per corpus fingerprint and
-    * served as a plain parquet scan — the candidate+verify subtree is
-    * the dominant cost of BOTH the pair listing (#39) and cluster
-    * resolution (#50), so computing it per consumer doubles the most
-    * expensive shuffle in the dedup family. Same build-once/probe-many
-    * amortization (and supersede-eviction) as the IVF index; at 100 TB
-    * the pairs frame is the production artifact a pipeline writes out
-    * anyway before clustering. */
   /** The verified J ≥ 1/2 near-dup pairs, served as a FILTER over the
     * [[minhashCalibShared]] artifact (which stores the unfiltered
     * per-candidate n_common/n_union): the expensive candidate × gram
@@ -567,10 +568,6 @@ object DedupOps {
       .orderBy($"doc_new", $"doc_old")
   }
 
-  /** Exact 2-gram Jaccard verify at the shared J ≥ 1/2 bar — ONE
-    * definition of the union math and threshold for every MinHash
-    * consumer ([[minhashPairs]], [[dedupIncremental]]), the same
-    * no-desync discipline as [[bandExplode]]. */
   /** Exact intersection/union gram counts per candidate pair — the
     * unfiltered verify subtree shared by [[verifyJaccard]] (which
     * applies the J ≥ 1/2 bar) and [[minhashCalibration]] (which needs
@@ -585,6 +582,11 @@ object DedupOps {
         (size($"gs_a") + size($"gs_b")).cast(LongType).as("sz"))
       .select(col(aCol), col(bCol), $"n_common", ($"sz" - $"n_common").as("n_union"))
 
+  /** [[jaccardCounts]] with the shared J ≥ 1/2 bar applied — ONE
+    * definition of the union math and threshold for every MinHash
+    * consumer ([[minhashPairsShared]]'s artifact filter,
+    * [[dedupIncremental]]), the same no-desync discipline as
+    * [[bandExplode]]. */
   private def verifyJaccard(cand: DataFrame, gsA: DataFrame, gsB: DataFrame,
       aCol: String, bCol: String): DataFrame =
     jaccardCounts(cand, gsA, gsB, aCol, bCol)
@@ -637,22 +639,29 @@ object DedupOps {
     // docs anyway, but without the prune the sort-merge join sorts
     // the ENTIRE corpus gram-array table (measured: tens of GB of
     // sort spill at sf100 for a candidate set touching <20% of docs).
-    // The id list is 2·|cand| longs — broadcastable by the same
-    // sublinearity bound as the candidate frame itself.
+    // Size-gated broadcast (r14, ADVICE r13): the forced broadcast is
+    // only taken while the distinct candidate-doc count stays under
+    // [[CalibIdBroadcastLimit]] (counted off the already-materialized
+    // candidate parquet, so nothing re-runs); past it the prune
+    // becomes an un-hinted semi join — still no corpus shuffle on the
+    // build side of the verify, but no multi-GB forced broadcast
+    // either (the IncrIdPushLimit failover discipline).
     val candIds = cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-    val sigs = Tables.documents(spark, sfDir)
+    val candIdsBounded = candIds.count() <= CalibIdBroadcastLimit
+    def pruneToCands(df: DataFrame): DataFrame =
+      if (candIdsBounded) df.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      else df.join(candIds, Seq("doc_id"), "left_semi")
+    val sigs = pruneToCands(Tables.documents(spark, sfDir)
       .withColumn("sig",
         graft.functions.TextHash.minhashSig($"text", VerifyGram, numHashes))
       .filter(element_at($"sig", 1) =!= Long.MaxValue)
-      .select($"doc_id", $"sig")
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"sig"))
     val nMatch = (0 until numHashes).map { i =>
       when(element_at($"sig_a", i + 1) === element_at($"sig_b", i + 1), 1L)
         .otherwise(0L)
     }.reduce(_ + _)
-    val gs = gramSets(spark, sfDir, VerifyGram)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val gs = pruneToCands(gramSets(spark, sfDir, VerifyGram))
     jaccardCounts(cand, gs, gs, "doc_a", "doc_b")
       .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
       .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
@@ -950,26 +959,26 @@ object DedupOps {
         raise_error(concat(lit(s"doc_id out of pid-packing domain [0, ${Long.MaxValue / PackN}): "),
           $"doc_id".cast("string"))).cast(LongType))
       .otherwise($"doc_id")
-    val cand = gs
+    val buckets = gs
       .select((pidSafe * PackN + least(size($"gs").cast(LongType), lit(PackN - 1)))
           .as("pid"),
         explode(graft.functions.TextHash.dfPrefix($"gs", hot, rank, pk)).as("h"))
       .groupBy($"h").agg(collect_list($"pid").as("ids"))
       .filter(size($"ids") > 1)
-      .select(explode(
-        graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
-      .select($"p.doc_a".as("pa"), $"p.doc_b".as("pb"))
-      // size-compatibility cut BEFORE the pair exchange (round 11):
-      // J >= 1/2 forces max(n_a,n_b) <= 2*min(n_a,n_b) (|A∩B| <= min
-      // and |A∩B| >= (n_a+n_b)/3 give 3*min >= n_a+n_b = min+max), so
-      // a size-incompatible pair can never verify — dropping its rows
-      // map-side is exact. Sizes ride the pid packing; the 4095 clamp
-      // only ever shrinks the apparent max, so clamped sizes KEEP
-      // more, never less — recall-safe. Measured at sf100: 748.1M →
-      // 567.2M pair rows (−24% through the widest exchange in the
-      // plan).
-      .filter(greatest(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) <=
-        least(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) * 2)
+    // size-compatibility cut BEFORE the pair exchange (round 11):
+    // J >= 1/2 forces max(n_a,n_b) <= 2*min(n_a,n_b) (|A∩B| <= min
+    // and |A∩B| >= (n_a+n_b)/3 give 3*min >= n_a+n_b = min+max), so
+    // a size-incompatible pair can never verify — dropping its rows
+    // map-side is exact. Sizes ride the pid packing; the 4095 clamp
+    // only ever shrinks the apparent max, so clamped sizes KEEP
+    // more, never less — recall-safe. Measured at sf100: 748.1M →
+    // 567.2M pair rows (−24% through the widest exchange in the
+    // plan). Since r14 the packed branch runs the whole
+    // pair-expand → size-cut → re-pack chain inside ONE codegen'd
+    // kernel ([[graft.functions.TextSetExprs.packedCandPairs]]):
+    // identical arithmetic, but each surviving pair is 8 bytes in a
+    // primitive array instead of a struct row allocated, unpacked,
+    // filtered, and re-packed across three operators (guide §4).
     // The pair stream is the widest stream in the plan (~4.5x the
     // prefix rows at sf100) and nearly every key is distinct, so a
     // default-width reduce side holds ~n/shufflePartitions live
@@ -998,12 +1007,9 @@ object DedupOps {
     val width = spark.sessionState.conf.numShufflePartitions * PairAggWidth
     val counted =
       if (minDocId >= 0L && maxDocId < PairPackMaxDocId)
-        cand
-          .select((
-            (expr(s"pa div $PackN") * 32L +
-              least(pmod($"pa", lit(PackN)), lit(31L))) * lit(1L << 32) +
-            (expr(s"pb div $PackN") * 32L +
-              least(pmod($"pb", lit(PackN)), lit(31L)))).as("pp"))
+        buckets
+          .select(explode(graft.functions.TextSetExprs
+            .packedCandPairs($"ids", PackN)).as("pp"))
           .repartition(width, $"pp")
           .groupBy($"pp").agg(count(lit(1)).as("n_shared"))
           .filter($"n_shared" >= least(lit(pk.toLong),
@@ -1011,7 +1017,12 @@ object DedupOps {
           .select(expr("(pp div 4294967296) div 32").as("doc_a"),
             expr("pmod(pp, 4294967296) div 32").as("doc_b"))
       else
-        cand
+        buckets
+          .select(explode(
+            graft.functions.TextSetExprs.orderedPairs($"ids")).as("p"))
+          .select($"p.doc_a".as("pa"), $"p.doc_b".as("pb"))
+          .filter(greatest(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) <=
+            least(pmod($"pa", lit(PackN)), pmod($"pb", lit(PackN))) * 2)
           .repartition(width, $"pa", $"pb")
           .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_shared"))
           .filter($"n_shared" >= least(lit(pk.toLong),
@@ -1166,22 +1177,67 @@ object DedupOps {
       .repartition(col("c"), col("key"))
       .sortWithinPartitions("c", "key")
       .mapPartitions { it =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var curC = Long.MinValue
-        var curK = Long.MinValue
-        var first = true
-        it.flatMap { case (c, k, d, h) =>
-          if (first || c != curC || k != curK) {
-            buf.clear(); curC = c; curK = k; first = false
+        // r14 (guide §4): the run buffer is two primitive long arrays
+        // and emission is a hand-rolled iterator — the previous form
+        // boxed every buffered row into a (Long, Long) tuple and
+        // materialized a Vector per INPUT row (normally empty, but
+        // still an allocation on the plan's widest stream); emitted
+        // pairs and the scan order are identical.
+        new scala.collection.AbstractIterator[(Long, Long, Long)] {
+          private var bufD = new Array[Long](64)
+          private var bufH = new Array[Long](64)
+          private var n = 0
+          private var curC = 0L
+          private var curK = 0L
+          private var started = false
+          private var d = 0L
+          private var h = 0L
+          private var scan = 0
+          private var haveRow = false
+          private var outA = 0L
+          private var outB = 0L
+          private var outHam = 0L
+          private var ready = false
+          private def advance(): Boolean = {
+            while (true) {
+              if (!haveRow) {
+                if (!it.hasNext) return false
+                val r = it.next()
+                if (!started || r._1 != curC || r._2 != curK) {
+                  n = 0; curC = r._1; curK = r._2; started = true
+                }
+                d = r._3; h = r._4; scan = 0; haveRow = true
+              }
+              while (scan < n) {
+                val i = scan
+                scan += 1
+                val ham = java.lang.Long.bitCount(h ^ bufH(i)).toLong
+                if (ham <= mh) {
+                  val d2 = bufD(i)
+                  outA = math.min(d, d2); outB = math.max(d, d2)
+                  outHam = ham
+                  return true
+                }
+              }
+              // current row scanned against the whole run: buffer it
+              if (n == bufD.length) {
+                bufD = java.util.Arrays.copyOf(bufD, n * 2)
+                bufH = java.util.Arrays.copyOf(bufH, n * 2)
+              }
+              bufD(n) = d; bufH(n) = h; n += 1
+              haveRow = false
+            }
+            false
           }
-          val out = buf.iterator.flatMap { case (d2, h2) =>
-            val ham = java.lang.Long.bitCount(h ^ h2).toLong
-            if (ham <= mh)
-              Some((math.min(d, d2), math.max(d, d2), ham))
-            else None
-          }.toVector
-          buf += ((d, h))
-          out
+          override def hasNext: Boolean = {
+            if (!ready) ready = advance()
+            ready
+          }
+          override def next(): (Long, Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            ready = false
+            (outA, outB, outHam)
+          }
         }
       }
       .toDF("doc_a", "doc_b", "hamming")

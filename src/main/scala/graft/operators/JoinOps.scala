@@ -1060,10 +1060,21 @@ object JoinOps {
     * total in DECIMAL(38,0), HHI sums share² exactly, and the top-10
     * picks via TakeOrdered (never a global sort). */
   def supplierConcentration(spark: SparkSession, sfDir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, sfDir)
+    // r14: served from the order-line view — the stored rev_e4 IS the
+    // per-line toFixed term sumFixed sums (sumFixed(c,4) ≡
+    // sum(toFixed(c,4)), Tables.scala:69), so the per-supplier sums
+    // are bit-identical while the scan reads two pruned columns of
+    // the flattened view instead of three raw lineitem columns plus
+    // per-row double arithmetic.
+    // persisted (r14): tot/hhi/top10/final each embed their own copy
+    // of this subtree (5 fact scans in
+    // plans/r14/q_supplier_conc_before.txt — exchange reuse never
+    // fires across the differently-pruned copies); the cached frame
+    // is |suppliers| rows. Recomputed fresh per invocation.
+    val rev = OrderLineView.scan(spark, sfDir)
       .groupBy($"l_suppkey")
-      .agg(Det.sumFixed($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
-        .as("rev_e4"))
+      .agg(sum($"rev_e4").as("rev_e4"))
+      .persist()
     val tot = rev.agg(sum($"rev_e4").as("tot_e4"),
       count(lit(1)).as("n_suppliers"))
     val shares = rev.crossJoin(broadcast(tot))

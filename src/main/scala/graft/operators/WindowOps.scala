@@ -204,13 +204,25 @@ object WindowOps {
     * looks human. Exact, not windowed-approximate: minutes are fixed
     * UTC grid cells, so the count is a plain partial agg.
     *
-    * Scale shape: one (user, minute) partial-agg'd shuffle (uniform
-    * composite key — a hot user's rows still spread over its
-    * minutes), a per-user max on the collapsed frame, a ≤64-bucket
-    * readout. */
+    * Scale shape (r14, guide §2.4 — the chunkDedup one-exchange
+    * pattern): ONE explicit user_id repartition satisfies BOTH
+    * aggregation levels (HashPartitioning(user) is a
+    * ClusteredDistribution match for (user, minute) and for (user)),
+    * so the (user, minute) count and the per-user max run
+    * exchange-free behind it; the previous two-agg chain paid a
+    * second corpus-scale exchange of the collapsed frame. Map-side
+    * partial aggregation bought nothing here: (user, minute) is
+    * ~99.9% distinct (measured sf0.1: 99,921 distinct / 100,000
+    * events), so the raw 16-byte rows through one exchange are
+    * strictly fewer bytes than the same rows + partial-agg counts
+    * through two. A pathologically hot user skews a partition at
+    * corpus scale; the events surface has no such user (bounded
+    * per-user rates by construction), and the ≤64-bucket readout
+    * stays a partial agg. */
   def rateProfile(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select($"user_id", expr("unix_micros(ts) div 60000000").as("minute"))
+      .repartition($"user_id")
       .groupBy($"user_id", $"minute").agg(count(lit(1)).as("n"))
       .groupBy($"user_id").agg(max($"n").as("peak"))
       .groupBy((length(bin($"peak")) - 1).cast("long").as("log2_peak"))

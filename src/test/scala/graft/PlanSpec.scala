@@ -143,12 +143,15 @@ class PlanSpec extends SparkTestBase {
   test("q_json_extract parses JSON exactly once per row") {
     // The filter must stay ABOVE the parse projection (the _fence
     // contract in CoreOps.jsonExtract); if a Spark upgrade re-enables
-    // pushing it through, from_json appears twice — once inlined
-    // inside the pushed filter (VERDICT r1 #4's 2× parse).
+    // pushing it through, the extraction appears twice — once inlined
+    // inside the pushed filter (VERDICT r1 #4's 2× parse). r14: the
+    // extraction is the narrow json_long_key kernel (≡
+    // CAST(get_json_object AS BIGINT)); the full-struct from_json must
+    // not reappear.
     val plan = fullPlanString("q_json_extract")
-    assert(!plan.contains("get_json_object"), "must use from_json, not get_json_object")
-    val parses = "from_json".r.findAllIn(plan).size
-    assert(parses == 1, s"expected exactly 1 from_json in the plan, saw $parses")
+    assert(!plan.contains("from_json"), "must use json_long_key, not from_json")
+    val parses = "json_long_key".r.findAllIn(plan).size
+    assert(parses == 1, s"expected exactly 1 json_long_key in the plan, saw $parses")
   }
 
   test("native hash expressions stay inside whole-stage codegen") {

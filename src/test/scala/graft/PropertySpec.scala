@@ -61,6 +61,86 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level text kernels equal the legacy string forms on any input") {
+    // r14: the hot-path expressions hash UTF8String bytes directly
+    // (no String decode, no per-token re-encode, streamed md5); this
+    // pins them against the legacy *Jvm string implementations over
+    // unicode (multi-byte UTF-8), runs of spaces, and empty inputs.
+    import org.apache.spark.unsafe.types.UTF8String
+    val anyText: Gen[String] = Gen.listOf(Gen.frequency[String](
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "ß", "中", "文", "🦊", "Ω"),
+      1 -> Gen.const("  "))).map(_.mkString)
+    val ab = TextFunctions.minhashAB(16).toArray
+    val pa = ab.map(_._1)
+    val pb = ab.map(_._2)
+    forSamples(Gen.zip(anyText, Gen.choose(1, 4)), n = 400) { case (s, n) =>
+      val u = UTF8String.fromString(s)
+      assert(TextHash.gramHashesBytes(u, n).toSeq ==
+        TextHash.gramHashesJvm(s, n).toSeq, s"gramHashes text='$s' n=$n")
+      assert(TextHash.simhashBytes(u, 60) == TextHash.simhashJvm(s, 60),
+        s"simhash text='$s'")
+      assert(TextHash.minhashSigBytes(u, n, pa, pb).toSeq ==
+        TextHash.minhashSigJvm(s, n, ab).toSeq, s"minhashSig text='$s' n=$n")
+    }
+  }
+
+  test("chunk hashes equal the tokens→slice→join→hash60 chain on any input") {
+    // r14: chunkDedup's fused kernel vs the legacy declarative chain
+    // hash60(array_join(slice(tokens(text), start+1, width), " ")) at
+    // the chunkFrame grid (starts 0, stride, … < n_tokens).
+    import org.apache.spark.unsafe.types.UTF8String
+    val anyText: Gen[String] = Gen.listOf(Gen.frequency[String](
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "中", "Ω"))).map(_.mkString)
+    forSamples(Gen.zip(anyText, Gen.choose(1, 5), Gen.choose(1, 4)), n = 300) {
+      case (s, width, stride) =>
+        val tk = TextHash.tokensJvm(s)
+        val model = (0 until tk.length by stride).map { start =>
+          TextHash.hash60Jvm(
+            tk.slice(start, math.min(start + width, tk.length)).mkString(" "))
+        }
+        assert(TextHash.chunkHashesBytes(
+          UTF8String.fromString(s), width, stride).toSeq == model,
+          s"text='$s' width=$width stride=$stride")
+    }
+  }
+
+  test("json long-key fast path agrees with Spark's GetJsonObject + cast") {
+    // r14 q_json_extract kernel: longKey must equal the reference
+    // composition (GetJsonObject + non-ANSI string→long cast, which
+    // longKeySlow IS) on every input — simple objects the fast scanner
+    // accepts, and everything it must decline (nesting, strings,
+    // floats, escapes, duplicates, malformed tails, huge magnitudes).
+    import org.apache.spark.unsafe.types.UTF8String
+    val key = UTF8String.fromString("k")
+    val sp = Gen.oneOf("", " ", "  ", "\t")
+    val intVal = Gen.choose(Long.MinValue, Long.MaxValue).map(_.toString)
+    val oddVal = Gen.oneOf("1.5", "-0.25", "1e3", "\"42\"", "\"x\"", "null",
+      "true", "[1,2]", "{\"a\":1}", "007", "-", "99999999999999999999",
+      "18446744073709551616")
+    val entry = for {
+      k <- Gen.oneOf("k", "j", "kk", "", "a b", "k\\n")
+      v <- Gen.frequency(3 -> intVal, 1 -> oddVal)
+      s1 <- sp; s2 <- sp; s3 <- sp
+    } yield s"$s1\"$k\"$s2:$s3$v"
+    val objGen = for {
+      es <- Gen.listOfN(3, entry).map(_.take(3))
+      n <- Gen.choose(0, 3)
+      s1 <- sp; s2 <- sp
+      tail <- Gen.oneOf("", "", "", " ", "x", ",")
+    } yield s"$s1{${es.take(n).mkString(",")}}$s2$tail"
+    val junk = Gen.oneOf("", "{", "}", "[1,2]", "12", "\"k\"", "{\"k\":}",
+      "{\"k\" 1}", "{\"k\":1,,}", "{\"k\":1", "not json")
+    forSamples(Gen.frequency(8 -> objGen, 2 -> junk), n = 500) { s =>
+      val u = UTF8String.fromString(s)
+      assert(graft.functions.JsonExprs.longKey(u, key) ==
+        graft.functions.JsonExprs.longKeySlow(u, key), s"json='$s'")
+    }
+  }
+
   test("minhash signature: supersets only lower the per-permutation minima") {
     val ab = TextFunctions.minhashAB(16).toArray
     forSamples(Gen.zip(asciiText, asciiText)) { case (a, b) =>
@@ -184,6 +264,34 @@ class PropertySpec extends AnyFunSuite {
         i <- ids.indices; j <- i + 1 until ids.size
         if ids(i) != ids(j)
       } yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+      assert(got == model, s"ids=$ids")
+    }
+  }
+
+  test("packed candidate pairs equal orderedPairs + size cut + re-pack") {
+    // r14: dedupNgram's fused packed-pair kernel must emit exactly the
+    // multiset the replaced three-operator chain produced — expand
+    // (min, max) pid pairs, drop size-incompatible ones
+    // (max(sa,sb) > 2·min(sa,sb)), emit ((doc·32+min(s,31))<<32)|…
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val packN = 4096L
+    // pids = doc·packN + size with sizes clustered small so the size
+    // cut actually bites; include duplicate pids (no self-pair)
+    val pidGen = Gen.listOf(Gen.zip(Gen.choose(0L, 2000L),
+      Gen.oneOf(Gen.choose(1L, 12L), Gen.choose(1L, 4095L)))
+      .map { case (doc, sz) => doc * packN + sz })
+    forSamples(pidGen) { ids =>
+      val out = graft.functions.TextSetExprs
+        .packedCandPairsData(new GenericArrayData(ids.toArray), packN)
+      val got = (0 until out.numElements()).map(out.getLong).sorted
+      val model = (for {
+        i <- ids.indices; j <- i + 1 until ids.size
+        if ids(i) != ids(j)
+        lo = math.min(ids(i), ids(j)); hi = math.max(ids(i), ids(j))
+        sa = lo % packN; sb = hi % packN
+        if math.max(sa, sb) <= 2 * math.min(sa, sb)
+      } yield ((lo / packN) * 32L + math.min(sa, 31L)) * (1L << 32) +
+        ((hi / packN) * 32L + math.min(sb, 31L))).sorted
       assert(got == model, s"ids=$ids")
     }
   }
